@@ -1,0 +1,177 @@
+"""LLM client protocol, deterministic stub, and caching wrapper.
+
+The reference requires exactly one method of its LLM object:
+``predict(prompt) -> str`` (Semantic-OLAP/Agents/Components/
+Operaters.py:69,343,388,423,487).  We keep that protocol and add
+``predict_batch`` because every semantic operator here runs as an
+Arrow-batched pandas UDF — a real backend would fan the batch out
+concurrently; the stub just loops.
+
+Executor-side construction: operators take an ``llm_factory``
+(a picklable zero-arg callable) rather than a live client, so each
+executor process builds its own client + cache.  The cache
+(CachingLLM) is keyed by the full prompt — semantically the
+reference-planned cache "keyed by (prompt-template, input, model)"
+(SURVEY.md §4 physical layer), since the prompt embeds both template
+and input.
+
+StubLLM implements deterministic rule-based answers for every prompt
+family in ``prompts.py`` — the reproducible-test strategy of
+SURVEY.md §5 item 2.  Its rules are simple *string-containment and
+token-count* semantics, chosen because they are exactly expressible
+in ANSI SQL, which is what lets the driver's DuckDB oracle check the
+semantic operators end-to-end.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from typing import Callable, Iterable, Protocol
+
+from semantic_olap_spark.llm import prompts as P
+
+
+class LLM(Protocol):
+    def predict(self, prompt: str) -> str: ...
+
+    def predict_batch(self, batch: list[str]) -> list[str]: ...
+
+
+class BaseLLM:
+    def predict(self, prompt: str) -> str:  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    def predict_batch(self, batch: list[str]) -> list[str]:
+        return [self.predict(p) for p in batch]
+
+
+def _count_occurrences(text: str, token: str) -> int:
+    if not token:
+        return 0
+    return text.count(token)
+
+
+class StubLLM(BaseLLM):
+    """Deterministic rule-based LLM (SURVEY.md §5 test strategy).
+
+    Rules (all case-insensitive on content):
+
+    - sem_filter         → Yes iff ANY significant condition token is
+                           a substring of the content.
+    - sem_map            → first vocabulary label (``one of: ...`` in
+                           the instruction) whose text appears in the
+                           content, else "NA"; without a vocabulary,
+                           first significant instruction token found,
+                           else "NA".
+    - sem_group_induce   → the instruction's vocabulary + "other".
+    - sem_group_classify → first tag appearing in content else last
+                           tag (the catch-all).
+    - sem_reduce         → "; "-joined ascending-sorted unique values.
+    - sem_topk_pair      → side with more total occurrences of the
+                           query's tokens; tie → A.
+    - filter_enum        → values containing any condition token.
+    - filter_pattern     → regex from the digit-masked template
+                           (each <*> → capture group (\\d+)),
+                           conditions parsed from ``<op> <number>``
+                           pairs in the condition text.
+    """
+
+    def predict(self, prompt: str) -> str:
+        task = P.task_of(prompt)
+        fields, content = P.split_sections(prompt)
+        lc = content.lower()
+        if task == "sem_filter":
+            toks = P.condition_tokens(fields.get("condition", ""))
+            return "Yes" if any(t in lc for t in toks) else "No"
+        if task == "sem_map":
+            instr = fields.get("instruction", "")
+            vocab = P.vocab_of(instr)
+            if vocab:
+                for v in vocab:
+                    if v.lower() in lc:
+                        return v
+                return "NA"
+            for t in P.condition_tokens(instr):
+                if t in lc:
+                    return t
+            return "NA"
+        if task == "sem_group_induce":
+            vocab = P.vocab_of(fields.get("instruction", ""))
+            tags = vocab + ["other"] if vocab else ["other"]
+            return json.dumps(tags)
+        if task == "sem_group_classify":
+            tags = json.loads(fields.get("tags", "[]"))
+            for t in tags[:-1]:
+                if str(t).lower() in lc:
+                    return str(t)
+            return str(tags[-1]) if tags else "other"
+        if task == "sem_reduce":
+            vals = json.loads(content)
+            return "; ".join(sorted(str(v) for v in vals))
+        if task == "sem_topk_pair":
+            toks = P.condition_tokens(fields.get("query", ""))
+            _, _, rest = prompt.partition("<<<A>>>\n")
+            a, _, b = rest.partition("\n<<<B>>>\n")
+            sa = sum(_count_occurrences(a.lower(), t) for t in toks)
+            sb = sum(_count_occurrences(b.lower(), t) for t in toks)
+            return "A" if sa >= sb else "B"
+        if task == "filter_enum":
+            toks = P.condition_tokens(fields.get("condition", ""))
+            vals = json.loads(content)
+            keep = [v for v in vals if any(t in str(v).lower() for t in toks)]
+            return json.dumps(keep)
+        if task == "filter_pattern":
+            template = fields.get("template", "")
+            regex = re.escape(template).replace(re.escape("<*>"), r"(\d+)")
+            conds = []
+            for m in re.finditer(
+                r"(>=|<=|==|!=|>|<)\s*(-?\d+(?:\.\d+)?)", fields.get("condition", "")
+            ):
+                conds.append(
+                    {
+                        "group": len(conds) + 1,
+                        "operator": m.group(1),
+                        "threshold": float(m.group(2)),
+                    }
+                )
+            return json.dumps({"regex": regex, "conditions": conds, "logic": "and"})
+        raise ValueError(f"StubLLM: unknown task {task!r}")
+
+
+class CachingLLM(BaseLLM):
+    """Prompt→response memo cache wrapper (SURVEY.md §4 phys layer)."""
+
+    def __init__(self, inner: LLM):
+        self.inner = inner
+        self.cache: dict[str, str] = {}
+        self.hits = 0
+        self.misses = 0
+
+    def predict(self, prompt: str) -> str:
+        if prompt in self.cache:
+            self.hits += 1
+            return self.cache[prompt]
+        self.misses += 1
+        out = self.inner.predict(prompt)
+        self.cache[prompt] = out
+        return out
+
+    def predict_batch(self, batch: list[str]) -> list[str]:
+        missing = [p for p in batch if p not in self.cache]
+        if missing:
+            # de-dup within the batch before hitting the backend
+            uniq = list(dict.fromkeys(missing))
+            for p, r in zip(uniq, self.inner.predict_batch(uniq)):
+                self.cache[p] = r
+            self.misses += len(uniq)
+        self.hits += len(batch) - len(missing)
+        return [self.cache[p] for p in batch]
+
+
+def default_llm_factory() -> LLM:
+    """Picklable factory used when an operator gets no ``llm_factory``."""
+    return CachingLLM(StubLLM())
+
+
+LLMFactory = Callable[[], LLM]

@@ -1,0 +1,464 @@
+"""Semantic (LLM-backed) operators as Arrow-batched pandas UDFs.
+
+Operators 1/4/5/6/10 of the reference contract (SURVEY.md §2.1) plus
+the physical filter specializations (§2.2).  The reference executes
+all of these as sequential per-row ``llm.predict`` loops
+(Semantic-OLAP/Agents/Components/Operaters.py:76,347,381,471) — the
+single biggest scalability wall.  Here every per-row operator is an
+Arrow-batched ``pandas_udf`` so batches stream to Python workers in
+columnar form and a real LLM backend can fan each batch out
+concurrently; driver-side work is bounded (taxonomy samples, enum
+preview ≤ 100, ≤ max_templates regex plans — the reference's own caps,
+Operaters.py:286,221-223).
+
+Operators receive a picklable ``llm_factory`` (defaults to the
+deterministic stub) so each executor process builds its own client +
+prompt cache.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from typing import Sequence
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType, StringType
+
+from semantic_olap_spark.llm import prompts as P
+from semantic_olap_spark.llm.client import LLMFactory, default_llm_factory
+from semantic_olap_spark.operators.deterministic import _NUM_OPS
+
+OLAP_ID = "OLAP_ID"
+
+
+def _lazy_llm(state: dict, llm_factory: LLMFactory):
+    llm = state.get("llm")
+    if llm is None:
+        llm = state["llm"] = llm_factory()
+    return llm
+
+
+# ---- sem_filter (Operaters.py:45-78; catalog baseline_LLM_direct.py:5-14)
+
+
+def sem_filter_cond(
+    columns: Sequence[str],
+    condition: str,
+    llm_factory: LLMFactory = default_llm_factory,
+) -> Column:
+    """Boolean Column judging an NL condition per row via the LLM.
+
+    Yes/No row judge semantics of ``filter_LLM``
+    (Operaters.py:54-67): row content is the selected columns as
+    ``col: value`` lines; any non-"Yes" answer is False.
+    """
+    cols = list(columns)
+    state: dict = {}
+
+    @F.pandas_udf(BooleanType())
+    def judge(*series: pd.Series) -> pd.Series:
+        llm = _lazy_llm(state, llm_factory)
+        prompts = [
+            P.filter_prompt(condition, P.row_content(cols, vals))
+            for vals in zip(*series)
+        ]
+        ans = llm.predict_batch(prompts)
+        return pd.Series([a.strip().lower().startswith("y") for a in ans])
+
+    return judge(*[F.col(c).cast("string") for c in cols])
+
+
+def sem_filter(
+    df: DataFrame,
+    columns: Sequence[str],
+    condition: str,
+    llm_factory: LLMFactory = default_llm_factory,
+) -> DataFrame:
+    return df.filter(sem_filter_cond(columns, condition, llm_factory))
+
+
+# ---- sem_map (Operaters.py:318-350; catalog baseline_LLM_direct.py:43-53)
+
+
+def sem_map(
+    df: DataFrame,
+    columns: Sequence[str],
+    map_description: str,
+    keyword: str,
+    llm_factory: LLMFactory = default_llm_factory,
+) -> DataFrame:
+    """Add LLM-generated column ``keyword`` ("NA" on failure)."""
+    cols = list(columns)
+    state: dict = {}
+
+    @F.pandas_udf(StringType())
+    def mapper(*series: pd.Series) -> pd.Series:
+        llm = _lazy_llm(state, llm_factory)
+        prompts = [
+            P.map_prompt(keyword, map_description, P.row_content(cols, vals))
+            for vals in zip(*series)
+        ]
+        return pd.Series([a.strip() or "NA" for a in llm.predict_batch(prompts)])
+
+    return df.withColumn(keyword, mapper(*[F.col(c).cast("string") for c in cols]))
+
+
+# ---- sem_group (Operaters.py:376-397; catalog baseline_LLM_direct.py:55-65)
+
+
+def induce_taxonomy(
+    df: DataFrame,
+    columns: Sequence[str],
+    group_description: str,
+    keyword: str,
+    llm_factory: LLMFactory = default_llm_factory,
+    sample_n: int = 50,
+) -> list[str]:
+    """Phase 1: derive the tag vocabulary from a driver-side sample.
+
+    The reference mints tags online row-by-row (Operaters.py:381-393)
+    — order-dependent and inherently sequential.  The scalable
+    semantics (SURVEY.md §2.1 #5) is two-phase: a bounded sample
+    (``limit(sample_n)``, driver-side, constant size regardless of
+    table size) feeds ONE induction call.
+    """
+    rows = df.select(*[F.col(c).cast("string") for c in columns]).limit(sample_n).collect()
+    samples = [P.row_content(columns, list(r)) for r in rows]
+    llm = llm_factory()
+    raw = llm.predict(P.group_induce_prompt(keyword, group_description, samples))
+    tags = json.loads(raw)
+    if not isinstance(tags, list) or not tags:
+        tags = ["other"]
+    return [str(t) for t in tags]
+
+
+def sem_group(
+    df: DataFrame,
+    columns: Sequence[str],
+    group_description: str,
+    keyword: str,
+    llm_factory: LLMFactory = default_llm_factory,
+    taxonomy: Sequence[str] | None = None,
+    sample_n: int = 50,
+) -> DataFrame:
+    """Two-phase semantic grouping: induce taxonomy, classify rows.
+
+    Phase 2 is an embarrassingly parallel classify-into-fixed-tags
+    pandas UDF.  Pass ``taxonomy`` to skip induction (granularity
+    reuse — Roll_Up_Agent.py:143-147 memoization).
+    """
+    tags = list(taxonomy) if taxonomy else induce_taxonomy(
+        df, columns, group_description, keyword, llm_factory, sample_n
+    )
+    cols = list(columns)
+    state: dict = {}
+
+    @F.pandas_udf(StringType())
+    def classify(*series: pd.Series) -> pd.Series:
+        llm = _lazy_llm(state, llm_factory)
+        prompts = [
+            P.group_classify_prompt(
+                keyword, group_description, tags, P.row_content(cols, vals)
+            )
+            for vals in zip(*series)
+        ]
+        return pd.Series([a.strip() for a in llm.predict_batch(prompts)])
+
+    return df.withColumn(keyword, classify(*[F.col(c).cast("string") for c in cols]))
+
+
+def sem_group_sequential(
+    df: DataFrame,
+    columns: Sequence[str],
+    group_description: str,
+    keyword: str,
+    llm_factory: LLMFactory = default_llm_factory,
+) -> DataFrame:
+    """Exact-parity mode: online tag minting, single partition.
+
+    Reproduces the reference's order-dependent semantics
+    (Operaters.py:381-393): each row sees the tags created so far and
+    may mint a new one.  Runs on ONE partition sorted by OLAP_ID —
+    for parity testing only; O(n) sequential LLM calls do not scale
+    (SURVEY.md §7.4 risk 1).
+    """
+    cols = list(columns)
+    out_schema = df.schema.add(keyword, StringType())
+    order = OLAP_ID if OLAP_ID in df.columns else cols[0]
+
+    def run(iterator):
+        llm = llm_factory()
+        tags: list[str] = []
+        for pdf in iterator:
+            labels = []
+            for vals in pdf[cols].astype(object).itertuples(index=False):
+                content = P.row_content(cols, list(vals))
+                prompt = P.group_classify_prompt(
+                    keyword, group_description, tags + ["__new__"], content
+                )
+                ans = llm.predict(prompt).strip()
+                if ans == "__new__" or ans not in tags:
+                    minted = ans if ans and ans != "__new__" else None
+                    if minted is None:
+                        toks = P.condition_tokens(content)
+                        minted = toks[0] if toks else "other"
+                    if minted not in tags:
+                        tags.append(minted)
+                    ans = minted
+                labels.append(ans)
+            pdf[keyword] = labels
+            yield pdf
+
+    return (
+        df.repartition(1)
+        .sortWithinPartitions(order)
+        .mapInPandas(run, schema=out_schema)
+    )
+
+
+# ---- sem_reduce (Operaters.py:404-423; catalog baseline_LLM_direct.py:67-76)
+
+
+def sem_reduce(
+    df: DataFrame,
+    columns: Sequence[str],
+    group_by: str | Sequence[str] | None = None,
+    llm_factory: LLMFactory = default_llm_factory,
+    alias: str = "summary",
+) -> DataFrame:
+    """LLM-summarize the unique values of ``columns``, per group.
+
+    Distributed shape: ``collect_set`` gathers distinct values map-side
+    (one shuffle row per group), then ONE LLM call per group over the
+    deduplicated, sorted value list (the reference also dedups before
+    prompting — Operaters.py:405).  Values are sorted so group content
+    is deterministic regardless of partitioning.
+    """
+    cols = list(columns)
+    state: dict = {}
+    vals_arr = F.sort_array(
+        F.array_distinct(
+            F.flatten(
+                F.collect_list(F.array(*[F.col(c).cast("string") for c in cols]))
+            )
+        )
+    )
+
+    @F.pandas_udf(StringType())
+    def summarize(vals: pd.Series) -> pd.Series:
+        llm = _lazy_llm(state, llm_factory)
+        prompts = [P.reduce_prompt(cols, list(v)) for v in vals]
+        return pd.Series([a.strip() for a in llm.predict_batch(prompts)])
+
+    keys = [group_by] if isinstance(group_by, str) else list(group_by or [])
+    grouped = (df.groupBy(*keys) if keys else df.groupBy()).agg(
+        vals_arr.alias("_vals")
+    )
+    return grouped.withColumn(alias, summarize(F.col("_vals"))).drop("_vals")
+
+
+# ---- sem_topk (Operaters.py:453-494; catalog baseline_LLM_direct.py:113-123)
+
+
+def sem_topk(
+    df: DataFrame,
+    columns: Sequence[str],
+    query: str,
+    k: int,
+    n_opponents: int = 5,
+    id_col: str = OLAP_ID,
+    llm_factory: LLMFactory = default_llm_factory,
+    keep_wins: bool = True,
+) -> DataFrame:
+    """Top-k rows by pairwise-LLM tournament win count.
+
+    The reference compares each row against ~5 random opponents
+    (Operaters.py:464-469).  Randomized pairing is not reproducible
+    across engines, so we use a deterministic *rotation tournament*:
+    rank rows by ``id_col``; row r plays ranks (r+1..r+n) mod n.
+    Same ~n·m comparison budget, same statistical behavior (each row
+    judged 2·m times), fully deterministic — and the pairing is pure
+    relational algebra: one self-join on rank, LLM judge as a
+    pandas UDF, ``groupBy(id).count`` for wins.  Ties on win count
+    break by ``id_col`` ascending.
+
+    Scale: the judge shuffle is n·m rows of (id, content) pairs —
+    linear in n with constant m, no quadratic blowup.
+    """
+    cols = list(columns)
+    content = F.concat_ws(
+        "\n",
+        *[
+            F.concat(F.lit(f"{c}: "), F.coalesce(F.col(c).cast("string"), F.lit("")))
+            for c in cols
+        ],
+    )
+    cand = df.withColumn("_content", content)
+    n = cand.count()
+    if n <= 1:
+        return df.limit(int(k))
+    m = min(n_opponents, n - 1)
+    w = Window.orderBy(F.col(id_col))
+    ranked = cand.withColumn("_rank", F.row_number().over(w) - F.lit(1))
+    left = ranked.select(
+        F.col(id_col).alias("_id_a"),
+        F.col("_rank").alias("_rank_a"),
+        F.col("_content").alias("_ca"),
+    )
+    right = ranked.select(
+        F.col(id_col).alias("_id_b"),
+        F.col("_rank").alias("_rank_b"),
+        F.col("_content").alias("_cb"),
+    )
+    offs = F.explode(F.array(*[F.lit(h) for h in range(1, m + 1)])).alias("_h")
+    pairs = left.select("*", offs).withColumn(
+        "_opp", (F.col("_rank_a") + F.col("_h")) % F.lit(n)
+    )
+    pairs = pairs.join(right, pairs["_opp"] == right["_rank_b"])
+
+    state: dict = {}
+
+    @F.pandas_udf(BooleanType())
+    def a_wins(ca: pd.Series, cb: pd.Series) -> pd.Series:
+        llm = _lazy_llm(state, llm_factory)
+        prompts = [P.topk_pair_prompt(query, a, b) for a, b in zip(ca, cb)]
+        return pd.Series(
+            [ans.strip().upper().startswith("A") for ans in llm.predict_batch(prompts)]
+        )
+
+    judged = pairs.withColumn("_a_wins", a_wins(F.col("_ca"), F.col("_cb")))
+    winner_ids = judged.select(
+        F.when(F.col("_a_wins"), F.col("_id_a")).otherwise(F.col("_id_b")).alias("_wid")
+    )
+    wins = winner_ids.groupBy("_wid").agg(F.count(F.lit(1)).alias("wins"))
+    scored = df.join(wins, df[id_col] == wins["_wid"], "left").drop("_wid")
+    scored = scored.withColumn("wins", F.coalesce(F.col("wins"), F.lit(0)))
+    out = scored.orderBy(F.col("wins").desc(), F.col(id_col).asc()).limit(int(k))
+    return out if keep_wins else out.drop("wins")
+
+
+# ---- filter_enum_llm (Operaters.py:281-313, "enumerable" strategy)
+
+
+def filter_enum_cond(
+    df: DataFrame,
+    column: str,
+    condition: str,
+    llm_factory: LLMFactory = default_llm_factory,
+    top_n: int = 100,
+) -> Column:
+    """Enumerable-column filter: LLM picks a keep-list of values.
+
+    Driver collects ≤ ``top_n`` distinct values by descending
+    frequency (the reference's 100-value preview cap,
+    Operaters.py:286-294), one LLM call returns the keep-list, and
+    the filter is ``col IN keep`` — pure Catalyst, pushdown-friendly.
+    """
+    vals = [
+        r[0]
+        for r in df.filter(F.col(column).isNotNull())
+        .groupBy(column)
+        .count()
+        .orderBy(F.col("count").desc(), F.col(column))
+        .limit(top_n)
+        .select(column)
+        .collect()
+    ]
+    llm = llm_factory()
+    keep = json.loads(llm.predict(P.enum_prompt(condition, [str(v) for v in vals])))
+    if not keep:
+        return F.lit(False)
+    return F.col(column).cast("string").isin([str(v) for v in keep])
+
+
+def filter_enum_llm(
+    df: DataFrame,
+    column: str,
+    condition: str,
+    llm_factory: LLMFactory = default_llm_factory,
+    top_n: int = 100,
+) -> DataFrame:
+    return df.filter(filter_enum_cond(df, column, condition, llm_factory, top_n))
+
+
+# ---- filter_pattern (Operaters.py:207-258, "pattern_based" strategy)
+
+
+def filter_pattern_cond(
+    df: DataFrame,
+    column: str,
+    condition: str,
+    llm_factory: LLMFactory = default_llm_factory,
+    sample_n: int = 3,
+    max_templates: int = 20,
+) -> Column:
+    """Pattern-extraction filter.
+
+    1. Digit-mask values into templates (``regexp_replace(col,
+       '[0-9]+', '<*>')`` — the reference's ``re.sub`` masking,
+       Operaters.py:209).
+    2. For each of the ≤ ``max_templates`` most frequent templates,
+       sample ``sample_n`` examples (reference samples 3,
+       Operaters.py:221-223) and have the LLM derive a regex +
+       numeric plan.
+    3. Compile per-template plans to ``regexp_extract`` + cast +
+       compare Columns, OR-ed across templates — all JVM-side; the
+       LLM cost is O(#templates), not O(rows).
+    """
+    tmpl = F.regexp_replace(F.col(column).cast("string"), "[0-9]+", "<*>")
+    top = (
+        df.filter(F.col(column).isNotNull())
+        .groupBy(tmpl.alias("_tmpl"))
+        .agg(
+            F.count(F.lit(1)).alias("_cnt"),
+            F.slice(F.sort_array(F.collect_set(F.col(column).cast("string"))), 1, sample_n).alias("_ex"),
+        )
+        .orderBy(F.col("_cnt").desc(), F.col("_tmpl"))
+        .limit(max_templates)
+        .collect()
+    )
+    llm = llm_factory()
+    branches: list[Column] = []
+    for row in top:
+        template, examples = row["_tmpl"], row["_ex"]
+        try:
+            plan = json.loads(
+                llm.predict(P.pattern_prompt(condition, template, examples))
+            )
+            regex = plan["regex"]
+            re.compile(regex)
+        except (json.JSONDecodeError, KeyError, re.error):
+            continue
+        masks = []
+        for c in plan.get("conditions", []):
+            ext = F.regexp_extract(F.col(column).cast("string"), regex, int(c["group"]))
+            num = F.when(ext == "", F.lit(None)).otherwise(ext).try_cast("double")
+            masks.append(_NUM_OPS[c["operator"]](num, F.lit(float(c["threshold"]))))
+        if not masks:
+            continue
+        acc = masks[0]
+        for mcol in masks[1:]:
+            acc = (acc & mcol) if plan.get("logic", "and") == "and" else (acc | mcol)
+        branches.append((tmpl == F.lit(template)) & F.coalesce(acc, F.lit(False)))
+    if not branches:
+        return F.lit(False)
+    out = branches[0]
+    for b in branches[1:]:
+        out = out | b
+    return out
+
+
+def filter_pattern(
+    df: DataFrame,
+    column: str,
+    condition: str,
+    llm_factory: LLMFactory = default_llm_factory,
+    sample_n: int = 3,
+    max_templates: int = 20,
+) -> DataFrame:
+    return df.filter(
+        filter_pattern_cond(df, column, condition, llm_factory, sample_n, max_templates)
+    )

@@ -1,0 +1,232 @@
+"""Plan-language executor: cost-ordered, staged, lineage-recording.
+
+The public plan language is the reference's ten-operator list format
+(SURVEY.md §3.3) — ordered steps ``{"operator_name": ..,
+"parameters": {..}}`` — the same language its golden plans
+(Semantic-OLAP/datas/evaluate_datas.json), its lineage
+(Exection_Agent.py:310-370) and its baseline planners all use.
+
+Optimizer logic reproduced Spark-first (SURVEY.md §4):
+
+- **Cost-class ordering** (Exection_Agent.py:54-60 PRIORITY_MAP):
+  deterministic filters (class 0) and profiled physical filters
+  (class 1) compile to Catalyst expressions and are evaluated first;
+  LLM predicates (class 2) run last.
+- **Staged short-circuit evaluation** (Exection_Agent.py:377-394):
+  each LLM predicate runs ONLY on rows whose outcome is still
+  undecided.  Spark's boolean operators are already Kleene 3VL
+  (``false & null = false``), so "undecided" is literally: compile
+  the logic tree with pending LLM leaves as NULL literals; rows where
+  the tree is non-null are decided.  Because Catalyst evaluates
+  Python UDFs eagerly for all rows of a projection (they are lifted
+  into ArrowEvalPython nodes — a ``when()`` guard does NOT skip
+  them), the skip must be *physical*: split off decided rows, run the
+  UDF on the undecided remainder only, union results back.  The
+  union stays one lazy DAG; nothing materializes per stage.
+"""
+
+from __future__ import annotations
+
+import copy
+from typing import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from semantic_olap_spark.llm.client import LLMFactory, default_llm_factory
+from semantic_olap_spark.operators import deterministic as det
+from semantic_olap_spark.operators import semantic as sem
+from semantic_olap_spark.operators.logic import (
+    compile_logic,
+    logic_leaves,
+    normalize_logic,
+    null_bool,
+)
+
+# Cost classes — reference Exection_Agent.py:54-60.
+PRIORITY_MAP = {
+    "num_filter": 0,
+    "keyword_filter": 0,
+    "pattern_based": 1,
+    "filter_pattern": 1,
+    "enumerable": 1,
+    "filter_enum": 1,
+    "filter_enum_llm": 1,
+    "sem_filter": 2,
+    "filter_LLM": 2,
+}
+
+_FILTER_OPS = set(PRIORITY_MAP)
+
+
+def _build_cond(
+    df: DataFrame, name: str, p: Mapping, llm_factory: LLMFactory
+) -> Column:
+    """Compile one filter operation to a boolean Column."""
+    if name == "keyword_filter":
+        return det.keyword_filter_cond(
+            p["columns"], p["keywords"], p.get("logic", "or"), p.get("relation", "contains")
+        )
+    if name == "num_filter":
+        return det.num_filter_cond(p["conditions"], p.get("logic", "and"))
+    if name in ("sem_filter", "filter_LLM"):
+        return sem.sem_filter_cond(p["columns"], p["condition"], llm_factory)
+    if name in ("filter_pattern", "pattern_based"):
+        return sem.filter_pattern_cond(
+            df, p.get("column") or p.get("field"), p["condition"], llm_factory
+        )
+    if name in ("filter_enum", "filter_enum_llm", "enumerable"):
+        return sem.filter_enum_cond(
+            df, p.get("column") or p.get("field"), p["condition"], llm_factory
+        )
+    raise ValueError(f"unknown filter operator {name!r}")
+
+
+def run_filter(
+    df: DataFrame,
+    operations: Sequence[Mapping],
+    logic=None,
+    llm_factory: LLMFactory = default_llm_factory,
+) -> DataFrame:
+    """Execute a boolean tree of filter operations, staged by cost.
+
+    ``operations``: ``[{"id": int, "operator_name": str,
+    "parameters": {...}}]``; ``logic``: the boolean tree over ids
+    (default: AND of all).  Mirrors Execution_Agent.run_filter
+    (Exection_Agent.py:301-396).
+    """
+    ops = {int(op["id"]): op for op in operations}
+    tree = normalize_logic(
+        logic if logic is not None else [int(op["id"]) for op in operations]
+    )
+    leaf_ids = logic_leaves(tree)
+    unknown = set(leaf_ids) - set(ops)
+    if unknown:
+        raise ValueError(f"logic references unknown op ids {sorted(unknown)}")
+
+    def op_name(oid: int) -> str:
+        o = ops[oid]
+        return o.get("operator_name") or o.get("operator")
+
+    cheap: dict[int, Column] = {}
+    expensive: list[int] = []
+    for oid in leaf_ids:
+        name = op_name(oid)
+        if PRIORITY_MAP.get(name, 2) < 2:
+            cheap[oid] = _build_cond(df, name, ops[oid].get("parameters", {}), llm_factory)
+        else:
+            expensive.append(oid)
+
+    if not expensive:
+        return df.filter(F.coalesce(compile_logic(tree, cheap), F.lit(False)))
+
+    # Staged evaluation: LLM predicates one at a time, each only on
+    # rows still undecided under Kleene semantics.
+    orig_cols = df.columns
+    accepted: list[DataFrame] = []
+    undecided = df
+    evaluated: dict[int, str] = {}
+
+    def leaf_col(oid: int) -> Column:
+        if oid in cheap:
+            return cheap[oid]
+        if oid in evaluated:
+            return F.col(evaluated[oid])
+        return null_bool()
+
+    for oid in expensive:
+        tree_col = compile_logic(tree, leaf_col)
+        accepted.append(undecided.filter(tree_col).select(*orig_cols))
+        undecided = undecided.filter(tree_col.isNull())
+        colname = f"__op_{oid}"
+        name = op_name(oid)
+        undecided = undecided.withColumn(
+            colname,
+            F.coalesce(
+                _build_cond(undecided, name, ops[oid].get("parameters", {}), llm_factory),
+                F.lit(False),
+            ),
+        )
+        evaluated[oid] = colname
+
+    final = compile_logic(tree, leaf_col)
+    accepted.append(
+        undecided.filter(F.coalesce(final, F.lit(False))).select(*orig_cols)
+    )
+    out = accepted[0]
+    for a in accepted[1:]:
+        out = out.unionByName(a)
+    return out
+
+
+class PlanExecutor:
+    """Run ten-operator-language plans step-by-step with lineage.
+
+    A step is ``{"operator_name": str, "parameters": {...}}``.
+    Consecutive filter steps in a flat plan are implicit AND —
+    sequential ``df.filter`` chains, which Spark fuses and which
+    natively realize the staged-evaluation semantics for pure-AND
+    plans (SURVEY.md §4.2).  A ``filter_group`` step carries nested
+    ``operations`` + ``logic`` for general boolean trees and routes
+    through :func:`run_filter`.
+    """
+
+    def __init__(self, llm_factory: LLMFactory = default_llm_factory):
+        self.llm_factory = llm_factory
+        self.lineage: list[dict] = []
+
+    def execute(self, df: DataFrame, plan: Sequence[Mapping]) -> DataFrame:
+        for step in plan:
+            df = self.execute_step(df, step)
+        return df
+
+    def execute_step(self, df: DataFrame, step: Mapping) -> DataFrame:
+        name = step.get("operator_name") or step.get("operator")
+        p = dict(step.get("parameters", {}))
+        self.lineage.append(copy.deepcopy({"operator_name": name, "parameters": p}))
+        lf = self.llm_factory
+        if name == "filter_group":
+            return run_filter(df, step["operations"], step.get("logic"), lf)
+        if name in _FILTER_OPS:
+            if name in ("filter_pattern", "pattern_based", "filter_enum",
+                        "filter_enum_llm", "enumerable"):
+                return df.filter(_build_cond(df, name, p, lf))
+            return df.filter(_build_cond(df, name, p, lf))
+        if name == "sem_map":
+            return sem.sem_map(
+                df, p["columns"], p["map_description"], p["keyword"], lf
+            )
+        if name == "sem_group":
+            return sem.sem_group(
+                df,
+                p["columns"],
+                p["group_description"],
+                p["keyword"],
+                lf,
+                taxonomy=p.get("taxonomy"),
+            )
+        if name == "sem_reduce":
+            return sem.sem_reduce(
+                df, p["columns"], p.get("group_by"), lf, p.get("alias", "summary")
+            )
+        if name == "num_reduce":
+            return det.num_reduce(
+                df, p["columns"], p["agg"], p.get("group_by"), p.get("round_to")
+            )
+        if name == "count":
+            return det.count_op(df, p.get("group_by"), p.get("columns", ()))
+        if name == "num_topk":
+            return det.num_topk(
+                df, p["column"], p["k"], p.get("order", "desc"), p.get("tiebreak", ())
+            )
+        if name == "sem_topk":
+            return sem.sem_topk(
+                df,
+                p.get("columns") or [p.get("column")],
+                p["query"],
+                p["k"],
+                p.get("n_opponents", 5),
+                p.get("id_col", sem.OLAP_ID),
+                lf,
+            )
+        raise ValueError(f"unknown operator {name!r}")

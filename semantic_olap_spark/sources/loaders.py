@@ -1,0 +1,126 @@
+"""Data loading: parquet star schema + JSON with flatten semantics.
+
+The reference loads one denormalized JSON table and stringifies any
+nested value at load time (Semantic-OLAP/main.py:5-22,
+``flatten_main_records`` / ``stringify_nested``).  ``load_json_flat``
+reproduces that contract declaratively: nested struct/array/map
+columns become their JSON-text rendering via ``to_json`` — a pure
+Catalyst expression, no Python in the loop.
+
+``with_olap_id`` reproduces the reference's synthetic row id
+(Semantic-OLAP/Agents/Components/OLAP_Memory.py:110-111 assigns
+``range(len(df))``).  Distributed dense ids require a total order;
+that is a global sort, so at 100 TB prefer:
+
+- ``order_by`` given  → ``row_number() - 1`` over that order
+  (deterministic, used by tests and anywhere parity matters);
+- ``order_by=None``   → ``monotonically_increasing_id()`` (no
+  shuffle, unique but sparse — fine whenever only identity is
+  needed, which is every internal join in this engine).
+
+The id is assigned ONCE per materialized node and carried through
+derived views; operators never regenerate it (SURVEY.md §7.4 risk 3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+OLAP_ID = "OLAP_ID"
+
+
+def _nanos_timestamp_cols(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS).
+
+    Spark has no nanosecond timestamp type; with
+    ``spark.sql.legacy.parquet.nanosAsLong`` those columns surface as
+    LongType nanos.  We detect them from the parquet footer (pyarrow)
+    and convert to microsecond timestamps — same truncation DuckDB
+    applies, keeping the oracle comparable.
+    """
+    try:
+        import pyarrow.dataset as ds
+        import pyarrow as pa
+
+        schema = ds.dataset(path, format="parquet").schema
+        return [
+            f.name
+            for f in schema
+            if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+        ]
+    except Exception:
+        return []
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+    for c in _nanos_timestamp_cols(path):
+        if c in df.columns:
+            # `div` = integer division: epoch-nanos exceed double
+            # precision (2^53), so float division would corrupt them
+            df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every driver table and register temp views of each."""
+    out = {}
+    for name in TABLES:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+def _is_nested(dt: T.DataType) -> bool:
+    return isinstance(dt, (T.StructType, T.ArrayType, T.MapType))
+
+
+def load_json_flat(
+    spark: SparkSession, path: str, multiline: bool = True
+) -> DataFrame:
+    """Read a JSON array of records; stringify nested values.
+
+    Mirrors Semantic-OLAP/main.py:5-16: dict/list values become their
+    ``json.dumps`` text so the table is flat.  Here that is
+    ``to_json`` on struct/array/map columns — stays JVM-side.
+    """
+    df = spark.read.option("multiLine", str(multiline).lower()).json(path)
+    cols = []
+    for f in df.schema.fields:
+        if _is_nested(f.dataType):
+            cols.append(F.to_json(F.col(f.name)).alias(f.name))
+        else:
+            cols.append(F.col(f.name))
+    return df.select(*cols)
+
+
+def with_olap_id(df: DataFrame, order_by: list[str] | None = None) -> DataFrame:
+    """Attach the synthetic row id (reference: OLAP_Memory.py:110-111).
+
+    With ``order_by``: dense 0..n-1 ids via ``row_number`` (global
+    sort — deterministic, test/parity path).  Without: sparse unique
+    ids via ``monotonically_increasing_id`` (scale path, no shuffle).
+    """
+    if OLAP_ID in df.columns:
+        return df
+    if order_by:
+        w = Window.orderBy(*[F.col(c) for c in order_by])
+        return df.withColumn(OLAP_ID, F.row_number().over(w) - F.lit(1))
+    return df.withColumn(OLAP_ID, F.monotonically_increasing_id())
