@@ -203,7 +203,12 @@ def sem_group_sequential(
                 if ans == "__new__" or ans not in tags:
                     minted = ans if ans and ans != "__new__" else None
                     if minted is None:
-                        toks = P.condition_tokens(content)
+                        # mint from the row's own values, not the
+                        # "col: value" rendering (column names are
+                        # not tag material)
+                        toks = P.condition_tokens(
+                            " ".join(str(v) for v in vals)
+                        )
                         minted = toks[0] if toks else "other"
                     if minted not in tags:
                         tags.append(minted)

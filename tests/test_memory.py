@@ -1,0 +1,71 @@
+"""Cube memory: lattice reuse, relation classification, granularities."""
+
+from pyspark.sql import functions as F
+
+from semantic_olap_spark.plans.memory import CubeMemory
+from semantic_olap_spark.sources.loaders import OLAP_ID
+
+
+def test_equal_fast_path(tables):
+    mem = CubeMemory(tables["documents"])
+    child = mem.add_node(
+        "docs about spark",
+        mem.nodes[mem.root_id].df.filter(F.col("text").contains("spark")),
+        plan=[{"operator_name": "keyword_filter"}],
+        parent_ids=[mem.root_id],
+    )
+    node, _ = mem.get_current_node("Docs  About SPARK")  # normalized match
+    assert node is child
+
+
+def test_subset_descent_with_classifier(tables):
+    def classify(new_q, node_q):
+        # toy classifier: new query is a subset of node when node's
+        # text is a prefix of the new query
+        return "Subset" if new_q.startswith(node_q) else "No_relation"
+
+    mem = CubeMemory(tables["documents"], classify=classify)
+    a = mem.add_node(
+        "spark", mem.nodes[mem.root_id].df.filter(F.col("text").contains("spark")),
+        [], [mem.root_id],
+    )
+    b = mem.add_node(
+        "spark window", a.df.filter(F.col("text").contains("window")),
+        [], [a.id],
+    )
+    node, deepest = mem.get_current_node("spark window join")
+    assert node is None
+    assert [n.id for n in deepest] == [b.id]
+
+
+def test_no_hits_returns_root(tables):
+    mem = CubeMemory(tables["documents"])
+    node, deepest = mem.get_current_node("unrelated query")
+    assert node is None
+    assert [n.id for n in deepest] == [mem.root_id]
+
+
+def test_granularity_memoization(tables):
+    mem = CubeMemory(tables["documents"])
+    root = mem.nodes[mem.root_id]
+    labels = root.df.select(
+        OLAP_ID, F.substring("source", 1, 3).alias("src_family")
+    )
+    mem.register_granularity(root.id, "source", "src_family", labels)
+    g = mem.find_granularity(root.id, "source", "src_family")
+    assert g is not None
+    joined = mem.attach_labels(root.id, g)
+    assert joined.count() == root.df.count()
+    assert "src_family" in joined.columns
+    # memoized aggregate
+    g.set_view(joined.groupBy("src_family").count())
+    assert mem.find_granularity(root.id, "source", "src_family").view is not None
+
+
+def test_lattice_edges(tables):
+    mem = CubeMemory(tables["documents"])
+    n1 = mem.add_node("q1", mem.nodes[mem.root_id].df.limit(10), [], [mem.root_id])
+    n2 = mem.add_node("q2", n1.df.limit(5), [], [n1.id])
+    assert n2.id in mem.nodes[n1.id].children
+    assert n1.id in mem.nodes[n2.id].parents
+    assert n1.id in mem.nodes[mem.root_id].children

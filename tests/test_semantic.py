@@ -1,0 +1,189 @@
+"""Semantic operators under the deterministic stub (SURVEY.md §5 item 2).
+
+The stub's rules are containment/token-count semantics, so each
+operator has an exact SQL equivalent the DuckDB oracle can check —
+the same shape the driver's t2 gate uses.
+"""
+
+from pyspark.sql import functions as F
+
+from semantic_olap_spark.operators.semantic import (
+    filter_enum_llm,
+    filter_pattern,
+    sem_filter,
+    sem_group,
+    sem_group_sequential,
+    sem_map,
+    sem_reduce,
+    sem_topk,
+)
+from semantic_olap_spark.sources.loaders import with_olap_id
+from tests.conftest import assert_matches
+
+
+def test_sem_filter_stub_oracle(tables, duck):
+    df = sem_filter(tables["documents"], ["text"], "rows about spark")
+    assert_matches(
+        df, duck, "SELECT * FROM documents WHERE contains(lower(text), 'spark')"
+    )
+
+
+def test_sem_filter_multi_token_any(tables, duck):
+    df = sem_filter(tables["documents"], ["text"], "mentions vector or stream")
+    assert_matches(
+        df,
+        duck,
+        """
+        SELECT * FROM documents
+        WHERE contains(lower(text), 'vector') OR contains(lower(text), 'stream')
+        """,
+    )
+
+
+def test_sem_map_vocab(tables, duck):
+    df = sem_map(
+        tables["documents"],
+        ["text"],
+        "dominant topic, one of: vector, stream, window",
+        "topic",
+    ).select("doc_id", "topic")
+    assert_matches(
+        df,
+        duck,
+        """
+        SELECT doc_id,
+               CASE WHEN contains(lower(text), 'vector') THEN 'vector'
+                    WHEN contains(lower(text), 'stream') THEN 'stream'
+                    WHEN contains(lower(text), 'window') THEN 'window'
+                    ELSE 'NA' END AS topic
+        FROM documents
+        """,
+    )
+
+
+def test_sem_group_two_phase(tables, duck):
+    df = sem_group(
+        tables["documents"],
+        ["text"],
+        "group by workload type, one of: scan, join, sort",
+        "workload",
+    ).select("doc_id", "workload")
+    assert_matches(
+        df,
+        duck,
+        """
+        SELECT doc_id,
+               CASE WHEN contains(lower(text), 'scan') THEN 'scan'
+                    WHEN contains(lower(text), 'join') THEN 'join'
+                    WHEN contains(lower(text), 'sort') THEN 'sort'
+                    ELSE 'other' END AS workload
+        FROM documents
+        """,
+    )
+
+
+def test_sem_group_taxonomy_reuse(tables):
+    df = sem_group(
+        tables["documents"], ["text"], "irrelevant description",
+        "g", taxonomy=["spark", "other"],
+    )
+    got = {r["g"] for r in df.select("g").distinct().collect()}
+    assert got <= {"spark", "other"}
+
+
+def test_sem_group_sequential_parity_small(spark):
+    # online minting: first row mints its first significant token
+    df = spark.createDataFrame(
+        [(0, "alpha alpha"), (1, "beta things"), (2, "alpha again")],
+        ["OLAP_ID", "txt"],
+    )
+    out = sem_group_sequential(df, ["txt"], "group them", "g")
+    rows = {r["OLAP_ID"]: r["g"] for r in out.collect()}
+    assert rows[0] == rows[2]  # both alpha rows share the minted tag
+    assert rows[1] != rows[0]
+
+
+def test_sem_reduce_grouped(tables, duck):
+    df = sem_reduce(tables["nation"], ["n_name"], "n_regionkey", alias="names")
+    assert_matches(
+        df,
+        duck,
+        """
+        SELECT n_regionkey, string_agg(n_name, '; ' ORDER BY n_name) AS names
+        FROM (SELECT DISTINCT n_regionkey, n_name FROM nation)
+        GROUP BY n_regionkey
+        """,
+    )
+
+
+def test_sem_reduce_global(tables, duck):
+    df = sem_reduce(tables["region"], ["r_name"], alias="names")
+    assert_matches(
+        df,
+        duck,
+        "SELECT string_agg(r_name, '; ' ORDER BY r_name) AS names "
+        "FROM (SELECT DISTINCT r_name FROM region)",
+    )
+
+
+def test_sem_topk_rotation_tournament(spark):
+    # hand-checkable: relevance = #occurrences of 'spark'
+    rows = [
+        (0, "spark spark spark"),
+        (1, "spark spark"),
+        (2, "nothing here"),
+        (3, "spark"),
+        (4, "plain text"),
+        (5, "spark spark spark spark"),
+    ]
+    df = spark.createDataFrame(rows, ["OLAP_ID", "text"])
+    out = sem_topk(df, ["text"], "spark", k=3, n_opponents=3)
+    got = [r["OLAP_ID"] for r in out.collect()]
+    # rows 5,0,1 have the most 'spark' occurrences
+    assert set(got) == {5, 0, 1}
+
+
+def test_sem_topk_ties_break_by_id(spark):
+    df = spark.createDataFrame(
+        [(i, "same text") for i in range(5)], ["OLAP_ID", "text"]
+    )
+    out = sem_topk(df, ["text"], "unrelated query", k=2, n_opponents=2)
+    got = [r["OLAP_ID"] for r in out.collect()]
+    # all-tie tournament: stable id-ordered winners
+    assert got == sorted(got)
+
+
+def test_filter_enum(tables, duck):
+    df = filter_enum_llm(tables["orders"], "o_orderpriority", "urgent priority")
+    assert_matches(
+        df,
+        duck,
+        "SELECT * FROM orders WHERE contains(lower(o_orderpriority), 'urgent')",
+    )
+
+
+def test_filter_pattern_events_props(tables, duck):
+    # props look like {"k": 69} — digit-masked template {"k": <*>}
+    df = filter_pattern(tables["events"], "props", "value > 50")
+    assert_matches(
+        df,
+        duck,
+        r"""
+        SELECT * FROM events
+        WHERE coalesce(try_cast(regexp_extract(props, '(\d+)', 1) AS DOUBLE) > 50,
+                       false)
+        """,
+    )
+
+
+def test_filter_pattern_no_match_condition(tables):
+    # a condition with no comparison yields empty plan → no rows
+    df = filter_pattern(tables["events"], "props", "no numeric comparison here")
+    assert df.count() == 0
+
+
+def test_sem_filter_pushdown_composes(tables):
+    # cheap filter composed after sem_filter still prunes parquet columns
+    df = sem_filter(tables["documents"], ["text"], "spark").select("doc_id")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan  # semantic op runs as Arrow UDF
