@@ -1,0 +1,20 @@
+from semantic_olap_spark.functions.text import (  # noqa: F401
+    doc_fingerprint,
+    lang_id,
+    quality_score,
+    text_profile,
+    token_count,
+    token_count_bpe,
+)
+from semantic_olap_spark.functions.dedup import (  # noqa: F401
+    dedup_exact,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+from semantic_olap_spark.functions.similarity import (  # noqa: F401
+    cosine_pairs,
+    cosine_topk,
+    ivf_topk,
+    lsh_topk,
+)

@@ -1,0 +1,118 @@
+"""Text analysis for training-data pipelines — pure Catalyst exprs.
+
+Beyond-reference operators (SURVEY.md §7.1 M7; BASELINE.json north
+star): language-ID, quality scoring, token counting, document
+fingerprinting.  Everything here is built from ``pyspark.sql.
+functions`` only — no Python UDFs — so at 100 TB these run inside
+whole-stage codegen at scan speed, and each has an exact ANSI-SQL
+mirror for the DuckDB oracle.
+
+Semantics are deliberately simple, deterministic heuristics (n-gram /
+stopword / ratio features), the standard cheap first-pass filters of
+large corpus pipelines; model-based scoring would slot in as a
+pandas_udf behind the same column contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Small frozen stopword sets per language. Order of LANGS is the
+# deterministic tiebreak priority.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to", "in", "is", "it", "that", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "zu"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que"),
+    "es": ("el", "los", "las", "y", "es", "uno", "una", "en", "para", "por"),
+}
+LANGS = tuple(LANG_STOPWORDS)
+
+_WS = r"\s+"
+_BPE_ISH = r"[a-zA-Z0-9]+|[^a-zA-Z0-9\s]"
+
+
+def _tokens(col: Column) -> Column:
+    return F.split(F.lower(F.trim(col)), _WS)
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count; empty/blank text counts 0."""
+    return F.when(F.trim(col) == "", F.lit(0)).otherwise(
+        F.size(F.split(F.trim(col), _WS))
+    )
+
+
+def token_count_bpe(col: Column) -> Column:
+    """BPE-ish token count: alnum runs + individual punctuation.
+
+    A cheap, deterministic proxy for subword tokenizer counts —
+    the usual budget estimator in corpus pipelines.
+    """
+    return F.size(F.regexp_extract_all(col, F.lit(_BPE_ISH), 0))
+
+
+def _stop_hits(col: Column, lang: str) -> Column:
+    words = LANG_STOPWORDS[lang]
+    return F.size(F.filter(_tokens(col), lambda t: t.isin(*words)))
+
+
+def lang_id(col: Column) -> Column:
+    """Stopword-count language ID with deterministic tiebreak.
+
+    Picks the language with the most stopword hits; ties resolve in
+    LANGS order; zero hits everywhere → 'unknown'.
+    """
+    hits = {lang: _stop_hits(col, lang) for lang in LANGS}
+    expr = F.lit("unknown")
+    # build the CASE back-to-front so earlier langs win ties
+    for lang in reversed(LANGS):
+        cond = hits[lang] > 0
+        for other in LANGS:
+            if LANGS.index(other) < LANGS.index(lang):
+                cond = cond & (hits[lang] > hits[other])
+            elif LANGS.index(other) > LANGS.index(lang):
+                cond = cond & (hits[lang] >= hits[other])
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality heuristic, rounded to 4 decimals.
+
+    0.4 · stopword-ratio (EN) + 0.3 · min(1, tokens/50) +
+    0.3 · alpha-ratio.  Length-, punctuation- and stopword-based
+    scoring — the classic cheap quality gate.
+    """
+    n_tok = token_count(col).cast("double")
+    stop_ratio = F.when(n_tok > 0, _stop_hits(col, "en") / n_tok).otherwise(0.0)
+    n_chars = F.length(col).cast("double")
+    alpha = F.length(F.regexp_replace(col, "[^a-zA-Z]", "")).cast("double")
+    alpha_ratio = F.when(n_chars > 0, alpha / n_chars).otherwise(0.0)
+    return F.round(
+        0.4 * stop_ratio + 0.3 * F.least(F.lit(1.0), n_tok / 50.0) + 0.3 * alpha_ratio,
+        4,
+    )
+
+
+def doc_fingerprint(col: Column) -> Column:
+    """Deterministic content fingerprint: md5 of normalized text.
+
+    Normalization: lowercase + whitespace collapsed to single spaces
+    + trimmed.  Exact-dup detection key; near-dup uses the MinHash
+    machinery in ``dedup``.
+    """
+    norm = F.trim(F.regexp_replace(F.lower(col), _WS, " "))
+    return F.md5(norm.cast("binary"))
+
+
+def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach all text-analysis columns at once (single scan)."""
+    c = F.col(text_col)
+    return (
+        df.withColumn("n_tokens", token_count(c))
+        .withColumn("n_tokens_bpe", token_count_bpe(c))
+        .withColumn("lang_pred", lang_id(c))
+        .withColumn("quality", quality_score(c))
+        .withColumn("fingerprint", doc_fingerprint(c))
+    )
