@@ -81,8 +81,6 @@ def keyword_filter_cond(
         k = str(kw).lower()
         if relation in ("contains", "irrelevant"):
             m = text.contains(F.lit(k))
-            if relation == "irrelevant":
-                m = ~m
         elif relation == "equal":
             m = text == F.lit(k)
         elif relation == "contained_in":
@@ -96,6 +94,11 @@ def keyword_filter_cond(
     acc = masks[0]
     for m in masks[1:]:
         acc = (acc & m) if logic == "and" else (acc | m)
+    if relation == "irrelevant":
+        # The reference builds the 'contains' masks, combines them per
+        # logic, then negates the COMBINED mask (Operaters.py:38-40) —
+        # e.g. logic='or' keeps rows containing NONE of the keywords.
+        acc = ~acc
     return F.coalesce(acc, F.lit(False))
 
 

@@ -101,7 +101,14 @@ def sem_map(
             P.map_prompt(keyword, map_description, P.row_content(cols, vals))
             for vals in zip(*series)
         ]
-        return pd.Series([a.strip() or "NA" for a in llm.predict_batch(prompts)])
+        # normalize failure markers to "NA" (the reference maps
+        # ''/'NA'/'N/A'/'UNKNOWN' case-insensitively, Operaters.py
+        # ask_llm) so backend hiccups don't leak as distinct values
+        out = []
+        for a in llm.predict_batch(prompts):
+            a = a.strip()
+            out.append("NA" if a.upper() in ("", "NA", "N/A", "UNKNOWN") else a)
+        return pd.Series(out)
 
     return df.withColumn(keyword, mapper(*[F.col(c).cast("string") for c in cols]))
 
@@ -233,6 +240,7 @@ def sem_reduce(
     group_by: str | Sequence[str] | None = None,
     llm_factory: LLMFactory = default_llm_factory,
     alias: str = "summary",
+    max_values: int | None = 500,
 ) -> DataFrame:
     """LLM-summarize the unique values of ``columns``, per group.
 
@@ -241,6 +249,12 @@ def sem_reduce(
     deduplicated, sorted value list (the reference also dedups before
     prompting — Operaters.py:405).  Values are sorted so group content
     is deterministic regardless of partitioning.
+
+    ``max_values`` caps the per-group array (first N of the sorted
+    distinct values) — mirrors the reference's bounded prompt inputs
+    (enum cap 100, Operaters.py:286).  Without it a high-cardinality
+    group is one unbounded aggregation-buffer row AND one unbounded
+    prompt; at 100 TB that is an OOM.  ``None`` disables (parity mode).
     """
     cols = list(columns)
     state: dict = {}
@@ -251,6 +265,8 @@ def sem_reduce(
             )
         )
     )
+    if max_values is not None:
+        vals_arr = F.slice(vals_arr, 1, int(max_values))
 
     @F.pandas_udf(StringType())
     def summarize(vals: pd.Series) -> pd.Series:
@@ -291,7 +307,11 @@ def sem_topk(
     break by ``id_col`` ascending.
 
     Scale: the judge shuffle is n·m rows of (id, content) pairs —
-    linear in n with constant m, no quadratic blowup.
+    linear in n with constant m, no quadratic blowup.  Dense ranks
+    come from range-partition + per-partition offsets (the
+    ``zipWithIndex`` construction) — NO single-partition window, and
+    ``n`` falls out of the same per-partition count pass, so there is
+    no separate eager ``count()`` job over the data.
     """
     cols = list(columns)
     content = F.concat_ws(
@@ -301,13 +321,38 @@ def sem_topk(
             for c in cols
         ],
     )
-    cand = df.withColumn("_content", content)
-    n = cand.count()
-    if n <= 1:
-        return df.limit(int(k))
+    cand = df.withColumn("_content", content).persist()
+    # Range-partition by id: partition p holds an id range below
+    # partition p+1, so rank = (rows in partitions < p) + local rank.
+    nparts = max(cand.sparkSession.sparkContext.defaultParallelism, 1)
+    ranged = cand.repartitionByRange(nparts, F.col(id_col)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    part_counts = sorted(
+        (r["_pid"], r["cnt"])
+        for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    n = sum(c for _, c in part_counts)
+    if n <= k:
+        # no tournament needed (reference short-circuits at n <= k);
+        # keep the output schema identical to the tournament path
+        out = cand.drop("_content").withColumn("wins", F.lit(0))
+        out = out.orderBy(F.col(id_col).asc()).limit(int(k))
+        return out if keep_wins else out.drop("wins")
+    offsets: dict[int, int] = {}
+    acc_rows = 0
+    for pid, cnt in part_counts:
+        offsets[pid] = acc_rows
+        acc_rows += cnt
     m = min(n_opponents, n - 1)
-    w = Window.orderBy(F.col(id_col))
-    ranked = cand.withColumn("_rank", F.row_number().over(w) - F.lit(1))
+    off_map = F.create_map(
+        *[F.lit(x) for pair in offsets.items() for x in pair]
+    )
+    local_w = Window.partitionBy("_pid").orderBy(F.col(id_col))
+    ranked = ranged.withColumn(
+        "_rank",
+        F.row_number().over(local_w) - F.lit(1) + off_map[F.col("_pid")],
+    )
     left = ranked.select(
         F.col(id_col).alias("_id_a"),
         F.col("_rank").alias("_rank_a"),
@@ -429,19 +474,24 @@ def filter_pattern_cond(
     branches: list[Column] = []
     for row in top:
         template, examples = row["_tmpl"], row["_ex"]
+        # A malformed LLM plan (bad JSON, missing keys, unknown
+        # operator, non-numeric threshold) skips this template, as the
+        # reference does (Operaters.py 'except Exception: continue').
         try:
             plan = json.loads(
                 llm.predict(P.pattern_prompt(condition, template, examples))
             )
             regex = plan["regex"]
             re.compile(regex)
-        except (json.JSONDecodeError, KeyError, re.error):
+            masks = []
+            for c in plan.get("conditions", []):
+                ext = F.regexp_extract(
+                    F.col(column).cast("string"), regex, int(c["group"])
+                )
+                num = F.when(ext == "", F.lit(None)).otherwise(ext).try_cast("double")
+                masks.append(_NUM_OPS[c["operator"]](num, F.lit(float(c["threshold"]))))
+        except (json.JSONDecodeError, KeyError, TypeError, ValueError, re.error):
             continue
-        masks = []
-        for c in plan.get("conditions", []):
-            ext = F.regexp_extract(F.col(column).cast("string"), regex, int(c["group"]))
-            num = F.when(ext == "", F.lit(None)).otherwise(ext).try_cast("double")
-            masks.append(_NUM_OPS[c["operator"]](num, F.lit(float(c["threshold"]))))
         if not masks:
             continue
         acc = masks[0]

@@ -59,6 +59,18 @@ PRIORITY_MAP = {
 _FILTER_OPS = set(PRIORITY_MAP)
 
 
+def step_params(step: Mapping) -> dict:
+    """Parameters of a plan step under either key spelling.
+
+    The reference's golden plans (datas/evaluate_datas.json) use
+    ``params``; its lineage output uses ``parameters``.  Accept both.
+    """
+    p = step.get("parameters")
+    if p is None:
+        p = step.get("params", {})
+    return dict(p)
+
+
 def _build_cond(
     df: DataFrame, name: str, p: Mapping, llm_factory: LLMFactory
 ) -> Column:
@@ -113,7 +125,7 @@ def run_filter(
     for oid in leaf_ids:
         name = op_name(oid)
         if PRIORITY_MAP.get(name, 2) < 2:
-            cheap[oid] = _build_cond(df, name, ops[oid].get("parameters", {}), llm_factory)
+            cheap[oid] = _build_cond(df, name, step_params(ops[oid]), llm_factory)
         else:
             expensive.append(oid)
 
@@ -143,10 +155,17 @@ def run_filter(
         undecided = undecided.withColumn(
             colname,
             F.coalesce(
-                _build_cond(undecided, name, ops[oid].get("parameters", {}), llm_factory),
+                _build_cond(undecided, name, step_params(ops[oid]), llm_factory),
                 F.lit(False),
             ),
         )
+        if len(expensive) > 1:
+            # With ≥2 LLM leaves, each later stage AND the final union
+            # re-traverse this lineage; without a persist every branch
+            # re-runs the earlier UDF stages (re-paying recompute even
+            # when the LLM cache absorbs the inference).  MEMORY_AND_
+            # DISK so a large undecided set spills instead of OOMing.
+            undecided = undecided.persist()
         evaluated[oid] = colname
 
     final = compile_logic(tree, leaf_col)
@@ -182,15 +201,14 @@ class PlanExecutor:
 
     def execute_step(self, df: DataFrame, step: Mapping) -> DataFrame:
         name = step.get("operator_name") or step.get("operator")
-        p = dict(step.get("parameters", {}))
+        p = step_params(step)
         self.lineage.append(copy.deepcopy({"operator_name": name, "parameters": p}))
         lf = self.llm_factory
         if name == "filter_group":
-            return run_filter(df, step["operations"], step.get("logic"), lf)
+            ops = step.get("operations") or p.get("operations")
+            logic = step.get("logic") or p.get("logic")
+            return run_filter(df, ops, logic, lf)
         if name in _FILTER_OPS:
-            if name in ("filter_pattern", "pattern_based", "filter_enum",
-                        "filter_enum_llm", "enumerable"):
-                return df.filter(_build_cond(df, name, p, lf))
             return df.filter(_build_cond(df, name, p, lf))
         if name == "sem_map":
             return sem.sem_map(

@@ -52,6 +52,42 @@ def test_keyword_filter_irrelevant(tables, duck):
     )
 
 
+def test_keyword_filter_irrelevant_multi_or(tables, duck):
+    # reference semantics (Operaters.py:38-40): combine the contains
+    # masks per logic FIRST, then negate the combined mask — so
+    # logic='or' keeps rows containing NONE of the keywords
+    df = keyword_filter(
+        tables["orders"], ["o_orderpriority"], ["urgent", "high"], "or",
+        "irrelevant",
+    )
+    assert_matches(
+        df,
+        duck,
+        """
+        SELECT * FROM orders
+        WHERE NOT (contains(lower(o_orderpriority), 'urgent')
+                OR contains(lower(o_orderpriority), 'high'))
+        """,
+    )
+
+
+def test_keyword_filter_irrelevant_multi_and(tables, duck):
+    # logic='and' + irrelevant: keep rows NOT containing all keywords
+    df = keyword_filter(
+        tables["part"], ["p_name", "p_type"], ["green", "steel"], "and",
+        "irrelevant",
+    )
+    assert_matches(
+        df,
+        duck,
+        """
+        SELECT * FROM part
+        WHERE NOT (contains(lower(concat_ws(' ', p_name, p_type)), 'green')
+               AND contains(lower(concat_ws(' ', p_name, p_type)), 'steel'))
+        """,
+    )
+
+
 def test_keyword_filter_equal(tables, duck):
     df = keyword_filter(tables["nation"], ["n_name"], ["france"], "or", "equal")
     assert_matches(df, duck, "SELECT * FROM nation WHERE lower(n_name) = 'france'")

@@ -114,6 +114,45 @@ def test_executor_filter_group_step(tables, duck):
     )
 
 
+def test_executor_accepts_golden_plan_params_spelling(tables, duck):
+    # reference golden plans (datas/evaluate_datas.json) use the key
+    # "params" and "operator"; lineage uses "parameters"/"operator_name"
+    ex = PlanExecutor()
+    out = ex.execute(
+        tables["documents"],
+        [
+            {"operator": "keyword_filter",
+             "params": {"columns": ["text"], "keywords": ["spark"]}},
+            {"operator": "num_filter",
+             "params": {"conditions": [
+                 {"column": "n_chars", "threshold": 200, "operator": ">"}]}},
+        ],
+    )
+    assert_matches(
+        out,
+        duck,
+        "SELECT * FROM documents WHERE contains(lower(text), 'spark') AND n_chars > 200",
+    )
+
+
+def test_run_filter_golden_params_spelling(tables, duck):
+    ops = [
+        {"id": 1, "operator": "keyword_filter",
+         "params": {"columns": ["text"], "keywords": ["spark"]}},
+        {"id": 2, "operator": "sem_filter",
+         "params": {"columns": ["text"], "condition": "mentions window"}},
+    ]
+    out = run_filter(tables["documents"], ops, ["AND", 1, 2])
+    assert_matches(
+        out,
+        duck,
+        """
+        SELECT * FROM documents
+        WHERE contains(lower(text), 'spark') AND contains(lower(text), 'window')
+        """,
+    )
+
+
 def test_slice_cascade_subset_property(tables):
     """keyword-prefilter ∧ sem_filter ⊆ sem_filter (SURVEY.md §5 item 4)."""
     from semantic_olap_spark.operators.deterministic import keyword_filter

@@ -153,6 +153,27 @@ def test_sem_topk_ties_break_by_id(spark):
     assert got == sorted(got)
 
 
+def test_sem_topk_small_input_schema_stable(spark):
+    # n <= k short-circuits without a tournament, but the output
+    # schema must match the tournament path (wins column present)
+    df = spark.createDataFrame([(0, "a"), (1, "b")], ["OLAP_ID", "text"])
+    out = sem_topk(df, ["text"], "anything", k=5)
+    assert out.columns == ["OLAP_ID", "text", "wins"]
+    assert [r["OLAP_ID"] for r in out.collect()] == [0, 1]
+    out2 = sem_topk(df, ["text"], "anything", k=5, keep_wins=False)
+    assert out2.columns == ["OLAP_ID", "text"]
+
+
+def test_sem_topk_no_single_partition_exchange(spark):
+    # scale check: ranking must not funnel through one partition
+    rows = [(i, f"text {i} spark" * (i % 4)) for i in range(40)]
+    df = spark.createDataFrame(rows, ["OLAP_ID", "text"])
+    out = sem_topk(df, ["text"], "spark", k=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    assert out.count() == 3
+
+
 def test_filter_enum(tables, duck):
     df = filter_enum_llm(tables["orders"], "o_orderpriority", "urgent priority")
     assert_matches(
