@@ -1,0 +1,284 @@
+"""Deduplication for training-data pipelines: exact + near-dup.
+
+Beyond-reference operators (SURVEY.md §7.1 M7; BASELINE.json north
+star).  Four strategies, each the standard shape used by large corpus
+pipelines:
+
+- ``dedup_exact``       — hash-groupBy on a normalized-text
+                          fingerprint; keeps the lowest-id row.
+- ``jaccard_pairs``     — exact token-set Jaccard over candidate
+                          pairs; quadratic within a blocking key, so
+                          it is the *oracle/baseline* path and the
+                          verifier used by the LSH path.
+- ``minhash_lsh_pairs`` — MinHash signatures over word shingles,
+                          banded into LSH buckets; candidate pairs
+                          come from a ``groupBy(band)`` self-join
+                          (NEVER all-pairs), then exact-Jaccard
+                          verified.  The 100 TB path.
+- ``simhash_pairs``     — 64-bit SimHash + banded candidate buckets +
+                          Hamming-distance verify via ``bit_count``.
+
+Scale notes: everything is expressed so the only shuffles are the
+candidate ``groupBy``/joins on band keys; signatures are computed
+scan-side as Catalyst array expressions (MinHash) or one Arrow batch
+pass (SimHash).  No ``collect()`` anywhere.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from semantic_olap_spark.functions.text import doc_fingerprint
+
+_WS = r"\s+"
+
+
+def _norm_tokens(col: Column) -> Column:
+    """Distinct lowercase whitespace tokens of a text column."""
+    return F.array_distinct(F.split(F.lower(F.trim(col)), _WS))
+
+
+def dedup_exact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Drop exact duplicates by normalized-text fingerprint.
+
+    Keeps the lowest ``id_col`` row per fingerprint.  One shuffle
+    (window partitioned BY fingerprint — parallel across hash groups,
+    no global ordering), then the helper column is dropped.
+    """
+    fp = doc_fingerprint(F.col(text_col))
+    w = Window.partitionBy("_fp").orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("_fp", fp)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_fp", "_rn")
+    )
+
+
+def _jaccard(a: Column, b: Column) -> Column:
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    block_col: str | None = None,
+    round_to: int = 4,
+) -> DataFrame:
+    """Exact token-set Jaccard similar pairs, optionally blocked.
+
+    Output: ``(id_a, id_b, jaccard)`` with ``id_a < id_b`` and
+    ``jaccard >= threshold``.  Without ``block_col`` this is an
+    all-pairs self-join — O(n²), the brute-force baseline; give a
+    blocking key (or use :func:`minhash_lsh_pairs`) at scale.
+    """
+    base = df.select(
+        F.col(id_col), *( [F.col(block_col)] if block_col else [] ),
+        _norm_tokens(F.col(text_col)).alias("_toks"),
+    )
+    a = base.select(
+        F.col(id_col).alias("id_a"),
+        *([F.col(block_col).alias("_blk_a")] if block_col else []),
+        F.col("_toks").alias("_ta"),
+    )
+    b = base.select(
+        F.col(id_col).alias("id_b"),
+        *([F.col(block_col).alias("_blk_b")] if block_col else []),
+        F.col("_toks").alias("_tb"),
+    )
+    cond = F.col("id_a") < F.col("id_b")
+    if block_col:
+        cond = cond & (F.col("_blk_a") == F.col("_blk_b"))
+    pairs = a.join(b, cond)
+    jac = F.round(_jaccard(F.col("_ta"), F.col("_tb")), round_to)
+    return (
+        pairs.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles; whole text if < n tokens."""
+    toks = F.split(F.lower(F.trim(col)), _WS)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return F.array_distinct(grams)
+
+
+def _minhash_signature(shingles: Column, num_hashes: int) -> Column:
+    """Array of ``num_hashes`` min-hash values — pure Catalyst.
+
+    Hash family: xxhash64 of the shingle prefixed with the hash
+    index.  Computed scan-side per row; no shuffle, no Python.
+    """
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    shingles,
+                    lambda s, i=i: F.xxhash64(F.concat_ws("\x1f", F.lit(str(i)), s)),
+                )
+            )
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    round_to: int = 4,
+) -> DataFrame:
+    """Near-duplicate pairs via banded MinHash LSH + exact verify.
+
+    Pipeline (the standard corpus-dedup shape):
+
+    1. shingle → MinHash signature (scan-side array expressions);
+    2. split the signature into ``bands`` bands of
+       ``num_hashes/bands`` values; hash each band;
+    3. candidate pairs = ids sharing any ``(band_idx, band_hash)``
+       bucket — an equi-self-join on the band key, so cost follows
+       bucket sizes, never n²;
+    4. verify candidates with exact shingle-set Jaccard and keep
+       those ``>= threshold``.
+
+    With 64 hashes / 16 bands (r=4) the LSH S-curve crosses ~50%
+    recall at J≈0.5 and >99% at J≥0.8 — the usual near-dup operating
+    point.  Output: ``(id_a, id_b, jaccard)``, ``id_a < id_b``.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    r = num_hashes // bands
+    docs = df.select(
+        F.col(id_col).alias("_id"),
+        word_shingles(F.col(text_col), shingle_n).alias("_sh"),
+    ).persist()
+    sig = docs.withColumn("_sig", _minhash_signature(F.col("_sh"), num_hashes))
+    band_arr = F.array(
+        *[F.hash(F.slice(F.col("_sig"), b * r + 1, r)) for b in range(bands)]
+    )
+    banded = sig.select(
+        "_id", F.posexplode(band_arr).alias("_band", "_bh")
+    )
+    left = banded.select(
+        F.col("_id").alias("id_a"), F.col("_band"), F.col("_bh")
+    )
+    right = banded.select(
+        F.col("_id").alias("id_b"), F.col("_band"), F.col("_bh")
+    )
+    cand = (
+        left.join(right, ["_band", "_bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    with_sets = (
+        cand.join(docs.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sa")), "id_a")
+        .join(docs.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_sb")), "id_b")
+    )
+    jac = F.round(_jaccard(F.col("_sa"), F.col("_sb")), round_to)
+    return (
+        with_sets.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+@F.pandas_udf(LongType())
+def _simhash64(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash of whitespace tokens (Arrow-batched).
+
+    Token hash = first 8 bytes of md5 (deterministic across
+    processes — Python's builtin ``hash`` is salted and unusable
+    here).  Sign-aggregates bit votes per the classic Charikar
+    construction.
+    """
+    out = []
+    for t in texts:
+        votes = [0] * 64
+        toks = set(str(t or "").lower().split())
+        for tok in toks:
+            h = int.from_bytes(
+                hashlib.md5(tok.encode("utf-8")).digest()[:8], "big"
+            )
+            for i in range(64):
+                votes[i] += 1 if (h >> i) & 1 else -1
+        v = 0
+        for i in range(64):
+            if votes[i] > 0:
+                v |= 1 << i
+        # to signed 64-bit
+        out.append(v - (1 << 64) if v >= (1 << 63) else v)
+    return pd.Series(out, dtype="int64")
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_distance: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ ``max_distance``.
+
+    Candidates: split the 64-bit hash into ``chunks`` equal bit
+    chunks; by pigeonhole, Hamming ≤ chunks-1 guarantees two
+    near-dups share at least one exact chunk — so an equi-join on
+    ``(chunk_idx, chunk_value)`` finds all pairs with distance
+    < chunks, verified exactly with ``bit_count(xor)`` (JVM-side).
+    Output: ``(id_a, id_b, hamming)``, ``id_a < id_b``.
+    """
+    if max_distance >= chunks:
+        raise ValueError(
+            f"banding with {chunks} chunks only guarantees recall for "
+            f"distance <= {chunks - 1}; raise chunks for {max_distance}"
+        )
+    width = 64 // chunks
+    hashed = df.select(
+        F.col(id_col).alias("_id"), _simhash64(F.col(text_col)).alias("_sh")
+    ).persist()
+    chunk_arr = F.array(
+        *[
+            F.shiftrightunsigned(F.col("_sh"), c * width)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            for c in range(chunks)
+        ]
+    )
+    banded = hashed.select("_id", "_sh", F.posexplode(chunk_arr).alias("_c", "_cv"))
+    left = banded.select(
+        F.col("_id").alias("id_a"), F.col("_sh").alias("_ha"), "_c", "_cv"
+    )
+    right = banded.select(
+        F.col("_id").alias("id_b"), F.col("_sh").alias("_hb"), "_c", "_cv"
+    )
+    cand = (
+        left.join(right, ["_c", "_cv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_ha", "_hb")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_distance)
+        .select("id_a", "id_b", "hamming")
+    )

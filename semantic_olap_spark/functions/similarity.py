@@ -1,0 +1,276 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Beyond-reference operators (SURVEY.md §7.1 M7; BASELINE.json north
+star).  Three query paths over a corpus of embedding vectors:
+
+- ``cosine_topk``  — brute-force cosine top-k against one query
+                     vector.  Pure Catalyst (``zip_with`` +
+                     ``aggregate``), physical plan is a scan +
+                     TakeOrderedAndProject: each partition keeps a
+                     size-k heap, only k rows per partition reach the
+                     driver merge.  The exact baseline.
+- ``lsh_topk``     — random-hyperplane LSH: bucket the corpus by
+                     sign-bit signature, probe the query's bucket
+                     (multi-probe to Hamming ≤ 1), exact-rank the
+                     candidates.  Approximate, prunes the scan.
+- ``ivf_topk``     — IVF: k-means coarse centroids (driver-side
+                     numpy over a bounded sample), assign vectors to
+                     nearest centroid, probe the ``nprobe`` centroids
+                     closest to the query, exact-rank within.  At
+                     scale the assignment column is the partition/
+                     bucket key, so probing prunes entire partitions.
+
+Plus ``cosine_pairs`` — all-pairs cosine ≥ threshold within an
+optional blocking column (embedding-based near-dup detection).
+
+All exact math is done in double precision after ``cast('array<
+double>')`` so results are reproducible against the DuckDB oracle
+(``list_cosine_similarity`` on ``DOUBLE[]``).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType
+
+__all__ = [
+    "cosine_pairs",
+    "cosine_topk",
+    "ivf_topk",
+    "lsh_topk",
+    "train_ivf_centroids",
+]
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def _as_double(vec_col: str) -> Column:
+    return F.col(vec_col).cast("array<double>")
+
+
+def _lit_vec(v: Sequence[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in v])
+
+
+def cosine_similarity(vec_col: str, query_vec: Sequence[float]) -> Column:
+    """Cosine similarity of a vector column against a constant query."""
+    q = [float(x) for x in query_vec]
+    qn = float(np.linalg.norm(q))
+    a = _as_double(vec_col)
+    denom = _norm(a) * F.lit(qn)
+    return F.when(denom > 0, _dot(a, _lit_vec(q)) / denom).otherwise(F.lit(0.0))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact cosine top-k: ``(id, cosine)``, ordered desc, id tiebreak.
+
+    Ordering uses the *rounded* score so ranking is stable across
+    engines' float summation order; ``round_to=6`` absorbs double
+    noise while keeping real score differences.
+    """
+    score = F.round(cosine_similarity(vec_col, query_vec), round_to)
+    return (
+        df.select(F.col(id_col), score.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(int(k))
+    )
+
+
+def cosine_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Pairs with cosine ≥ threshold — embedding near-dup detection.
+
+    Pre-normalizes each vector once so the pair step is a plain dot
+    product.  All-pairs within ``block_col`` (or the whole table when
+    None — brute-force baseline; at scale, block on an LSH/IVF
+    assignment column).  Output ``(id_a, id_b, cosine)``, id_a < id_b.
+    """
+    a = _as_double(vec_col)
+    unit = F.transform(a, lambda x: x / _norm(a))
+    base = df.select(
+        F.col(id_col),
+        *([F.col(block_col)] if block_col else []),
+        unit.alias("_u"),
+    )
+    left = base.select(
+        F.col(id_col).alias("id_a"),
+        *([F.col(block_col).alias("_blk_a")] if block_col else []),
+        F.col("_u").alias("_ua"),
+    )
+    right = base.select(
+        F.col(id_col).alias("id_b"),
+        *([F.col(block_col).alias("_blk_b")] if block_col else []),
+        F.col("_u").alias("_ub"),
+    )
+    cond = F.col("id_a") < F.col("id_b")
+    if block_col:
+        cond = cond & (F.col("_blk_a") == F.col("_blk_b"))
+    cos = F.round(_dot(F.col("_ua"), F.col("_ub")), round_to)
+    return (
+        left.join(right, cond)
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+# ---- LSH ---------------------------------------------------------------
+
+
+def _hyperplanes(dim: int, nbits: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((nbits, dim))
+
+
+def _bucket_udf(planes: np.ndarray):
+    @F.pandas_udf(IntegerType())
+    def bucket(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy())  # (batch, dim)
+        bits = (mat @ planes.T) > 0  # (batch, nbits)
+        weights = (1 << np.arange(planes.shape[0])).astype(np.int64)
+        return pd.Series((bits @ weights).astype("int32"))
+
+    return bucket
+
+
+def lsh_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nbits: int = 8,
+    seed: int = 42,
+    multiprobe: int = 1,
+    round_to: int = 6,
+) -> DataFrame:
+    """Approximate cosine top-k via random-hyperplane LSH.
+
+    Corpus vectors are bucketed by an ``nbits`` sign-bit signature
+    (one Arrow batch pass); only buckets within Hamming ≤
+    ``multiprobe`` of the query's signature are exact-ranked.
+    Expected candidate fraction ≈ (1 + nbits·multiprobe)/2^nbits of
+    the corpus.  Same output schema as :func:`cosine_topk`; recall
+    < 1 by construction (documented approximation).
+    """
+    q = np.asarray([float(x) for x in query_vec])
+    planes = _hyperplanes(len(q), nbits, seed)
+    qbits = (planes @ q) > 0
+    weights = (1 << np.arange(nbits)).astype(np.int64)
+    qsig = int(qbits @ weights)
+    probes = {qsig}
+    if multiprobe >= 1:
+        for i in range(nbits):
+            probes.add(qsig ^ (1 << i))
+    bucket = _bucket_udf(planes)
+    cand = df.withColumn("_bkt", bucket(_as_double(vec_col))).filter(
+        F.col("_bkt").isin([int(p) for p in probes])
+    )
+    return cosine_topk(cand, query_vec, k, id_col, vec_col, round_to)
+
+
+# ---- IVF ---------------------------------------------------------------
+
+
+def train_ivf_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    sample_n: int = 2048,
+    iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """K-means coarse centroids from a bounded driver-side sample.
+
+    ``limit(sample_n)`` keeps driver memory constant regardless of
+    corpus size; Lloyd iterations run in numpy.  Deterministic under
+    ``seed``.  Returns ``(n_centroids, dim)``.
+    """
+    rows = df.select(_as_double(vec_col).alias("v")).limit(sample_n).collect()
+    x = np.array([r["v"] for r in rows])
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(iters):
+        d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for c in range(len(cent)):
+            pts = x[assign == c]
+            if len(pts):
+                cent[c] = pts.mean(0)
+    return cent
+
+
+def ivf_assign(
+    df: DataFrame, centroids: np.ndarray, vec_col: str = "embedding"
+) -> DataFrame:
+    """Attach ``_ivf`` = nearest-centroid index (Arrow batch pass).
+
+    At 100 TB this column is what you bucket/partition the corpus by
+    (``df.write.partitionBy('_ivf')``), making every probe a
+    partition-pruned scan instead of a full pass.
+    """
+    cent = np.asarray(centroids)
+
+    @F.pandas_udf(IntegerType())
+    def assign(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy())
+        d = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+        return pd.Series(d.argmin(1).astype("int32"))
+
+    return df.withColumn("_ivf", assign(_as_double(vec_col)))
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    centroids: np.ndarray | None = None,
+    seed: int = 42,
+    round_to: int = 6,
+) -> DataFrame:
+    """Approximate cosine top-k via IVF coarse quantization.
+
+    Trains (or reuses) coarse centroids, assigns corpus vectors, and
+    exact-ranks only vectors in the ``nprobe`` centroids nearest the
+    query — scanning ~nprobe/n_centroids of the corpus.  Same output
+    schema as :func:`cosine_topk`.
+    """
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            df, vec_col, n_centroids=n_centroids, seed=seed
+        )
+    q = np.asarray([float(x) for x in query_vec])
+    d = ((centroids - q[None, :]) ** 2).sum(-1)
+    probes = [int(i) for i in d.argsort()[:nprobe]]
+    cand = ivf_assign(df, centroids, vec_col).filter(F.col("_ivf").isin(probes))
+    return cosine_topk(cand, query_vec, k, id_col, vec_col, round_to)
