@@ -3,8 +3,18 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Coverage maps to SURVEY.md §2's operator inventory: every logical
+operator (§2.1), the physical filter specializations (§2.2), the
+logic-tree executor (§2.4), and the beyond-reference pipeline
+functions (text analysis, dedup, similarity — SURVEY.md §7.1 M7).
+Semantic operators run under the deterministic StubLLM whose rules
+are exactly SQL-expressible (string containment / token counts), so
+they get full value-hash oracle checks, not just row counts.
+Genuinely non-SQL-expressible ops (sem_topk tournament, MinHash LSH,
+SimHash, LSH/IVF ANN) have no oracle entry → driver records the
+weaker rows-only check.
 """
 
 from __future__ import annotations
@@ -12,27 +22,622 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from semantic_olap_spark.sources.loaders import load_table
+
+    return load_table(spark, sf_dir, name)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    The SURVEY §7.2 minimum end-to-end slice re-expressed on the
+    driver's ``documents`` table: keyword prefilter → semantic filter
+    → numeric filter cascade, run through the plan executor (golden-
+    plan language), then a per-source count roll-up.
+    """
+    from semantic_olap_spark.plans.executor import PlanExecutor
+
+    docs = _t(spark, "/root/testdata/sf0.001", "documents")
+    ex = PlanExecutor()
+    return ex.execute(
+        docs,
+        [
+            {"operator": "keyword_filter",
+             "params": {"columns": ["text"], "keywords": ["spark", "join"],
+                        "logic": "or"}},
+            {"operator": "sem_filter",
+             "params": {"columns": ["text"], "condition": "rows about spark"}},
+            {"operator": "num_filter",
+             "params": {"conditions": [
+                 {"column": "n_chars", "threshold": 100, "operator": ">"}]}},
+            {"operator": "count", "params": {"group_by": "source"}},
+        ],
+    )
+
+
+# ---- §2.1 deterministic operators --------------------------------------
+
+
+def _q_keyword_filter_or(spark, sf_dir):
+    from semantic_olap_spark.operators.deterministic import keyword_filter
+
+    return keyword_filter(
+        _t(spark, sf_dir, "part"), ["p_name", "p_type"],
+        ["red", "economy"], "or", "contains",
+    )
+
+
+def _q_keyword_filter_and(spark, sf_dir):
+    from semantic_olap_spark.operators.deterministic import keyword_filter
+
+    return keyword_filter(
+        _t(spark, sf_dir, "part"), ["p_name", "p_type"],
+        ["red", "economy"], "and", "contains",
+    )
+
+
+def _q_keyword_filter_irrelevant(spark, sf_dir):
+    from semantic_olap_spark.operators.deterministic import keyword_filter
+
+    return keyword_filter(
+        _t(spark, sf_dir, "orders"), ["o_orderpriority"],
+        ["urgent", "high"], "or", "irrelevant",
+    )
+
+
+def _q_keyword_filter_equal(spark, sf_dir):
+    from semantic_olap_spark.operators.deterministic import keyword_filter
+
+    return keyword_filter(
+        _t(spark, sf_dir, "nation"), ["n_name"], ["nation_7"], "or", "equal"
+    )
+
+
+def _q_keyword_filter_contained_in(spark, sf_dir):
+    from semantic_olap_spark.operators.deterministic import keyword_filter
+
+    return keyword_filter(
+        _t(spark, sf_dir, "nation"), ["n_name"],
+        ["union of nation_3 and nation_13"], "or", "contained_in",
+    )
+
+
+def _q_num_filter_and(spark, sf_dir):
+    from semantic_olap_spark.operators.deterministic import num_filter
+
+    return num_filter(
+        _t(spark, sf_dir, "lineitem"),
+        [
+            {"column": "l_quantity", "threshold": 30, "operator": ">"},
+            {"column": "l_discount", "threshold": 0.05, "operator": "<="},
+        ],
+        "and",
+    )
+
+
+def _q_num_filter_or(spark, sf_dir):
+    from semantic_olap_spark.operators.deterministic import num_filter
+
+    return num_filter(
+        _t(spark, sf_dir, "lineitem"),
+        [
+            {"column": "l_quantity", "threshold": 2, "operator": "<"},
+            {"column": "l_quantity", "threshold": 49, "operator": ">"},
+        ],
+        "or",
+    )
+
+
+def _q_num_reduce_sum_by_flag(spark, sf_dir):
+    from semantic_olap_spark.operators.deterministic import num_reduce
+
+    return num_reduce(
+        _t(spark, sf_dir, "lineitem"), ["l_quantity", "l_extendedprice"],
+        "sum", "l_returnflag", round_to=2,
+    )
+
+
+def _q_num_reduce_avg_global(spark, sf_dir):
+    from semantic_olap_spark.operators.deterministic import num_reduce
+
+    return num_reduce(
+        _t(spark, sf_dir, "orders"), ["o_totalprice"], "avg", round_to=4
+    )
+
+
+def _q_count_by_status_distinct(spark, sf_dir):
+    from semantic_olap_spark.operators.deterministic import count_op
+
+    return count_op(_t(spark, sf_dir, "orders"), "o_orderstatus", ["o_custkey"])
+
+
+def _q_count_global(spark, sf_dir):
+    from semantic_olap_spark.operators.deterministic import count_op
+
+    return count_op(_t(spark, sf_dir, "lineitem"))
+
+
+def _q_num_topk_desc(spark, sf_dir):
+    from semantic_olap_spark.operators.deterministic import num_topk
+
+    return num_topk(
+        _t(spark, sf_dir, "orders"), "o_totalprice", 10, "desc",
+        tiebreak=["o_orderkey"],
+    )
+
+
+def _q_num_topk_asc(spark, sf_dir):
+    from semantic_olap_spark.operators.deterministic import num_topk
+
+    return num_topk(
+        _t(spark, sf_dir, "orders"), "o_totalprice", 7, "asc",
+        tiebreak=["o_orderkey"],
+    )
+
+
+# ---- §2.1 semantic operators (deterministic StubLLM) -------------------
+
+
+def _q_sem_filter(spark, sf_dir):
+    from semantic_olap_spark.operators.semantic import sem_filter
+
+    return sem_filter(_t(spark, sf_dir, "documents"), ["text"], "rows about spark")
+
+
+def _q_sem_filter_multi(spark, sf_dir):
+    from semantic_olap_spark.operators.semantic import sem_filter
+
+    return sem_filter(
+        _t(spark, sf_dir, "documents"), ["text"], "mentions vector or stream"
+    )
+
+
+def _q_sem_map_topic(spark, sf_dir):
+    from semantic_olap_spark.operators.semantic import sem_map
+
+    return sem_map(
+        _t(spark, sf_dir, "documents"), ["text"],
+        "dominant topic, one of: vector, stream, window", "topic",
+    ).select("doc_id", "topic")
+
+
+def _q_sem_group_workload(spark, sf_dir):
+    from semantic_olap_spark.operators.semantic import sem_group
+
+    return sem_group(
+        _t(spark, sf_dir, "documents"), ["text"],
+        "group by workload type, one of: scan, join, sort", "workload",
+    ).select("doc_id", "workload")
+
+
+def _q_sem_reduce_by_region(spark, sf_dir):
+    from semantic_olap_spark.operators.semantic import sem_reduce
+
+    return sem_reduce(
+        _t(spark, sf_dir, "nation"), ["n_name"], "n_regionkey", alias="names"
+    )
+
+
+def _q_sem_reduce_global(spark, sf_dir):
+    from semantic_olap_spark.operators.semantic import sem_reduce
+
+    return sem_reduce(_t(spark, sf_dir, "region"), ["r_name"], alias="names")
+
+
+def _q_sem_topk_docs(spark, sf_dir):
+    from semantic_olap_spark.operators.semantic import sem_topk
+    from semantic_olap_spark.sources.loaders import with_olap_id
+
+    docs = with_olap_id(_t(spark, sf_dir, "documents"), order_by=["doc_id"])
+    return sem_topk(docs, ["text"], "spark join performance", k=10).select(
+        "doc_id", "wins"
+    )
+
+
+# ---- §2.2 physical filter specializations ------------------------------
+
+
+def _q_filter_enum(spark, sf_dir):
+    from semantic_olap_spark.operators.semantic import filter_enum_llm
+
+    return filter_enum_llm(
+        _t(spark, sf_dir, "orders"), "o_orderpriority", "urgent priority"
+    )
+
+
+def _q_filter_pattern(spark, sf_dir):
+    from semantic_olap_spark.operators.semantic import filter_pattern
+
+    return filter_pattern(_t(spark, sf_dir, "events"), "props", "value > 50")
+
+
+# ---- §2.4 logic trees + plan executor ----------------------------------
+
+
+def _q_filter_group_tree(spark, sf_dir):
+    from semantic_olap_spark.plans.executor import run_filter
+
+    return run_filter(
+        _t(spark, sf_dir, "documents"),
+        [
+            {"id": 1, "operator_name": "keyword_filter",
+             "parameters": {"columns": ["text"], "keywords": ["spark"],
+                            "logic": "or"}},
+            {"id": 2, "operator_name": "num_filter",
+             "parameters": {"conditions": [
+                 {"column": "n_chars", "threshold": 200, "operator": ">"}]}},
+            {"id": 3, "operator_name": "sem_filter",
+             "parameters": {"columns": ["text"], "condition": "mentions window"}},
+        ],
+        ["AND", 1, ["OR", 2, 3]],
+    )
+
+
+def _q_plan_cascade(spark, sf_dir):
+    from semantic_olap_spark.plans.executor import PlanExecutor
+
+    ex = PlanExecutor()
+    return ex.execute(
+        _t(spark, sf_dir, "documents"),
+        [
+            {"operator": "keyword_filter",
+             "params": {"columns": ["text"], "keywords": ["spark", "join"],
+                        "logic": "or"}},
+            {"operator": "sem_filter",
+             "params": {"columns": ["text"], "condition": "rows about spark"}},
+            {"operator": "num_filter",
+             "params": {"conditions": [
+                 {"column": "n_chars", "threshold": 100, "operator": ">"}]}},
+            {"operator": "count", "params": {"group_by": "source"}},
+        ],
+    )
+
+
+# ---- pipeline functions: text analysis ---------------------------------
+
+
+def _q_text_profile(spark, sf_dir):
+    from semantic_olap_spark.functions.text import text_profile
+
+    return text_profile(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "n_tokens", "n_tokens_bpe", "lang_pred", "quality",
+        "fingerprint",
+    )
+
+
+# ---- pipeline functions: dedup -----------------------------------------
+
+
+def _q_dedup_exact(spark, sf_dir):
+    from semantic_olap_spark.functions.dedup import dedup_exact
+
+    return dedup_exact(_t(spark, sf_dir, "documents"))
+
+
+def _q_jaccard_pairs(spark, sf_dir):
+    from semantic_olap_spark.functions.dedup import jaccard_pairs
+
+    return jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.7, block_col="source"
+    )
+
+
+def _q_minhash_lsh_pairs(spark, sf_dir):
+    from semantic_olap_spark.functions.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), shingle_n=3, threshold=0.5
+    )
+
+
+def _q_simhash_pairs(spark, sf_dir):
+    from semantic_olap_spark.functions.dedup import simhash_pairs
+
+    return simhash_pairs(_t(spark, sf_dir, "documents"), max_distance=3)
+
+
+# ---- pipeline functions: similarity search -----------------------------
+
+
+def _query_vec(spark, sf_dir, vec_id=0):
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.filter(F.col("vec_id") == vec_id)
+        .select(F.col("embedding").cast("array<double>"))
+        .collect()[0][0]
+    )
+
+
+def _q_cosine_topk(spark, sf_dir):
+    from semantic_olap_spark.functions.similarity import cosine_topk
+
+    q = _query_vec(spark, sf_dir)
+    return cosine_topk(_t(spark, sf_dir, "embeddings"), q, k=10)
+
+
+def _q_cosine_pairs(spark, sf_dir):
+    from semantic_olap_spark.functions.similarity import cosine_pairs
+
+    return cosine_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.8, block_col="label"
+    )
+
+
+def _q_lsh_topk(spark, sf_dir):
+    from semantic_olap_spark.functions.similarity import lsh_topk
+
+    q = _query_vec(spark, sf_dir)
+    return lsh_topk(_t(spark, sf_dir, "embeddings"), q, k=10, nbits=4)
+
+
+def _q_ivf_topk(spark, sf_dir):
+    from semantic_olap_spark.functions.similarity import ivf_topk
+
+    q = _query_vec(spark, sf_dir)
+    return ivf_topk(_t(spark, sf_dir, "embeddings"), q, k=10, n_centroids=8,
+                    nprobe=3)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2 + M7."""
+    return {
+        # §2.1 deterministic
+        "keyword_filter_or": _q_keyword_filter_or,
+        "keyword_filter_and": _q_keyword_filter_and,
+        "keyword_filter_irrelevant": _q_keyword_filter_irrelevant,
+        "keyword_filter_equal": _q_keyword_filter_equal,
+        "keyword_filter_contained_in": _q_keyword_filter_contained_in,
+        "num_filter_and": _q_num_filter_and,
+        "num_filter_or": _q_num_filter_or,
+        "num_reduce_sum_by_flag": _q_num_reduce_sum_by_flag,
+        "num_reduce_avg_global": _q_num_reduce_avg_global,
+        "count_by_status_distinct": _q_count_by_status_distinct,
+        "count_global": _q_count_global,
+        "num_topk_desc": _q_num_topk_desc,
+        "num_topk_asc": _q_num_topk_asc,
+        # §2.1 semantic (StubLLM)
+        "sem_filter": _q_sem_filter,
+        "sem_filter_multi": _q_sem_filter_multi,
+        "sem_map_topic": _q_sem_map_topic,
+        "sem_group_workload": _q_sem_group_workload,
+        "sem_reduce_by_region": _q_sem_reduce_by_region,
+        "sem_reduce_global": _q_sem_reduce_global,
+        "sem_topk_docs": _q_sem_topk_docs,
+        # §2.2 physical filters
+        "filter_enum": _q_filter_enum,
+        "filter_pattern": _q_filter_pattern,
+        # §2.4 logic trees + executor
+        "filter_group_tree": _q_filter_group_tree,
+        "plan_cascade": _q_plan_cascade,
+        # pipeline: text analysis
+        "text_profile": _q_text_profile,
+        # pipeline: dedup
+        "dedup_exact": _q_dedup_exact,
+        "jaccard_pairs": _q_jaccard_pairs,
+        "minhash_lsh_pairs": _q_minhash_lsh_pairs,
+        "simhash_pairs": _q_simhash_pairs,
+        # pipeline: similarity
+        "cosine_topk": _q_cosine_topk,
+        "cosine_pairs": _q_cosine_pairs,
+        "lsh_topk": _q_lsh_topk,
+        "ivf_topk": _q_ivf_topk,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_NORM_MD5 = r"md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))"
+_STOPS = {
+    "en": ("the", "a", "and", "of", "to", "in", "is", "it", "that", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "zu"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que"),
+    "es": ("el", "los", "las", "y", "es", "uno", "una", "en", "para", "por"),
+}
+
+
+def _hits(lang: str) -> str:
+    vals = ", ".join(f"'{w}'" for w in _STOPS[lang])
+    return (
+        r"len(list_filter(str_split_regex(lower(trim(text)), '\s+'),"
+        f" t -> t IN ({vals})))"
+    )
+
+
+def _lang_case() -> str:
+    # mirror functions/text.py lang_id: first lang in (en,de,fr,es)
+    # order with hits>0, strict > vs earlier langs, >= vs later
+    langs = ("en", "de", "fr", "es")
+    arms = []
+    for i, lang in enumerate(langs):
+        conds = [f"h_{lang} > 0"]
+        for j, other in enumerate(langs):
+            if j < i:
+                conds.append(f"h_{lang} > h_{other}")
+            elif j > i:
+                conds.append(f"h_{lang} >= h_{other}")
+        arms.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return "CASE " + " ".join(arms) + " ELSE 'unknown' END"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    """DuckDB-ANSI mirrors for every SQL-expressible query above."""
+    text_profile_sql = rf"""
+        WITH t AS (
+          SELECT doc_id, text,
+                 CASE WHEN trim(text) = '' THEN 0
+                      ELSE len(str_split_regex(trim(text), '\s+')) END AS n_tok,
+                 len(regexp_extract_all(text,
+                     '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]')) AS n_bpe,
+                 {_hits('en')} AS h_en, {_hits('de')} AS h_de,
+                 {_hits('fr')} AS h_fr, {_hits('es')} AS h_es,
+                 length(text)::DOUBLE AS n_chars,
+                 length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
+                     AS n_alpha
+          FROM documents
+        )
+        SELECT doc_id,
+               n_tok AS n_tokens,
+               n_bpe AS n_tokens_bpe,
+               {_lang_case()} AS lang_pred,
+               round(0.4 * (CASE WHEN n_tok > 0
+                                 THEN h_en / n_tok::DOUBLE ELSE 0 END)
+                   + 0.3 * least(1.0, n_tok / 50.0)
+                   + 0.3 * (CASE WHEN n_chars > 0
+                                 THEN n_alpha / n_chars ELSE 0 END), 4)
+                   AS quality,
+               {_NORM_MD5} AS fingerprint
+        FROM t
     """
-    return {}
+    jaccard_sql = r"""
+        WITH t AS (
+          SELECT doc_id, source,
+                 list_distinct(str_split_regex(lower(trim(text)), '\s+'))
+                     AS toks
+          FROM documents
+        ),
+        p AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 round(len(list_intersect(a.toks, b.toks))::DOUBLE
+                       / len(list_distinct(list_concat(a.toks, b.toks))), 4)
+                     AS jaccard
+          FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+        )
+        SELECT * FROM p WHERE jaccard >= 0.7
+    """
+    return {
+        "keyword_filter_or": """
+            SELECT * FROM part
+            WHERE contains(lower(concat_ws(' ', p_name, p_type)), 'red')
+               OR contains(lower(concat_ws(' ', p_name, p_type)), 'economy')
+        """,
+        "keyword_filter_and": """
+            SELECT * FROM part
+            WHERE contains(lower(concat_ws(' ', p_name, p_type)), 'red')
+              AND contains(lower(concat_ws(' ', p_name, p_type)), 'economy')
+        """,
+        "keyword_filter_irrelevant": """
+            SELECT * FROM orders
+            WHERE NOT (contains(lower(o_orderpriority), 'urgent')
+                    OR contains(lower(o_orderpriority), 'high'))
+        """,
+        "keyword_filter_equal":
+            "SELECT * FROM nation WHERE lower(n_name) = 'nation_7'",
+        "keyword_filter_contained_in":
+            "SELECT * FROM nation "
+            "WHERE contains('union of nation_3 and nation_13', lower(n_name))",
+        "num_filter_and": """
+            SELECT * FROM lineitem
+            WHERE coalesce(try_cast(l_quantity AS DOUBLE) > 30, false)
+              AND coalesce(try_cast(l_discount AS DOUBLE) <= 0.05, false)
+        """,
+        "num_filter_or": """
+            SELECT * FROM lineitem
+            WHERE coalesce(try_cast(l_quantity AS DOUBLE) < 2, false)
+               OR coalesce(try_cast(l_quantity AS DOUBLE) > 49, false)
+        """,
+        "num_reduce_sum_by_flag": """
+            SELECT l_returnflag,
+                   round(sum(l_quantity), 2) AS sum_l_quantity,
+                   round(sum(l_extendedprice), 2) AS sum_l_extendedprice
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "num_reduce_avg_global":
+            "SELECT round(avg(o_totalprice), 4) AS avg_o_totalprice FROM orders",
+        "count_by_status_distinct": """
+            SELECT o_orderstatus, count(*) AS count,
+                   count(DISTINCT o_custkey) AS distinct_o_custkey
+            FROM orders GROUP BY o_orderstatus
+        """,
+        "count_global": "SELECT count(*) AS count FROM lineitem",
+        "num_topk_desc":
+            "SELECT * FROM orders "
+            "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+        "num_topk_asc":
+            "SELECT * FROM orders ORDER BY o_totalprice ASC, o_orderkey LIMIT 7",
+        "sem_filter":
+            "SELECT * FROM documents WHERE contains(lower(text), 'spark')",
+        "sem_filter_multi": """
+            SELECT * FROM documents
+            WHERE contains(lower(text), 'vector')
+               OR contains(lower(text), 'stream')
+        """,
+        "sem_map_topic": """
+            SELECT doc_id,
+                   CASE WHEN contains(lower(text), 'vector') THEN 'vector'
+                        WHEN contains(lower(text), 'stream') THEN 'stream'
+                        WHEN contains(lower(text), 'window') THEN 'window'
+                        ELSE 'NA' END AS topic
+            FROM documents
+        """,
+        "sem_group_workload": """
+            SELECT doc_id,
+                   CASE WHEN contains(lower(text), 'scan') THEN 'scan'
+                        WHEN contains(lower(text), 'join') THEN 'join'
+                        WHEN contains(lower(text), 'sort') THEN 'sort'
+                        ELSE 'other' END AS workload
+            FROM documents
+        """,
+        "sem_reduce_by_region": """
+            SELECT n_regionkey,
+                   string_agg(n_name, '; ' ORDER BY n_name) AS names
+            FROM (SELECT DISTINCT n_regionkey, n_name FROM nation)
+            GROUP BY n_regionkey
+        """,
+        "sem_reduce_global":
+            "SELECT string_agg(r_name, '; ' ORDER BY r_name) AS names "
+            "FROM (SELECT DISTINCT r_name FROM region)",
+        # sem_topk_docs: tournament ranking — not SQL-expressible
+        "filter_enum":
+            "SELECT * FROM orders "
+            "WHERE contains(lower(o_orderpriority), 'urgent')",
+        "filter_pattern": r"""
+            SELECT * FROM events
+            WHERE coalesce(
+                try_cast(regexp_extract(props, '(\d+)', 1) AS DOUBLE) > 50,
+                false)
+        """,
+        "filter_group_tree": """
+            SELECT * FROM documents
+            WHERE contains(lower(text), 'spark')
+              AND (n_chars > 200 OR contains(lower(text), 'window'))
+        """,
+        "plan_cascade": """
+            SELECT source, count(*) AS count FROM documents
+            WHERE (contains(lower(text), 'spark')
+                   OR contains(lower(text), 'join'))
+              AND contains(lower(text), 'spark')
+              AND n_chars > 100
+            GROUP BY source
+        """,
+        "text_profile": text_profile_sql,
+        "dedup_exact": rf"""
+            SELECT * FROM documents
+            QUALIFY row_number() OVER (
+                PARTITION BY {_NORM_MD5} ORDER BY doc_id) = 1
+        """,
+        "jaccard_pairs": jaccard_sql,
+        # minhash_lsh_pairs / simhash_pairs: signature-based — rows-only
+        "cosine_topk": """
+            WITH q AS (SELECT embedding::DOUBLE[] AS qv
+                       FROM embeddings WHERE vec_id = 0)
+            SELECT e.vec_id,
+                   round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv),
+                         6) AS cosine
+            FROM embeddings e, q
+            ORDER BY cosine DESC, e.vec_id LIMIT 10
+        """,
+        "cosine_pairs": """
+            WITH p AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                  b.embedding::DOUBLE[]), 6)
+                         AS cosine
+              FROM embeddings a JOIN embeddings b
+                ON a.label = b.label AND a.vec_id < b.vec_id
+            )
+            SELECT * FROM p WHERE cosine >= 0.8
+        """,
+        # lsh_topk / ivf_topk: approximate ANN — rows-only
+    }

@@ -1,0 +1,91 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Runs a representative subset of the driver-contract queries
+(`__spark_entry__.queries()`) spanning every operator family —
+deterministic filters/aggs, Arrow-batched semantic ops, logic-tree
+staged execution, text profiling, dedup (exact + MinHash LSH), and
+similarity search — at the benchmark scale factor (default sf0.1:
+600k lineitem / 5k documents / 2k embeddings).
+
+Each query is forced with a noop-sink write (full distributed
+compute, no driver-side collect cost).  Prints ONE JSON line:
+``{"metric": ..., "value": N, "unit": "sec", "queries": {...},
+"sf": ...}``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    # deterministic core over the 600k-row lineitem / 150k orders
+    "num_filter_and",
+    "num_reduce_sum_by_flag",
+    "count_by_status_distinct",
+    "num_topk_desc",
+    "keyword_filter_or",
+    # semantic ops (Arrow pandas UDFs + stub LLM) over documents
+    "sem_filter",
+    "sem_map_topic",
+    "sem_group_workload",
+    "sem_reduce_by_region",
+    "filter_pattern",
+    # staged logic-tree execution
+    "filter_group_tree",
+    "plan_cascade",
+    # pipeline: text analysis / dedup / similarity
+    "text_profile",
+    "dedup_exact",
+    "minhash_lsh_pairs",
+    "jaccard_pairs",
+    "cosine_topk",
+    "ivf_topk",
+]
+
+
+def _force(df) -> None:
+    """Execute the full plan without collecting to the driver."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    import __spark_entry__ as entrymod
+    from semantic_olap_spark.session import get_spark
+
+    spark = get_spark("semantic-olap-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        _force(fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
