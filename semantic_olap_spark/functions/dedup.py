@@ -43,6 +43,17 @@ def _norm_tokens(col: Column) -> Column:
     return F.array_distinct(F.split(F.lower(F.trim(col)), _WS))
 
 
+def _hashed(arr: Column) -> Column:
+    """Distinct xxhash64 values of a string array.
+
+    Set operations (intersect/size) on fixed-width longs are far
+    cheaper than on strings, and longs shuffle ~10× smaller; Jaccard
+    over hashed sets equals Jaccard over the originals up to a
+    ~2^-64-per-pair collision probability.
+    """
+    return F.array_distinct(F.transform(arr, lambda s: F.xxhash64(s)))
+
+
 def dedup_exact(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -63,8 +74,14 @@ def dedup_exact(
 
 
 def _jaccard(a: Column, b: Column) -> Column:
+    """Jaccard of two distinct-element arrays.
+
+    Union size is |a| + |b| - |a ∩ b| — one hash-set pass instead of
+    also materializing the union array (2× less per-pair work; the
+    pair step is the hot loop of every near-dup job).
+    """
     inter = F.size(F.array_intersect(a, b)).cast("double")
-    union = F.size(F.array_union(a, b)).cast("double")
+    union = (F.size(a) + F.size(b)).cast("double") - inter
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
@@ -85,7 +102,7 @@ def jaccard_pairs(
     """
     base = df.select(
         F.col(id_col), *( [F.col(block_col)] if block_col else [] ),
-        _norm_tokens(F.col(text_col)).alias("_toks"),
+        _hashed(_norm_tokens(F.col(text_col))).alias("_toks"),
     )
     a = base.select(
         F.col(id_col).alias("id_a"),
@@ -119,20 +136,26 @@ def word_shingles(col: Column, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
-def _minhash_signature(shingles: Column, num_hashes: int) -> Column:
+def _minhash_signature(hashed_shingles: Column, num_hashes: int) -> Column:
     """Array of ``num_hashes`` min-hash values — pure Catalyst.
 
-    Hash family: xxhash64 of the shingle prefixed with the hash
-    index.  Computed scan-side per row; no shuffle, no Python.
+    Input is the pre-hashed long array from :func:`_hashed` (one
+    xxhash64 pass over each shingle's text); the k hash functions
+    re-hash that fixed-width long with a per-function seed
+    (``xxhash64(h, i)``) — constant work per (shingle, i) instead of
+    length-proportional string hashing k times.  Stays inside
+    whole-stage codegen (overflow-safe under ANSI mode, unlike an
+    affine a·x+b family on longs).  No shuffle, no Python.
     """
+
+    def h(i: int):
+        # single-arg lambda: a second parameter would be bound to the
+        # ARRAY INDEX by F.transform, not to the closure value
+        return lambda x: F.xxhash64(x, F.lit(i))
+
     return F.array(
         *[
-            F.array_min(
-                F.transform(
-                    shingles,
-                    lambda s, i=i: F.xxhash64(F.concat_ws("\x1f", F.lit(str(i)), s)),
-                )
-            )
+            F.array_min(F.transform(hashed_shingles, h(i)))
             for i in range(num_hashes)
         ]
     )
@@ -168,9 +191,11 @@ def minhash_lsh_pairs(
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
+    # shingles are pre-hashed to longs once: the signature reuses
+    # them as its base and the verify step intersects long arrays
     docs = df.select(
         F.col(id_col).alias("_id"),
-        word_shingles(F.col(text_col), shingle_n).alias("_sh"),
+        _hashed(word_shingles(F.col(text_col), shingle_n)).alias("_sh"),
     ).persist()
     sig = docs.withColumn("_sig", _minhash_signature(F.col("_sh"), num_hashes))
     band_arr = F.array(
