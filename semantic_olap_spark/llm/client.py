@@ -121,6 +121,102 @@ class StubLLM(BaseLLM):
             vals = json.loads(content)
             keep = [v for v in vals if any(t in str(v).lower() for t in toks)]
             return json.dumps(keep)
+        if task == "dice_strategy":
+            return json.dumps(
+                {
+                    "thought": "stub proposes all strategies",
+                    "field": fields.get("field", ""),
+                    "strategy": [
+                        "pattern_extraction", "enumerable", "compare_str_or_num"
+                    ],
+                }
+            )
+        if task == "simple_filter_check":
+            q = fields.get("query", "")
+            has = bool(
+                re.search(r"(>=|<=|==|!=|>|<)\s*-?\d", q)
+                or re.search(
+                    r"\b(contains?|equals?|starts with|ends with|greater than|"
+                    r"less than)\b", q, flags=re.I,
+                )
+            )
+            return "YES" if has else "NO"
+        if task == "direct_filter_plan":
+            q = fields.get("query", "")
+            conds = [
+                {"column": None, "operator": m.group(1),
+                 "threshold": float(m.group(2))}
+                for m in re.finditer(r"(>=|<=|==|!=|>|<)\s*(-?\d+(?:\.\d+)?)", q)
+            ]
+            if conds:
+                ops = [{"id": 1, "operator_name": "num_filter",
+                        "parameters": {"conditions": conds, "logic": "and"}}]
+            else:
+                ops = [{"id": 1, "operator_name": "keyword_filter",
+                        "parameters": {"keywords": P.condition_tokens(q),
+                                       "logic": "or", "relation": "contains"}}]
+            return json.dumps({"operations": ops, "logic": [1]})
+        if task == "keyword_expansion":
+            return json.dumps(P.condition_tokens(fields.get("query", "")))
+        if task == "field_pruning":
+            q = fields.get("query", "").lower()
+            cols = json.loads(content)
+            hit = [c for c in cols if c.lower() in q]
+            return json.dumps(hit if hit else cols)
+        if task == "self_reduce":
+            d = fields.get("description", "").lower()
+            if any(w in d for w in ("count", "how many", "number of")):
+                return json.dumps({"type": "count"})
+            agg = next((a for a in ("sum", "avg", "max", "min") if a in d),
+                       "sum")
+            return json.dumps({"type": "num_reduce", "params": {"agg": agg}})
+        if task == "granularity_match":
+            target = fields.get("target", "").strip().lower()
+            cands = json.loads(content)
+            for c in cands:
+                if str(c).strip().lower() == target:
+                    return json.dumps({"thought": "exact match", "chosen": c})
+            return json.dumps({"thought": "no match", "chosen": "None"})
+        if task == "drill_down_dimension":
+            q = fields.get("query", "")
+            toks = P.condition_tokens(q)[:3] or ["derived"]
+            return json.dumps(
+                {"title": "_".join(toks), "dimension_desc": q}
+            )
+        if task == "topk_intent":
+            q = fields.get("query", "")
+            cols = json.loads(content)
+            m = re.search(
+                r"\b(?:top|first)\s*(\d+)\b|\b(\d+)\s+(?:most|highest|largest|"
+                r"lowest|smallest)\b", q, flags=re.I,
+            )
+            if not m and not re.search(
+                r"\b(most|highest|largest|lowest|smallest|top)\b", q, flags=re.I
+            ):
+                return json.dumps({"topk_type": "not applicable"})
+            k = int(next((g for g in (m.groups() if m else ()) if g), 1))
+            field = next((c for c in cols if c.lower() in q.lower()), None)
+            if field is None:
+                return json.dumps({"topk_type": "not applicable"})
+            order = (
+                "asc"
+                if re.search(r"\b(lowest|smallest|least)\b", q, flags=re.I)
+                else "desc"
+            )
+            numeric_hint = any(
+                h in field.lower()
+                for h in ("price", "count", "value", "score", "total",
+                          "quantity", "chars", "size", "num", "key")
+            )
+            return json.dumps(
+                {
+                    "topk_type": "num" if numeric_hint else "sem",
+                    "sort_field": field,
+                    "sort_order": order,
+                    "top_k": k,
+                    "sort_basis": q,
+                }
+            )
         if task == "filter_pattern":
             template = fields.get("template", "")
             regex = re.escape(template).replace(re.escape("<*>"), r"(\d+)")

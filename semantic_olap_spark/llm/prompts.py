@@ -160,6 +160,124 @@ def pattern_prompt(condition: str, template: str, examples: Sequence[str]) -> st
     )
 
 
+# ---- planner prompts (§2.3 verbs — dice/slice/roll_up/drill_down) ------
+
+
+def dice_strategy_prompt(field: str, field_info: str, query: str) -> str:
+    """Strategy proposal (reference Dice_Agent.py PROMPT_STRATEGY)."""
+    return (
+        "### task: dice_strategy\n"
+        "Given field samples and a query, list which optimization "
+        "strategies might apply (pattern_extraction / enumerable / "
+        "compare_str_or_num) and name the target field. Reply with "
+        'JSON {"thought": str, "field": str, "strategy": [str, ...]}.\n'
+        f"Field: {field}\n"
+        f"Query: {query}\n"
+        f"{CONTENT_SEP}\n{field_info}"
+    )
+
+
+def simple_filter_prompt(query: str) -> str:
+    """YES/NO: does the query express a simple compare/contains filter
+    (reference Dice_Agent.llm_has_simple_filter)."""
+    return (
+        "### task: simple_filter_check\n"
+        "Does the sentence clearly express a simple filtering "
+        "condition (contains/equals for strings; >, <, >=, <=, == "
+        "for numbers)? Answer exactly YES or NO.\n"
+        f"Query: {query}\n"
+        f"{CONTENT_SEP}\n{query}"
+    )
+
+
+def direct_filter_prompt(query: str) -> str:
+    """NL → deterministic filter plan (reference PROMPT_DIRECT)."""
+    return (
+        "### task: direct_filter_plan\n"
+        "Convert the query into a filter plan using keyword_filter "
+        "and num_filter only. Reply with JSON {\"operations\": "
+        '[{"id": int, "operator_name": str, "parameters": {...}}], '
+        '"logic": [...]}.\n'
+        f"Query: {query}\n"
+        f"{CONTENT_SEP}\n{query}"
+    )
+
+
+def keywords_prompt(query: str) -> str:
+    """Keyword expansion for slice (Slice_Agent PROMPT_FILTER_ORIGINAL_DATA)."""
+    return (
+        "### task: keyword_expansion\n"
+        "Build a flat JSON list of single-word (or two-word) keywords "
+        "capturing the intent, including variants and synonyms.\n"
+        f"Query: {query}\n"
+        f"{CONTENT_SEP}\n{query}"
+    )
+
+
+def fields_prompt(query: str, columns: Sequence[str]) -> str:
+    """Candidate-field pruning for slice (Slice_Agent.fields_choose)."""
+    return (
+        "### task: field_pruning\n"
+        "Given a query and candidate fields, return the JSON list of "
+        "fields potentially relevant to the query. Be conservative — "
+        "when unsure, include the field.\n"
+        f"Query: {query}\n"
+        f"{CONTENT_SEP}\n{json.dumps(list(columns))}"
+    )
+
+
+def self_reduce_prompt(description: str) -> str:
+    """count vs num_reduce parse (Roll_Up_Agent.understand_self_reduce)."""
+    return (
+        "### task: self_reduce\n"
+        'Classify the reduction: reply {"type": "count"} or '
+        '{"type": "num_reduce", "params": {"agg": "sum|avg|max|min"}}.\n'
+        f"Description: {description}\n"
+        f"{CONTENT_SEP}\n{description}"
+    )
+
+
+def granularity_match_prompt(
+    candidates: Sequence[str], target: str, thought: str = ""
+) -> str:
+    """Granularity-reuse judgment (Roll_Up_Agent.query_dimension_exist)."""
+    return (
+        "### task: granularity_match\n"
+        "Pick the existing granularity matching the target at the "
+        'same conceptual level, else "None". Reply with JSON '
+        '{"thought": str, "chosen": str}.\n'
+        f"Target: {target}\n"
+        f"Thought: {thought}\n"
+        f"{CONTENT_SEP}\n{json.dumps(list(candidates))}"
+    )
+
+
+def drill_dim_prompt(query: str, thought: str = "") -> str:
+    """New-dimension extraction (Drill_Down_Agent PROMPT_DRILLDOWN_DIMENSION)."""
+    return (
+        "### task: drill_down_dimension\n"
+        "Extract a new column: title (lowercase, underscores, ≤3 "
+        "words) and dimension_desc (one sentence). Reply with JSON "
+        '{"title": str, "dimension_desc": str}.\n'
+        f"Query: {query}\n"
+        f"Thought: {thought}\n"
+        f"{CONTENT_SEP}\n{query}"
+    )
+
+
+def topk_intent_prompt(columns: Sequence[str], query: str) -> str:
+    """Top-k intent detection (OLAP_Agent UNDERSTAND_TOPK_PROMPT)."""
+    return (
+        "### task: topk_intent\n"
+        "Does the query express top-k intent? If yes reply "
+        '{"topk_type": "num"|"sem", "sort_field": str, "sort_order": '
+        '"asc"|"desc", "top_k": int, "sort_basis": str}; else '
+        '{"topk_type": "not applicable"}.\n'
+        f"Query: {query}\n"
+        f"{CONTENT_SEP}\n{json.dumps(list(columns))}"
+    )
+
+
 # ---- parsing helpers (used by StubLLM) ---------------------------------
 
 

@@ -85,7 +85,7 @@ class CubeNode:
     _ids = itertools.count()
 
     def __init__(self, query: str, df: DataFrame, plan: list | None = None,
-                 cache: bool = True):
+                 cache: bool = True, persist_path: str | None = None):
         self.id = next(CubeNode._ids)
         self.query = query
         self.plan = plan or []
@@ -95,7 +95,16 @@ class CubeNode:
             # assigned once per node, carried thereafter
             # (OLAP_Memory.py:110-111; SURVEY.md §7.4 risk 3)
             df = df.withColumn(OLAP_ID, F.monotonically_increasing_id())
-        self.df = df.cache() if cache else df
+        self.persist_path = persist_path
+        if persist_path is not None:
+            # disk-backed materialization: at 100 TB executor-memory
+            # caching is eviction churn; a written table survives
+            # session restarts and later nodes scan it with pushdown
+            df.write.mode("overwrite").parquet(persist_path)
+            df = df.sparkSession.read.parquet(persist_path)
+            self.df = df
+        else:
+            self.df = df.cache() if cache else df
         self.col_views: dict[str, ColViews] = {}
 
     def dimension(self, column: str) -> ColViews:
@@ -130,8 +139,9 @@ class CubeMemory:
     # -- lattice ---------------------------------------------------------
 
     def add_node(self, query: str, df: DataFrame, plan: list,
-                 parent_ids: Sequence[int]) -> CubeNode:
-        node = CubeNode(query, df, plan)
+                 parent_ids: Sequence[int],
+                 persist_path: str | None = None) -> CubeNode:
+        node = CubeNode(query, df, plan, persist_path=persist_path)
         self.nodes[node.id] = node
         for pid in parent_ids:
             self.add_edge(pid, node.id)
