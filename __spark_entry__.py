@@ -382,6 +382,89 @@ def _q_ivf_topk(spark, sf_dir):
                     nprobe=3)
 
 
+# ---- pipeline functions: multimodal ------------------------------------
+
+
+def _q_multimodal_metadata(spark, sf_dir):
+    from semantic_olap_spark.functions.multimodal import attach_binary_metadata
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "payload", F.encode(F.col("text"), "utf-8")
+    )
+    return attach_binary_metadata(docs).select(
+        "doc_id", "media_bytes", "media_format", "media_id"
+    )
+
+
+def _q_image_features(spark, sf_dir):
+    from semantic_olap_spark.functions.multimodal import image_features
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "payload", F.encode(F.col("text"), "utf-8")
+    )
+    return image_features(docs)
+
+
+def _q_sample_frames(spark, sf_dir):
+    from semantic_olap_spark.functions.multimodal import sample_frames
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "payload", F.encode(F.col("text"), "utf-8")
+    )
+    return sample_frames(docs, n_frames=2).select("doc_id", "frame_idx")
+
+
+# ---- streaming operators (batch-parity forms) --------------------------
+
+
+def _q_windowed_agg(spark, sf_dir):
+    from semantic_olap_spark.streaming import windowed_agg
+
+    return windowed_agg(
+        _t(spark, sf_dir, "events"), "ts", "1 hour",
+        group_by=["event_type"], agg_col="value", aggs=("sum",),
+    )
+
+
+def _q_session_agg(spark, sf_dir):
+    from semantic_olap_spark.streaming import session_agg
+
+    return session_agg(
+        _t(spark, sf_dir, "events"), "ts", "5 minutes", ["user_id"]
+    )
+
+
+# ---- planner verbs (§2.3) ----------------------------------------------
+
+
+def _q_nl_filter_pipeline(spark, sf_dir):
+    from semantic_olap_spark.plans.planner import run_nl_filter
+
+    return run_nl_filter(
+        _t(spark, sf_dir, "documents"),
+        [
+            {"id": 1, "agent": "slice", "instruction": "mentions spark in text"},
+            {"id": 2, "agent": "dice", "field": "n_chars",
+             "instruction": "n_chars > 200"},
+        ],
+        ["AND", 1, 2],
+    )
+
+
+def _q_roll_up_events(spark, sf_dir):
+    from semantic_olap_spark.plans.memory import CubeMemory
+    from semantic_olap_spark.plans.rollup import roll_up
+    from semantic_olap_spark.sources.loaders import with_olap_id
+
+    ev = with_olap_id(_t(spark, sf_dir, "events"), order_by=["event_id"])
+    mem = CubeMemory(ev)
+    _, out = roll_up(
+        mem, mem.root_id, "event_type", None,
+        [{"dimension": "self", "reduce_target": "count how many"}],
+    )
+    return out.select("event_type", "count_of_event_type")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 + M7."""
     return {
@@ -425,6 +508,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_pairs": _q_cosine_pairs,
         "lsh_topk": _q_lsh_topk,
         "ivf_topk": _q_ivf_topk,
+        # pipeline: multimodal
+        "multimodal_metadata": _q_multimodal_metadata,
+        "image_features": _q_image_features,
+        "sample_frames": _q_sample_frames,
+        # streaming (batch-parity forms)
+        "windowed_agg": _q_windowed_agg,
+        "session_agg": _q_session_agg,
+        # §2.3 planner verbs
+        "nl_filter_pipeline": _q_nl_filter_pipeline,
+        "roll_up_events": _q_roll_up_events,
     }
 
 
@@ -640,4 +733,59 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM p WHERE cosine >= 0.8
         """,
         # lsh_topk / ivf_topk: approximate ANN — rows-only
+        "multimodal_metadata": """
+            SELECT doc_id,
+                   octet_length(encode(text)) AS media_bytes,
+                   'unknown' AS media_format,
+                   md5(text) AS media_id
+            FROM documents
+        """,
+        # image_features: stub decode — rows-only
+        "sample_frames": """
+            SELECT doc_id, f.frame_idx
+            FROM documents, (SELECT unnest([0, 1]) AS frame_idx) f
+        """,
+        "windowed_agg": """
+            SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+                   time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour'
+                       AS window_end,
+                   event_type,
+                   count(*) AS count,
+                   round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2, 3
+        """,
+        "session_agg": """
+            WITH marked AS (
+              SELECT user_id, ts,
+                     CASE WHEN ts - lag(ts) OVER (
+                              PARTITION BY user_id ORDER BY ts)
+                              > INTERVAL '5 minutes'
+                          OR lag(ts) OVER (
+                              PARTITION BY user_id ORDER BY ts) IS NULL
+                          THEN 1 ELSE 0 END AS new_session
+              FROM events
+            ),
+            sessions AS (
+              SELECT user_id, ts,
+                     sum(new_session) OVER (
+                         PARTITION BY user_id ORDER BY ts
+                         ROWS UNBOUNDED PRECEDING) AS sid
+              FROM marked
+            )
+            SELECT min(ts) AS session_start,
+                   max(ts) + INTERVAL '5 minutes' AS session_end,
+                   user_id, count(*) AS count
+            FROM sessions GROUP BY user_id, sid
+        """,
+        "nl_filter_pipeline": """
+            SELECT * FROM documents
+            WHERE (contains(lower(text), 'mentions')
+                   OR contains(lower(text), 'spark')
+                   OR contains(lower(text), 'text'))
+              AND coalesce(try_cast(n_chars AS DOUBLE) > 200, false)
+        """,
+        "roll_up_events": """
+            SELECT event_type, count(*) AS count_of_event_type
+            FROM events GROUP BY event_type
+        """,
     }

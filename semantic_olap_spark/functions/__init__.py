@@ -18,3 +18,10 @@ from semantic_olap_spark.functions.similarity import (  # noqa: F401
     ivf_topk,
     lsh_topk,
 )
+from semantic_olap_spark.functions.multimodal import (  # noqa: F401
+    attach_binary_metadata,
+    caption_media,
+    image_features,
+    sample_frames,
+    sniff_format,
+)

@@ -1,0 +1,6 @@
+from semantic_olap_spark.streaming.windows import (  # noqa: F401
+    read_events_stream,
+    session_agg,
+    stream_dedup,
+    windowed_agg,
+)

@@ -1,0 +1,194 @@
+"""Multimodal column plumbing + streaming operators.
+
+Multimodal: metadata/sniffing are real Catalyst exprs (oracle-checked
+via constructed fixtures); decode/caption/frames are stubs — tests
+pin the plumbing (schemas, 1→N explode, determinism).
+
+Streaming: batch/stream parity — the same windowed aggregation over
+events as an availableNow stream into a memory sink must equal the
+batch result; the batch side gets a DuckDB time_bucket oracle.
+"""
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from semantic_olap_spark.functions.multimodal import (
+    attach_binary_metadata,
+    caption_media,
+    image_features,
+    sample_frames,
+    sniff_format,
+)
+from semantic_olap_spark.streaming import (
+    read_events_stream,
+    session_agg,
+    stream_dedup,
+    windowed_agg,
+)
+from tests.conftest import assert_matches
+
+
+def _media_df(spark):
+    rows = [
+        (0, b"\xff\xd8\xff\xe0JFIFxxxx"),
+        (1, b"\x89PNG\r\n\x1a\nxxxx"),
+        (2, b"GIF89a..."),
+        (3, b"RIFF....WAVE"),
+        (4, b"%PDF-1.7 ..."),
+        (5, b"random bytes here"),
+        (6, None),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "payload"])
+
+
+def test_sniff_format_magic_bytes(spark):
+    out = {
+        r["doc_id"]: r["fmt"]
+        for r in _media_df(spark).select(
+            "doc_id", sniff_format(F.col("payload")).alias("fmt")
+        ).collect()
+    }
+    assert out == {0: "jpeg", 1: "png", 2: "gif", 3: "riff", 4: "pdf",
+                   5: "unknown", 6: None}
+
+
+def test_attach_binary_metadata(spark):
+    out = attach_binary_metadata(_media_df(spark)).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[0]["media_bytes"] == 12
+    assert by_id[0]["media_format"] == "jpeg"
+    assert by_id[0]["media_id"] == hashlib.md5(b"\xff\xd8\xff\xe0JFIFxxxx").hexdigest()
+
+
+def test_image_features_schema_and_determinism(spark):
+    df = _media_df(spark).filter(F.col("payload").isNotNull())
+    out = image_features(df).collect()
+    assert len(out) == 6
+    assert set(out[0].asDict()) == {"media_id", "width", "height", "mean_luma"}
+    # deterministic across runs
+    again = {r["media_id"]: (r["width"], r["height"]) for r in image_features(df).collect()}
+    assert all((r["width"], r["height"]) == again[r["media_id"]] for r in out)
+
+
+def test_sample_frames_explodes_rows(spark):
+    df = _media_df(spark).filter(F.col("payload").isNotNull())
+    out = sample_frames(df, n_frames=3)
+    assert out.columns == ["doc_id", "frame_idx", "frame"]
+    assert out.count() == 6 * 3
+    one = out.filter(F.col("doc_id") == 0).orderBy("frame_idx").collect()
+    assert [r["frame_idx"] for r in one] == [0, 1, 2]
+    assert all(len(r["frame"]) == 16 for r in one)
+
+
+def test_caption_media_contract(spark):
+    out = caption_media(_media_df(spark)).collect()
+    caps = {r["doc_id"]: r["caption"] for r in out}
+    assert caps[0].startswith("media:")
+    assert caps[0] == "media:" + hashlib.md5(b"\xff\xd8\xff\xe0JFIFxxxx").hexdigest()[:8]
+
+
+def test_multimodal_over_documents_oracle(tables, duck):
+    # binary plumbing over real driver data: encode text as payload
+    df = attach_binary_metadata(
+        tables["documents"].withColumn("payload", F.encode(F.col("text"), "utf-8"))
+    ).select("doc_id", "media_bytes", "media_format", "media_id")
+    assert_matches(
+        df,
+        duck,
+        """
+        SELECT doc_id,
+               octet_length(encode(text)) AS media_bytes,
+               'unknown' AS media_format,
+               md5(text) AS media_id
+        FROM documents
+        """,
+    )
+
+
+# ---- streaming ---------------------------------------------------------
+
+
+def test_windowed_agg_batch_oracle(tables, duck):
+    out = windowed_agg(
+        tables["events"], "ts", "1 hour", group_by=["event_type"],
+        agg_col="value", aggs=("sum",),
+    )
+    assert_matches(
+        out,
+        duck,
+        """
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+               time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour'
+                   AS window_end,
+               event_type,
+               count(*) AS count,
+               round(sum(value), 2) AS sum_value
+        FROM events GROUP BY 1, 2, 3
+        """,
+    )
+
+
+def test_session_agg_batch(tables, duck):
+    out = session_agg(tables["events"], "ts", "5 minutes", ["user_id"])
+    # gaps-and-islands oracle: a new session starts when the gap from
+    # the previous event of the same user exceeds 5 minutes
+    assert_matches(
+        out,
+        duck,
+        """
+        WITH marked AS (
+          SELECT user_id, ts,
+                 CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                          > INTERVAL '5 minutes'
+                      OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+        ),
+        sessions AS (
+          SELECT user_id, ts,
+                 sum(new_session) OVER (
+                     PARTITION BY user_id ORDER BY ts
+                     ROWS UNBOUNDED PRECEDING) AS sid
+          FROM marked
+        )
+        SELECT min(ts) AS session_start,
+               max(ts) + INTERVAL '5 minutes' AS session_end,
+               user_id, count(*) AS count
+        FROM sessions GROUP BY user_id, sid
+        """,
+    )
+
+
+def test_stream_windowed_agg_matches_batch(spark, sf_dir, tables):
+    stream = read_events_stream(spark, sf_dir)
+    assert stream.isStreaming
+    agg = windowed_agg(
+        stream, "ts", "1 hour", group_by=["event_type"],
+        agg_col="value", aggs=("sum",), watermark="1 hour",
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_agg_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM win_agg_test").toPandas()
+    want = windowed_agg(
+        tables["events"], "ts", "1 hour", group_by=["event_type"],
+        agg_col="value", aggs=("sum",),
+    ).toPandas()
+    key = ["window_start", "event_type"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_like=True)
+
+
+def test_stream_dedup_batch_mode(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "b")], ["event_id", "v"]
+    )
+    assert stream_dedup(df, ["event_id"]).count() == 2
