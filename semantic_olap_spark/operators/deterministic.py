@@ -69,6 +69,10 @@ def keyword_filter_cond(
     """Boolean Column for keyword_filter (Operaters.py:10-42)."""
     logic = logic.lower()
     relation = relation.lower()
+    if relation == "contain":
+        # the reference's golden-plan corpus spells it both ways
+        # (evaluate_datas.json: 'contain' 23×, 'contains' 12×)
+        relation = "contains"
     if logic not in ("and", "or"):
         raise ValueError(f"keyword_filter logic must be and/or, got {logic!r}")
     if not keywords:

@@ -215,10 +215,14 @@ class PlanExecutor:
                 df, p["columns"], p["map_description"], p["keyword"], lf
             )
         if name == "sem_group":
+            # golden plans spell the instruction both ways
+            # (evaluate_datas.json: group_description 10×,
+            # map_description 10×)
+            desc = p.get("group_description") or p.get("map_description", "")
             return sem.sem_group(
                 df,
                 p["columns"],
-                p["group_description"],
+                desc,
                 p["keyword"],
                 lf,
                 taxonomy=p.get("taxonomy"),
