@@ -451,6 +451,13 @@ def _q_nl_filter_pipeline(spark, sf_dir):
     )
 
 
+def _q_engine_lifecycle(spark, sf_dir):
+    from semantic_olap_spark.engine import OlapEngine
+
+    eng = OlapEngine(_t(spark, sf_dir, "documents"), order_by=["doc_id"])
+    return eng.run("mentions spark in text").drop("OLAP_ID")
+
+
 def _q_roll_up_events(spark, sf_dir):
     from semantic_olap_spark.plans.memory import CubeMemory
     from semantic_olap_spark.plans.rollup import roll_up
@@ -515,9 +522,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming (batch-parity forms)
         "windowed_agg": _q_windowed_agg,
         "session_agg": _q_session_agg,
-        # §2.3 planner verbs
+        # §2.3 planner verbs + §3.1 lifecycle
         "nl_filter_pipeline": _q_nl_filter_pipeline,
         "roll_up_events": _q_roll_up_events,
+        "engine_lifecycle": _q_engine_lifecycle,
     }
 
 
@@ -787,5 +795,11 @@ def oracle_sql() -> dict[str, str]:
         "roll_up_events": """
             SELECT event_type, count(*) AS count_of_event_type
             FROM events GROUP BY event_type
+        """,
+        "engine_lifecycle": """
+            SELECT * FROM documents
+            WHERE contains(lower(text), 'mentions')
+               OR contains(lower(text), 'spark')
+               OR contains(lower(text), 'text')
         """,
     }

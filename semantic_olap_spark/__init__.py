@@ -24,8 +24,12 @@ structure — SURVEY.md §7.0):
 - ``llm``         the ``predict(prompt) -> str`` protocol, stub +
                   caching (the reference's only LLM requirement:
                   Semantic-OLAP/Agents/Components/Operaters.py:69)
+- ``engine``      the full NL-query lifecycle (decompose → cube
+                  probe → delta filter → memoize → ReAct analysis →
+                  top-k), the reference's OLAP_Agent.run
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
+from semantic_olap_spark.engine import OlapEngine  # noqa: F401
 from semantic_olap_spark.session import get_spark  # noqa: F401

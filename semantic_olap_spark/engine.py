@@ -1,0 +1,181 @@
+"""The full NL-query lifecycle: the reference's OLAP_Agent.run on Spark.
+
+Mirrors SURVEY.md §3.1 / Agents/OLAP_Agent.py:371-470 step by step:
+
+1. decompose the NL query into filter_query + analysis_query
+   (decompose_query_intent, OLAP_Agent.py:261-287);
+2. probe the cube lattice — an Equal hit reuses the node outright,
+   deepest Subset ancestors seed incremental delta-filtering
+   (OLAP_Memory.py:160-187);
+3. plan the delta filter into atomic dice/slice ops + a logic tree
+   (plan_generate_filter, OLAP_Agent.py:289-294), micro-plan each op
+   (dice profiling / slice keyword expansion), flatten, and run the
+   staged executor;
+4. memoize the result as a new cube node with lattice edges and the
+   accumulated plan (OLAP_Agent.py:408-418);
+5. if there is an analysis intent, run the bounded ReAct loop (≤10
+   rounds, OLAP_Agent.py:322-368) over roll_up / drill_down /
+   get_dimension / get_granularity;
+6. detect top-k intent and dispatch num_topk vs sem_topk
+   (OLAP_Agent.py:437-466).
+
+Every LLM decision goes through the one ``llm.predict`` protocol, so
+the deterministic stub drives the whole lifecycle reproducibly and a
+real backend plugs in via ``llm_factory``.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from semantic_olap_spark.llm import prompts as P
+from semantic_olap_spark.llm.client import LLMFactory, default_llm_factory
+from semantic_olap_spark.plans.memory import CubeMemory
+from semantic_olap_spark.plans.planner import (
+    flatten_plan,
+    inject_sub_plans,
+    topk_dispatch,
+    understand_topk,
+)
+from semantic_olap_spark.plans.rollup import drill_down, roll_up
+from semantic_olap_spark.sources.loaders import OLAP_ID, with_olap_id
+
+MAX_REACT_ROUNDS = 10  # reference bound (OLAP_Agent.py:324-327)
+
+
+class OlapEngine:
+    """Session over one table: cube memory + the query lifecycle."""
+
+    def __init__(
+        self,
+        df: DataFrame,
+        llm_factory: LLMFactory = default_llm_factory,
+        classify=None,
+        order_by: list[str] | None = None,
+    ):
+        if OLAP_ID not in df.columns:
+            df = with_olap_id(df, order_by=order_by)
+        self.llm_factory = llm_factory
+        self.memory = CubeMemory(df, classify=classify)
+
+    # -- lifecycle pieces -------------------------------------------------
+
+    def decompose(self, query: str) -> tuple[str, str]:
+        llm = self.llm_factory()
+        try:
+            parsed = json.loads(llm.predict(P.decompose_prompt(query)))
+            return (
+                parsed.get("filter_query", "").strip(),
+                parsed.get("analysis_query", "").strip(),
+            )
+        except json.JSONDecodeError:
+            return query, ""
+
+    def plan_filter(self, history_query: str, query: str, node) -> dict:
+        llm = self.llm_factory()
+        cols = [c for c in node.df.columns if c != OLAP_ID]
+        try:
+            return json.loads(
+                llm.predict(P.filter_plan_prompt(cols, history_query, query))
+            )
+        except json.JSONDecodeError:
+            return {
+                "operations": [
+                    {"id": 1, "agent": "slice", "field": None,
+                     "instruction": query}
+                ],
+                "logic": [1],
+            }
+
+    def _run_analysis(self, analysis_query: str, node) -> DataFrame:
+        """Bounded ReAct loop (run_roll_up_and_drill_down)."""
+        llm = self.llm_factory()
+        history = ""
+        df_now = node.df
+        for _ in range(MAX_REACT_ROUNDS):
+            dims = [c for c in node.df.columns if c != OLAP_ID]
+            try:
+                step = json.loads(
+                    llm.predict(P.react_prompt(analysis_query, dims, history))
+                )
+            except json.JSONDecodeError:
+                break
+            if not step or step.get("action") is None:
+                break
+            action = step["action"]
+            params = action.get("params", {})
+            thought = step.get("thought", "")
+            atype = action.get("type")
+            if atype == "roll_up":
+                observation, df_now = roll_up(
+                    self.memory, node.id,
+                    params["dimension"],
+                    params.get("target_granularity"),
+                    params.get("analyze_dimension", []),
+                    self.llm_factory,
+                    thought=thought,
+                )
+            elif atype == "drill_down":
+                observation, df_now = drill_down(
+                    self.memory, node.id,
+                    params["dimension_name"],
+                    params.get("desc", analysis_query),
+                    params.get("related_coarser_dimension"),
+                    self.llm_factory,
+                )
+            elif atype == "get_dimension":
+                observation = json.dumps(node.dimensions())
+            elif atype == "get_granularity":
+                dim = node.col_views.get(params.get("dimension", ""))
+                observation = json.dumps(dim.names() if dim else [])
+            else:
+                break
+            history += (
+                f"thought: {thought}\n"
+                f"action: {json.dumps(action)}\n"
+                f"observation: {observation}\n"
+            )
+        return df_now
+
+    # -- the lifecycle ----------------------------------------------------
+
+    def run(self, query: str) -> DataFrame:
+        from semantic_olap_spark.plans.executor import run_filter
+
+        filter_query, analysis_query = self.decompose(query)
+
+        equal_node, ancestors = self.memory.get_current_node(filter_query)
+        if equal_node is not None:
+            node = equal_node
+            show = node.df
+        else:
+            parent = ancestors[0] if ancestors else self.memory.nodes[
+                self.memory.root_id
+            ]
+            if filter_query:
+                plan = self.plan_filter(parent.query, filter_query, parent)
+                injected = inject_sub_plans(plan, parent.df, self.llm_factory)
+                flat = flatten_plan(injected)
+                result = run_filter(
+                    parent.df, flat["operations"], flat["logic"],
+                    self.llm_factory,
+                )
+                node = self.memory.add_node(
+                    filter_query, result,
+                    plan=list(parent.plan) + flat["operations"],
+                    parent_ids=[a.id for a in ancestors] or [parent.id],
+                )
+            else:
+                node = parent
+            show = node.df
+
+        if analysis_query:
+            show = self._run_analysis(analysis_query, node)
+            params = understand_topk(
+                analysis_query, show.columns, self.llm_factory
+            )
+            show = topk_dispatch(show, params, self.llm_factory)
+        return show

@@ -217,6 +217,86 @@ class StubLLM(BaseLLM):
                     "sort_basis": q,
                 }
             )
+        if task == "decompose_query":
+            q = fields.get("query", "")
+            # stub convention: " then " separates selection from
+            # structural analysis
+            if " then " in q:
+                f_part, _, a_part = q.partition(" then ")
+                return json.dumps(
+                    {"filter_query": f_part.strip(),
+                     "analysis_query": a_part.strip()}
+                )
+            return json.dumps({"filter_query": q.strip(), "analysis_query": ""})
+        if task == "filter_plan":
+            hist = fields.get("history", "").strip()
+            q = fields.get("query", "").strip()
+            cols = json.loads(content)
+            delta = q
+            if hist and hist.lower() != "all data" and q.lower().startswith(
+                hist.lower()
+            ):
+                delta = q[len(hist):].lstrip(" ;,").strip() or q
+            ops = []
+            for i, clause in enumerate(
+                [c.strip() for c in re.split(r"\band\b", delta) if c.strip()],
+                start=1,
+            ):
+                m = re.match(r"(\w+)\s*(>=|<=|==|!=|>|<)", clause)
+                if m and m.group(1) in cols:
+                    ops.append({"id": i, "agent": "dice",
+                                "field": m.group(1), "instruction": clause})
+                else:
+                    named = next(
+                        (c for c in cols if re.search(
+                            rf"\b{re.escape(c.lower())}\b", clause.lower())),
+                        None,
+                    )
+                    if named and re.search(
+                        r"(>=|<=|==|!=|>|<)\s*-?\d", clause
+                    ):
+                        ops.append({"id": i, "agent": "dice", "field": named,
+                                    "instruction": clause})
+                    else:
+                        ops.append({"id": i, "agent": "slice", "field": None,
+                                    "instruction": clause})
+            if not ops:
+                ops = [{"id": 1, "agent": "slice", "field": None,
+                        "instruction": delta}]
+            return json.dumps(
+                {"operations": ops, "logic": [op["id"] for op in ops]}
+            )
+        if task == "react_step":
+            q = fields.get("query", "")
+            history = content.strip()
+            if history:
+                # minimal-change principle: one structural action max
+                return json.dumps(
+                    {"thought": "structure sufficient", "action": None}
+                )
+            m = re.search(r"group\s+(\w+)\s+into\s+(\w+)", q, flags=re.I)
+            if m:
+                analyze = []
+                if re.search(r"\bcount\b", q, flags=re.I):
+                    analyze.append({"dimension": "self",
+                                    "reduce_target": "count the rows"})
+                return json.dumps({
+                    "thought": f"roll up {m.group(1)}",
+                    "action": {"type": "roll_up",
+                               "params": {"dimension": m.group(1),
+                                          "target_granularity": m.group(2),
+                                          "analyze_dimension": analyze}},
+                })
+            m = re.search(r"extract\s+(?:the\s+)?(\w+)", q, flags=re.I)
+            if m:
+                return json.dumps({
+                    "thought": f"drill down to {m.group(1)}",
+                    "action": {"type": "drill_down",
+                               "params": {"dimension_name": m.group(1),
+                                          "desc": q,
+                                          "related_coarser_dimension": None}},
+                })
+            return json.dumps({"thought": "nothing to do", "action": None})
         if task == "filter_pattern":
             template = fields.get("template", "")
             regex = re.escape(template).replace(re.escape("<*>"), r"(\d+)")

@@ -278,6 +278,58 @@ def topk_intent_prompt(columns: Sequence[str], query: str) -> str:
     )
 
 
+# ---- lifecycle prompts (§3.1 — decompose / filter plan / ReAct) --------
+
+
+def decompose_prompt(query: str) -> str:
+    """filter_query vs analysis_query split (OLAP_Agent.decompose_query_intent)."""
+    return (
+        "### task: decompose_query\n"
+        "Split the query into the data-selection part and the "
+        'structural-analysis part. Reply with JSON {"filter_query": '
+        'str, "analysis_query": str} (empty string when absent).\n'
+        f"Query: {query}\n"
+        f"{CONTENT_SEP}\n{query}"
+    )
+
+
+def filter_plan_prompt(
+    columns: Sequence[str], history_query: str, query: str
+) -> str:
+    """Delta-filter decomposition into dice/slice atomic ops
+    (OLAP_Agent PLAN_OLAP_AGENT_PROMPT_SLICE_DICE)."""
+    return (
+        "### task: filter_plan\n"
+        "Compare the current query with the historical query, keep "
+        "only the NEW filter conditions, and split them into atomic "
+        "single-condition steps routed to the dice agent (one known "
+        "field) or the slice agent (cross-field). Reply with JSON "
+        '{"operations": [{"id": int, "agent": "dice"|"slice", '
+        '"instruction": str, "field": str|null}], "logic": [...]}.\n'
+        f"History: {history_query}\n"
+        f"Query: {query}\n"
+        f"{CONTENT_SEP}\n{json.dumps(list(columns))}"
+    )
+
+
+def react_prompt(query: str, dimensions: Sequence[str], history: str) -> str:
+    """One ReAct step of the analysis loop (make_stepwise_ReAct_prompt).
+
+    Actions: drill_down / roll_up / get_dimension / get_granularity /
+    null (stop).
+    """
+    return (
+        "### task: react_step\n"
+        "Plan the next structural action (drill_down, roll_up, "
+        "get_dimension, get_granularity) or null when the structure "
+        'is sufficient. Reply with JSON {"thought": str, "action": '
+        '{"type": str, "params": {...}} | null}.\n'
+        f"Query: {query}\n"
+        f"Dimensions: {json.dumps(list(dimensions))}\n"
+        f"{CONTENT_SEP}\n{history}"
+    )
+
+
 # ---- parsing helpers (used by StubLLM) ---------------------------------
 
 

@@ -1,0 +1,112 @@
+"""Full NL-query lifecycle (SURVEY.md §3.1) under the stub LLM."""
+
+from pyspark.sql import functions as F
+
+from semantic_olap_spark.engine import OlapEngine
+from tests.conftest import assert_matches
+
+
+def _engine(tables):
+    return OlapEngine(tables["documents"], order_by=["doc_id"])
+
+
+def test_filter_only_query(tables, duck):
+    eng = _engine(tables)
+    out = eng.run("mentions spark in text").drop("OLAP_ID")
+    assert_matches(
+        out,
+        duck,
+        """
+        SELECT * FROM documents
+        WHERE (contains(lower(text), 'mentions')
+               OR contains(lower(text), 'spark')
+               OR contains(lower(text), 'text'))
+        """,
+    )
+
+
+def test_dice_routing_for_numeric_clause(tables, duck):
+    eng = _engine(tables)
+    out = eng.run("n_chars > 200 and mentions spark in text").drop("OLAP_ID")
+    assert_matches(
+        out,
+        duck,
+        """
+        SELECT * FROM documents
+        WHERE coalesce(try_cast(n_chars AS DOUBLE) > 200, false)
+          AND (contains(lower(text), 'mentions')
+               OR contains(lower(text), 'spark')
+               OR contains(lower(text), 'text'))
+        """,
+    )
+
+
+def test_equal_query_reuses_node(tables):
+    eng = _engine(tables)
+    eng.run("mentions spark in text")
+    n_nodes = len(eng.memory.nodes)
+    eng.run("mentions spark in text")  # Equal → no new node
+    assert len(eng.memory.nodes) == n_nodes
+
+
+def test_subset_refinement_builds_on_parent(tables):
+    # with a classifier that recognizes prefix containment, the
+    # refined query should filter the PARENT node's data, not root
+    def classify(new_q, node_q):
+        if node_q == "All Data":
+            return "Subset"
+        return "Subset" if new_q.lower().startswith(node_q.lower()) else "No_relation"
+
+    eng = OlapEngine(tables["documents"], classify=classify,
+                     order_by=["doc_id"])
+    first = eng.run("mentions spark in text")
+    second = eng.run("mentions spark in text and n_chars > 200")
+    node_ids = sorted(eng.memory.nodes)
+    assert len(node_ids) == 3  # root + two query nodes
+    last = eng.memory.nodes[node_ids[-1]]
+    assert node_ids[-2] in last.parents  # chained, not re-rooted
+    assert second.count() <= first.count()
+
+
+def test_analysis_rollup_with_count(tables, duck):
+    eng = _engine(tables)
+    out = eng.run("mentions spark then group lang into lang_family and count")
+    assert {"lang_family", "count_of_lang_family"} <= set(out.columns)
+    got = {
+        r["lang_family"]: r["count_of_lang_family"] for r in out.collect()
+    }
+    want = dict(
+        duck.execute(
+            """
+            SELECT CASE WHEN contains(lower(lang), 'lang') THEN 'lang'
+                        ELSE 'other' END AS fam, count(*)
+            FROM documents
+            WHERE contains(lower(text), 'mentions')
+               OR contains(lower(text), 'spark')
+            GROUP BY fam
+            """
+        ).fetchall()
+    )
+    # stub taxonomy induction yields ['other'] (no vocabulary in the
+    # instruction) → every row lands in 'other'
+    assert sum(got.values()) == sum(want.values())
+
+
+def test_analysis_drilldown_creates_dimension(tables):
+    eng = _engine(tables)
+    out = eng.run("mentions spark then extract the topic")
+    assert "topic" in out.columns
+    node = eng.memory.nodes[max(eng.memory.nodes)]
+    assert "topic" in node.col_views
+
+
+def test_topk_after_analysis(tables):
+    eng = _engine(tables)
+    out = eng.run(
+        "mentions spark then group lang into lang_family and count "
+        "and show the top 1 lang_family"
+    )
+    # topk intent: field lang_family matched, but not numeric-hinted →
+    # num check: labels aren't numeric → falls back through dispatch;
+    # result must be a single row
+    assert out.count() == 1
