@@ -170,6 +170,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.5,
     round_to: int = 4,
+    max_bucket_size: int | None = 5000,
 ) -> DataFrame:
     """Near-duplicate pairs via banded MinHash LSH + exact verify.
 
@@ -187,6 +188,14 @@ def minhash_lsh_pairs(
     With 64 hashes / 16 bands (r=4) the LSH S-curve crosses ~50%
     recall at J≈0.5 and >99% at J≥0.8 — the usual near-dup operating
     point.  Output: ``(id_a, id_b, jaccard)``, ``id_a < id_b``.
+
+    ``max_bucket_size`` is the skew guard: a degenerate band bucket
+    (boilerplate/empty docs hashing identically) of size b yields
+    b²/2 candidate pairs — one hot bucket can dominate the whole
+    job.  Buckets above the cap are dropped before the self-join
+    (their members are near-identical cliques; they still surface
+    through their other ``bands-1`` bands or an exact-dedup pass).
+    Set ``None`` to disable.
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
@@ -204,6 +213,13 @@ def minhash_lsh_pairs(
     banded = sig.select(
         "_id", F.posexplode(band_arr).alias("_band", "_bh")
     )
+    if max_bucket_size is not None:
+        w = Window.partitionBy("_band", "_bh")
+        banded = (
+            banded.withColumn("_bsz", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bsz") <= max_bucket_size)
+            .drop("_bsz")
+        )
     left = banded.select(
         F.col("_id").alias("id_a"), F.col("_band"), F.col("_bh")
     )

@@ -116,17 +116,7 @@ def keyword_filter(
     return df.filter(keyword_filter_cond(columns, keywords, logic, relation))
 
 
-def num_filter_cond(
-    conditions: Sequence[Mapping], logic: str = "and"
-) -> Column:
-    """Boolean Column for num_filter (Operaters.py:83-103).
-
-    Each condition: ``{column, threshold, operator}`` with operator
-    in ==,!=,>,<,>=,<=.  Unparseable values compare False
-    (null→False coercion, Operaters.py:103).  Thresholds stay float —
-    the reference's int-truncation in num_cmp (Operaters.py:113) is a
-    bug we do not reproduce (SURVEY.md §7.4 item 4).
-    """
+def _num_pred(conditions: Sequence[Mapping], logic: str) -> Column:
     logic = logic.lower()
     if not conditions:
         raise ValueError("num_filter needs at least one condition")
@@ -140,13 +130,41 @@ def num_filter_cond(
     acc = masks[0]
     for m in masks[1:]:
         acc = (acc & m) if logic == "and" else (acc | m)
-    return F.coalesce(acc, F.lit(False))
+    return acc
+
+
+def num_filter_cond(
+    conditions: Sequence[Mapping], logic: str = "and"
+) -> Column:
+    """Boolean Column for num_filter (Operaters.py:83-103).
+
+    Each condition: ``{column, threshold, operator}`` with operator
+    in ==,!=,>,<,>=,<=.  Unparseable values compare False
+    (null→False coercion, Operaters.py:103).  Thresholds stay float —
+    the reference's int-truncation in num_cmp (Operaters.py:113) is a
+    bug we do not reproduce (SURVEY.md §7.4 item 4).
+
+    The null→False ``coalesce`` marks the leaf *decided* for Kleene
+    staging; it also blocks parquet filter pushdown, which is why the
+    DataFrame form below doesn't use it.
+    """
+    return F.coalesce(_num_pred(conditions, logic), F.lit(False))
 
 
 def num_filter(
     df: DataFrame, conditions: Sequence[Mapping], logic: str = "and"
 ) -> DataFrame:
-    return df.filter(num_filter_cond(conditions, logic))
+    """Filter rows by numeric conditions — the pushdown path.
+
+    Uses the RAW predicate: inside a ``filter``, null and False drop
+    the row identically, so results match ``num_filter_cond`` exactly
+    — but without the ``coalesce`` wrapper Catalyst pushes
+    ``IsNotNull + GreaterThan(...)`` into the parquet scan (row-group
+    skipping via min/max stats; on typed numeric columns ``try_cast``
+    is elided as a no-op).  At 100 TB that is the difference between
+    scanning the filtered fraction and scanning everything.
+    """
+    return df.filter(_num_pred(conditions, logic))
 
 
 def num_reduce(

@@ -72,14 +72,25 @@ def step_params(step: Mapping) -> dict:
 
 
 def _build_cond(
-    df: DataFrame, name: str, p: Mapping, llm_factory: LLMFactory
+    df: DataFrame, name: str, p: Mapping, llm_factory: LLMFactory,
+    raw_num: bool = False,
 ) -> Column:
-    """Compile one filter operation to a boolean Column."""
+    """Compile one filter operation to a boolean Column.
+
+    ``raw_num=True`` emits num_filter leaves WITHOUT the null→False
+    coalesce: filtering results are identical (null drops the row),
+    and the raw comparison pushes into the parquet scan.  Keep it
+    False in the staged path — there the coalesce marks cheap leaves
+    *decided*, which is what keeps LLM UDFs off rows a null numeric
+    value already settles.
+    """
     if name == "keyword_filter":
         return det.keyword_filter_cond(
             p["columns"], p["keywords"], p.get("logic", "or"), p.get("relation", "contains")
         )
     if name == "num_filter":
+        if raw_num:
+            return det._num_pred(p["conditions"], p.get("logic", "and"))
         return det.num_filter_cond(p["conditions"], p.get("logic", "and"))
     if name in ("sem_filter", "filter_LLM"):
         return sem.sem_filter_cond(p["columns"], p["condition"], llm_factory)
@@ -130,7 +141,15 @@ def run_filter(
             expensive.append(oid)
 
     if not expensive:
-        return df.filter(F.coalesce(compile_logic(tree, cheap), F.lit(False)))
+        # no staging needed → compile with raw (pushdown-friendly)
+        # numeric leaves; a null tree value drops the row in filter()
+        # exactly as the coalesced form would
+        raw = {
+            oid: _build_cond(df, op_name(oid), step_params(ops[oid]),
+                             llm_factory, raw_num=True)
+            for oid in cheap
+        }
+        return df.filter(compile_logic(tree, raw))
 
     # Staged evaluation: LLM predicates one at a time, each only on
     # rows still undecided under Kleene semantics.
@@ -208,6 +227,9 @@ class PlanExecutor:
             ops = step.get("operations") or p.get("operations")
             logic = step.get("logic") or p.get("logic")
             return run_filter(df, ops, logic, lf)
+        if name == "num_filter":
+            # DataFrame form = raw predicate = parquet pushdown
+            return det.num_filter(df, p["conditions"], p.get("logic", "and"))
         if name in _FILTER_OPS:
             return df.filter(_build_cond(df, name, p, lf))
         if name == "sem_map":

@@ -207,6 +207,36 @@ def test_num_topk_nulls_last(spark):
     assert [r["id"] for r in top] == [1, 3, 2]
 
 
+def test_num_filter_pushes_to_parquet_scan(tables):
+    # scale check: the numeric predicate must reach the scan
+    # (row-group skipping via min/max stats)
+    df = num_filter(
+        tables["lineitem"],
+        [{"column": "l_quantity", "threshold": 30, "operator": ">"}],
+    ).select("l_orderkey")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)]" in plan
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
+
+
+def test_run_filter_cheap_tree_pushes_num_predicate(tables):
+    from semantic_olap_spark.plans.executor import run_filter
+
+    out = run_filter(
+        tables["lineitem"],
+        [
+            {"id": 1, "operator_name": "num_filter",
+             "parameters": {"conditions": [
+                 {"column": "l_quantity", "threshold": 30, "operator": ">"}]}},
+            {"id": 2, "operator_name": "keyword_filter",
+             "parameters": {"columns": ["l_returnflag"], "keywords": ["a"]}},
+        ],
+        ["AND", 1, 2],
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "GreaterThan(l_quantity,30.0)" in plan
+
+
 def test_topk_plan_is_take_ordered(tables):
     # scale check: top-k must not global-sort
     df = num_topk(tables["orders"], "o_totalprice", 10, "desc", ["o_orderkey"])
