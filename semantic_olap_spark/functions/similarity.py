@@ -103,6 +103,7 @@ def cosine_pairs(
     vec_col: str = "embedding",
     block_col: str | None = None,
     round_to: int = 6,
+    broadcast: bool = True,
 ) -> DataFrame:
     """Pairs with cosine ≥ threshold — embedding near-dup detection.
 
@@ -110,6 +111,10 @@ def cosine_pairs(
     product.  All-pairs within ``block_col`` (or the whole table when
     None — brute-force baseline; at scale, block on an LSH/IVF
     assignment column).  Output ``(id_a, id_b, cosine)``, id_a < id_b.
+
+    ``broadcast=True``: broadcast-right + repartitioned-left join —
+    a blocked self-join otherwise caps parallelism at #blocks tasks
+    (see :func:`~semantic_olap_spark.functions.dedup.jaccard_pairs`).
     """
     a = _as_double(vec_col)
     unit = F.transform(a, lambda x: x / _norm(a))
@@ -132,6 +137,10 @@ def cosine_pairs(
     if block_col:
         cond = cond & (F.col("_blk_a") == F.col("_blk_b"))
     cos = F.round(_dot(F.col("_ua"), F.col("_ub")), round_to)
+    if broadcast:
+        nparts = df.sparkSession.sparkContext.defaultParallelism * 2
+        left = left.repartition(nparts)
+        right = F.broadcast(right)
     return (
         left.join(right, cond)
         .withColumn("cosine", cos)
