@@ -414,6 +414,49 @@ def _q_sample_frames(spark, sf_dir):
     return sample_frames(docs, n_frames=2).select("doc_id", "frame_idx")
 
 
+# ---- Spark-native relational breadth (SURVEY §2.5: joins/windows are
+# gaps in the reference that Spark fills; these pin the physical
+# strategy — broadcast dims, window without global sort) -----------------
+
+
+def _q_join_revenue_by_nation(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    # per-term decimal cast → exact (order-independent) summation, so
+    # the result is bit-identical across engines; a double sum's
+    # error bound (~1e-3 on 1e8) could flip the rounded cent
+    revenue = F.sum(
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+        .cast("decimal(18,6)")
+    )
+    return (
+        li.join(F.broadcast(orders.select("o_orderkey", "o_custkey")),
+                li["l_orderkey"] == F.col("o_orderkey"))
+        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.round(revenue, 2).cast("double").alias("revenue"))
+    )
+
+
+def _q_window_top_order_per_cust(spark, sf_dir):
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
 # ---- streaming operators (batch-parity forms) --------------------------
 
 
@@ -515,6 +558,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_pairs": _q_cosine_pairs,
         "lsh_topk": _q_lsh_topk,
         "ivf_topk": _q_ivf_topk,
+        # Spark-native relational breadth
+        "join_revenue_by_nation": _q_join_revenue_by_nation,
+        "window_top_order_per_cust": _q_window_top_order_per_cust,
         # pipeline: multimodal
         "multimodal_metadata": _q_multimodal_metadata,
         "image_features": _q_image_features,
@@ -741,6 +787,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM p WHERE cosine >= 0.8
         """,
         # lsh_topk / ivf_topk: approximate ANN — rows-only
+        "join_revenue_by_nation": """
+            SELECT n_name,
+                   round(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                                  AS DECIMAL(18,6))), 2)::DOUBLE AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "window_top_order_per_cust": """
+            SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+            QUALIFY row_number() OVER (
+                PARTITION BY o_custkey
+                ORDER BY o_totalprice DESC, o_orderkey) = 1
+        """,
         "multimodal_metadata": """
             SELECT doc_id,
                    octet_length(encode(text)) AS media_bytes,

@@ -38,6 +38,9 @@ HEADLINE = [
     # staged logic-tree execution
     "filter_group_tree",
     "plan_cascade",
+    # relational breadth: broadcast-join star query + window dedup
+    "join_revenue_by_nation",
+    "window_top_order_per_cust",
     # pipeline: text analysis / dedup / similarity
     "text_profile",
     "dedup_exact",

@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from semantic_olap_spark.llm import prompts as P
 from semantic_olap_spark.llm.client import LLMFactory, default_llm_factory
+from semantic_olap_spark.llm.repair import parse_llm_json
 from semantic_olap_spark.plans.memory import CubeMemory
 from semantic_olap_spark.plans.planner import (
     flatten_plan,
@@ -65,30 +66,29 @@ class OlapEngine:
 
     def decompose(self, query: str) -> tuple[str, str]:
         llm = self.llm_factory()
-        try:
-            parsed = json.loads(llm.predict(P.decompose_prompt(query)))
-            return (
-                parsed.get("filter_query", "").strip(),
-                parsed.get("analysis_query", "").strip(),
-            )
-        except json.JSONDecodeError:
+        parsed = parse_llm_json(llm.predict(P.decompose_prompt(query)), default={})
+        if not isinstance(parsed, dict):
             return query, ""
+        return (
+            parsed.get("filter_query", "").strip(),
+            parsed.get("analysis_query", "").strip(),
+        )
 
     def plan_filter(self, history_query: str, query: str, node) -> dict:
         llm = self.llm_factory()
         cols = [c for c in node.df.columns if c != OLAP_ID]
-        try:
-            return json.loads(
-                llm.predict(P.filter_plan_prompt(cols, history_query, query))
-            )
-        except json.JSONDecodeError:
-            return {
-                "operations": [
-                    {"id": 1, "agent": "slice", "field": None,
-                     "instruction": query}
-                ],
-                "logic": [1],
-            }
+        fallback = {
+            "operations": [
+                {"id": 1, "agent": "slice", "field": None,
+                 "instruction": query}
+            ],
+            "logic": [1],
+        }
+        plan = parse_llm_json(
+            llm.predict(P.filter_plan_prompt(cols, history_query, query)),
+            default=fallback,
+        )
+        return plan if isinstance(plan, dict) and plan.get("operations") else fallback
 
     def _run_analysis(self, analysis_query: str, node) -> DataFrame:
         """Bounded ReAct loop (run_roll_up_and_drill_down)."""
@@ -97,11 +97,11 @@ class OlapEngine:
         df_now = node.df
         for _ in range(MAX_REACT_ROUNDS):
             dims = [c for c in node.df.columns if c != OLAP_ID]
-            try:
-                step = json.loads(
-                    llm.predict(P.react_prompt(analysis_query, dims, history))
-                )
-            except json.JSONDecodeError:
+            step = parse_llm_json(
+                llm.predict(P.react_prompt(analysis_query, dims, history)),
+                default=None,
+            )
+            if not isinstance(step, dict):
                 break
             if not step or step.get("action") is None:
                 break

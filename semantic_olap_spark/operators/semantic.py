@@ -29,6 +29,7 @@ from pyspark.sql.types import BooleanType, StringType
 
 from semantic_olap_spark.llm import prompts as P
 from semantic_olap_spark.llm.client import LLMFactory, default_llm_factory
+from semantic_olap_spark.llm.repair import parse_llm_json
 from semantic_olap_spark.operators.deterministic import _NUM_OPS
 
 OLAP_ID = "OLAP_ID"
@@ -136,7 +137,7 @@ def induce_taxonomy(
     samples = [P.row_content(columns, list(r)) for r in rows]
     llm = llm_factory()
     raw = llm.predict(P.group_induce_prompt(keyword, group_description, samples))
-    tags = json.loads(raw)
+    tags = parse_llm_json(raw, default=[])
     if not isinstance(tags, list) or not tags:
         tags = ["other"]
     return [str(t) for t in tags]
@@ -418,7 +419,9 @@ def filter_enum_cond(
         .collect()
     ]
     llm = llm_factory()
-    keep = json.loads(llm.predict(P.enum_prompt(condition, [str(v) for v in vals])))
+    keep = parse_llm_json(
+        llm.predict(P.enum_prompt(condition, [str(v) for v in vals])), default=[]
+    )
     if not keep:
         return F.lit(False)
     return F.col(column).cast("string").isin([str(v) for v in keep])
@@ -478,8 +481,9 @@ def filter_pattern_cond(
         # operator, non-numeric threshold) skips this template, as the
         # reference does (Operaters.py 'except Exception: continue').
         try:
-            plan = json.loads(
-                llm.predict(P.pattern_prompt(condition, template, examples))
+            plan = parse_llm_json(
+                llm.predict(P.pattern_prompt(condition, template, examples)),
+                default={},
             )
             regex = plan["regex"]
             re.compile(regex)

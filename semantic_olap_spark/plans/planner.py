@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 
 from semantic_olap_spark.llm import prompts as P
 from semantic_olap_spark.llm.client import LLMFactory, default_llm_factory
+from semantic_olap_spark.llm.repair import parse_llm_json
 
 Logic = object  # int | [op, ...]
 
@@ -182,9 +183,8 @@ def dice_plan(
     raw = llm.predict(
         P.dice_strategy_prompt(field, _field_samples(df, field), condition)
     )
-    try:
-        proposal = json.loads(raw)
-    except json.JSONDecodeError:
+    proposal = parse_llm_json(raw, default=None)
+    if not isinstance(proposal, dict):
         proposal = {"field": field, "strategy": []}
     chosen_field = proposal.get("field") or field
     if chosen_field not in df.columns:
@@ -235,17 +235,13 @@ def slice_plan(
 ) -> dict:
     """Keyword expansion + field pruning (Slice_Agent.run)."""
     llm = llm_factory()
-    try:
-        keywords = json.loads(llm.predict(P.keywords_prompt(condition)))
-    except json.JSONDecodeError:
+    keywords = parse_llm_json(llm.predict(P.keywords_prompt(condition)), default=[])
+    if not isinstance(keywords, list):
         keywords = []
     keywords = remove_super_keywords([str(k) for k in keywords])
     cols = df.columns
-    try:
-        fields = json.loads(llm.predict(P.fields_prompt(condition, cols)))
-        fields = [f for f in fields if f in cols]
-    except json.JSONDecodeError:
-        fields = []
+    fields = parse_llm_json(llm.predict(P.fields_prompt(condition, cols)), default=[])
+    fields = [f for f in fields if f in cols] if isinstance(fields, list) else []
     if not fields:
         fields = list(cols)
     return {
@@ -305,10 +301,10 @@ def compile_filter_op(
         }
     if strategy == "compare_str_or_num":
         llm = llm_factory()
-        try:
-            plan = json.loads(llm.predict(P.direct_filter_prompt(query)))
-        except json.JSONDecodeError:
-            plan = {"operations": [], "logic": []}
+        plan = parse_llm_json(
+            llm.predict(P.direct_filter_prompt(query)),
+            default={"operations": [], "logic": []},
+        )
         for op in plan.get("operations", []):
             p = op.setdefault("parameters", op.pop("params", {}))
             name = op.get("operator_name") or op.get("type")
@@ -429,10 +425,11 @@ def understand_topk(
     llm_factory: LLMFactory = default_llm_factory,
 ) -> dict:
     llm = llm_factory()
-    try:
-        return json.loads(llm.predict(P.topk_intent_prompt(columns, query)))
-    except json.JSONDecodeError:
-        return {"topk_type": "not applicable"}
+    parsed = parse_llm_json(
+        llm.predict(P.topk_intent_prompt(columns, query)),
+        default={"topk_type": "not applicable"},
+    )
+    return parsed if isinstance(parsed, dict) else {"topk_type": "not applicable"}
 
 
 def topk_dispatch(

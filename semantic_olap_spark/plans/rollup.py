@@ -37,6 +37,7 @@ from pyspark.sql.types import StringType
 
 from semantic_olap_spark.llm import prompts as P
 from semantic_olap_spark.llm.client import LLMFactory, default_llm_factory
+from semantic_olap_spark.llm.repair import parse_llm_json
 from semantic_olap_spark.operators.deterministic import AGGS
 from semantic_olap_spark.operators.semantic import sem_group, sem_map
 from semantic_olap_spark.plans.memory import CubeMemory, CubeNode, GranularityView
@@ -48,9 +49,10 @@ def understand_self_reduce(
 ) -> dict:
     """count vs num_reduce parse (Roll_Up_Agent.py:11-37)."""
     llm = llm_factory()
-    try:
-        plan = json.loads(llm.predict(P.self_reduce_prompt(description)))
-    except json.JSONDecodeError:
+    plan = parse_llm_json(
+        llm.predict(P.self_reduce_prompt(description)), default={"type": "count"}
+    )
+    if not isinstance(plan, dict):
         plan = {"type": "count"}
     if plan.get("type") not in ("count", "num_reduce"):
         plan = {"type": "count"}
@@ -71,13 +73,11 @@ def query_granularity_exist(
     if target in candidates:
         return target
     llm = llm_factory()
-    try:
-        res = json.loads(
-            llm.predict(P.granularity_match_prompt(candidates, target, thought))
-        )
-    except json.JSONDecodeError:
-        return None
-    chosen = res.get("chosen")
+    res = parse_llm_json(
+        llm.predict(P.granularity_match_prompt(candidates, target, thought)),
+        default={},
+    )
+    chosen = res.get("chosen") if isinstance(res, dict) else None
     return chosen if chosen in candidates else None
 
 
@@ -305,9 +305,8 @@ def extract_dimension(
 ) -> dict:
     """LLM dimension extraction (Drill_Down_Agent.understand)."""
     llm = llm_factory()
-    try:
-        res = json.loads(llm.predict(P.drill_dim_prompt(query, thought)))
-    except json.JSONDecodeError:
+    res = parse_llm_json(llm.predict(P.drill_dim_prompt(query, thought)), default={})
+    if not isinstance(res, dict):
         res = {}
     return {
         "title": res.get("title", "derived"),
