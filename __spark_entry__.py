@@ -149,6 +149,16 @@ def _q_num_reduce_avg_global(spark, sf_dir):
     )
 
 
+def _q_num_reduce_minmax(spark, sf_dir):
+    from semantic_olap_spark.operators.deterministic import num_reduce
+
+    mx = num_reduce(_t(spark, sf_dir, "lineitem"), ["l_extendedprice"],
+                    "max", "l_linestatus")
+    mn = num_reduce(_t(spark, sf_dir, "lineitem"), ["l_extendedprice"],
+                    "min", "l_linestatus")
+    return mx.join(mn, on="l_linestatus")
+
+
 def _q_count_by_status_distinct(spark, sf_dir):
     from semantic_olap_spark.operators.deterministic import count_op
 
@@ -528,6 +538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "num_filter_or": _q_num_filter_or,
         "num_reduce_sum_by_flag": _q_num_reduce_sum_by_flag,
         "num_reduce_avg_global": _q_num_reduce_avg_global,
+        "num_reduce_minmax": _q_num_reduce_minmax,
         "count_by_status_distinct": _q_count_by_status_distinct,
         "count_global": _q_count_global,
         "num_topk_desc": _q_num_topk_desc,
@@ -692,6 +703,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "num_reduce_avg_global":
             "SELECT round(avg(o_totalprice), 4) AS avg_o_totalprice FROM orders",
+        "num_reduce_minmax": """
+            SELECT l_linestatus,
+                   max(l_extendedprice) AS max_l_extendedprice,
+                   min(l_extendedprice) AS min_l_extendedprice
+            FROM lineitem GROUP BY l_linestatus
+        """,
         "count_by_status_distinct": """
             SELECT o_orderstatus, count(*) AS count,
                    count(DISTINCT o_custkey) AS distinct_o_custkey

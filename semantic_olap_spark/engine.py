@@ -57,10 +57,17 @@ class OlapEngine:
         classify=None,
         order_by: list[str] | None = None,
     ):
+        from semantic_olap_spark.plans.memory import llm_relation_classifier
+
         if OLAP_ID not in df.columns:
             df = with_olap_id(df, order_by=order_by)
         self.llm_factory = llm_factory
-        self.memory = CubeMemory(df, classify=classify)
+        # default: the reference's LLM relation judgment
+        # (OLAP_Memory.py:160-187) — Equal reuses a node outright,
+        # Subset seeds incremental delta filtering
+        self.memory = CubeMemory(
+            df, classify=classify or llm_relation_classifier(llm_factory)
+        )
 
     # -- lifecycle pieces -------------------------------------------------
 

@@ -297,6 +297,22 @@ class StubLLM(BaseLLM):
                                           "related_coarser_dimension": None}},
                 })
             return json.dumps({"thought": "nothing to do", "action": None})
+        if task == "relation_classify":
+            cur = P.condition_tokens(fields.get("current", ""))
+            hist = P.condition_tokens(fields.get("historical", ""))
+            cs, hs = set(cur), set(hist)
+            if cs == hs:
+                rel = "equal"
+            elif hs and hs < cs:
+                # current adds tokens on top of historical → stricter
+                rel = "subset"
+            elif cs and cs < hs:
+                rel = "contain"
+            elif cs & hs:
+                rel = "intersect"
+            else:
+                rel = "no_relation"
+            return json.dumps({"reason": "token containment", "relation": rel})
         if task == "filter_pattern":
             template = fields.get("template", "")
             regex = re.escape(template).replace(re.escape("<*>"), r"(\d+)")

@@ -330,6 +330,22 @@ def react_prompt(query: str, dimensions: Sequence[str], history: str) -> str:
     )
 
 
+def relation_prompt(current_query: str, historical_query: str) -> str:
+    """Cube-node relation classification (OLAP_Memory.py PROMPT_GET_NODE):
+    contain / subset / equal / intersect / no_relation between the data
+    sets of two queries."""
+    return (
+        "### task: relation_classify\n"
+        "Compare the data sets selected by the two queries. Reply "
+        'with JSON {"reason": str, "relation": "contain"|"subset"|'
+        '"equal"|"intersect"|"no_relation"}. subset = the current '
+        "query adds constraints on top of the historical one.\n"
+        f"Current: {current_query}\n"
+        f"Historical: {historical_query}\n"
+        f"{CONTENT_SEP}\n"
+    )
+
+
 # ---- parsing helpers (used by StubLLM) ---------------------------------
 
 

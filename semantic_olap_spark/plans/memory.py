@@ -45,6 +45,37 @@ def _norm_query(q: str) -> str:
     return " ".join(q.lower().split())
 
 
+def llm_relation_classifier(llm_factory=None):
+    """Relation classifier backed by the LLM protocol.
+
+    Mirrors OLAP_Memory.py:5-64 (PROMPT_GET_NODE + parse_relation):
+    the model compares the data sets of two queries and answers one
+    of contain/subset/equal/intersect/no_relation; any unparseable
+    answer degrades to No_relation (never to a wrong reuse).
+    """
+    from semantic_olap_spark.llm import prompts as P
+    from semantic_olap_spark.llm.client import default_llm_factory
+    from semantic_olap_spark.llm.repair import parse_llm_json
+
+    factory = llm_factory or default_llm_factory
+    llm = factory()
+
+    def classify(new_query: str, node_query: str) -> Relation:
+        res = parse_llm_json(
+            llm.predict(P.relation_prompt(new_query, node_query)), default={}
+        )
+        rel = str(res.get("relation", "") if isinstance(res, dict) else "").lower()
+        for key, out in (
+            ("contain", "Contain"), ("subset", "Subset"), ("equal", "Equal"),
+            ("intersect", "Intersect"),
+        ):
+            if key in rel:
+                return out
+        return "No_relation"
+
+    return classify
+
+
 class GranularityView:
     """(OLAP_ID → label) mapping at one granularity (OLAP_Memory.py:69-77)."""
 

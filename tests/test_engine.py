@@ -100,6 +100,28 @@ def test_analysis_drilldown_creates_dimension(tables):
     assert "topic" in node.col_views
 
 
+def test_llm_relation_classifier_stub_semantics():
+    from semantic_olap_spark.plans.memory import llm_relation_classifier
+
+    c = llm_relation_classifier()
+    assert c("mentions spark in text", "text mentions spark") == "Equal"
+    assert c("mentions spark and n_chars > 200", "mentions spark") == "Subset"
+    assert c("mentions spark", "mentions spark and n_chars > 200") == "Contain"
+    assert c("mentions spark or stream", "stream or window") == "Intersect"
+    assert c("mentions spark", "orders from france") == "No_relation"
+
+
+def test_default_classifier_enables_subset_chaining(tables):
+    # no explicit classify: the LLM classifier should still chain the
+    # refined query onto its parent node
+    eng = _engine(tables)
+    eng.run("mentions spark in text")
+    eng.run("mentions spark in text and n_chars > 200")
+    node_ids = sorted(eng.memory.nodes)
+    assert len(node_ids) == 3
+    assert node_ids[-2] in eng.memory.nodes[node_ids[-1]].parents
+
+
 def test_topk_after_analysis(tables):
     eng = _engine(tables)
     out = eng.run(

@@ -1,0 +1,52 @@
+"""Loaders: JSON flatten semantics + OLAP_ID assignment."""
+
+import json
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from semantic_olap_spark.sources.loaders import (
+    load_json_flat,
+    load_table,
+    with_olap_id,
+)
+
+
+def test_load_json_flat_stringifies_nested(spark, tmp_path):
+    recs = [
+        {"id": 1, "title": "a", "tags": ["x", "y"], "meta": {"k": 1}},
+        {"id": 2, "title": "b", "tags": [], "meta": {"k": 2}},
+    ]
+    p = str(tmp_path / "recs.json")
+    with open(p, "w") as f:
+        json.dump(recs, f)
+    df = load_json_flat(spark, p)
+    # nested values become their JSON text (reference main.py:5-16)
+    assert dict(df.dtypes)["tags"] == "string"
+    assert dict(df.dtypes)["meta"] == "string"
+    row = {r["id"]: r for r in df.collect()}
+    assert json.loads(row[1]["tags"]) == ["x", "y"]
+    assert json.loads(row[1]["meta"]) == {"k": 1}
+
+
+def test_with_olap_id_dense_and_stable(spark):
+    df = spark.createDataFrame([("c",), ("a",), ("b",)], ["v"])
+    out = with_olap_id(df, order_by=["v"])
+    rows = {r["v"]: r["OLAP_ID"] for r in out.collect()}
+    assert rows == {"a": 0, "b": 1, "c": 2}
+    # idempotent: never reassigned (SURVEY §7.4 risk 3)
+    again = with_olap_id(out, order_by=["v"])
+    assert again is out
+
+
+def test_with_olap_id_sparse_unique(spark):
+    df = spark.createDataFrame([(i,) for i in range(100)], ["v"])
+    out = with_olap_id(df)
+    ids = [r["OLAP_ID"] for r in out.collect()]
+    assert len(set(ids)) == 100
+
+
+def test_events_nanos_timestamp_converted(spark):
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    assert isinstance(ev.schema["ts"].dataType, T.TimestampType)
+    assert ev.filter(F.col("ts").isNull()).count() == 0
