@@ -64,6 +64,19 @@ def main() -> None:
     spark = get_spark("semantic-olap-bench")
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
+    # warmup: touch every table once (parquet footers, file listing,
+    # codegen/JVM JIT, Python worker pool) so timings measure query
+    # execution, not first-touch session costs
+    from semantic_olap_spark.sources.loaders import load_tables
+
+    tables = load_tables(spark, sf_dir)
+    for df in tables.values():
+        df.count()
+    # warm the Python UDF worker pool (first Arrow UDF pays ~2s of
+    # worker spawn regardless of data size)
+    from semantic_olap_spark.operators.semantic import sem_filter
+
+    sem_filter(tables["documents"].limit(8), ["text"], "warmup").count()
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]

@@ -9,5 +9,18 @@ from semantic_olap_spark.operators.deterministic import (  # noqa: F401
 )
 from semantic_olap_spark.operators.logic import (  # noqa: F401
     compile_logic,
+    logic_leaves,
     normalize_logic,
+)
+from semantic_olap_spark.operators.semantic import (  # noqa: F401
+    filter_enum_llm,
+    filter_pattern,
+    induce_taxonomy,
+    sem_filter,
+    sem_filter_cond,
+    sem_group,
+    sem_group_sequential,
+    sem_map,
+    sem_reduce,
+    sem_topk,
 )

@@ -42,6 +42,25 @@ def _lazy_llm(state: dict, llm_factory: LLMFactory):
     return llm
 
 
+def spread_for_inference(df: DataFrame) -> DataFrame:
+    """Widen under-partitioned input before a per-row LLM pass.
+
+    A small/unsplittable source (single parquet row group) funnels a
+    semantic operator through one Python worker.  With a REAL
+    inference backend (per-row latency in the tens of ms) that is
+    catastrophic and this repartition always pays; with the
+    deterministic stub (per-row microseconds) the shuffle costs more
+    than it saves.  The operators therefore do NOT call this
+    implicitly — wrap inputs explicitly when deploying a real
+    backend: ``sem_filter(spread_for_inference(df), ...)``.
+    """
+    sc = df.sparkSession.sparkContext
+    target = max(sc.defaultParallelism, 2)
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
 # ---- sem_filter (Operaters.py:45-78; catalog baseline_LLM_direct.py:5-14)
 
 

@@ -3,4 +3,18 @@ from semantic_olap_spark.plans.executor import (  # noqa: F401
     PlanExecutor,
     run_filter,
 )
-from semantic_olap_spark.plans.memory import CubeMemory, CubeNode  # noqa: F401
+from semantic_olap_spark.plans.memory import (  # noqa: F401
+    CubeMemory,
+    CubeNode,
+    GranularityView,
+    llm_relation_classifier,
+)
+from semantic_olap_spark.plans.planner import (  # noqa: F401
+    dice_plan,
+    flatten_plan,
+    run_nl_filter,
+    slice_plan,
+    topk_dispatch,
+    understand_topk,
+)
+from semantic_olap_spark.plans.rollup import drill_down, roll_up  # noqa: F401
