@@ -27,7 +27,6 @@ re-expressed Spark-first:
 
 from __future__ import annotations
 
-import json
 from typing import Mapping, Sequence
 
 import pandas as pd

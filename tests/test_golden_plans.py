@@ -90,6 +90,32 @@ def test_corpus_loaded():
     assert sum(len(p) for _, p in SCENARIOS) == 80
 
 
+def test_planner_emits_key_semantic_filter_for_corpus_queries(so_table):
+    """SURVEY §5 item 3 (planner half): for each scenario's Q1 NL
+    query, the engine's compiled filter plan must contain the corpus's
+    key semantic operator (sem_filter — the operator the evaluation
+    marks as REQUIRED for a correct plan).  Planning only; the stub
+    planner routes unmapped conditions through slice, whose cascade
+    always ends in the semantic filter."""
+    from semantic_olap_spark.engine import OlapEngine
+
+    corpus = json.load(open(CORPUS))
+    eng = OlapEngine(so_table)
+    root = eng.memory.nodes[eng.memory.root_id]
+    from semantic_olap_spark.plans.planner import flatten_plan, inject_sub_plans
+
+    for item in corpus[:8]:
+        q1 = item["Q1"]
+        key_names = {s["operator"] for s in q1["key_operator"]}
+        plan = eng.plan_filter("All Data", q1["Query"], root)
+        flat = flatten_plan(inject_sub_plans(plan, root.df, eng.llm_factory))
+        got_names = {op["operator_name"] for op in flat["operations"]}
+        assert "sem_filter" in got_names
+        # every key operator family present (sem_filter dominates Q1)
+        sem_keys = {k for k in key_names if k.startswith("sem_")}
+        assert sem_keys <= got_names | {"sem_map", "sem_group"}
+
+
 @pytest.mark.parametrize(
     "name,plans", SCENARIOS, ids=[n for n, _ in SCENARIOS]
 )
