@@ -12,9 +12,12 @@ functions (text analysis, dedup, similarity — SURVEY.md §7.1 M7).
 Semantic operators run under the deterministic StubLLM whose rules
 are exactly SQL-expressible (string containment / token counts), so
 they get full value-hash oracle checks, not just row counts.
-Genuinely non-SQL-expressible ops (sem_topk tournament, MinHash LSH,
-SimHash, LSH/IVF ANN) have no oracle entry → driver records the
-weaker rows-only check.
+Even the sem_topk tournament has a full oracle (the deterministic
+rotation pairing + stub judge reproduce exactly in SQL).  Genuinely
+non-SQL-expressible ops (MinHash LSH, SimHash, LSH/IVF ANN, stub
+image decode) have no oracle entry → driver records the weaker
+rows-only check; each of those carries a pytest property/recall
+check instead.
 """
 
 from __future__ import annotations
@@ -752,7 +755,40 @@ def oracle_sql() -> dict[str, str]:
         "sem_reduce_global":
             "SELECT string_agg(r_name, '; ' ORDER BY r_name) AS names "
             "FROM (SELECT DISTINCT r_name FROM region)",
-        # sem_topk_docs: tournament ranking — not SQL-expressible
+        # sem_topk: the rotation tournament is deterministic under the
+        # stub (win = more occurrences of the query's tokens; tie → A),
+        # so the whole tournament is SQL-expressible: reproduce ranks,
+        # the (rank+h) mod n pairing, per-side scores, and win counts
+        "sem_topk_docs": r"""
+            WITH d AS (
+              SELECT doc_id, lower(text) AS t,
+                     row_number() OVER (ORDER BY doc_id) - 1 AS rnk
+              FROM documents
+            ),
+            tot AS (SELECT count(*) AS n FROM d),
+            score AS (
+              SELECT doc_id, rnk,
+                     (length(t) - length(replace(t, 'spark', ''))) / 5
+                   + (length(t) - length(replace(t, 'join', ''))) / 4
+                   + (length(t) - length(replace(t, 'performance', ''))) / 11
+                       AS s
+              FROM d
+            ),
+            pairs AS (
+              SELECT a.doc_id AS ida, b.doc_id AS idb, a.s AS sa, b.s AS sb
+              FROM score a
+              CROSS JOIN (SELECT unnest([1, 2, 3, 4, 5]) AS h) h
+              JOIN score b ON b.rnk = (a.rnk + h.h) % (SELECT n FROM tot)
+            ),
+            wins AS (
+              SELECT CASE WHEN sa >= sb THEN ida ELSE idb END AS wid
+              FROM pairs
+            ),
+            w AS (SELECT wid AS doc_id, count(*) AS wins FROM wins GROUP BY wid)
+            SELECT d.doc_id, coalesce(w.wins, 0) AS wins
+            FROM d LEFT JOIN w USING (doc_id)
+            ORDER BY wins DESC, d.doc_id LIMIT 10
+        """,
         "filter_enum":
             "SELECT * FROM orders "
             "WHERE contains(lower(o_orderpriority), 'urgent')",
