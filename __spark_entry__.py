@@ -622,6 +622,15 @@ def _lang_case() -> str:
     return "CASE " + " ".join(arms) + " ELSE 'unknown' END"
 
 
+def _simhash_votes_sql() -> str:
+    # one vote term per bit: majority of token-hash bits sets the bit
+    return " + ".join(
+        f"(sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) > 0)::UBIGINT"
+        f" * {1 << i}::UBIGINT"
+        for i in range(64)
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     """DuckDB-ANSI mirrors for every SQL-expressible query above."""
     text_profile_sql = rf"""
@@ -818,7 +827,50 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY {_NORM_MD5} ORDER BY doc_id) = 1
         """,
         "jaccard_pairs": jaccard_sql,
-        # minhash_lsh_pairs / simhash_pairs: signature-based — rows-only
+        # minhash_lsh_pairs: xxhash64-based — rows-only (DuckDB has no
+        # Spark-compatible xxhash64); simhash IS md5-based, so its
+        # whole pipeline (token hashes → bit votes → chunk-banded
+        # candidates → Hamming verify) reproduces exactly in SQL
+        "simhash_pairs": rf"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_distinct(
+                         str_split_regex(lower(trim(text)), '\s+'))) AS tok
+              FROM documents
+            ),
+            hashed AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h
+              FROM toks
+            ),
+            sh AS (
+              SELECT doc_id, {_simhash_votes_sql()} AS s
+              FROM hashed GROUP BY doc_id
+            ),
+            keyed AS (
+              SELECT doc_id, s, c, (s >> (c*16)) & 65535 AS cv
+              FROM sh, (SELECT unnest([0, 1, 2, 3]) AS c)
+            ),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                              a.s AS sa, b.s AS sb
+              FROM keyed a JOIN keyed b
+                ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b, bit_count(xor(sa, sb))::INT AS hamming
+            FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+        """,
+        # image_features: the stub decode derives features from the
+        # md5 content hash — exactly reproducible in SQL
+        "image_features": """
+            WITH h AS (SELECT md5(text) AS m FROM documents)
+            SELECT m AS media_id,
+                   64 + ('0x' || substr(m, 1, 2))::INT * 4 AS width,
+                   64 + ('0x' || substr(m, 3, 2))::INT * 4 AS height,
+                   round(('0x' || substr(m, 5, 2))::INT / 255.0, 6)
+                       AS mean_luma
+            FROM h
+        """,
         "cosine_topk": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv
                        FROM embeddings WHERE vec_id = 0)
@@ -863,7 +915,6 @@ def oracle_sql() -> dict[str, str]:
                    md5(text) AS media_id
             FROM documents
         """,
-        # image_features: stub decode — rows-only
         "sample_frames": """
             SELECT doc_id, f.frame_idx
             FROM documents, (SELECT unnest([0, 1]) AS frame_idx) f
