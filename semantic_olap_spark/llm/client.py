@@ -75,6 +75,32 @@ class StubLLM(BaseLLM):
                            (each <*> → capture group (\\d+)),
                            conditions parsed from ``<op> <number>``
                            pairs in the condition text.
+
+    Planner/lifecycle families (§2.3 / §3.1):
+
+    - dice_strategy      → proposes all three strategies (profiling
+                           vetoes them downstream).
+    - simple_filter_check→ YES iff the condition names a comparison
+                           or containment.
+    - direct_filter_plan → num_filter from ``<op> <number>`` pairs,
+                           else keyword_filter from condition tokens.
+    - keyword_expansion  → the condition's significant tokens.
+    - field_pruning      → columns whose names appear in the query,
+                           else all.
+    - self_reduce        → count on count-words, else num_reduce with
+                           the first agg word found.
+    - granularity_match  → case-insensitive exact name match.
+    - drill_down_dimension → title from the first 3 tokens.
+    - topk_intent        → "top N"/superlative regex; num iff the
+                           matched field name looks numeric.
+    - decompose_query    → splits on " then ".
+    - filter_plan        → one atomic op per " and " clause; dice
+                           when a clause names a column with a
+                           numeric comparison, else slice.
+    - react_step         → one structural action per query
+                           (roll_up on "group X into Y", drill_down
+                           on "extract X"), then null.
+    - relation_classify  → token-set containment between queries.
     """
 
     def predict(self, prompt: str) -> str:

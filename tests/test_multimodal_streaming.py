@@ -192,3 +192,34 @@ def test_stream_dedup_batch_mode(spark):
         [(1, "a"), (1, "a"), (2, "b")], ["event_id", "v"]
     )
     assert stream_dedup(df, ["event_id"]).count() == 2
+
+
+def test_stream_dedup_streaming_end_to_end(spark, tmp_path):
+    import datetime as dt
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1, 0, i)) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts"])
+    src = str(tmp_path / "dups")
+    # two files with identical content → every id arrives twice
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+    df.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = stream_dedup(stream, ["event_id"], "ts", watermark="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT event_id FROM dedup_stream_test ORDER BY event_id"
+    ).collect()
+    assert [r["event_id"] for r in got] == list(range(10))
