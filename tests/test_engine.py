@@ -122,6 +122,16 @@ def test_default_classifier_enables_subset_chaining(tables):
     assert node_ids[-2] in eng.memory.nodes[node_ids[-1]].parents
 
 
+def test_describe_cube_catalog(tables):
+    eng = _engine(tables)
+    eng.run("mentions spark then group lang into lang_family and count")
+    desc = eng.describe_cube()
+    assert desc["root_id"] == min(n["id"] for n in desc["nodes"])
+    node = max(desc["nodes"], key=lambda n: n["id"])
+    assert node["query"] == "mentions spark"
+    assert "lang_family" in node["dimensions"].get("lang", [])
+
+
 def test_topk_after_analysis(tables):
     eng = _engine(tables)
     out = eng.run(
