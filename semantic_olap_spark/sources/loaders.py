@@ -69,8 +69,14 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{sf_dir}/{name}.parquet"
+    nanos_cols = _nanos_timestamp_cols(path)
+    if nanos_cols:
+        # the vectorized reader rejects TIMESTAMP(NANOS) unless this
+        # legacy flag is on; set it here so tables load correctly in
+        # ANY session, not just ones built by our get_spark factory
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
-    for c in _nanos_timestamp_cols(path):
+    for c in nanos_cols:
         if c in df.columns:
             # `div` = integer division: epoch-nanos exceed double
             # precision (2^53), so float division would corrupt them
