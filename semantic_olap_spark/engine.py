@@ -73,12 +73,17 @@ class OlapEngine:
 
     def decompose(self, query: str) -> tuple[str, str]:
         llm = self.llm_factory()
-        parsed = parse_llm_json(llm.predict(P.decompose_prompt(query)), default={})
+        parsed = parse_llm_json(llm.predict(P.decompose_prompt(query)), default=None)
         if not isinstance(parsed, dict):
+            # unparseable backend answer: treat the whole query as the
+            # filter intent — NEVER degrade to an empty filter (that
+            # would silently return all rows)
             return query, ""
         return (
-            parsed.get("filter_query", "").strip(),
-            parsed.get("analysis_query", "").strip(),
+            (parsed.get("filter_query") or "").strip() or (
+                "" if (parsed.get("analysis_query") or "").strip() else query
+            ),
+            (parsed.get("analysis_query") or "").strip(),
         )
 
     def plan_filter(self, history_query: str, query: str, node) -> dict:

@@ -106,7 +106,14 @@ def image_features(
         for pdf in batches:
             out = {"media_id": [], "width": [], "height": [], "mean_luma": []}
             for payload in pdf[binary_col]:
-                b = bytes(payload) if payload is not None else b""
+                if payload is None:
+                    # consistent with attach_binary_metadata: NULL
+                    # payload → NULL media_id/features (md5(b'')
+                    # would collide every null row into one fake id)
+                    for k in out:
+                        out[k].append(None)
+                    continue
+                b = bytes(payload)
                 w, h, luma = _fake_decode(b)
                 out["media_id"].append(hashlib.md5(b).hexdigest())
                 out["width"].append(w)

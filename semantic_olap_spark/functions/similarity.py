@@ -117,11 +117,21 @@ def cosine_pairs(
     (see :func:`~semantic_olap_spark.functions.dedup.jaccard_pairs`).
     """
     a = _as_double(vec_col)
-    unit = F.transform(a, lambda x: x / _norm(a))
-    base = df.select(
-        F.col(id_col),
-        *([F.col(block_col)] if block_col else []),
-        unit.alias("_u"),
+    # materialize the norm once per row: embedding the O(d) norm
+    # aggregate inside the per-element lambda would re-evaluate it d
+    # times (O(d²) per row)
+    base = (
+        df.select(
+            F.col(id_col),
+            *([F.col(block_col)] if block_col else []),
+            a.alias("_a"),
+        )
+        .withColumn("_n", _norm(F.col("_a")))
+        .select(
+            F.col(id_col),
+            *([F.col(block_col)] if block_col else []),
+            F.transform(F.col("_a"), lambda x: x / F.col("_n")).alias("_u"),
+        )
     )
     left = base.select(
         F.col(id_col).alias("id_a"),
@@ -188,15 +198,20 @@ def lsh_topk(
     the corpus.  Same output schema as :func:`cosine_topk`; recall
     < 1 by construction (documented approximation).
     """
+    import itertools
+
     q = np.asarray([float(x) for x in query_vec])
     planes = _hyperplanes(len(q), nbits, seed)
     qbits = (planes @ q) > 0
     weights = (1 << np.arange(nbits)).astype(np.int64)
     qsig = int(qbits @ weights)
     probes = {qsig}
-    if multiprobe >= 1:
-        for i in range(nbits):
-            probes.add(qsig ^ (1 << i))
+    for dist in range(1, min(multiprobe, nbits) + 1):
+        for flips in itertools.combinations(range(nbits), dist):
+            sig = qsig
+            for b in flips:
+                sig ^= 1 << b
+            probes.add(sig)
     bucket = _bucket_udf(planes)
     cand = df.withColumn("_bkt", bucket(_as_double(vec_col))).filter(
         F.col("_bkt").isin([int(p) for p in probes])

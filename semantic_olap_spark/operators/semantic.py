@@ -341,12 +341,19 @@ def sem_topk(
             for c in cols
         ],
     )
-    cand = df.withColumn("_content", content).persist()
+    cand = df.withColumn("_content", content)
     # Range-partition by id: partition p holds an id range below
     # partition p+1, so rank = (rows in partitions < p) + local rank.
+    # The RANGED frame is what gets persisted: repartitionByRange
+    # samples boundaries with a per-execution seed, so collecting the
+    # counts from one execution and ranking a RE-execution could see
+    # different partition membership — persisting pins one layout for
+    # both the count pass and the tournament.
     nparts = max(cand.sparkSession.sparkContext.defaultParallelism, 1)
-    ranged = cand.repartitionByRange(nparts, F.col(id_col)).withColumn(
-        "_pid", F.spark_partition_id()
+    ranged = (
+        cand.repartitionByRange(nparts, F.col(id_col))
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
     )
     part_counts = sorted(
         (r["_pid"], r["cnt"])
@@ -356,7 +363,7 @@ def sem_topk(
     if n <= k:
         # no tournament needed (reference short-circuits at n <= k);
         # keep the output schema identical to the tournament path
-        out = cand.drop("_content").withColumn("wins", F.lit(0))
+        out = ranged.drop("_content", "_pid").withColumn("wins", F.lit(0))
         out = out.orderBy(F.col(id_col).asc()).limit(int(k))
         return out if keep_wins else out.drop("wins")
     offsets: dict[int, int] = {}

@@ -340,8 +340,12 @@ def inject_sub_plans(
     for op in plan["operations"]:
         agent = (op.get("agent") or op.get("type") or "slice").lower()
         condition = op.get("instruction") or op.get("query") or ""
-        if agent == "dice":
-            verb = dice_plan(df, op.get("field"), condition, llm_factory)
+        field = op.get("field")
+        # a dice op whose field is null/unknown (the planner IR allows
+        # "field": null) degrades to slice rather than crashing in
+        # F.col(None)
+        if agent == "dice" and field in df.columns:
+            verb = dice_plan(df, field, condition, llm_factory)
         else:
             verb = slice_plan(df, condition, llm_factory)
         ops_new.append(
@@ -450,8 +454,15 @@ def topk_dispatch(
     ttype = topk_params.get("topk_type")
     if ttype not in ("num", "sem"):
         return df
-    field = topk_params["sort_field"]
-    k = int(topk_params["top_k"])
+    field = topk_params.get("sort_field")
+    try:
+        k = int(topk_params.get("top_k"))
+    except (TypeError, ValueError):
+        k = 0
+    if not field or field not in df.columns or k <= 0:
+        # partial/hallucinated intent (missing field or k) — treat as
+        # not-applicable like every other malformed-answer path
+        return df
     if ttype == "num" and is_column_numeric(df, field):
         return num_topk(df, field, k, topk_params.get("sort_order", "desc"))
     query = (

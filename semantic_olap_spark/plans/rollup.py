@@ -200,6 +200,12 @@ def roll_up(
                     "parameters": {"group_by": actual, "columns": []},
                 })
             else:
+                # faithful to the reference: 'self' num_reduce
+                # aggregates the GRANULARITY column itself
+                # (Roll_Up_Agent.py:59-61 num_reduce(group_df[
+                # group_key_col])) — meaningful when the grouped
+                # values are numeric (no-rollup case), NULL for
+                # string labels, exactly as pd.to_numeric coerces
                 agg = self_plan.get("params", {}).get("agg", "sum")
                 aggs.append(
                     AGGS[agg](F.col(actual).try_cast("double"))

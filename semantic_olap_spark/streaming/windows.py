@@ -132,7 +132,10 @@ def read_events_stream(
     path = f"{sf_dir}/events.parquet"
     # schema must be the RAW on-disk shape (nanos → LongType under
     # nanosAsLong); the timestamp conversion applies on top, exactly
-    # as load_table does for batch
+    # as load_table does for batch.  Set the legacy flag here too so
+    # the probe works in any session, not just our factory's.
+    if _nanos_timestamp_cols(path):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(path).schema
     # file streams take a DIRECTORY; pathGlobFilter narrows it to the
     # events file so sibling tables' schemas don't collide

@@ -122,6 +122,25 @@ def test_default_classifier_enables_subset_chaining(tables):
     assert node_ids[-2] in eng.memory.nodes[node_ids[-1]].parents
 
 
+def test_decompose_garbage_backend_falls_back_to_filter(tables):
+    # an unparseable decompose answer must NOT become an empty filter
+    # (that would silently return every row)
+    from semantic_olap_spark.llm.client import StubLLM
+
+    class GarbageDecompose(StubLLM):
+        def predict(self, prompt):
+            if prompt.startswith("### task: decompose_query"):
+                return "Sorry, I cannot help with that."
+            return super().predict(prompt)
+
+    eng = OlapEngine(
+        tables["documents"], llm_factory=GarbageDecompose,
+        order_by=["doc_id"],
+    )
+    out = eng.run("mentions spark in text")
+    assert out.count() < tables["documents"].count()
+
+
 def test_describe_cube_catalog(tables):
     eng = _engine(tables)
     eng.run("mentions spark then group lang into lang_family and count")

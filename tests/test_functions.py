@@ -213,6 +213,17 @@ def test_lsh_topk_properties(tables):
     assert _recall(approx, exact) >= 0.3
 
 
+def test_lsh_multiprobe_widens_candidates(tables):
+    emb = tables["embeddings"]
+    q = emb.filter(F.col("vec_id") == 3).select(
+        F.col("embedding").cast("array<double>")
+    ).collect()[0][0]
+    exact = cosine_topk(emb, q, k=10)
+    r1 = _recall(lsh_topk(emb, q, k=10, nbits=6, multiprobe=1), exact)
+    r2 = _recall(lsh_topk(emb, q, k=10, nbits=6, multiprobe=2), exact)
+    assert r2 >= r1  # more probes can only widen the candidate set
+
+
 def test_ivf_topk_properties(tables):
     emb = tables["embeddings"]
     q = emb.filter(F.col("vec_id") == 7).select(

@@ -62,6 +62,15 @@ def test_attach_binary_metadata(spark):
     assert by_id[0]["media_id"] == hashlib.md5(b"\xff\xd8\xff\xe0JFIFxxxx").hexdigest()
 
 
+def test_image_features_null_payload_consistent_with_metadata(spark):
+    out = image_features(_media_df(spark)).collect()
+    nulls = [r for r in out if r["media_id"] is None]
+    # the one NULL payload yields NULL id/features (same as
+    # attach_binary_metadata), not the md5 of b''
+    assert len(nulls) == 1
+    assert nulls[0]["width"] is None and nulls[0]["mean_luma"] is None
+
+
 def test_image_features_schema_and_determinism(spark):
     df = _media_df(spark).filter(F.col("payload").isNotNull())
     out = image_features(df).collect()

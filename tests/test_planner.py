@@ -255,6 +255,38 @@ def test_topk_not_applicable_passthrough(tables):
     assert out is tables["orders"]
 
 
+def test_topk_partial_intent_passthrough(tables):
+    # hallucinated/partial intents degrade to not-applicable
+    for params in (
+        {"topk_type": "num"},
+        {"topk_type": "sem", "sort_field": "o_totalprice"},
+        {"topk_type": "num", "sort_field": "nope", "top_k": 3},
+        {"topk_type": "num", "sort_field": "o_totalprice", "top_k": "x"},
+    ):
+        assert topk_dispatch(tables["orders"], params) is tables["orders"]
+
+
+def test_dice_op_with_null_field_degrades_to_slice(tables, duck):
+    # the planner IR allows "field": null on a dice op; it must not
+    # crash in F.col(None) — it degrades to the slice cascade
+    out = run_nl_filter(
+        tables["documents"],
+        [{"id": 1, "agent": "dice", "field": None,
+          "instruction": "mentions spark in text"}],
+        [1],
+    )
+    assert_matches(
+        out,
+        duck,
+        """
+        SELECT * FROM documents
+        WHERE (contains(lower(text), 'mentions')
+               OR contains(lower(text), 'spark')
+               OR contains(lower(text), 'text'))
+        """,
+    )
+
+
 # ---- roll_up / drill_down ---------------------------------------------
 
 
