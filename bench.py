@@ -41,13 +41,19 @@ HEADLINE = [
     # relational breadth: broadcast-join star query + window dedup
     "join_revenue_by_nation",
     "window_top_order_per_cust",
-    # pipeline: text analysis / dedup / similarity
+    # streaming (batch-parity forms) over 100k events
+    "windowed_agg",
+    "session_agg",
+    # pipeline: text analysis / dedup / similarity (jaccard before
+    # the signature-based queries — their persisted frames otherwise
+    # add memory pressure to the biggest pair join)
     "text_profile",
     "dedup_exact",
-    "minhash_lsh_pairs",
     "jaccard_pairs",
     "cosine_topk",
     "ivf_topk",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
 ]
 
 

@@ -207,6 +207,22 @@ def test_num_topk_nulls_last(spark):
     assert [r["id"] for r in top] == [1, 3, 2]
 
 
+def test_count_approx_distinct_close(tables):
+    # the 100 TB path: HLL distinct within its standard error
+    exact = {
+        r["o_orderstatus"]: r["distinct_o_custkey"]
+        for r in count_op(tables["orders"], "o_orderstatus", ["o_custkey"]).collect()
+    }
+    approx = {
+        r["o_orderstatus"]: r["distinct_o_custkey"]
+        for r in count_op(
+            tables["orders"], "o_orderstatus", ["o_custkey"], approx=True
+        ).collect()
+    }
+    for k, v in exact.items():
+        assert abs(approx[k] - v) <= max(5, 0.1 * v)
+
+
 def test_num_filter_pushes_to_parquet_scan(tables):
     # scale check: the numeric predicate must reach the scan
     # (row-group skipping via min/max stats)
