@@ -456,6 +456,27 @@ def _q_join_revenue_by_nation(spark, sf_dir):
     )
 
 
+def _q_asof_join_events(spark, sf_dir):
+    from semantic_olap_spark.operators.relational import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    return asof_join(left, right, "ts", ["user_id"]).select(
+        "event_id", "user_id", "ts", "r_value", "r_ts"
+    )
+
+
+def _q_running_user_stats(spark, sf_dir):
+    from semantic_olap_spark.streaming.stateful import running_user_stats
+
+    return running_user_stats(_t(spark, sf_dir, "events"))
+
+
 def _q_window_top_order_per_cust(spark, sf_dir):
     from pyspark.sql import Window
 
@@ -575,6 +596,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Spark-native relational breadth
         "join_revenue_by_nation": _q_join_revenue_by_nation,
         "window_top_order_per_cust": _q_window_top_order_per_cust,
+        "asof_join_events": _q_asof_join_events,
+        "running_user_stats": _q_running_user_stats,
         # pipeline: multimodal
         "multimodal_metadata": _q_multimodal_metadata,
         "image_features": _q_image_features,
@@ -907,6 +930,20 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (
                 PARTITION BY o_custkey
                 ORDER BY o_totalprice DESC, o_orderkey) = 1
+        """,
+        "asof_join_events": """
+            SELECT l.event_id, l.user_id, l.ts,
+                   r.value AS r_value, r.ts AS r_ts
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'error') l
+            ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                            WHERE event_type = 'click') r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "running_user_stats": """
+            SELECT user_id, count(*) AS running_count,
+                   round(sum(coalesce(value, 0)), 2) AS running_sum
+            FROM events GROUP BY user_id
         """,
         "multimodal_metadata": """
             SELECT doc_id,

@@ -1,0 +1,176 @@
+"""As-of/range joins (DuckDB ASOF oracle) + stateful streaming."""
+
+import datetime as dt
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from semantic_olap_spark.operators.relational import asof_join, range_join
+from semantic_olap_spark.streaming.stateful import running_user_stats
+from tests.conftest import assert_matches
+
+
+def _ts(m, s=0):
+    return dt.datetime(2024, 1, 1, 0, m, s)
+
+
+def test_asof_join_small_handcheck(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(5)), (1, _ts(10)), (1, _ts(2)), (2, _ts(7))],
+        ["user_id", "ts"],
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(4), 100.0), (1, _ts(9), 200.0), (2, _ts(8), 300.0)],
+        ["user_id", "ts", "score"],
+    )
+    out = {
+        (r["user_id"], r["ts"].minute): (
+            r["r_score"], r["r_ts"].minute if r["r_ts"] else None
+        )
+        for r in asof_join(left, right, "ts", ["user_id"]).collect()
+    }
+    assert out[(1, 5)] == (100.0, 4)   # latest right <= 00:05
+    assert out[(1, 10)] == (200.0, 9)
+    assert out[(1, 2)] == (None, None)  # nothing before 00:02
+    assert out[(2, 7)] == (None, None)  # right at 00:08 is after
+
+
+def test_asof_join_exact_timestamp_matches(spark):
+    left = spark.createDataFrame([(1, _ts(4))], ["user_id", "ts"])
+    right = spark.createDataFrame([(1, _ts(4), 9.0)], ["user_id", "ts", "v"])
+    row = asof_join(left, right, "ts", ["user_id"]).collect()[0]
+    assert row["r_v"] == 9.0  # <= semantics: equal timestamps match
+
+
+def test_asof_join_tolerance(spark):
+    left = spark.createDataFrame([(1, _ts(30))], ["user_id", "ts"])
+    right = spark.createDataFrame([(1, _ts(2), 5.0)], ["user_id", "ts", "v"])
+    loose = asof_join(left, right, "ts", ["user_id"]).collect()[0]
+    assert loose["r_v"] == 5.0
+    tight = asof_join(
+        left, right, "ts", ["user_id"], tolerance="10 MINUTES"
+    ).collect()[0]
+    assert tight["r_v"] is None and tight["r_ts"] is None
+
+
+def test_asof_join_duckdb_oracle(tables, duck):
+    # events to the latest PRIOR event of the same user (self as-of):
+    # left = error events, right = click events
+    ev = tables["events"]
+    left = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(left, right, "ts", ["user_id"]).select(
+        "event_id", "user_id", "ts", "r_value", "r_ts"
+    )
+    assert_matches(
+        out,
+        duck,
+        """
+        SELECT l.event_id, l.user_id, l.ts,
+               r.value AS r_value, r.ts AS r_ts
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'error') l
+        ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                        WHERE event_type = 'click') r
+          ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+    )
+
+
+def test_asof_join_single_shuffle_no_single_partition(tables):
+    ev = tables["events"]
+    left = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    plan = (
+        asof_join(left, right, "ts", ["user_id"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SinglePartition" not in plan
+    # no join operator at all — the as-of is pure union + window
+    assert "Join" not in plan
+
+
+def test_range_join_with_keys(spark, tables, duck):
+    ev = tables["events"]
+    spans = spark.createDataFrame(
+        [
+            (u, dt.datetime(2024, 1, 1, 0), dt.datetime(2024, 1, 2, 0), f"day1-u{u}")
+            for u in range(5)
+        ],
+        ["user_id", "t_start", "t_end", "tag"],
+    )
+    spans.createOrReplaceTempView("spans_tmp")
+    out = range_join(
+        ev.select("event_id", "user_id", "ts"), spans, "ts",
+        "t_start", "t_end", by=["user_id"],
+    ).select("event_id", "user_id", "ts", "tag")
+    duck.register(
+        "spans_py",
+        spans.toPandas(),
+    )
+    assert_matches(
+        out,
+        duck,
+        """
+        SELECT e.event_id, e.user_id, e.ts, s.tag
+        FROM events e JOIN spans_py s
+          ON e.user_id = s.user_id AND e.ts >= s.t_start AND e.ts < s.t_end
+        """,
+    )
+
+
+def test_running_user_stats_batch(tables, duck):
+    out = running_user_stats(tables["events"])
+    assert_matches(
+        out,
+        duck,
+        """
+        SELECT user_id, count(*) AS running_count,
+               round(sum(coalesce(value, 0)), 2) AS running_sum
+        FROM events GROUP BY user_id
+        """,
+    )
+
+
+def test_running_user_stats_stream_state_accumulates(spark, tmp_path):
+    rows1 = [(1, 10.0), (1, 5.0), (2, 1.0)]
+    rows2 = [(1, 2.0), (3, 7.0)]
+    src = str(tmp_path / "stateful_src")
+    df1 = spark.createDataFrame(rows1, ["user_id", "value"])
+    df2 = spark.createDataFrame(rows2, ["user_id", "value"])
+    df1.coalesce(1).write.mode("overwrite").parquet(src)
+    df2.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(df1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = running_user_stats(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("running_stats_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM running_stats_test").collect()
+    # state accumulated across micro-batches: the LAST emission per
+    # user must equal the all-data totals
+    final = {}
+    for r in rows:
+        final[r["user_id"]] = (r["running_count"], r["running_sum"])
+    assert final[1] == (3, 17.0)  # 2 events in batch 1 + 1 in batch 2
+    assert final[2] == (1, 1.0)
+    assert final[3] == (1, 7.0)
+    # user 1 must have emitted an intermediate running value too
+    user1 = [r["running_count"] for r in rows if r["user_id"] == 1]
+    assert len(user1) >= 2 and max(user1) == 3
