@@ -12,6 +12,10 @@ from semantic_olap_spark.operators.logic import (  # noqa: F401
     logic_leaves,
     normalize_logic,
 )
+from semantic_olap_spark.operators.relational import (  # noqa: F401
+    asof_join,
+    range_join,
+)
 from semantic_olap_spark.operators.semantic import (  # noqa: F401
     filter_enum_llm,
     filter_pattern,

@@ -1,3 +1,6 @@
+from semantic_olap_spark.streaming.stateful import (  # noqa: F401
+    running_user_stats,
+)
 from semantic_olap_spark.streaming.windows import (  # noqa: F401
     read_events_stream,
     session_agg,

@@ -207,6 +207,25 @@ def test_num_topk_nulls_last(spark):
     assert [r["id"] for r in top] == [1, 3, 2]
 
 
+def test_salted_agg_matches_plain_agg(tables, duck):
+    from semantic_olap_spark.operators.skew import salted_agg
+
+    df = salted_agg(
+        tables["lineitem"], ["l_returnflag"],
+        sum_cols=["l_quantity", "l_extendedprice"],
+    )
+    assert_matches(
+        df,
+        duck,
+        """
+        SELECT l_returnflag, count(*) AS count,
+               round(sum(l_quantity), 2) AS sum_l_quantity,
+               round(sum(l_extendedprice), 2) AS sum_l_extendedprice
+        FROM lineitem GROUP BY l_returnflag
+        """,
+    )
+
+
 def test_count_approx_distinct_close(tables):
     # the 100 TB path: HLL distinct within its standard error
     exact = {
