@@ -350,7 +350,12 @@ def _q_minhash_lsh_pairs(spark, sf_dir):
 def _q_simhash_pairs(spark, sf_dir):
     from semantic_olap_spark.functions.dedup import simhash_pairs
 
-    return simhash_pairs(_t(spark, sf_dir, "documents"), max_distance=3)
+    # exact mode (no skew cap): this query carries an exact SQL
+    # oracle, so it must return ALL pairs at any scale factor; the
+    # capped default is the production posture, not the oracle one
+    return simhash_pairs(
+        _t(spark, sf_dir, "documents"), max_distance=3, max_bucket_size=None
+    )
 
 
 # ---- pipeline functions: similarity search -----------------------------

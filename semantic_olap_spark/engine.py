@@ -79,12 +79,13 @@ class OlapEngine:
             # filter intent — NEVER degrade to an empty filter (that
             # would silently return all rows)
             return query, ""
-        return (
-            (parsed.get("filter_query") or "").strip() or (
-                "" if (parsed.get("analysis_query") or "").strip() else query
-            ),
-            (parsed.get("analysis_query") or "").strip(),
-        )
+
+        def _text(key: str) -> str:
+            v = parsed.get(key)
+            return v.strip() if isinstance(v, str) else ""
+
+        fq, aq = _text("filter_query"), _text("analysis_query")
+        return (fq or ("" if aq else query), aq)
 
     def plan_filter(self, history_query: str, query: str, node) -> dict:
         llm = self.llm_factory()

@@ -332,8 +332,11 @@ def simhash_pairs(
     :func:`minhash_lsh_pairs`): corpora with heavy shared vocabulary
     cluster their simhashes, and one hot chunk bucket of size b
     yields b²/2 candidates; buckets above the cap are dropped before
-    the self-join — their pairs can still surface through the other
-    chunks-1 buckets.  Set ``None`` to disable.
+    the self-join.  NOTE this trades recall for boundedness: a pair
+    at Hamming distance ``chunks-1`` matches in exactly one chunk,
+    so if that one bucket is hot the pair is lost (closer pairs
+    still surface through their other matching chunks).  Set
+    ``None`` for exact results (the oracle/contract mode).
     """
     if max_distance >= chunks:
         raise ValueError(

@@ -324,13 +324,23 @@ class StubLLM(BaseLLM):
                 })
             return json.dumps({"thought": "nothing to do", "action": None})
         if task == "relation_classify":
-            cur = P.condition_tokens(fields.get("current", ""))
-            hist = P.condition_tokens(fields.get("historical", ""))
-            cs, hs = set(cur), set(hist)
+            cur_q = fields.get("current", "").lower()
+            hist_q = fields.get("historical", "").lower()
+            # disjunction/negation invert or break the token-superset
+            # ⇒ stricter heuristic; when they appear asymmetrically,
+            # claim nothing (no_relation = re-filter from the root —
+            # always correct, just less reuse)
+            markers = (" or ", " not ", "without", "except", "exclude")
+            if any((m in cur_q) != (m in hist_q) for m in markers):
+                return json.dumps(
+                    {"reason": "asymmetric or/negation", "relation": "no_relation"}
+                )
+            cs = set(P.condition_tokens(cur_q))
+            hs = set(P.condition_tokens(hist_q))
             if cs == hs:
                 rel = "equal"
             elif hs and hs < cs:
-                # current adds tokens on top of historical → stricter
+                # current adds conjunctive tokens → stricter
                 rel = "subset"
             elif cs and cs < hs:
                 rel = "contain"

@@ -41,11 +41,25 @@ def asof_join(
     Shape: tag both sides, union, then one window sorted by
     (by, on, side) carrying the last seen right values forward
     (``last_value(..., ignoreNulls)``).  Exactly one shuffle on the
-    ``by`` keys; the window is per-key, never a single partition.
-    Right-side value columns come back prefixed.
+    ``by`` keys, per-key windows.  WITHOUT ``by`` keys the window
+    has no partitioning — fine for a small right/left pair, but a
+    single-task sort at scale: always pass ``by`` (or pre-bucket
+    time ranges) on large inputs.  Right-side value columns come
+    back prefixed with ``right_prefix``; prefixed names (and the
+    internal ``_side``/``_rv_*``/``_r_ts`` markers) must not collide
+    with existing left columns — checked, clear error.
     """
     by = list(by or [])
     value_cols = [c for c in right.columns if c != on and c not in by]
+    reserved = {"_side", "_r_ts"} | {f"_rv_{c}" for c in value_cols} | {
+        f"{right_prefix}{c}" for c in value_cols + [on]
+    }
+    clash = reserved & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"asof_join output names collide with left columns: "
+            f"{sorted(clash)}; pass a different right_prefix"
+        )
     l_tag = left.select(
         *[F.col(c) for c in left.columns],
         F.lit(1).alias("_side"),

@@ -32,13 +32,19 @@ from pyspark.sql.types import (
     StructType,
 )
 
-_OUT_SCHEMA = StructType(
-    [
-        StructField("user_id", LongType()),
-        StructField("running_count", LongType()),
-        StructField("running_sum", DoubleType()),
-    ]
-)
+def _out_schema(key_type) -> StructType:
+    # key column keeps its REAL type — a hardcoded LongType would
+    # break the stream path for string/other key columns while the
+    # batch path silently worked
+    return StructType(
+        [
+            StructField("user_id", key_type),
+            StructField("running_count", LongType()),
+            StructField("running_sum", DoubleType()),
+        ]
+    )
+
+
 _STATE_SCHEMA = StructType(
     [
         StructField("count", LongType()),
@@ -91,7 +97,7 @@ def running_user_stats(
         )
     return renamed.groupBy("user_id").applyInPandasWithState(
         _update,
-        outputStructType=_OUT_SCHEMA,
+        outputStructType=_out_schema(df.schema[user_col].dataType),
         stateStructType=_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,

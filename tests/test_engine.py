@@ -111,6 +111,18 @@ def test_llm_relation_classifier_stub_semantics():
     assert c("mentions spark", "orders from france") == "No_relation"
 
 
+def test_llm_relation_classifier_conservative_on_or_and_negation():
+    # OR broadens and negation inverts — a token-superset heuristic
+    # would misclassify both, silently dropping/returning wrong rows;
+    # the stub must claim nothing (no_relation = correct re-filter)
+    from semantic_olap_spark.plans.memory import llm_relation_classifier
+
+    c = llm_relation_classifier()
+    assert c("mentions spark or streaming", "mentions spark") == "No_relation"
+    assert c("rows that do not mention spark", "mention spark") == "No_relation"
+    assert c("mentions spark without errors", "mentions spark") == "No_relation"
+
+
 def test_default_classifier_enables_subset_chaining(tables):
     # no explicit classify: the LLM classifier should still chain the
     # refined query onto its parent node

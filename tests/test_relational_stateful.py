@@ -127,6 +127,42 @@ def test_range_join_with_keys(spark, tables, duck):
     )
 
 
+def test_asof_join_collision_raises(spark):
+    left = spark.createDataFrame([(1, _ts(5), 0.0)], ["user_id", "ts", "r_v"])
+    right = spark.createDataFrame([(1, _ts(4), 9.0)], ["user_id", "ts", "v"])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, "ts", ["user_id"])
+    # a different prefix resolves it
+    out = asof_join(left, right, "ts", ["user_id"], right_prefix="rr_")
+    assert out.collect()[0]["rr_v"] == 9.0
+
+
+def test_running_user_stats_string_keys_stream(spark, tmp_path):
+    # the output schema must carry the key column's REAL type
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 3.0)], ["user_id", "value"]
+    )
+    src = str(tmp_path / "strkeys")
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (
+        running_user_stats(stream)
+        .writeStream.format("memory")
+        .queryName("str_keys_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["user_id"]: (r["running_count"], r["running_sum"])
+        for r in spark.sql("SELECT * FROM str_keys_test").collect()
+    }
+    assert got == {"a": (2, 3.0), "b": (1, 3.0)}
+
+
 def test_running_user_stats_batch(tables, duck):
     out = running_user_stats(tables["events"])
     assert_matches(
