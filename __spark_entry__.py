@@ -347,6 +347,14 @@ def _q_minhash_lsh_pairs(spark, sf_dir):
     )
 
 
+def _q_winnow_overlap_pairs(spark, sf_dir):
+    from semantic_olap_spark.functions.dedup import winnow_overlap_pairs
+
+    return winnow_overlap_pairs(
+        _t(spark, sf_dir, "documents"), min_shared=3
+    )
+
+
 def _q_simhash_pairs(spark, sf_dir):
     from semantic_olap_spark.functions.dedup import simhash_pairs
 
@@ -593,6 +601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": _q_jaccard_pairs,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "simhash_pairs": _q_simhash_pairs,
+        "winnow_overlap_pairs": _q_winnow_overlap_pairs,
         # pipeline: similarity
         "cosine_topk": _q_cosine_topk,
         "cosine_pairs": _q_cosine_pairs,

@@ -5,12 +5,14 @@ from semantic_olap_spark.functions.text import (  # noqa: F401
     text_profile,
     token_count,
     token_count_bpe,
+    winnow_fingerprints,
 )
 from semantic_olap_spark.functions.dedup import (  # noqa: F401
     dedup_exact,
     jaccard_pairs,
     minhash_lsh_pairs,
     simhash_pairs,
+    winnow_overlap_pairs,
 )
 from semantic_olap_spark.functions.similarity import (  # noqa: F401
     cosine_pairs,

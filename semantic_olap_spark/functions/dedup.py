@@ -274,6 +274,58 @@ def minhash_lsh_pairs(
     )
 
 
+def winnow_overlap_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 2,
+    max_bucket_size: int | None = 5000,
+) -> DataFrame:
+    """Partial-copy pairs: documents sharing winnowing fingerprints.
+
+    Complements the whole-document strategies: winnowing guarantees
+    any shared token run of ≥ ``window + k - 1`` tokens contributes a
+    common fingerprint, so this finds documents that EMBED copied
+    passages even when the rest differs (quote farms, boilerplate
+    injection, template reuse).  Shape = the LSH candidate pattern:
+    explode fingerprints, equi-self-join on the fingerprint, count
+    shared prints per pair.  Output ``(id_a, id_b, shared)`` with
+    ``shared >= min_shared``; same skew guard as the other banded
+    joins.
+    """
+    from semantic_olap_spark.functions.text import winnow_fingerprints
+
+    nparts = df.sparkSession.sparkContext.defaultParallelism
+    prints = (
+        df.select(F.col(id_col).alias("_id"), F.col(text_col))
+        .repartition(nparts)
+        .select(
+            "_id",
+            F.explode(
+                winnow_fingerprints(F.col(text_col), k, window)
+            ).alias("_fp"),
+        )
+    )
+    if max_bucket_size is not None:
+        w = Window.partitionBy("_fp")
+        prints = (
+            prints.withColumn("_bsz", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bsz") <= max_bucket_size)
+            .drop("_bsz")
+        )
+    left = prints.select(F.col("_id").alias("id_a"), "_fp")
+    right = prints.select(F.col("_id").alias("id_b"), "_fp")
+    return (
+        left.join(right, "_fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+
+
 @F.pandas_udf(LongType())
 def _simhash64(texts: pd.Series) -> pd.Series:
     """64-bit SimHash of whitespace tokens (Arrow-batched).

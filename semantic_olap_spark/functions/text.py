@@ -106,6 +106,35 @@ def doc_fingerprint(col: Column) -> Column:
     return F.md5(norm.cast("binary"))
 
 
+def winnow_fingerprints(
+    col: Column, k: int = 5, window: int = 4
+) -> Column:
+    """Winnowing fingerprints: rolling-hash document signatures.
+
+    The standard local-fingerprinting scheme (Schleimer/Wilkerson/
+    Aiken winnowing): hash every ``k``-gram of tokens (the rolling
+    hash — here xxhash64 of the joined window, equivalent selection
+    behavior), then keep the MINIMUM hash of every ``window``
+    consecutive k-gram hashes.  Guarantees any shared substring of ≥
+    ``window + k - 1`` tokens contributes a common fingerprint, so
+    overlap of fingerprint sets detects partial-copy near-dups that
+    whole-document hashing misses.  Pure Catalyst array expressions;
+    output is the sorted distinct fingerprint array.
+    """
+    toks = F.split(F.lower(F.trim(col)), _WS)
+    n_grams = F.greatest(F.size(toks) - (k - 1), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(0), n_grams - 1),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, k))),
+    )
+    n_windows = F.greatest(F.size(grams) - (window - 1), F.lit(1))
+    mins = F.transform(
+        F.sequence(F.lit(0), n_windows - 1),
+        lambda i: F.array_min(F.slice(grams, i + 1, window)),
+    )
+    return F.sort_array(F.array_distinct(mins))
+
+
 def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach all text-analysis columns at once (single scan)."""
     c = F.col(text_col)

@@ -53,6 +53,37 @@ def test_text_profile_oracle(tables, duck):
     )
 
 
+def test_winnow_fingerprints_partial_copy_detection(spark):
+    from semantic_olap_spark.functions.text import winnow_fingerprints
+
+    shared = " ".join(f"common{i}" for i in range(20))
+    rows = [
+        (0, f"prefix one two three {shared} suffix alpha beta"),
+        (1, f"other opening words {shared} different ending here"),
+        (2, " ".join(f"unrel{i}" for i in range(30))),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    fps = {
+        r["doc_id"]: set(r["fp"])
+        for r in df.select(
+            "doc_id", winnow_fingerprints(F.col("text")).alias("fp")
+        ).collect()
+    }
+    # winnowing guarantee: a shared token run of >= window+k-1 tokens
+    # yields at least one common fingerprint
+    assert fps[0] & fps[1]
+    assert not (fps[0] & fps[2])
+    assert not (fps[1] & fps[2])
+    # deterministic across evaluations
+    again = {
+        r["doc_id"]: set(r["fp"])
+        for r in df.select(
+            "doc_id", winnow_fingerprints(F.col("text")).alias("fp")
+        ).collect()
+    }
+    assert fps == again
+
+
 def test_dedup_exact_oracle(tables, duck):
     df = dedup_exact(tables["documents"])
     assert_matches(

@@ -196,6 +196,28 @@ def test_stream_windowed_agg_matches_batch(spark, sf_dir, tables):
     pd.testing.assert_frame_equal(got, want, check_like=True)
 
 
+def test_sem_filter_works_on_streams(spark, sf_dir, tables):
+    # semantic operators are plain Arrow UDF transformations, so they
+    # apply to streaming frames unchanged — stream/batch parity
+    from semantic_olap_spark.operators.semantic import sem_filter
+    from semantic_olap_spark.streaming import read_events_stream
+
+    stream = read_events_stream(spark, sf_dir)
+    filtered = sem_filter(stream, ["event_type"], "error rows")
+    assert filtered.isStreaming
+    q = (
+        filtered.writeStream.format("memory")
+        .queryName("sem_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT count(*) c FROM sem_stream_test").collect()[0]["c"]
+    want = sem_filter(tables["events"], ["event_type"], "error rows").count()
+    assert got == want > 0
+
+
 def test_stream_dedup_batch_mode(spark):
     df = spark.createDataFrame(
         [(1, "a"), (1, "a"), (2, "b")], ["event_id", "v"]
