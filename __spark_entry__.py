@@ -241,6 +241,16 @@ def _q_sem_reduce_global(spark, sf_dir):
     return sem_reduce(_t(spark, sf_dir, "region"), ["r_name"], alias="names")
 
 
+def _q_sem_group_cluster(spark, sf_dir):
+    from semantic_olap_spark.operators.semantic import sem_group_cluster
+
+    return sem_group_cluster(
+        _t(spark, sf_dir, "documents"), ["text"],
+        "group by workload type, one of: scan, join, sort", "workload",
+        n_clusters=6,
+    ).select("doc_id", "workload")
+
+
 def _q_sem_topk_docs(spark, sf_dir):
     from semantic_olap_spark.operators.semantic import sem_topk
     from semantic_olap_spark.sources.loaders import with_olap_id
@@ -585,6 +595,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sem_filter_multi": _q_sem_filter_multi,
         "sem_map_topic": _q_sem_map_topic,
         "sem_group_workload": _q_sem_group_workload,
+        # cluster-then-label scale path: O(n_clusters) LLM calls —
+        # KMeans assignment is not SQL-expressible → rows-only
+        "sem_group_cluster": _q_sem_group_cluster,
         "sem_reduce_by_region": _q_sem_reduce_by_region,
         "sem_reduce_global": _q_sem_reduce_global,
         "sem_topk_docs": _q_sem_topk_docs,

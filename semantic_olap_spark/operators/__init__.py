@@ -23,6 +23,7 @@ from semantic_olap_spark.operators.semantic import (  # noqa: F401
     sem_filter,
     sem_filter_cond,
     sem_group,
+    sem_group_cluster,
     sem_group_sequential,
     sem_map,
     sem_reduce,

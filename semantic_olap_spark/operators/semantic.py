@@ -197,6 +197,83 @@ def sem_group(
     return df.withColumn(keyword, classify(*[F.col(c).cast("string") for c in cols]))
 
 
+def sem_group_cluster(
+    df: DataFrame,
+    columns: Sequence[str],
+    group_description: str,
+    keyword: str,
+    llm_factory: LLMFactory = default_llm_factory,
+    n_clusters: int = 8,
+    samples_per_cluster: int = 3,
+    num_features: int = 1 << 12,
+    seed: int = 42,
+) -> DataFrame:
+    """Cluster-then-label semantic grouping — the O(clusters) path.
+
+    The two-phase :func:`sem_group` still makes one LLM call PER ROW
+    to classify.  At 100 TB that is the cost ceiling, so this variant
+    (the design escape hatch noted in SURVEY.md §2.1 #5) moves ALL
+    inference off the per-row path:
+
+    1. hash the selected columns' tokens (HashingTF — stateless, no
+       vocabulary fit) and KMeans-cluster rows (seeded,
+       deterministic);
+    2. for each cluster, collect ≤ ``samples_per_cluster`` example
+       rows driver-side and make ONE LLM call to pick its tag;
+    3. broadcast-join the cluster→tag map back.
+
+    Total LLM calls = ``n_clusters`` regardless of table size; the
+    per-row work is JVM-side hashing + a distance argmin.  Semantic
+    fidelity is coarser than per-row classification — rows get their
+    CLUSTER's tag — which is the documented trade-off.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.feature import HashingTF, Tokenizer
+
+    cols = list(columns)
+    text = F.concat_ws(" ", *[F.col(c).cast("string") for c in cols])
+    base = df.withColumn("_sgc_text", F.lower(text))
+    tok = Tokenizer(inputCol="_sgc_text", outputCol="_sgc_toks")
+    tf = HashingTF(
+        inputCol="_sgc_toks", outputCol="_sgc_vec", numFeatures=num_features
+    )
+    feats = tf.transform(tok.transform(base))
+    model = KMeans(
+        k=n_clusters, seed=seed, featuresCol="_sgc_vec",
+        predictionCol="_sgc_cluster",
+    ).fit(feats)
+    assigned = model.transform(feats)
+
+    samples = (
+        assigned.select("_sgc_cluster", "_sgc_text")
+        .groupBy("_sgc_cluster")
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_set("_sgc_text")),
+                1, samples_per_cluster,
+            ).alias("_ex")
+        )
+        .collect()
+    )
+    llm = llm_factory()
+    mapping = []
+    for row in samples:
+        content = "\n".join(row["_ex"])
+        tags = P.vocab_of(group_description) + ["other"]
+        ans = llm.predict(
+            P.group_classify_prompt(keyword, group_description, tags, content)
+        ).strip()
+        mapping.append((int(row["_sgc_cluster"]), ans or "other"))
+    spark = df.sparkSession
+    map_df = F.broadcast(
+        spark.createDataFrame(mapping, ["_sgc_cluster", keyword])
+    )
+    return (
+        assigned.join(map_df, "_sgc_cluster", "left")
+        .drop("_sgc_cluster", "_sgc_text", "_sgc_toks", "_sgc_vec")
+    )
+
+
 def sem_group_sequential(
     df: DataFrame,
     columns: Sequence[str],

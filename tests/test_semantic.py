@@ -91,6 +91,29 @@ def test_sem_group_taxonomy_reuse(tables):
     assert got <= {"spark", "other"}
 
 
+def test_sem_group_cluster_scale_path(tables):
+    from semantic_olap_spark.operators.semantic import sem_group_cluster
+
+    out = sem_group_cluster(
+        tables["documents"], ["text"],
+        "group by workload type, one of: scan, join, sort", "workload",
+        n_clusters=6,
+    )
+    # original schema preserved + the new label column
+    assert set(out.columns) == set(tables["documents"].columns) | {"workload"}
+    labels = {r["workload"] for r in out.select("workload").distinct().collect()}
+    assert labels <= {"scan", "join", "sort", "other"}
+    # deterministic under the fixed seed
+    again = sem_group_cluster(
+        tables["documents"], ["text"],
+        "group by workload type, one of: scan, join, sort", "workload",
+        n_clusters=6,
+    )
+    a = {r["doc_id"]: r["workload"] for r in out.collect()}
+    b = {r["doc_id"]: r["workload"] for r in again.collect()}
+    assert a == b
+
+
 def test_sem_group_sequential_parity_small(spark):
     # online minting: first row mints its first significant token
     df = spark.createDataFrame(
