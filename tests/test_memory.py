@@ -38,6 +38,26 @@ def test_subset_descent_with_classifier(tables):
     assert [n.id for n in deepest] == [b.id]
 
 
+def test_contain_does_not_reuse_narrower_node(tables):
+    # a BROADER query (Contain) must not delta-filter from a narrower
+    # node — it re-filters from the root, whose rows are a superset
+    def classify(new_q, node_q):
+        if node_q.startswith(new_q) and new_q != node_q:
+            return "Contain"
+        return "No_relation"
+
+    mem = CubeMemory(tables["documents"], classify=classify)
+    narrow = mem.add_node(
+        "spark window",
+        mem.nodes[mem.root_id].df.filter(F.col("text").contains("window")),
+        [], [mem.root_id],
+    )
+    node, deepest = mem.get_current_node("spark")
+    assert node is None
+    assert [n.id for n in deepest] == [mem.root_id]
+    assert narrow.id not in [n.id for n in deepest]
+
+
 def test_no_hits_returns_root(tables):
     mem = CubeMemory(tables["documents"])
     node, deepest = mem.get_current_node("unrelated query")
