@@ -572,6 +572,71 @@ def _q_roll_up_events(spark, sf_dir):
     return out.select("event_type", "count_of_event_type")
 
 
+def _q_sem_filter_negated(spark, sf_dir):
+    from semantic_olap_spark.operators.semantic import sem_filter
+
+    # retain_if=False keeps rows judged *No* — the reference's
+    # filter_LLM(..., retain_if=False) (Operaters.py:45,71-77)
+    return sem_filter(
+        _t(spark, sf_dir, "documents"), ["text"], "rows about spark",
+        retain_if=False,
+    )
+
+
+def _q_drill_down_topic(spark, sf_dir):
+    from semantic_olap_spark.plans.memory import CubeMemory
+    from semantic_olap_spark.plans.rollup import drill_down
+    from semantic_olap_spark.sources.loaders import with_olap_id
+
+    docs = with_olap_id(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"),
+        order_by=["doc_id"],
+    )
+    mem = CubeMemory(docs)
+    _, out = drill_down(
+        mem, mem.root_id, "topic",
+        "dominant topic, one of: vector, stream, window",
+    )
+    return out.select("doc_id", "topic")
+
+
+def _q_topk_dispatch_num(spark, sf_dir):
+    from semantic_olap_spark.plans.planner import topk_dispatch, understand_topk
+
+    # full dispatch path (OLAP_Agent.py:437-476): intent detection →
+    # numeric-column check → num_topk
+    orders = _t(spark, sf_dir, "orders")
+    params = understand_topk("top 10 orders by o_totalprice", orders.columns)
+    return topk_dispatch(orders, params)
+
+
+def _q_dimension_catalog(spark, sf_dir):
+    from semantic_olap_spark.plans.memory import CubeMemory
+    from semantic_olap_spark.sources.loaders import OLAP_ID, with_olap_id
+
+    # get_dimension / get_granularity (engine.py ReAct observations):
+    # the catalog listing those verbs read, one row per dimension
+    ev = with_olap_id(_t(spark, sf_dir, "events"), order_by=["event_id"])
+    mem = CubeMemory(ev)
+    node = mem.nodes[mem.root_id]
+    mem.register_granularity(
+        node.id, "event_type", "event_type",
+        node.df.select(OLAP_ID, "event_type"), description="root",
+    )
+    mem.register_granularity(
+        node.id, "event_type", "evt_class",
+        node.df.select(OLAP_ID, F.col("event_type").alias("evt_class")),
+        description="coarser rollup",
+    )
+    rows = [
+        (c, "; ".join(node.col_views[c].names()) if c in node.col_views else "")
+        for c in sorted(node.dimensions())
+    ]
+    return spark.createDataFrame(
+        rows, "dimension string, granularities string"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 + M7."""
     return {
@@ -636,6 +701,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nl_filter_pipeline": _q_nl_filter_pipeline,
         "roll_up_events": _q_roll_up_events,
         "engine_lifecycle": _q_engine_lifecycle,
+        "sem_filter_negated": _q_sem_filter_negated,
+        "drill_down_topic": _q_drill_down_topic,
+        "topk_dispatch_num": _q_topk_dispatch_num,
+        "dimension_catalog": _q_dimension_catalog,
     }
 
 
@@ -1031,5 +1100,29 @@ def oracle_sql() -> dict[str, str]:
             WHERE contains(lower(text), 'mentions')
                OR contains(lower(text), 'spark')
                OR contains(lower(text), 'text')
+        """,
+        "sem_filter_negated":
+            "SELECT * FROM documents WHERE NOT contains(lower(text), 'spark')",
+        # drill_down = sem_map over all node columns; doc_id digits
+        # can't contain the vocabulary words, so only text decides
+        "drill_down_topic": """
+            SELECT doc_id,
+                   CASE WHEN contains(lower(text), 'vector') THEN 'vector'
+                        WHEN contains(lower(text), 'stream') THEN 'stream'
+                        WHEN contains(lower(text), 'window') THEN 'window'
+                        ELSE 'NA' END AS topic
+            FROM documents
+        """,
+        "topk_dispatch_num":
+            "SELECT * FROM orders ORDER BY o_totalprice DESC LIMIT 10",
+        "dimension_catalog": """
+            SELECT * FROM (VALUES
+                ('event_id', ''),
+                ('event_type', 'event_type; evt_class'),
+                ('props', ''),
+                ('ts', ''),
+                ('user_id', ''),
+                ('value', '')
+            ) AS t(dimension, granularities)
         """,
     }

@@ -56,6 +56,7 @@ class OlapEngine:
         llm_factory: LLMFactory = default_llm_factory,
         classify=None,
         order_by: list[str] | None = None,
+        max_cached_nodes: int | None = 16,
     ):
         from semantic_olap_spark.plans.memory import llm_relation_classifier
 
@@ -66,7 +67,8 @@ class OlapEngine:
         # (OLAP_Memory.py:160-187) — Equal reuses a node outright,
         # Subset seeds incremental delta filtering
         self.memory = CubeMemory(
-            df, classify=classify or llm_relation_classifier(llm_factory)
+            df, classify=classify or llm_relation_classifier(llm_factory),
+            max_cached_nodes=max_cached_nodes,
         )
 
     # -- lifecycle pieces -------------------------------------------------

@@ -68,12 +68,19 @@ def sem_filter_cond(
     columns: Sequence[str],
     condition: str,
     llm_factory: LLMFactory = default_llm_factory,
+    retain_if: bool = True,
 ) -> Column:
     """Boolean Column judging an NL condition per row via the LLM.
 
     Yes/No row judge semantics of ``filter_LLM``
     (Operaters.py:54-67): row content is the selected columns as
     ``col: value`` lines; any non-"Yes" answer is False.
+
+    ``retain_if=False`` inverts the judgment — rows judged *No* are
+    kept (the reference's ``filter_LLM(..., retain_if=False)``,
+    Operaters.py:45,71-77).  The UDF itself never returns null, so
+    the negation stays two-valued and composes cleanly inside the
+    staged Kleene executor.
     """
     cols = list(columns)
     state: dict = {}
@@ -88,7 +95,8 @@ def sem_filter_cond(
         ans = llm.predict_batch(prompts)
         return pd.Series([a.strip().lower().startswith("y") for a in ans])
 
-    return judge(*[F.col(c).cast("string") for c in cols])
+    cond = judge(*[F.col(c).cast("string") for c in cols])
+    return cond if retain_if else ~cond
 
 
 def sem_filter(
@@ -96,8 +104,9 @@ def sem_filter(
     columns: Sequence[str],
     condition: str,
     llm_factory: LLMFactory = default_llm_factory,
+    retain_if: bool = True,
 ) -> DataFrame:
-    return df.filter(sem_filter_cond(columns, condition, llm_factory))
+    return df.filter(sem_filter_cond(columns, condition, llm_factory, retain_if))
 
 
 # ---- sem_map (Operaters.py:318-350; catalog baseline_LLM_direct.py:43-53)

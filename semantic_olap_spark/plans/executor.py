@@ -93,7 +93,10 @@ def _build_cond(
             return det._num_pred(p["conditions"], p.get("logic", "and"))
         return det.num_filter_cond(p["conditions"], p.get("logic", "and"))
     if name in ("sem_filter", "filter_LLM"):
-        return sem.sem_filter_cond(p["columns"], p["condition"], llm_factory)
+        return sem.sem_filter_cond(
+            p["columns"], p["condition"], llm_factory,
+            retain_if=bool(p.get("retain_if", True)),
+        )
     if name in ("filter_pattern", "pattern_based"):
         return sem.filter_pattern_cond(
             df, p.get("column") or p.get("field"), p["condition"], llm_factory

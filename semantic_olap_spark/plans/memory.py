@@ -154,18 +154,69 @@ class CubeNode:
 
 
 class CubeMemory:
-    """The lattice (OLAP_Memory, OLAP_Memory.py:137-187)."""
+    """The lattice (OLAP_Memory, OLAP_Memory.py:137-187).
+
+    ``max_cached_nodes`` bounds how many non-root nodes may hold a
+    *cached* frame at once: past the budget the least-recently-used
+    node that is neither the root nor an ancestor of the most recent
+    node is released (``unpersist`` only — metadata and lineage stay,
+    so revisiting an evicted node recomputes the filter correctly).
+    Long sessions therefore don't accumulate persisted frames in
+    executor memory (SCALE.md "Known trade-offs").
+    """
 
     def __init__(
         self,
         root_df: DataFrame,
         classify: Callable[[str, str], Relation] | None = None,
+        max_cached_nodes: int | None = None,
     ):
         self.nodes: dict[int, CubeNode] = {}
         self.classify = classify
+        self.max_cached_nodes = max_cached_nodes
+        self._lru: list[int] = []
         root = CubeNode("All Data", root_df, plan=[])
         self.root_id = root.id
         self.nodes[root.id] = root
+
+    # -- cache budget ----------------------------------------------------
+
+    def _ancestors(self, node_id: int) -> set[int]:
+        seen: set[int] = set()
+        stack = [node_id]
+        while stack:
+            for p in self.nodes[stack.pop()].parents:
+                if p not in seen:
+                    seen.add(p)
+                    stack.append(p)
+        return seen
+
+    def touch(self, node_id: int) -> None:
+        """Record use of a node; evict past the cache budget."""
+        if node_id in self._lru:
+            self._lru.remove(node_id)
+        self._lru.append(node_id)
+        self._evict()
+
+    def _evict(self) -> None:
+        if self.max_cached_nodes is None:
+            return
+        protected = {self.root_id}
+        if self._lru:
+            recent = self._lru[-1]
+            protected |= {recent} | self._ancestors(recent)
+        cached = [
+            nid for nid in self._lru
+            if nid != self.root_id and self.nodes[nid].df.is_cached
+        ]
+        overflow = len(cached) - self.max_cached_nodes
+        for nid in list(self._lru):
+            if overflow <= 0:
+                break
+            if nid in protected or not self.nodes[nid].df.is_cached:
+                continue
+            self.nodes[nid].release()
+            overflow -= 1
 
     # -- lattice ---------------------------------------------------------
 
@@ -176,6 +227,7 @@ class CubeMemory:
         self.nodes[node.id] = node
         for pid in parent_ids:
             self.add_edge(pid, node.id)
+        self.touch(node.id)
         return node
 
     def add_edge(self, parent: int, child: int) -> None:
@@ -209,6 +261,7 @@ class CubeMemory:
                 node = self.nodes[nid]
                 rel = self.relation(query, node)
                 if rel == "Equal":
+                    self.touch(node.id)
                     return node, []
                 if rel == "Subset" or nid == self.root_id:
                     subset_hits.append(node)

@@ -280,7 +280,16 @@ def drill_down(
         "parameters": {"columns": [], "map_description": description,
                        "keyword": dimension_name},
     }
-    node.df = new_df
+    # swap the node's frame without stranding the old cached lineage:
+    # CubeNode.__init__ cached the previous frame; repeated drill_downs
+    # in a session would otherwise accumulate stale cached frames in
+    # executor memory.  Unpersist the replaced frame, cache the new one.
+    old_df = node.df
+    node.df = new_df.cache()
+    try:
+        old_df.unpersist()
+    except Exception:
+        pass
     dim = node.dimension(dimension_name)
     dim.add(
         GranularityView(

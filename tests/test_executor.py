@@ -167,3 +167,28 @@ def test_slice_cascade_subset_property(tables):
     full_ids = {r["doc_id"] for r in full.select("doc_id").collect()}
     casc_ids = {r["doc_id"] for r in cascaded.select("doc_id").collect()}
     assert casc_ids <= full_ids
+
+
+def test_run_filter_mixed_negated_and_positive_llm_leaves(tables, duck):
+    # staged Kleene evaluation with a negated LLM leaf AND a positive
+    # one: the negation must survive the stage-by-stage split/union
+    ops = [
+        {"id": 1, "operator_name": "num_filter",
+         "parameters": {"conditions": [
+             {"column": "n_chars", "threshold": 150, "operator": ">"}]}},
+        {"id": 2, "operator_name": "sem_filter",
+         "parameters": {"columns": ["text"], "condition": "rows about spark",
+                        "retain_if": False}},
+        {"id": 3, "operator_name": "sem_filter",
+         "parameters": {"columns": ["text"], "condition": "mentions window"}},
+    ]
+    out = run_filter(tables["documents"], ops, ["AND", 1, ["OR", 2, 3]])
+    assert_matches(
+        out, duck,
+        """
+        SELECT * FROM documents
+        WHERE n_chars > 150
+          AND (NOT contains(lower(text), 'spark')
+               OR contains(lower(text), 'window'))
+        """,
+    )

@@ -89,3 +89,50 @@ def test_lattice_edges(tables):
     assert n2.id in mem.nodes[n1.id].children
     assert n1.id in mem.nodes[n2.id].parents
     assert n1.id in mem.nodes[mem.root_id].children
+
+
+def test_drill_down_replaces_cached_frame(tables):
+    from semantic_olap_spark.plans.rollup import drill_down
+
+    mem = CubeMemory(tables["documents"].select("doc_id", "text"))
+    node = mem.nodes[mem.root_id]
+    node.df.count()  # materialize the initial cache
+    first = node.df
+    _, df1 = drill_down(
+        mem, node.id, "topic",
+        "dominant topic, one of: vector, stream, window",
+    )
+    # the replaced frame is unpersisted, the new one is cached
+    assert not first.is_cached
+    assert node.df.is_cached
+    second = node.df
+    _, df2 = drill_down(
+        mem, node.id, "workload",
+        "group by workload type, one of: scan, join, sort",
+    )
+    assert not second.is_cached  # no stale cached lineage piles up
+    assert node.df.is_cached
+    assert "topic" in df2.columns and "workload" in df2.columns
+
+
+def test_lru_eviction_past_budget_and_revisit(tables):
+    mem = CubeMemory(tables["documents"], max_cached_nodes=1)
+    root = mem.nodes[mem.root_id]
+    a = mem.add_node(
+        "spark docs", root.df.filter(F.col("text").contains("spark")),
+        [], [mem.root_id],
+    )
+    a_rows = a.df.count()
+    b = mem.add_node(
+        "window docs", root.df.filter(F.col("text").contains("window")),
+        [], [mem.root_id],
+    )
+    b.df.count()
+    # budget 1: adding b evicted a (LRU, non-ancestor); root protected
+    assert not a.df.is_cached
+    assert b.df.is_cached
+    assert root.df.is_cached
+    # revisit of the evicted node recomputes the same rows (Equal hit)
+    node, _ = mem.get_current_node("spark docs")
+    assert node is a
+    assert node.df.count() == a_rows

@@ -231,3 +231,24 @@ def test_sem_filter_pushdown_composes(tables):
     df = sem_filter(tables["documents"], ["text"], "spark").select("doc_id")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" in plan  # semantic op runs as Arrow UDF
+
+
+def test_sem_filter_retain_if_false(tables, duck):
+    # reference filter_LLM(..., retain_if=False) keeps rows judged No
+    # (Operaters.py:45,71-77)
+    df = sem_filter(
+        tables["documents"], ["text"], "rows about spark", retain_if=False
+    )
+    assert_matches(
+        df, duck,
+        "SELECT * FROM documents WHERE NOT contains(lower(text), 'spark')",
+    )
+
+
+def test_sem_filter_retain_if_partitions_table(tables):
+    total = tables["documents"].count()
+    kept = sem_filter(tables["documents"], ["text"], "rows about spark").count()
+    dropped = sem_filter(
+        tables["documents"], ["text"], "rows about spark", retain_if=False
+    ).count()
+    assert kept + dropped == total
