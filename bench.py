@@ -52,6 +52,11 @@ HEADLINE = [
     "jaccard_pairs",
     "cosine_topk",
     "ivf_topk",
+    # assign-once / probe-many ANN: index built in warmup (the
+    # amortized cost), probe timed — contrast with ivf_topk above,
+    # which re-assigns the corpus per query
+    "ivf_probe_indexed",
+    "lsh_probe_indexed",
     "minhash_lsh_pairs",
     "simhash_pairs",
 ]
@@ -91,6 +96,36 @@ def main() -> None:
     qs = dict(qs)
     qs["simhash_pairs"] = lambda spark_, sf_: simhash_pairs(
         tables["documents"], max_distance=3
+    )
+    # persisted ANN indexes (warmup = the one-time assign+write cost;
+    # the timed rows below measure the repeated-query probe path)
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from semantic_olap_spark.functions.similarity import (
+        ivf_assign,
+        ivf_topk,
+        lsh_assign,
+        lsh_topk,
+        train_ivf_centroids,
+        write_ann_index,
+    )
+
+    emb = tables["embeddings"]
+    qvec = (
+        emb.filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").cast("array<double>"))
+        .collect()[0][0]
+    )
+    idx_dir = tempfile.mkdtemp(prefix="annidx_")
+    cent = train_ivf_centroids(emb, n_centroids=8)
+    ivf_idx = write_ann_index(ivf_assign(emb, cent), f"{idx_dir}/ivf", "_ivf")
+    lsh_idx = write_ann_index(lsh_assign(emb, nbits=4), f"{idx_dir}/lsh", "_bkt")
+    qs["ivf_probe_indexed"] = lambda spark_, sf_: ivf_topk(
+        emb, qvec, k=10, centroids=cent, nprobe=3, index_df=ivf_idx
+    )
+    qs["lsh_probe_indexed"] = lambda spark_, sf_: lsh_topk(
+        emb, qvec, k=10, nbits=4, index_df=lsh_idx
     )
     timings: dict[str, float] = {}
     for name in HEADLINE:

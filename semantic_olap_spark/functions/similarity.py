@@ -41,9 +41,12 @@ from pyspark.sql.types import IntegerType
 __all__ = [
     "cosine_pairs",
     "cosine_topk",
+    "ivf_assign",
     "ivf_topk",
+    "lsh_assign",
     "lsh_topk",
     "train_ivf_centroids",
+    "write_ann_index",
 ]
 
 
@@ -167,37 +170,63 @@ def _hyperplanes(dim: int, nbits: int, seed: int) -> np.ndarray:
     return rng.standard_normal((nbits, dim))
 
 
-def _bucket_udf(planes: np.ndarray):
+def lsh_assign(
+    df: DataFrame,
+    nbits: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    bucket_col: str = "_bkt",
+) -> DataFrame:
+    """Attach ``bucket_col`` = sign-bit LSH signature (Arrow pass).
+
+    The hyperplanes are derived deterministically from ``(seed,
+    vector dim)`` inside the UDF, so query-side signatures computed
+    with the same seed land in the same buckets — no driver-side
+    state to ship.  This is the persisted-index counterpart of
+    :func:`ivf_assign`: materialize once (``write_ann_index``), then
+    every probe is a bucket-pruned scan instead of a fresh UDF pass
+    over the whole corpus.
+    """
+    state: dict = {}
+
     @F.pandas_udf(IntegerType())
     def bucket(vecs: pd.Series) -> pd.Series:
         mat = np.stack(vecs.to_numpy())  # (batch, dim)
+        planes = state.get("p")
+        if planes is None:
+            planes = state["p"] = _hyperplanes(mat.shape[1], nbits, seed)
         bits = (mat @ planes.T) > 0  # (batch, nbits)
-        weights = (1 << np.arange(planes.shape[0])).astype(np.int64)
+        weights = (1 << np.arange(nbits)).astype(np.int64)
         return pd.Series((bits @ weights).astype("int32"))
 
-    return bucket
+    return df.withColumn(bucket_col, bucket(_as_double(vec_col)))
 
 
-def lsh_topk(
+def write_ann_index(
     df: DataFrame,
-    query_vec: Sequence[float],
-    k: int = 10,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    nbits: int = 8,
-    seed: int = 42,
-    multiprobe: int = 1,
-    round_to: int = 6,
+    path: str,
+    bucket_col: str,
+    mode: str = "overwrite",
 ) -> DataFrame:
-    """Approximate cosine top-k via random-hyperplane LSH.
+    """Materialize an assigned corpus partitioned by its bucket column.
 
-    Corpus vectors are bucketed by an ``nbits`` sign-bit signature
-    (one Arrow batch pass); only buckets within Hamming ≤
-    ``multiprobe`` of the query's signature are exact-ranked.
-    Expected candidate fraction ≈ (1 + nbits·multiprobe)/2^nbits of
-    the corpus.  Same output schema as :func:`cosine_topk`; recall
-    < 1 by construction (documented approximation).
+    ``df`` must already carry ``bucket_col`` (from :func:`lsh_assign`
+    or :func:`ivf_assign`).  Writing ``partitionBy(bucket_col)`` makes
+    every subsequent probe a *partition-pruned* scan — at 100 TB the
+    probe reads only the matching bucket directories, never the full
+    corpus, and the assignment UDF never re-runs.  Returns the
+    read-back DataFrame to probe against.
     """
+    df.write.mode(mode).partitionBy(bucket_col).parquet(path)
+    out = df.sparkSession.read.parquet(path)
+    # partition-column values come back via partition discovery;
+    # normalize to int so .isin pruning matches the assign dtype
+    return out.withColumn(bucket_col, F.col(bucket_col).cast("int"))
+
+
+def _lsh_probe_buckets(
+    query_vec: Sequence[float], nbits: int, seed: int, multiprobe: int
+) -> list[int]:
     import itertools
 
     q = np.asarray([float(x) for x in query_vec])
@@ -212,10 +241,45 @@ def lsh_topk(
             for b in flips:
                 sig ^= 1 << b
             probes.add(sig)
-    bucket = _bucket_udf(planes)
-    cand = df.withColumn("_bkt", bucket(_as_double(vec_col))).filter(
-        F.col("_bkt").isin([int(p) for p in probes])
-    )
+    return [int(p) for p in probes]
+
+
+def lsh_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nbits: int = 8,
+    seed: int = 42,
+    multiprobe: int = 1,
+    round_to: int = 6,
+    index_df: DataFrame | None = None,
+    bucket_col: str = "_bkt",
+) -> DataFrame:
+    """Approximate cosine top-k via random-hyperplane LSH.
+
+    Corpus vectors are bucketed by an ``nbits`` sign-bit signature
+    (one Arrow batch pass); only buckets within Hamming ≤
+    ``multiprobe`` of the query's signature are exact-ranked.
+    Expected candidate fraction ≈ (1 + nbits·multiprobe)/2^nbits of
+    the corpus.  Same output schema as :func:`cosine_topk`; recall
+    < 1 by construction (documented approximation).
+
+    ``index_df``: a corpus already carrying ``bucket_col`` (from
+    :func:`lsh_assign`, ideally persisted via :func:`write_ann_index`
+    with the SAME nbits/seed) — the probe then filters the existing
+    assignment instead of re-running the bucket UDF over the corpus,
+    and against a partitioned index the scan prunes to the probed
+    buckets only.
+    """
+    probes = _lsh_probe_buckets(query_vec, nbits, seed, multiprobe)
+    if index_df is not None:
+        cand = index_df.filter(F.col(bucket_col).isin(probes))
+    else:
+        cand = lsh_assign(df, nbits, seed, vec_col, bucket_col).filter(
+            F.col(bucket_col).isin(probes)
+        )
     return cosine_topk(cand, query_vec, k, id_col, vec_col, round_to)
 
 
@@ -281,6 +345,8 @@ def ivf_topk(
     centroids: np.ndarray | None = None,
     seed: int = 42,
     round_to: int = 6,
+    index_df: DataFrame | None = None,
+    bucket_col: str = "_ivf",
 ) -> DataFrame:
     """Approximate cosine top-k via IVF coarse quantization.
 
@@ -288,7 +354,16 @@ def ivf_topk(
     exact-ranks only vectors in the ``nprobe`` centroids nearest the
     query — scanning ~nprobe/n_centroids of the corpus.  Same output
     schema as :func:`cosine_topk`.
+
+    ``index_df``: a corpus already carrying ``bucket_col`` (from
+    :func:`ivf_assign` with the SAME centroids, ideally persisted via
+    :func:`write_ann_index`) — repeated queries then skip the
+    assignment UDF entirely; against a partitioned index each probe
+    is a partition-pruned scan.  ``centroids`` must be supplied
+    alongside ``index_df`` (they define the probe order).
     """
+    if index_df is not None and centroids is None:
+        raise ValueError("index_df requires the centroids it was built with")
     if centroids is None:
         centroids = train_ivf_centroids(
             df, vec_col, n_centroids=n_centroids, seed=seed
@@ -296,5 +371,10 @@ def ivf_topk(
     q = np.asarray([float(x) for x in query_vec])
     d = ((centroids - q[None, :]) ** 2).sum(-1)
     probes = [int(i) for i in d.argsort()[:nprobe]]
-    cand = ivf_assign(df, centroids, vec_col).filter(F.col("_ivf").isin(probes))
+    if index_df is not None:
+        cand = index_df.filter(F.col(bucket_col).isin(probes))
+    else:
+        cand = ivf_assign(df, centroids, vec_col).filter(
+            F.col(bucket_col).isin(probes)
+        )
     return cosine_topk(cand, query_vec, k, id_col, vec_col, round_to)
