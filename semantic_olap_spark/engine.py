@@ -57,11 +57,22 @@ class OlapEngine:
         classify=None,
         order_by: list[str] | None = None,
         max_cached_nodes: int | None = 16,
+        track_costs: bool = False,
     ):
         from semantic_olap_spark.plans.memory import llm_relation_classifier
 
         if OLAP_ID not in df.columns:
             df = with_olap_id(df, order_by=order_by)
+        self.cost_stats = None
+        if track_costs:
+            # accumulator-backed counting: executor-side UDF calls
+            # flow back to the driver on task completion.  Snapshot
+            # AFTER materializing a result (client.py LLMCostStats).
+            from semantic_olap_spark.llm.client import wrap_cost_tracking
+
+            llm_factory, self.cost_stats = wrap_cost_tracking(
+                df.sparkSession, llm_factory
+            )
         self.llm_factory = llm_factory
         # default: the reference's LLM relation judgment
         # (OLAP_Memory.py:160-187) — Equal reuses a node outright,
@@ -154,6 +165,25 @@ class OlapEngine:
                 f"observation: {observation}\n"
             )
         return df_now
+
+    def statistics(self) -> dict:
+        """Cost + session counters (palimpzest_agent.py:434-451 analog).
+
+        ``llm_requests`` / ``llm_backend_calls`` / ``cache_hit_rate``
+        require ``track_costs=True`` and reflect work whose Spark
+        tasks have completed — materialize the query first.
+        """
+        out = {
+            "cube_nodes": len(self.memory.nodes),
+            "granularities": sum(
+                len(cv.granularities)
+                for n in self.memory.nodes.values()
+                for cv in n.col_views.values()
+            ),
+        }
+        if self.cost_stats is not None:
+            out.update(self.cost_stats.snapshot())
+        return out
 
     def describe_cube(self) -> dict:
         """Lattice + dimension/granularity catalog as plain data.

@@ -397,6 +397,97 @@ class CachingLLM(BaseLLM):
         return [self.cache[p] for p in batch]
 
 
+class CountingLLM(BaseLLM):
+    """Report every prompt sent through this layer to a sink.
+
+    The sink is anything with ``add(n)`` — in distributed use a Spark
+    accumulator, the one mechanism by which counts from executor-side
+    Arrow UDF workers flow back to the driver (counters on the driver
+    object would never see them).  Place it *outside* a CachingLLM to
+    count requests, *inside* to count actual backend calls (cache
+    misses) — the number a semantic-OLAP user tunes against.
+    """
+
+    def __init__(self, inner: LLM, sink):
+        self.inner = inner
+        self.sink = sink
+
+    def predict(self, prompt: str) -> str:
+        self.sink.add(1)
+        return self.inner.predict(prompt)
+
+    def predict_batch(self, batch: list[str]) -> list[str]:
+        self.sink.add(len(batch))
+        return self.inner.predict_batch(batch)
+
+
+class LLMCostStats:
+    """Driver-side view of a tracked factory's accumulators.
+
+    The palimpzest-baseline analog of per-run cost reporting
+    (Semantic-OLAP/baselines/palimpzest_agent.py:434-451): total
+    requests, actual backend calls, and the cache hit rate.
+    Accumulator values update when Spark tasks complete, so read a
+    snapshot AFTER materializing the query (count/collect/write).
+    """
+
+    def __init__(self, requests, backend_calls):
+        self._requests = requests
+        self._backend_calls = backend_calls
+
+    @property
+    def requests(self) -> int:
+        return int(self._requests.value)
+
+    @property
+    def backend_calls(self) -> int:
+        return int(self._backend_calls.value)
+
+    @property
+    def cache_hit_rate(self) -> float:
+        r = self.requests
+        return 1.0 - self.backend_calls / r if r else 0.0
+
+    def snapshot(self) -> dict:
+        return {
+            "llm_requests": self.requests,
+            "llm_backend_calls": self.backend_calls,
+            "cache_hit_rate": round(self.cache_hit_rate, 4),
+        }
+
+
+class _FanoutSink:
+    """add(n) to several sinks (uncached client: request = backend call)."""
+
+    def __init__(self, *sinks):
+        self.sinks = sinks
+
+    def add(self, n: int) -> None:
+        for s in self.sinks:
+            s.add(n)
+
+
+def wrap_cost_tracking(spark, factory: "LLMFactory"):
+    """(tracked_factory, LLMCostStats) around any LLM factory.
+
+    If the factory's product is a CachingLLM, backend counting is
+    interposed between the cache and the backend so only misses
+    count; otherwise every request is a backend call.
+    """
+    sc = spark.sparkContext
+    requests = sc.accumulator(0)
+    backend_calls = sc.accumulator(0)
+
+    def tracked() -> LLM:
+        llm = factory()
+        if isinstance(llm, CachingLLM):
+            llm.inner = CountingLLM(llm.inner, backend_calls)
+            return CountingLLM(llm, requests)
+        return CountingLLM(llm, _FanoutSink(requests, backend_calls))
+
+    return tracked, LLMCostStats(requests, backend_calls)
+
+
 def default_llm_factory() -> LLM:
     """Picklable factory used when an operator gets no ``llm_factory``."""
     return CachingLLM(StubLLM())
