@@ -1,6 +1,10 @@
 from semantic_olap_spark.llm.client import (  # noqa: F401
     LLM,
     CachingLLM,
+    ConcurrentLLM,
+    CountingLLM,
+    LLMCostStats,
     StubLLM,
     default_llm_factory,
+    wrap_cost_tracking,
 )

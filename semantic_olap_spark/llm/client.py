@@ -397,6 +397,52 @@ class CachingLLM(BaseLLM):
         return [self.cache[p] for p in batch]
 
 
+class ConcurrentLLM(BaseLLM):
+    """Fan ``predict_batch`` out across a thread pool.
+
+    The deterministic stub loops a batch sequentially — fine for
+    microsecond rules, catastrophic for a real inference endpoint
+    whose per-prompt latency is network-bound.  This wrapper delivers
+    the SURVEY §4 physical-layer promise: an Arrow batch of prompts
+    runs ``min(len(batch), max_workers)`` calls concurrently while
+    preserving batch order.
+
+    ``inner.predict`` must be reentrant (true of HTTP clients and the
+    stateless stub).  The pool is created lazily and dropped on
+    pickle, so factories can close over a ConcurrentLLM-producing
+    recipe and each executor worker builds its own pool.
+
+    Composition order: ``CachingLLM(ConcurrentLLM(backend))`` — the
+    cache dedups first, the pool fans out only the misses.
+    """
+
+    def __init__(self, inner: LLM, max_workers: int = 8):
+        self.inner = inner
+        self.max_workers = max_workers
+        self._pool = None
+
+    def _ensure_pool(self):
+        if self._pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(max_workers=self.max_workers)
+        return self._pool
+
+    def __getstate__(self):
+        state = dict(self.__dict__)
+        state["_pool"] = None
+        return state
+
+    def predict(self, prompt: str) -> str:
+        return self.inner.predict(prompt)
+
+    def predict_batch(self, batch: list[str]) -> list[str]:
+        if len(batch) <= 1:
+            return [self.inner.predict(p) for p in batch]
+        pool = self._ensure_pool()
+        return list(pool.map(self.inner.predict, batch))
+
+
 class CountingLLM(BaseLLM):
     """Report every prompt sent through this layer to a sink.
 

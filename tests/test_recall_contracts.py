@@ -1,0 +1,103 @@
+"""Explicit recall contracts for the approximate operators.
+
+These are the substitute evidence for the driver's rows-only queries
+(minhash_lsh_pairs, lsh_topk, ivf_topk have no SQL oracle by
+construction — VERDICT r2 item 9): parameterized floors measured at
+sf0.001 with safety margin, across several queries and seeds.
+
+Documented floors (observed minima in parentheses):
+
+- minhash_lsh_pairs @ shingle_n=1 vs exact token-jaccard:
+  recall ≥ 0.95 at J≥0.7 and J≥0.8          (observed 0.999 / 1.0)
+- lsh_topk nbits=4: recall@10 ≥ 0.2/query,  (observed 0.3)
+  mean over 5 queries ≥ 0.4                  (observed 0.48 / 0.60)
+- ivf_topk 8 centroids nprobe=3: ≥ 0.5/query (observed 0.6),
+  mean ≥ 0.6                                 (observed 0.74 / 0.70)
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from semantic_olap_spark.functions.dedup import jaccard_pairs, minhash_lsh_pairs
+from semantic_olap_spark.functions.similarity import (
+    cosine_topk,
+    ivf_topk,
+    lsh_topk,
+    train_ivf_centroids,
+)
+
+QUERY_IDS = (0, 3, 7, 11, 19)
+SEEDS = (42, 7)
+
+
+def _qvec(emb, vid):
+    return (
+        emb.filter(F.col("vec_id") == vid)
+        .select(F.col("embedding").cast("array<double>"))
+        .collect()[0][0]
+    )
+
+
+def _topk_recall(approx_df, exact_ids):
+    return len({r["vec_id"] for r in approx_df.collect()} & exact_ids) / len(
+        exact_ids
+    )
+
+
+@pytest.mark.parametrize("threshold", [0.7, 0.8])
+def test_minhash_recall_floor_vs_exact_jaccard(tables, threshold):
+    docs = tables["documents"]
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_pairs(docs, threshold=threshold).collect()
+    }
+    assert exact, "fixture must produce exact pairs for the floor to bind"
+    found = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(
+            docs, shingle_n=1, threshold=threshold
+        ).collect()
+    }
+    recall = len(found & exact) / len(exact)
+    assert recall >= 0.95, f"minhash recall {recall:.3f} < 0.95 at J>={threshold}"
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_lsh_topk_recall_floors(tables, seed):
+    emb = tables["embeddings"]
+    recalls = []
+    for vid in QUERY_IDS:
+        q = _qvec(emb, vid)
+        exact = {r["vec_id"] for r in cosine_topk(emb, q, k=10).collect()}
+        r = _topk_recall(lsh_topk(emb, q, k=10, nbits=4, seed=seed), exact)
+        assert r >= 0.2, f"lsh recall@10 {r:.2f} < 0.2 (vid={vid}, seed={seed})"
+        recalls.append(r)
+    mean = sum(recalls) / len(recalls)
+    assert mean >= 0.4, f"lsh mean recall@10 {mean:.2f} < 0.4 (seed={seed})"
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_ivf_topk_recall_floors(tables, seed):
+    emb = tables["embeddings"]
+    cent = train_ivf_centroids(emb, n_centroids=8, seed=seed)
+    recalls = []
+    for vid in QUERY_IDS:
+        q = _qvec(emb, vid)
+        exact = {r["vec_id"] for r in cosine_topk(emb, q, k=10).collect()}
+        r = _topk_recall(
+            ivf_topk(emb, q, k=10, centroids=cent, nprobe=3), exact
+        )
+        assert r >= 0.5, f"ivf recall@10 {r:.2f} < 0.5 (vid={vid}, seed={seed})"
+        recalls.append(r)
+    mean = sum(recalls) / len(recalls)
+    assert mean >= 0.6, f"ivf mean recall@10 {mean:.2f} < 0.6 (seed={seed})"
+
+
+def test_ivf_nprobe_all_centroids_is_exact(tables):
+    # boundary of the contract: probing every centroid = brute force
+    emb = tables["embeddings"]
+    cent = train_ivf_centroids(emb, n_centroids=8)
+    q = _qvec(emb, 0)
+    exact = {r["vec_id"] for r in cosine_topk(emb, q, k=10).collect()}
+    full = ivf_topk(emb, q, k=10, centroids=cent, nprobe=8)
+    assert {r["vec_id"] for r in full.collect()} == exact

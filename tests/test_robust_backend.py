@@ -83,3 +83,71 @@ def test_engine_lifecycle_with_fenced_backend(tables):
     got = {(r["lang_family"], r["count_of_lang_family"]) for r in out.collect()}
     want = {(r["lang_family"], r["count_of_lang_family"]) for r in plain.collect()}
     assert got == want
+
+
+def test_concurrent_batch_speedup_and_parity():
+    import time
+
+    from semantic_olap_spark.llm.client import ConcurrentLLM, StubLLM
+
+    class SlowBackend(StubLLM):
+        """Mock network-bound endpoint: fixed per-prompt latency."""
+
+        def predict(self, prompt):
+            time.sleep(0.01)
+            return super().predict(prompt)
+
+    prompts = [
+        "### task: sem_filter\nCondition: about spark\n### content:\n"
+        + ("spark row" if i % 2 else "scan row") + str(i)
+        for i in range(64)
+    ]
+    t0 = time.perf_counter()
+    seq = SlowBackend().predict_batch(prompts)
+    t_seq = time.perf_counter() - t0
+
+    conc = ConcurrentLLM(SlowBackend(), max_workers=16)
+    t0 = time.perf_counter()
+    par = conc.predict_batch(prompts)
+    t_par = time.perf_counter() - t0
+
+    assert par == seq  # order-preserving, identical answers
+    assert t_seq / t_par >= 4  # 64 prompts / 16 workers: ≥4x observed
+
+
+def test_concurrent_llm_pickles_without_pool():
+    import pickle
+
+    from semantic_olap_spark.llm.client import ConcurrentLLM, StubLLM
+
+    llm = ConcurrentLLM(StubLLM(), max_workers=4)
+    llm.predict_batch([
+        "### task: sem_filter\nCondition: x\n### content:\nabc",
+    ] * 3)
+    clone = pickle.loads(pickle.dumps(llm))
+    assert clone._pool is None
+    out = clone.predict_batch([
+        "### task: sem_filter\nCondition: x\n### content:\nx y",
+        "### task: sem_filter\nCondition: x\n### content:\nq",
+    ])
+    assert len(out) == 2
+
+
+def test_concurrent_under_cache_results_unchanged(tables):
+    from semantic_olap_spark.llm.client import (
+        CachingLLM,
+        ConcurrentLLM,
+        StubLLM,
+    )
+    from semantic_olap_spark.operators.semantic import sem_filter
+
+    def factory():
+        return CachingLLM(ConcurrentLLM(StubLLM(), max_workers=8))
+
+    base = sem_filter(tables["documents"], ["text"], "rows about spark")
+    conc = sem_filter(
+        tables["documents"], ["text"], "rows about spark", factory
+    )
+    assert sorted(r.doc_id for r in base.collect()) == sorted(
+        r.doc_id for r in conc.collect()
+    )
