@@ -59,7 +59,58 @@ HEADLINE = [
     "lsh_probe_indexed",
     "minhash_lsh_pairs",
     "simhash_pairs",
+    # skew-guard stress (VERDICT r2 item 7): synthetic corpora with a
+    # degenerate boilerplate clique.  Capped mode drops the hot
+    # buckets and stays near-linear; uncapped pays the b²/2 clique
+    # blowup the guard exists for.  The clique size at which the
+    # quadratic term dominates differs per algorithm — minhash's
+    # verify is an array intersect (expensive per pair: bites at
+    # b≈2k), simhash's is a JVM bit_count (cheap per pair: bites at
+    # b≈10k) — so each gets its own corpus
+    "minhash_stress_capped",
+    "minhash_stress_uncapped",
+    "simhash_stress_capped",
+    "simhash_stress_uncapped",
 ]
+
+
+def _stress_documents(
+    spark, n_docs: int, clique: int, variants: int = 7
+):
+    """Synthetic stress corpus: mostly-unique docs + a boilerplate clique.
+
+    Built from pure Catalyst expressions over ``spark.range`` (no
+    driver loop) and materialized to parquet so the timed dedup rows
+    measure scan + dedup, not text synthesis.  The clique models the
+    real-corpus degenerate case (shared legal boilerplate):
+    near-identical text with one of ``variants`` trailing tokens.
+    """
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    base = spark.range(n_docs).withColumnRenamed("id", "doc_id")
+    tok = [
+        F.concat(
+            F.lit("w"),
+            ((F.col("doc_id") * (31 + i) + i * i) % 5000).cast("string"),
+        )
+        for i in range(20)
+    ]
+    uniq_text = F.concat_ws(" ", *tok)
+    boiler = " ".join(
+        ["terms of service apply to all content provided herein"] * 6
+    )
+    clique_text = F.concat(
+        F.lit(boiler + " variant "), (F.col("doc_id") % variants).cast("string")
+    )
+    df = base.withColumn(
+        "text",
+        F.when(F.col("doc_id") < clique, clique_text).otherwise(uniq_text),
+    )
+    path = tempfile.mkdtemp(prefix="stressdocs_") + "/docs"
+    df.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
 
 
 def _force(df) -> None:
@@ -127,8 +178,36 @@ def main() -> None:
     qs["lsh_probe_indexed"] = lambda spark_, sf_: lsh_topk(
         emb, qvec, k=10, nbits=4, index_df=lsh_idx
     )
+    # skew stress corpora (generation + write happen here, in warmup)
+    from semantic_olap_spark.functions.dedup import minhash_lsh_pairs
+
+    # clique sizes chosen so the uncapped blowup is visible (~2x) but
+    # the rows stay bounded and low-variance per round; the quadratic
+    # cliff beyond these sizes (clique 4k: 27s, vs capped 3s) is
+    # recorded in SCALE.md "Skew-guard stress"
+    stress_mh = _stress_documents(spark, 20_000, clique=2_000, variants=1)
+    stress_mh.count()
+    stress_sh = _stress_documents(spark, 30_000, clique=6_000, variants=1)
+    stress_sh.count()
+    qs["minhash_stress_capped"] = lambda spark_, sf_: minhash_lsh_pairs(
+        stress_mh, threshold=0.5, max_bucket_size=500
+    )
+    qs["minhash_stress_uncapped"] = lambda spark_, sf_: minhash_lsh_pairs(
+        stress_mh, threshold=0.5, max_bucket_size=None
+    )
+    qs["simhash_stress_capped"] = lambda spark_, sf_: simhash_pairs(
+        stress_sh, max_distance=3, max_bucket_size=500
+    )
+    qs["simhash_stress_uncapped"] = lambda spark_, sf_: simhash_pairs(
+        stress_sh, max_distance=3, max_bucket_size=None
+    )
     timings: dict[str, float] = {}
     for name in HEADLINE:
+        # isolate rows: the pair-dedup queries persist intermediate
+        # frames (signatures, staged undecided sets) that would
+        # otherwise accumulate across rows and turn later timings
+        # into storage-eviction noise
+        spark.catalog.clearCache()
         fn = qs[name]
         t0 = time.perf_counter()
         _force(fn(spark, sf_dir))

@@ -265,3 +265,36 @@ def test_ivf_topk_properties(tables):
     rows = approx.collect()
     assert rows[0]["vec_id"] == 7
     assert _recall(approx, exact) >= 0.5
+
+
+def test_bucket_cap_skips_degenerate_clique(spark):
+    # a boilerplate clique blows up candidate pairs; the cap must skip
+    # the degenerate buckets while keeping genuine pairs outside them
+    boiler = " ".join(["terms of service apply to all content"] * 6)
+    rows = [(i, boiler + f" variant {i % 7}") for i in range(100)]
+    rows += [
+        (200, "alpha beta gamma delta epsilon zeta eta theta " * 3),
+        (201, "alpha beta gamma delta epsilon zeta eta theta " * 3 + "tail"),
+    ]
+    rows += [
+        (300 + i, " ".join(f"u{i}t{j}" for j in range(25))) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(
+            df, threshold=0.5, max_bucket_size=None
+        ).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(
+            df, threshold=0.5, max_bucket_size=50
+        ).collect()
+    }
+    assert capped <= uncapped
+    assert (200, 201) in capped  # genuine near-dup outside the clique
+    clique_unc = {p for p in uncapped if p[0] < 100 and p[1] < 100}
+    clique_cap = {p for p in capped if p[0] < 100 and p[1] < 100}
+    assert len(clique_unc) > 1000  # the blowup the guard exists for
+    assert len(clique_cap) < len(clique_unc)
