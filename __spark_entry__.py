@@ -376,6 +376,33 @@ def _q_simhash_pairs(spark, sf_dir):
     )
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    from semantic_olap_spark.functions.dedup import (
+        dedup_clusters,
+        jaccard_pairs,
+    )
+
+    return dedup_clusters(
+        jaccard_pairs(
+            _t(spark, sf_dir, "documents"), threshold=0.7, block_col="source"
+        )
+    )
+
+
+def _q_dedup_keep_best(spark, sf_dir):
+    from semantic_olap_spark.functions.dedup import (
+        dedup_keep_best,
+        jaccard_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_keep_best(
+        docs,
+        jaccard_pairs(docs, threshold=0.7, block_col="source"),
+        score_col="n_chars",
+    )
+
+
 # ---- pipeline functions: similarity search -----------------------------
 
 
@@ -680,6 +707,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "simhash_pairs": _q_simhash_pairs,
         "winnow_overlap_pairs": _q_winnow_overlap_pairs,
+        "dedup_clusters": _q_dedup_clusters,
+        "dedup_keep_best": _q_dedup_keep_best,
         # pipeline: similarity
         "cosine_topk": _q_cosine_topk,
         "cosine_pairs": _q_cosine_pairs,
@@ -794,6 +823,25 @@ def oracle_sql() -> dict[str, str]:
           FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
         )
         SELECT * FROM p WHERE jaccard >= 0.7
+    """
+    # connected components of the jaccard pair graph: recursive-CTE
+    # reachability, component label = min reachable id (mirrors
+    # dedup_clusters' min-label propagation fixpoint)
+    clusters_cte = rf"""
+        p AS ({jaccard_sql}),
+        edges AS (
+          SELECT id_a AS u, id_b AS v FROM p
+          UNION ALL SELECT id_b, id_a FROM p
+        ),
+        cnodes AS (SELECT DISTINCT u FROM edges),
+        reach(u, r) AS (
+          SELECT u, u FROM cnodes
+          UNION
+          SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.v
+        ),
+        cl AS (
+          SELECT u AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY u
+        )
     """
     return {
         "keyword_filter_or": """
@@ -978,6 +1026,18 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id_a, id_b, bit_count(xor(sa, sb))::INT AS hamming
             FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+        """,
+        "dedup_clusters": rf"""
+            WITH RECURSIVE {clusters_cte}
+            SELECT doc_id, cluster_id FROM cl
+        """,
+        "dedup_keep_best": rf"""
+            WITH RECURSIVE {clusters_cte}
+            SELECT d.* FROM documents d
+            LEFT JOIN cl ON d.doc_id = cl.doc_id
+            QUALIFY row_number() OVER (
+                PARTITION BY coalesce(cl.cluster_id, d.doc_id)
+                ORDER BY d.n_chars DESC, d.doc_id) = 1
         """,
         # image_features: the stub decode derives features from the
         # md5 content hash — exactly reproducible in SQL

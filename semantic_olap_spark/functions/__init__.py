@@ -8,7 +8,9 @@ from semantic_olap_spark.functions.text import (  # noqa: F401
     winnow_fingerprints,
 )
 from semantic_olap_spark.functions.dedup import (  # noqa: F401
+    dedup_clusters,
     dedup_exact,
+    dedup_keep_best,
     jaccard_pairs,
     minhash_lsh_pairs,
     simhash_pairs,

@@ -436,3 +436,130 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_distance)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components of a near-dup pair graph.
+
+    Input: a pair frame as produced by :func:`jaccard_pairs` /
+    :func:`minhash_lsh_pairs` / :func:`simhash_pairs`.  Output:
+    ``(doc_id, cluster_id)`` for every id appearing in a pair, where
+    ``cluster_id`` is the minimum doc id of the connected component —
+    the canonical cluster label used by corpus-dedup "keep one per
+    duplicate cluster" policies.
+
+    Algorithm: distributed min-label propagation with path
+    shortcutting.  Each round every node takes the min label over
+    itself and its neighbors (one shuffle: edges ⋈ labels, groupBy
+    min), then jumps to its label's label (second join) — the
+    pointer-doubling step that makes chains converge in O(log n)
+    rounds instead of O(diameter).  Labels only decrease and are
+    bounded below, so the sum of labels is a monotone convergence
+    witness; iteration stops the first round it is unchanged.  Every
+    round ends in ``localCheckpoint`` — iterative self-joins
+    otherwise stack exponentially-growing lineage onto Catalyst.  (On
+    a real cluster with a checkpoint dir, reliable ``checkpoint()``
+    is the fault-tolerant variant; localCheckpoint trades
+    re-computability for zero-config, which is right for local[*].)
+
+    Near-dup graphs are clique-heavy (diameter ~1-2), so the typical
+    round count is 2-3; ``max_iter`` is a safety bound, not a tuning
+    knob.  Cost per round: two shuffles of the (node, label) frame —
+    at 100 TB corpus scale the pair graph is orders of magnitude
+    smaller than the corpus itself.
+    """
+    fwd = pairs.select(
+        F.col(id_a).alias("_src"), F.col(id_b).alias("_dst")
+    )
+    edges = fwd.union(
+        pairs.select(F.col(id_b).alias("_src"), F.col(id_a).alias("_dst"))
+    ).persist()
+    labels = (
+        edges.select(F.col("_src").alias("_node"))
+        .distinct()
+        .withColumn("_lbl", F.col("_node"))
+        .localCheckpoint()
+    )
+    prev_sum = None
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges["_dst"] == labels["_node"])
+            .groupBy("_src")
+            .agg(F.min("_lbl").alias("_nbl"))
+        )
+        stepped = (
+            labels.join(nbr_min, labels["_node"] == nbr_min["_src"], "left")
+            .select(
+                "_node",
+                F.least(
+                    F.col("_lbl"), F.coalesce(F.col("_nbl"), F.col("_lbl"))
+                ).alias("_lbl"),
+            )
+        )
+        # pointer doubling: follow the label one hop (labels are
+        # always node ids, so the self-join hits or misses cleanly)
+        hop = stepped.select(
+            F.col("_node").alias("_hn"), F.col("_lbl").alias("_hl")
+        )
+        labels = (
+            stepped.join(hop, stepped["_lbl"] == hop["_hn"], "left")
+            .select(
+                "_node",
+                F.coalesce(F.col("_hl"), F.col("_lbl")).alias("_lbl"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("_lbl")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    edges.unpersist()
+    return labels.select(
+        F.col("_node").alias("doc_id"), F.col("_lbl").alias("cluster_id")
+    )
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str | None = None,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Keep one representative document per near-dup cluster.
+
+    The standard corpus-dedup endgame: given the original frame and a
+    near-dup pair frame, cluster the pairs (:func:`dedup_clusters`)
+    and keep, per cluster, the row with the highest ``score_col``
+    (ties and ``score_col=None`` → lowest ``id_col`` — deterministic).
+    Documents in no pair are their own singleton cluster and always
+    survive.  Output: the surviving rows of ``df``, original schema.
+
+    One extra shuffle beyond clustering (the per-cluster window);
+    the cluster frame is pair-graph-sized, so the join back to the
+    corpus broadcasts in the common case where near-dups are a small
+    fraction of the data.
+    """
+    clusters = dedup_clusters(pairs, id_a=id_a, id_b=id_b).select(
+        F.col("doc_id").alias("_cid"), F.col("cluster_id").alias("_cluster")
+    )
+    tagged = df.join(
+        clusters, df[id_col] == clusters["_cid"], "left"
+    ).withColumn("_cluster", F.coalesce(F.col("_cluster"), F.col(id_col)))
+    order = (
+        [F.col(score_col).desc_nulls_last(), F.col(id_col).asc()]
+        if score_col
+        else [F.col(id_col).asc()]
+    )
+    w = Window.partitionBy("_cluster").orderBy(*order)
+    return (
+        tagged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_cid", "_cluster", "_rn")
+    )

@@ -298,3 +298,95 @@ def test_bucket_cap_skips_degenerate_clique(spark):
     clique_cap = {p for p in capped if p[0] < 100 and p[1] < 100}
     assert len(clique_unc) > 1000  # the blowup the guard exists for
     assert len(clique_cap) < len(clique_unc)
+
+
+def test_dedup_clusters_components(spark):
+    # two cliques + a bridge-free singleton pair; labels = min id
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (11, 12), (10, 12), (20, 21)],
+        ["id_a", "id_b"],
+    )
+    from semantic_olap_spark.functions import dedup_clusters
+
+    got = {
+        r["doc_id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_dedup_clusters_chain_converges_logarithmically(spark):
+    # a 64-node path is the diameter worst case: plain min-propagation
+    # needs 63 rounds; pointer doubling must finish well inside 20
+    from semantic_olap_spark.functions import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], ["id_a", "id_b"]
+    )
+    got = dedup_clusters(pairs, max_iter=20).collect()
+    assert len(got) == 64
+    assert {r["cluster_id"] for r in got} == {0}
+
+
+def test_dedup_keep_best(spark):
+    from semantic_olap_spark.functions import dedup_keep_best
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a", 5.0),
+            (2, "b", 9.0),   # best of cluster {1,2,3}
+            (3, "c", 9.0),   # tie loses to lower id 2
+            (7, "lone", 1.0),
+        ],
+        ["doc_id", "text", "score"],
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], ["id_a", "id_b"])
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup_keep_best(docs, pairs, score_col="score").collect()
+    )
+    assert kept == [2, 7]
+    # score_col=None → lowest id wins
+    kept_min = sorted(
+        r["doc_id"] for r in dedup_keep_best(docs, pairs).collect()
+    )
+    assert kept_min == [1, 7]
+    # schema preserved
+    out = dedup_keep_best(docs, pairs, score_col="score")
+    assert out.columns == ["doc_id", "text", "score"]
+
+
+def test_dedup_clusters_oracle(tables, duck):
+    # clusters over the exact jaccard pair graph vs a recursive-CTE
+    # min-reachable-id oracle
+    from semantic_olap_spark.functions import dedup_clusters
+
+    pairs = jaccard_pairs(
+        tables["documents"], threshold=0.7, block_col="source"
+    )
+    got = dedup_clusters(pairs)
+    assert_matches(
+        got,
+        duck,
+        rf"""
+        WITH RECURSIVE t AS (
+          SELECT doc_id, source, {_TOKS} AS toks FROM documents
+        ),
+        p AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+          WHERE round(len(list_intersect(a.toks, b.toks))::DOUBLE
+                / len(list_distinct(list_concat(a.toks, b.toks))), 4) >= 0.7
+        ),
+        edges AS (
+          SELECT id_a AS u, id_b AS v FROM p
+          UNION ALL SELECT id_b, id_a FROM p
+        ),
+        nodes AS (SELECT DISTINCT u FROM edges),
+        reach(u, r) AS (
+          SELECT u, u FROM nodes
+          UNION
+          SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.v
+        )
+        SELECT u AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY u
+        """,
+    )
