@@ -59,6 +59,9 @@ class StubLLM(BaseLLM):
 
     - sem_filter         → Yes iff ANY significant condition token is
                            a substring of the content.
+    - sem_join           → Yes iff EVERY significant token of the
+                           RIGHT row's values appears in the LEFT
+                           row content (empty token set → No).
     - sem_map            → first vocabulary label (``one of: ...`` in
                            the instruction) whose text appears in the
                            content, else "NA"; without a vocabulary,
@@ -110,6 +113,16 @@ class StubLLM(BaseLLM):
         if task == "sem_filter":
             toks = P.condition_tokens(fields.get("condition", ""))
             return "Yes" if any(t in lc for t in toks) else "No"
+        if task == "sem_join":
+            left_sec, _, right_sec = content.partition("<<<RIGHT>>>\n")
+            left_sec = left_sec.replace("<<<LEFT>>>\n", "")
+            vals = [
+                line.partition(":")[2]
+                for line in right_sec.strip().splitlines()
+            ]
+            toks = P.condition_tokens(" ".join(vals))
+            ll = left_sec.lower()
+            return "Yes" if toks and all(t in ll for t in toks) else "No"
         if task == "sem_map":
             instr = fields.get("instruction", "")
             vocab = P.vocab_of(instr)

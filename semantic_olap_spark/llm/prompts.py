@@ -78,6 +78,18 @@ def filter_prompt(condition: str, content: str) -> str:
     )
 
 
+def join_prompt(condition: str, left_content: str, right_content: str) -> str:
+    return (
+        "### task: sem_join\n"
+        "Decide whether the LEFT row and the RIGHT row jointly "
+        "satisfy the join condition. Answer exactly Yes or No.\n"
+        f"Condition: {condition}\n"
+        f"{CONTENT_SEP}\n"
+        f"<<<LEFT>>>\n{left_content}\n"
+        f"<<<RIGHT>>>\n{right_content}"
+    )
+
+
 def map_prompt(keyword: str, map_description: str, content: str) -> str:
     return (
         "### task: sem_map\n"

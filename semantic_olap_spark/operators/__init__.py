@@ -22,6 +22,8 @@ from semantic_olap_spark.operators.semantic import (  # noqa: F401
     induce_taxonomy,
     sem_filter,
     sem_filter_cond,
+    sem_join,
+    sem_join_cond,
     sem_group,
     sem_group_cluster,
     sem_group_sequential,

@@ -109,6 +109,135 @@ def sem_filter(
     return df.filter(sem_filter_cond(columns, condition, llm_factory, retain_if))
 
 
+# ---- sem_join (beyond-reference: LOTUS-style semantic join) ------------
+
+
+_SJ_TOKS = "_sj_toks"
+
+
+def _right_tokens_col(right_cols: Sequence[str]) -> Column:
+    """Significant-token array of a right row, as a Column expression."""
+    stops = F.array(*[F.lit(s) for s in sorted(P.STOPWORDS)])
+    rv = F.lower(
+        F.concat_ws(" ", *[F.col(c).cast("string") for c in right_cols])
+    )
+    return F.filter(
+        F.array_distinct(F.split(rv, "[^a-z0-9_]+")),
+        lambda t: (F.length(t) >= 3) & ~F.array_contains(stops, t),
+    )
+
+
+def _token_cover_cond(left_cols: Sequence[str]) -> Column:
+    """Cheap Catalyst pre-judge: right-side tokens ⊆ left content.
+
+    Mirrors the stub's sem_join rule exactly (so for the stub the
+    cascade is lossless); for a real backend it is the standard
+    recall-trading blocker that keeps LLM calls off the full cross
+    product.  Pure Column expressions — evaluated JVM-side before any
+    Python worker sees a row.  Reads the pre-tokenized ``_sj_toks``
+    column (computed on the right side BEFORE the join).
+
+    The containment fold deliberately uses ``F.aggregate`` rather than
+    ``F.forall``/``F.filter``: in Spark 4.1.x a post-join predicate
+    built from ArrayForAll/ArrayFilter whose lambda body captures an
+    outer attribute from the OTHER join side gets its references
+    miscomputed and pushed below the join, failing at bind time with
+    INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND on file-scan inputs.
+    ArrayAggregate is not treated as a pushable predicate source, so
+    the conjunct stays above the join where both sides are in scope.
+    """
+    llc = F.lower(
+        F.concat_ws("\n", *[F.col(c).cast("string") for c in left_cols])
+    )
+    toks = F.col(_SJ_TOKS)
+    covered = F.aggregate(
+        toks, F.lit(True), lambda acc, t: acc & llc.contains(t)
+    )
+    return (F.size(toks) > 0) & covered
+
+
+def sem_join_cond(
+    left_cols: Sequence[str],
+    right_cols: Sequence[str],
+    condition: str,
+    llm_factory: LLMFactory = default_llm_factory,
+) -> Column:
+    """Boolean Column judging a (left row, right row) pair via the LLM."""
+    lc, rc = list(left_cols), list(right_cols)
+    state: dict = {}
+
+    @F.pandas_udf(BooleanType())
+    def judge(*series: pd.Series) -> pd.Series:
+        llm = _lazy_llm(state, llm_factory)
+        nl = len(lc)
+        prompts = [
+            P.join_prompt(
+                condition,
+                P.row_content(lc, vals[:nl]),
+                P.row_content(rc, vals[nl:]),
+            )
+            for vals in zip(*series)
+        ]
+        ans = llm.predict_batch(prompts)
+        return pd.Series([a.strip().lower().startswith("y") for a in ans])
+
+    return judge(*[F.col(c).cast("string") for c in lc + rc])
+
+
+def sem_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_cols: Sequence[str],
+    right_cols: Sequence[str],
+    condition: str,
+    llm_factory: LLMFactory = default_llm_factory,
+    prefilter: bool = True,
+    broadcast_right: bool = True,
+) -> DataFrame:
+    """Semantic join: keep (left × right) pairs the LLM judges related.
+
+    Beyond-reference operator (the reference joins nothing across
+    tables); the semantics follow the public LOTUS/palimpzest
+    sem-join shape: every surviving pair carries both rows' columns.
+
+    Scale shape: the right side is expected to be the small one
+    (topics, categories, reference lists) — it is broadcast by
+    default so the cross product never shuffles the big side.  With
+    ``prefilter=True`` (default) a JVM-side token-coverage cascade
+    (:func:`_token_cover_cond`) prunes the cross product BEFORE the
+    LLM UDF sees it, so LLM cost is O(candidates), not O(|L|·|R|).
+    A real-backend deployment keeps the same plan: broadcast
+    nested-loop join with the cheap predicate fused into the join,
+    then the Arrow-batched judge on survivors only.
+    """
+    overlap = set(left.columns) & set(right.columns)
+    if overlap:
+        raise ValueError(
+            f"sem_join requires disjoint column names; rename {overlap}"
+        )
+    if prefilter:
+        # Tokenize once per RIGHT row (it's the small side) before the
+        # join, then fuse the coverage check into the JOIN CONDITION.
+        # Expressed as a post-join .filter it would be merged with the
+        # judge filter by CombineFilters, and the ArrowEvalPython node
+        # extracted for the judge UDF would then run on the FULL cross
+        # product — as a join condition the BroadcastNestedLoopJoin
+        # emits only covered pairs and the judge sees O(candidates).
+        rtok = right.withColumn(_SJ_TOKS, _right_tokens_col(right_cols))
+        pairs = left.join(
+            F.broadcast(rtok) if broadcast_right else rtok,
+            on=_token_cover_cond(left_cols),
+            how="inner",
+        ).drop(_SJ_TOKS)
+    else:
+        pairs = left.crossJoin(
+            F.broadcast(right) if broadcast_right else right
+        )
+    return pairs.filter(
+        sem_join_cond(left_cols, right_cols, condition, llm_factory)
+    )
+
+
 # ---- sem_map (Operaters.py:318-350; catalog baseline_LLM_direct.py:43-53)
 
 

@@ -252,3 +252,100 @@ def test_sem_filter_retain_if_partitions_table(tables):
         tables["documents"], ["text"], "rows about spark", retain_if=False
     ).count()
     assert kept + dropped == total
+
+
+def test_sem_join_basic(spark):
+    from semantic_olap_spark.operators.semantic import sem_join
+
+    left = spark.createDataFrame(
+        [
+            (1, "the spark shuffle join runs fast"),
+            (2, "a scan over parquet files"),
+            (3, "nothing relevant here"),
+        ],
+        ["doc_id", "text"],
+    )
+    right = spark.createDataFrame(
+        [("spark",), ("scan",), ("window",)], ["topic"]
+    )
+    got = {
+        (r["doc_id"], r["topic"])
+        for r in sem_join(
+            left, right, ["text"], ["topic"], "document covers the topic"
+        ).collect()
+    }
+    assert got == {(1, "spark"), (2, "scan")}
+
+
+def test_sem_join_prefilter_lossless_under_stub(tables):
+    from semantic_olap_spark.operators.semantic import sem_join
+
+    docs = tables["documents"].limit(200)
+    right = docs.sparkSession.createDataFrame(
+        [("spark",), ("join",)], ["topic"]
+    )
+    with_pref = sem_join(
+        docs, right, ["text"], ["topic"], "doc covers topic"
+    )
+    without = sem_join(
+        docs, right, ["text"], ["topic"], "doc covers topic", prefilter=False
+    )
+    a = {(r["doc_id"], r["topic"]) for r in with_pref.collect()}
+    b = {(r["doc_id"], r["topic"]) for r in without.collect()}
+    assert a == b and a
+
+
+def test_sem_join_cascade_shape(tables):
+    """Pin the physical plan: the coverage prefilter must live in the
+    JOIN CONDITION and the judge UDF above the join, so the LLM only
+    sees covered pairs (CombineFilters would otherwise merge the two
+    filters and ArrowEvalPython would run on the full cross product).
+    Exercises the parquet-scan path, where Spark 4.1's ArrayForAll
+    pushdown bug bites (LocalRelation inputs mask it).
+    """
+    from semantic_olap_spark.operators.semantic import sem_join
+
+    docs = tables["documents"]
+    right = docs.sparkSession.createDataFrame(
+        [("spark",), ("scan",)], ["topic"]
+    )
+    out = sem_join(docs, right, ["text"], ["topic"], "doc covers topic")
+    out.count()  # materialize so the AQE final plan exists
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    join_lines = [
+        line for line in plan.splitlines() if "NestedLoopJoin" in line
+    ]
+    assert join_lines and "aggregate(_sj_toks" in join_lines[0]
+    assert plan.index("ArrowEvalPython") < plan.index("NestedLoopJoin")
+
+
+def test_sem_join_rejects_overlapping_columns(spark):
+    import pytest
+
+    from semantic_olap_spark.operators.semantic import sem_join
+
+    df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="disjoint"):
+        sem_join(df, df, ["text"], ["text"], "c")
+
+
+def test_sem_join_oracle(tables, duck):
+    from semantic_olap_spark.operators.semantic import sem_join
+
+    docs = tables["documents"]
+    right = docs.sparkSession.createDataFrame(
+        [("spark",), ("scan",), ("window",)], ["topic"]
+    )
+    got = sem_join(
+        docs, right, ["text"], ["topic"], "document mentions the topic"
+    ).select("doc_id", "topic")
+    assert_matches(
+        got,
+        duck,
+        """
+        SELECT d.doc_id, t.topic
+        FROM documents d
+        JOIN (VALUES ('spark'), ('scan'), ('window')) t(topic)
+          ON contains(lower(d.text), t.topic)
+        """,
+    )
