@@ -610,6 +610,22 @@ def _q_sem_filter_negated(spark, sf_dir):
     )
 
 
+def _q_sem_join_topics(spark, sf_dir):
+    from semantic_olap_spark.operators.semantic import sem_join
+
+    # beyond-reference LOTUS-style semantic join: documents × topic
+    # list, judged by the LLM; stub rule = every significant token of
+    # the right row is a substring of the left content, so the whole
+    # operator (cascade + judge) reproduces exactly in SQL
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    topics = spark.createDataFrame(
+        [("spark",), ("scan window",), ("quorum",)], ["topic"]
+    )
+    return sem_join(
+        docs, topics, ["text"], ["topic"], "document covers the topic"
+    ).select("doc_id", "topic")
+
+
 def _q_drill_down_topic(spark, sf_dir):
     from semantic_olap_spark.plans.memory import CubeMemory
     from semantic_olap_spark.plans.rollup import drill_down
@@ -731,6 +747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roll_up_events": _q_roll_up_events,
         "engine_lifecycle": _q_engine_lifecycle,
         "sem_filter_negated": _q_sem_filter_negated,
+        "sem_join_topics": _q_sem_join_topics,
         "drill_down_topic": _q_drill_down_topic,
         "topk_dispatch_num": _q_topk_dispatch_num,
         "dimension_catalog": _q_dimension_catalog,
@@ -1163,6 +1180,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sem_filter_negated":
             "SELECT * FROM documents WHERE NOT contains(lower(text), 'spark')",
+        # sem_join stub rule: ALL significant right-row tokens are
+        # substrings of the left content ('quorum' matches no doc)
+        "sem_join_topics": """
+            SELECT d.doc_id, t.topic
+            FROM documents d
+            JOIN (VALUES ('spark'), ('scan window'), ('quorum')) t(topic)
+              ON ((t.topic = 'spark'
+                     AND contains(lower(d.text), 'spark'))
+                  OR (t.topic = 'scan window'
+                     AND contains(lower(d.text), 'scan')
+                     AND contains(lower(d.text), 'window'))
+                  OR (t.topic = 'quorum'
+                     AND contains(lower(d.text), 'quorum')))
+        """,
         # drill_down = sem_map over all node columns; doc_id digits
         # can't contain the vocabulary words, so only text decides
         "drill_down_topic": """
