@@ -541,6 +541,113 @@ def _q_window_top_order_per_cust(spark, sf_dir):
     )
 
 
+# ---- Spark-native analytics breadth (SURVEY §2.5 fill-ins) -------------
+# The reference has no grouping sets / pivot / set ops / percentiles /
+# date functions (SURVEY.md §2.5) — Spark built-ins provide them; these
+# entries pin the exact semantics against the DuckDB oracle.
+
+
+def _q_rollup_order_revenue(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    revenue = F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(revenue, 2).cast("double").alias("revenue"),
+        )
+    )
+
+
+def _q_cube_shipping(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(qty, 2).cast("double").alias("sum_qty"),
+        )
+    )
+
+
+def _q_pivot_priority_by_status(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    # explicit value list: the two-pass distinct scan pivot() would
+    # otherwise run is the thing to avoid at 100 TB
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    out = (
+        orders.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", prios)
+        .agg(F.count(F.lit(1)))
+    )
+    renames = {p: f"p{p[0]}" for p in prios}
+    return out.select(
+        "o_orderstatus",
+        *[F.coalesce(F.col(f"`{p}`"), F.lit(0)).alias(renames[p])
+          for p in prios],
+    )
+
+
+def _q_set_ops_custkeys(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    urgent = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    finished = (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    negative = (
+        cust.filter(F.col("c_acctbal") < 0)
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    # set semantics (distinct), mirroring SQL INTERSECT / EXCEPT
+    return urgent.intersect(finished).subtract(negative)
+
+
+def _q_percentile_quantity(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    # exact percentiles (linear interpolation), not approx_percentile:
+    # the oracle needs bit-stable values.  At 100 TB approx_percentile
+    # is the right default; exact mode is the correctness referent.
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(l_quantity, 0.9)"), 6).alias("p90"),
+    )
+
+
+def _q_monthly_revenue(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    revenue = F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+    return (
+        orders.groupBy(
+            F.date_trunc("month", F.col("o_orderdate")).alias("month")
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(revenue, 2).cast("double").alias("revenue"),
+        )
+    )
+
+
+def _q_embedding_dedup(spark, sf_dir):
+    from semantic_olap_spark.functions.dedup import dedup_keep_best
+    from semantic_olap_spark.functions.similarity import cosine_pairs
+
+    # embedding-cosine near-dup → connected components → keep lowest
+    # id per cluster: the end-to-end semantic-dedup pipeline over the
+    # embeddings table (threshold tuned to the synthetic corpus's
+    # cosine range so real clusters form)
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = cosine_pairs(emb, threshold=0.42)
+    return dedup_keep_best(emb, pairs, id_col="vec_id").select(
+        "vec_id", "label"
+    )
+
+
 # ---- streaming operators (batch-parity forms) --------------------------
 
 
@@ -739,6 +846,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_metadata": _q_multimodal_metadata,
         "image_features": _q_image_features,
         "sample_frames": _q_sample_frames,
+        # Spark-native analytics breadth (§2.5 fill-ins)
+        "rollup_order_revenue": _q_rollup_order_revenue,
+        "cube_shipping": _q_cube_shipping,
+        "pivot_priority_by_status": _q_pivot_priority_by_status,
+        "set_ops_custkeys": _q_set_ops_custkeys,
+        "percentile_quantity": _q_percentile_quantity,
+        "monthly_revenue": _q_monthly_revenue,
+        "embedding_dedup": _q_embedding_dedup,
         # streaming (batch-parity forms)
         "windowed_agg": _q_windowed_agg,
         "session_agg": _q_session_agg,
@@ -1128,6 +1243,78 @@ def oracle_sql() -> dict[str, str]:
         "sample_frames": """
             SELECT doc_id, f.frame_idx
             FROM documents, (SELECT unnest([0, 1]) AS frame_idx) f
+        """,
+        "rollup_order_revenue": """
+            SELECT o_orderstatus, o_orderpriority,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice::DECIMAL(18,6)), 2)::DOUBLE
+                       AS revenue
+            FROM orders
+            GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+        "cube_shipping": """
+            SELECT l_returnflag, l_linestatus,
+                   count(*) AS n_items,
+                   round(sum(l_quantity::DECIMAL(18,6)), 2)::DOUBLE
+                       AS sum_qty
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "pivot_priority_by_status": """
+            SELECT o_orderstatus,
+                   count(*) FILTER (o_orderpriority = '1-URGENT') AS p1,
+                   count(*) FILTER (o_orderpriority = '2-HIGH') AS p2,
+                   count(*) FILTER (o_orderpriority = '3-MEDIUM') AS p3,
+                   count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED')
+                       AS p4,
+                   count(*) FILTER (o_orderpriority = '5-LOW') AS p5
+            FROM orders GROUP BY o_orderstatus
+        """,
+        "set_ops_custkeys": """
+            SELECT o_custkey AS custkey FROM orders
+            WHERE o_orderpriority = '1-URGENT'
+            INTERSECT
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+            EXCEPT
+            SELECT c_custkey FROM customer WHERE c_acctbal < 0
+        """,
+        "percentile_quantity": """
+            SELECT l_returnflag,
+                   round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+                   round(quantile_cont(l_quantity, 0.9), 6) AS p90
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "monthly_revenue": """
+            SELECT date_trunc('month', o_orderdate) AS month,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice::DECIMAL(18,6)), 2)::DOUBLE
+                       AS revenue
+            FROM orders GROUP BY 1
+        """,
+        "embedding_dedup": """
+            WITH RECURSIVE p AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+              WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                 b.embedding::DOUBLE[]), 6)
+                    >= 0.42
+            ),
+            edges AS (
+              SELECT id_a AS u, id_b AS v FROM p
+              UNION ALL SELECT id_b, id_a FROM p
+            ),
+            cnodes AS (SELECT DISTINCT u FROM edges),
+            reach(u, r) AS (
+              SELECT u, u FROM cnodes
+              UNION
+              SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.v
+            ),
+            cl AS (
+              SELECT u AS node, MIN(r) AS cluster_id FROM reach GROUP BY u
+            )
+            SELECT e.vec_id, e.label
+            FROM embeddings e LEFT JOIN cl ON cl.node = e.vec_id
+            WHERE e.vec_id = coalesce(cl.cluster_id, e.vec_id)
         """,
         "windowed_agg": """
             SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
