@@ -38,6 +38,9 @@ HEADLINE = [
     # staged logic-tree execution
     "filter_group_tree",
     "plan_cascade",
+    # semantic join: broadcast NLJ + token-coverage cascade, judge on
+    # survivors only
+    "sem_join_topics",
     # relational breadth: broadcast-join star query + window dedup
     "join_revenue_by_nation",
     "window_top_order_per_cust",
@@ -51,6 +54,7 @@ HEADLINE = [
     "dedup_exact",
     "jaccard_pairs",
     "cosine_topk",
+    "embedding_dedup",
     "ivf_topk",
     # assign-once / probe-many ANN: index built in warmup (the
     # amortized cost), probe timed — contrast with ivf_topk above,
