@@ -13,11 +13,15 @@ Semantic operators run under the deterministic StubLLM whose rules
 are exactly SQL-expressible (string containment / token counts), so
 they get full value-hash oracle checks, not just row counts.
 Even the sem_topk tournament has a full oracle (the deterministic
-rotation pairing + stub judge reproduce exactly in SQL).  Genuinely
-non-SQL-expressible ops (MinHash LSH, SimHash, LSH/IVF ANN, stub
-image decode) have no oracle entry → driver records the weaker
-rows-only check; each of those carries a pytest property/recall
-check instead.
+rotation pairing + stub judge reproduce exactly in SQL), and so do
+the approximate near-dup / ANN ops: minhash_lsh_pairs and
+winnow_overlap_pairs run in md5 ``exact_hash`` mode for the driver,
+lsh_topk's hyperplanes embed as literals (pure function of seed +
+dim), and ivf_topk uses data-seeded centroids — each whole pipeline
+reproduces bit-for-bit in SQL.  The one genuinely non-SQL-
+expressible op (sem_group_cluster — k-means taxonomy) has no oracle
+entry → driver records the weaker rows-only check; it carries a
+pytest property check instead.
 """
 
 from __future__ import annotations
@@ -350,18 +354,27 @@ def _q_jaccard_pairs(spark, sf_dir):
 
 
 def _q_minhash_lsh_pairs(spark, sf_dir):
+    # exact_hash=True swaps xxhash64 for md5 end to end so the WHOLE
+    # pipeline (shingle → 64-fn signature → 16 band keys → candidate
+    # join → Jaccard verify) reproduces bit-for-bit in the DuckDB
+    # oracle; production keeps the xxhash64 default (bench uses it)
     from semantic_olap_spark.functions.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(
-        _t(spark, sf_dir, "documents"), shingle_n=3, threshold=0.5
+        _t(spark, sf_dir, "documents"),
+        shingle_n=3,
+        threshold=0.5,
+        exact_hash=True,
     )
 
 
 def _q_winnow_overlap_pairs(spark, sf_dir):
+    # exact_hash=True: md5 k-gram hashes → the winnowing window-min
+    # selection is lexicographic on hex strings, reproducible in SQL
     from semantic_olap_spark.functions.dedup import winnow_overlap_pairs
 
     return winnow_overlap_pairs(
-        _t(spark, sf_dir, "documents"), min_shared=3
+        _t(spark, sf_dir, "documents"), min_shared=3, exact_hash=True
     )
 
 
@@ -438,11 +451,23 @@ def _q_lsh_topk(spark, sf_dir):
 
 
 def _q_ivf_topk(spark, sf_dir):
+    # Data-seeded coarse centroids (embeddings of vec_id 0..7 — the
+    # seeding step of k-means, skipping Lloyd iterations) make the
+    # whole IVF pipeline — assign: argmin-centroid, probe: 3 nearest
+    # centroids, exact-rank within — reproducible in the DuckDB
+    # oracle at any sf.  Trained-centroid quality is covered by the
+    # recall contracts (tests/test_recall_contracts.py).
+    import numpy as np
+
     from semantic_olap_spark.functions.similarity import ivf_topk
 
     q = _query_vec(spark, sf_dir)
-    return ivf_topk(_t(spark, sf_dir, "embeddings"), q, k=10, n_centroids=8,
-                    nprobe=3)
+    cents = np.array(
+        [_query_vec(spark, sf_dir, vec_id=i) for i in range(8)]
+    )
+    return ivf_topk(
+        _t(spark, sf_dir, "embeddings"), q, k=10, centroids=cents, nprobe=3
+    )
 
 
 # ---- pipeline functions: multimodal ------------------------------------
@@ -911,6 +936,25 @@ def _simhash_votes_sql() -> str:
     )
 
 
+def _lsh_bucket_sql(vec_expr: str, nbits: int = 4, seed: int = 42,
+                    dim: int = 64) -> str:
+    # The sign-bit LSH signature as a SQL expression.  Hyperplanes
+    # depend only on (seed, dim) — exactly lsh_assign's UDF-side
+    # derivation (similarity.py _hyperplanes) — so they embed as
+    # full-precision literals; repr() round-trips float64 exactly.
+    import numpy as np
+
+    planes = np.random.default_rng(seed).standard_normal((nbits, dim))
+    terms = []
+    for i in range(nbits):
+        lit = "[" + ", ".join(repr(float(x)) for x in planes[i]) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product({vec_expr}, {lit}::DOUBLE[]) > 0"
+            f" THEN {1 << i} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
 def oracle_sql() -> dict[str, str]:
     """DuckDB-ANSI mirrors for every SQL-expressible query above."""
     text_profile_sql = rf"""
@@ -1126,10 +1170,88 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY {_NORM_MD5} ORDER BY doc_id) = 1
         """,
         "jaccard_pairs": jaccard_sql,
-        # minhash_lsh_pairs: xxhash64-based — rows-only (DuckDB has no
-        # Spark-compatible xxhash64); simhash IS md5-based, so its
-        # whole pipeline (token hashes → bit votes → chunk-banded
-        # candidates → Hamming verify) reproduces exactly in SQL
+        # minhash_lsh_pairs runs in exact_hash (md5) mode for the
+        # driver, so the whole pipeline — word 3-gram shingles → 64
+        # min-hash functions md5('i:'||shingle) → 16 band keys
+        # md5(h0|h1|h2|h3) → candidate equi-join → exact-Jaccard
+        # verify — reproduces bit-for-bit in SQL
+        "minhash_lsh_pairs": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     str_split_regex(lower(trim(text)), '\s+') AS toks
+              FROM documents
+            ),
+            sh AS (
+              SELECT doc_id, list_distinct([
+                  array_to_string(toks[j + 1 : j + 3], ' ')
+                  for j in generate_series(0, greatest(len(toks) - 3, 0))
+              ]) AS shingles
+              FROM t
+            ),
+            hs AS (
+              SELECT doc_id, i, min(md5(i::VARCHAR || ':' || s)) AS h
+              FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)
+              CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i)
+              GROUP BY doc_id, i
+            ),
+            bands AS (
+              SELECT doc_id, i // 4 AS band,
+                     md5(string_agg(h, '|' ORDER BY i)) AS bh
+              FROM hs GROUP BY doc_id, i // 4
+            ),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.bh = b.bh
+               AND a.doc_id < b.doc_id
+            ),
+            p AS (
+              SELECT c.id_a, c.id_b,
+                     round(len(list_intersect(x.shingles, y.shingles))::DOUBLE
+                           / len(list_distinct(
+                                 list_concat(x.shingles, y.shingles))), 4)
+                         AS jaccard
+              FROM cand c
+              JOIN sh x ON c.id_a = x.doc_id
+              JOIN sh y ON c.id_b = y.doc_id
+            )
+            SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.5
+        """,
+        # winnow_overlap_pairs: exact_hash (md5) mode — k-gram md5
+        # hashes, window-of-4 lexicographic min, distinct prints,
+        # pairs sharing >= 3
+        "winnow_overlap_pairs": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     str_split_regex(lower(trim(text)), '\s+') AS toks
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id, [
+                  md5(array_to_string(toks[j + 1 : j + 5], ' '))
+                  for j in generate_series(0, greatest(len(toks) - 5, 0))
+              ] AS grams
+              FROM t
+            ),
+            fp AS (
+              SELECT doc_id, list_distinct([
+                  list_aggregate(grams[j + 1 : j + 4], 'min')
+                  for j in generate_series(0, greatest(len(grams) - 4, 0))
+              ]) AS prints
+              FROM g
+            ),
+            e AS (SELECT doc_id, unnest(prints) AS fp FROM fp),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     count(*) AS shared
+              FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT id_a, id_b, shared FROM pairs WHERE shared >= 3
+        """,
+        # simhash IS md5-based, so its whole pipeline (token hashes →
+        # bit votes → chunk-banded candidates → Hamming verify)
+        # reproduces exactly in SQL
         "simhash_pairs": rf"""
             WITH toks AS (
               SELECT doc_id,
@@ -1202,7 +1324,51 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT * FROM p WHERE cosine >= 0.8
         """,
-        # lsh_topk / ivf_topk: approximate ANN — rows-only
+        # lsh_topk: the hyperplanes are a pure function of (seed,
+        # dim), so they embed as literals; candidates = corpus rows
+        # whose 4-bit signature is within Hamming 1 of the query's
+        # (== multiprobe=1's flip set); exact-rank the candidates
+        "lsh_topk": f"""
+            WITH c AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ),
+            q AS (SELECT v AS qv FROM c WHERE vec_id = 0),
+            b AS (
+              SELECT vec_id, v, {_lsh_bucket_sql('v')} AS bkt FROM c
+            ),
+            qb AS (SELECT bkt AS qbkt FROM b WHERE vec_id = 0)
+            SELECT b.vec_id,
+                   round(list_cosine_similarity(b.v, q.qv), 6) AS cosine
+            FROM b, q, qb
+            WHERE bit_count(xor(b.bkt::BIGINT, qb.qbkt::BIGINT)) <= 1
+            ORDER BY cosine DESC, b.vec_id LIMIT 10
+        """,
+        # ivf_topk: data-seeded centroids (embeddings 0..7) — assign
+        # = nearest centroid (cid tiebreak, matching numpy argmin),
+        # probe the 3 nearest the query, exact-rank within
+        "ivf_topk": """
+            WITH c AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ),
+            q AS (SELECT v AS qv FROM c WHERE vec_id = 0),
+            cents AS (SELECT vec_id AS cid, v AS cv FROM c WHERE vec_id < 8),
+            assigned AS (
+              SELECT c.vec_id, c.v, ce.cid
+              FROM c CROSS JOIN cents ce
+              QUALIFY row_number() OVER (
+                  PARTITION BY c.vec_id
+                  ORDER BY list_distance(c.v, ce.cv) ASC, ce.cid ASC) = 1
+            ),
+            probes AS (
+              SELECT ce.cid FROM cents ce, q
+              ORDER BY list_distance(q.qv, ce.cv) ASC, ce.cid ASC LIMIT 3
+            )
+            SELECT a.vec_id,
+                   round(list_cosine_similarity(a.v, q.qv), 6) AS cosine
+            FROM assigned a, q
+            WHERE a.cid IN (SELECT cid FROM probes)
+            ORDER BY cosine DESC, a.vec_id LIMIT 10
+        """,
         "join_revenue_by_nation": """
             SELECT n_name,
                    round(sum(CAST(l_extendedprice * (1.0 - l_discount)

@@ -181,6 +181,28 @@ def _minhash_signature(hashed_shingles: Column, num_hashes: int) -> Column:
     )
 
 
+def _minhash_signature_md5(shingles: Column, num_hashes: int) -> Column:
+    """MD5-string variant of :func:`_minhash_signature` (exact mode).
+
+    Each hash function i is ``md5('i:' || shingle)`` and the min is
+    the lexicographic minimum of the hex strings.  ~10× the work of
+    the xxhash64 path (length-proportional string hashing per
+    function), but every step is reproducible in ANSI SQL — this is
+    the mode the DuckDB oracle verifies bit-for-bit; production keeps
+    the long-hash default.
+    """
+
+    def h(i: int):
+        return lambda s: F.md5(F.concat(F.lit(f"{i}:"), s).cast("binary"))
+
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, h(i)))
+            for i in range(num_hashes)
+        ]
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -191,6 +213,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     round_to: int = 4,
     max_bucket_size: int | None = 5000,
+    exact_hash: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs via banded MinHash LSH + exact verify.
 
@@ -216,6 +239,10 @@ def minhash_lsh_pairs(
     (their members are near-identical cliques; they still surface
     through their other ``bands-1`` bands or an exact-dedup pass).
     Set ``None`` to disable.
+
+    ``exact_hash=True`` swaps xxhash64 for md5 hex strings end to end
+    (signature, band key, and verify sets) so the whole pipeline is
+    reproducible in the DuckDB oracle; slower, oracle/driver use only.
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
@@ -227,19 +254,41 @@ def minhash_lsh_pairs(
     # few cores — one cheap shuffle of raw text unlocks full
     # parallelism for the expensive part.
     nparts = df.sparkSession.sparkContext.defaultParallelism
+    shingle_set = (
+        word_shingles(F.col(text_col), shingle_n)
+        if exact_hash
+        else _hashed(word_shingles(F.col(text_col), shingle_n))
+    )
     docs = (
         df.select(F.col(id_col).alias("_id"), F.col(text_col))
         .repartition(nparts)
-        .select(
-            "_id",
-            _hashed(word_shingles(F.col(text_col), shingle_n)).alias("_sh"),
-        )
+        .select("_id", shingle_set.alias("_sh"))
         .persist()
     )
-    sig = docs.withColumn("_sig", _minhash_signature(F.col("_sh"), num_hashes))
-    band_arr = F.array(
-        *[F.hash(F.slice(F.col("_sig"), b * r + 1, r)) for b in range(bands)]
-    )
+    if exact_hash:
+        sig = docs.withColumn(
+            "_sig", _minhash_signature_md5(F.col("_sh"), num_hashes)
+        )
+        band_arr = F.array(
+            *[
+                F.md5(
+                    F.concat_ws(
+                        "|", F.slice(F.col("_sig"), b * r + 1, r)
+                    ).cast("binary")
+                )
+                for b in range(bands)
+            ]
+        )
+    else:
+        sig = docs.withColumn(
+            "_sig", _minhash_signature(F.col("_sh"), num_hashes)
+        )
+        band_arr = F.array(
+            *[
+                F.hash(F.slice(F.col("_sig"), b * r + 1, r))
+                for b in range(bands)
+            ]
+        )
     banded = sig.select(
         "_id", F.posexplode(band_arr).alias("_band", "_bh")
     )
@@ -282,6 +331,7 @@ def winnow_overlap_pairs(
     window: int = 4,
     min_shared: int = 2,
     max_bucket_size: int | None = 5000,
+    exact_hash: bool = False,
 ) -> DataFrame:
     """Partial-copy pairs: documents sharing winnowing fingerprints.
 
@@ -304,7 +354,7 @@ def winnow_overlap_pairs(
         .select(
             "_id",
             F.explode(
-                winnow_fingerprints(F.col(text_col), k, window)
+                winnow_fingerprints(F.col(text_col), k, window, exact_hash)
             ).alias("_fp"),
         )
     )

@@ -293,14 +293,19 @@ def train_ivf_centroids(
     sample_n: int = 2048,
     iters: int = 10,
     seed: int = 42,
+    order_by: str | None = None,
 ) -> np.ndarray:
     """K-means coarse centroids from a bounded driver-side sample.
 
     ``limit(sample_n)`` keeps driver memory constant regardless of
     corpus size; Lloyd iterations run in numpy.  Deterministic under
-    ``seed``.  Returns ``(n_centroids, dim)``.
+    ``seed`` *given the sample*; pass ``order_by=<id col>`` to pin
+    the sample itself (``limit`` without an order is whatever rows
+    arrive first) so repeated training runs yield identical
+    centroids.  Returns ``(n_centroids, dim)``.
     """
-    rows = df.select(_as_double(vec_col).alias("v")).limit(sample_n).collect()
+    sample = df.orderBy(order_by) if order_by else df
+    rows = sample.select(_as_double(vec_col).alias("v")).limit(sample_n).collect()
     x = np.array([r["v"] for r in rows])
     rng = np.random.default_rng(seed)
     cent = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]

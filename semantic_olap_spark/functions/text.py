@@ -107,7 +107,7 @@ def doc_fingerprint(col: Column) -> Column:
 
 
 def winnow_fingerprints(
-    col: Column, k: int = 5, window: int = 4
+    col: Column, k: int = 5, window: int = 4, exact_hash: bool = False
 ) -> Column:
     """Winnowing fingerprints: rolling-hash document signatures.
 
@@ -120,13 +120,19 @@ def winnow_fingerprints(
     overlap of fingerprint sets detects partial-copy near-dups that
     whole-document hashing misses.  Pure Catalyst array expressions;
     output is the sorted distinct fingerprint array.
+
+    ``exact_hash=True`` hashes k-grams with md5 hex strings instead
+    of xxhash64 (window min = lexicographic min) so the selection is
+    reproducible in the DuckDB oracle; oracle/driver use only.
     """
     toks = F.split(F.lower(F.trim(col)), _WS)
     n_grams = F.greatest(F.size(toks) - (k - 1), F.lit(1))
-    grams = F.transform(
-        F.sequence(F.lit(0), n_grams - 1),
-        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, k))),
+    gram = (
+        (lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, k)).cast("binary")))
+        if exact_hash
+        else (lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, k))))
     )
+    grams = F.transform(F.sequence(F.lit(0), n_grams - 1), gram)
     n_windows = F.greatest(F.size(grams) - (window - 1), F.lit(1))
     mins = F.transform(
         F.sequence(F.lit(0), n_windows - 1),
