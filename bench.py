@@ -143,14 +143,20 @@ def main() -> None:
     from semantic_olap_spark.operators.semantic import sem_filter
 
     sem_filter(tables["documents"].limit(8), ["text"], "warmup").count()
-    # the contract's simhash query runs in exact mode (its oracle
-    # compares all pairs); the bench measures the production posture
-    # with the default skew cap
-    from semantic_olap_spark.functions.dedup import simhash_pairs
+    # the contract's simhash and minhash queries run in exact/md5
+    # oracle modes; the bench measures the production posture
+    # (xxhash64 signatures, default skew cap)
+    from semantic_olap_spark.functions.dedup import (
+        minhash_lsh_pairs,
+        simhash_pairs,
+    )
 
     qs = dict(qs)
     qs["simhash_pairs"] = lambda spark_, sf_: simhash_pairs(
         tables["documents"], max_distance=3
+    )
+    qs["minhash_lsh_pairs"] = lambda spark_, sf_: minhash_lsh_pairs(
+        tables["documents"], shingle_n=3, threshold=0.5
     )
     # persisted ANN indexes (warmup = the one-time assign+write cost;
     # the timed rows below measure the repeated-query probe path)
@@ -183,8 +189,6 @@ def main() -> None:
         emb, qvec, k=10, nbits=4, index_df=lsh_idx
     )
     # skew stress corpora (generation + write happen here, in warmup)
-    from semantic_olap_spark.functions.dedup import minhash_lsh_pairs
-
     # clique sizes chosen so the uncapped blowup is visible (~2x) but
     # the rows stay bounded and low-variance per round; the quadratic
     # cliff beyond these sizes (clique 4k: 27s, vs capped 3s) is
