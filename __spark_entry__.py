@@ -502,6 +502,53 @@ def _q_sample_frames(spark, sf_dir):
     return sample_frames(docs, n_frames=2).select("doc_id", "frame_idx")
 
 
+# ---- pipeline functions: deterministic sampling & packing --------------
+# (functions/sampling.py, functions/packing.py — randomness is a pure
+# function of (seed, key) via md5, so every query here carries a full
+# value-hash oracle; Spark's own sample/randomSplit could not)
+
+
+def _q_hash_sample(spark, sf_dir):
+    from semantic_olap_spark.functions.sampling import hash_sample
+
+    return hash_sample(_t(spark, sf_dir, "documents"), 0.3, "doc_id")
+
+
+def _q_stratified_sample(spark, sf_dir):
+    from semantic_olap_spark.functions.sampling import stratified_sample
+
+    return stratified_sample(
+        _t(spark, sf_dir, "documents"),
+        "source",
+        {"src1": 1.0, "src2": 0.5, "src3": 0.25},
+        "doc_id",
+    )
+
+
+def _q_train_test_split(spark, sf_dir):
+    from semantic_olap_spark.functions.sampling import train_test_split
+
+    return train_test_split(
+        _t(spark, sf_dir, "documents"),
+        {"train": 0.8, "test": 0.1, "val": 0.1},
+        "doc_id",
+    ).select("doc_id", "split")
+
+
+def _q_reservoir_sample(spark, sf_dir):
+    from semantic_olap_spark.functions.sampling import reservoir_sample
+
+    return reservoir_sample(_t(spark, sf_dir, "documents"), 25, "doc_id")
+
+
+def _q_pack_documents(spark, sf_dir):
+    from semantic_olap_spark.functions.packing import pack_documents
+
+    return pack_documents(
+        _t(spark, sf_dir, "documents"), budget=512, order_col="doc_id"
+    ).select("doc_id", "n_tokens", "bin", "offset")
+
+
 # ---- Spark-native relational breadth (SURVEY §2.5: joins/windows are
 # gaps in the reference that Spark fills; these pin the physical
 # strategy — broadcast dims, window without global sort) -----------------
@@ -871,6 +918,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_metadata": _q_multimodal_metadata,
         "image_features": _q_image_features,
         "sample_frames": _q_sample_frames,
+        # pipeline: deterministic sampling & packing
+        "hash_sample": _q_hash_sample,
+        "stratified_sample": _q_stratified_sample,
+        "train_test_split": _q_train_test_split,
+        "reservoir_sample": _q_reservoir_sample,
+        "pack_documents": _q_pack_documents,
         # Spark-native analytics breadth (§2.5 fill-ins)
         "rollup_order_revenue": _q_rollup_order_revenue,
         "cube_shipping": _q_cube_shipping,
@@ -953,6 +1006,31 @@ def _lsh_bucket_sql(vec_expr: str, nbits: int = 4, seed: int = 42,
             f" THEN {1 << i} ELSE 0 END)"
         )
     return "(" + " + ".join(terms) + ")"
+
+
+def _uhash_sql(key_expr: str, seed: int = 42) -> str:
+    # functions/sampling.py uniform_hash: U[0,1) = first 32 md5 bits
+    # of 'seed:key' / 2^32 — bit-identical in Spark and DuckDB
+    return (
+        f"(('0x' || substr(md5('{seed}:' || ({key_expr})::VARCHAR), 1, 8))"
+        f"::BIGINT / 4294967296.0)"
+    )
+
+
+def _split_case_sql(weights: dict[str, float], key_expr: str,
+                    seed: int = 42) -> str:
+    # mirrors train_test_split's cumulative-range construction,
+    # INCLUDING its float accumulation order (sorted labels), so the
+    # literal boundaries are bit-identical to the Spark plan's
+    total = float(sum(weights.values()))
+    items = sorted(weights.items())
+    u = _uhash_sql(key_expr, seed)
+    parts = []
+    cum = 0.0
+    for label, w in items[:-1]:
+        cum += float(w) / total
+        parts.append(f"WHEN {u} < {cum!r} THEN '{label}'")
+    return "CASE " + " ".join(parts) + f" ELSE '{items[-1][0]}' END"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1409,6 +1487,52 @@ def oracle_sql() -> dict[str, str]:
         "sample_frames": """
             SELECT doc_id, f.frame_idx
             FROM documents, (SELECT unnest([0, 1]) AS frame_idx) f
+        """,
+        # deterministic sampling: u(key) = md5-derived U[0,1) — the
+        # whole point of hash-based sampling is that this reproduces
+        # exactly anywhere, including in the oracle
+        "hash_sample": f"""
+            SELECT * FROM documents
+            WHERE {_uhash_sql('doc_id')} < 0.3
+        """,
+        "stratified_sample": f"""
+            SELECT * FROM documents
+            WHERE {_uhash_sql('doc_id')} <
+                  CASE source WHEN 'src3' THEN 0.25
+                              WHEN 'src2' THEN 0.5
+                              WHEN 'src1' THEN 1.0
+                              ELSE 0.0 END
+        """,
+        "train_test_split": f"""
+            SELECT doc_id,
+                   {_split_case_sql({'train': 0.8, 'test': 0.1, 'val': 0.1},
+                                    'doc_id')} AS split
+            FROM documents
+        """,
+        "reservoir_sample": f"""
+            SELECT * FROM documents
+            ORDER BY {_uhash_sql('doc_id')} ASC, doc_id ASC
+            LIMIT 25
+        """,
+        "pack_documents": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(str_split_regex(trim(text), '\s+'))
+                     END AS n_tokens
+              FROM documents
+            ),
+            s AS (
+              SELECT doc_id, n_tokens,
+                     (sum(n_tokens) OVER (ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) - n_tokens)::BIGINT
+                         AS strt
+              FROM t
+            )
+            SELECT doc_id, n_tokens,
+                   (strt // 512)::BIGINT AS bin,
+                   (strt % 512)::BIGINT AS offset
+            FROM s
         """,
         "rollup_order_revenue": """
             SELECT o_orderstatus, o_orderpriority,

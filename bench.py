@@ -51,6 +51,9 @@ HEADLINE = [
     # the signature-based queries — their persisted frames otherwise
     # add memory pressure to the biggest pair join)
     "text_profile",
+    # deterministic sampling + the two-phase prefix-sum packer
+    "hash_sample",
+    "pack_documents",
     "dedup_exact",
     "jaccard_pairs",
     "cosine_topk",

@@ -29,3 +29,13 @@ from semantic_olap_spark.functions.multimodal import (  # noqa: F401
     sample_frames,
     sniff_format,
 )
+from semantic_olap_spark.functions.sampling import (  # noqa: F401
+    hash_sample,
+    reservoir_sample,
+    stratified_sample,
+    train_test_split,
+    uniform_hash,
+)
+from semantic_olap_spark.functions.packing import (  # noqa: F401
+    pack_documents,
+)

@@ -1,0 +1,177 @@
+"""Deterministic sampling/splitting + sequence packing.
+
+The properties that justify these operators' existence are the ones
+asserted here: results are pure functions of the data (stable under
+repartitioning and reruns), splits are disjoint + exhaustive with
+key-consistent membership, sampled fractions land near their
+Bernoulli expectation, and packing's two-phase prefix sum equals the
+sequential layout exactly.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from semantic_olap_spark.functions.packing import pack_documents
+from semantic_olap_spark.functions.sampling import (
+    hash_sample,
+    reservoir_sample,
+    stratified_sample,
+    train_test_split,
+    uniform_hash,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(tables):
+    return tables["documents"]
+
+
+def test_hash_sample_deterministic_and_partition_invariant(docs):
+    a = sorted(
+        r.doc_id for r in hash_sample(docs, 0.3, "doc_id").select("doc_id").collect()
+    )
+    b = sorted(
+        r.doc_id
+        for r in hash_sample(docs.repartition(13), 0.3, "doc_id")
+        .select("doc_id")
+        .collect()
+    )
+    assert a == b and len(a) > 0
+
+
+def test_hash_sample_fraction_near_expectation(docs):
+    n = docs.count()
+    got = hash_sample(docs, 0.3, "doc_id").count()
+    # binomial(500, 0.3): sd ≈ 10; allow 4 sd
+    assert abs(got - 0.3 * n) < 4 * (0.3 * 0.7 * n) ** 0.5
+
+
+def test_hash_sample_monotone_in_fraction(docs):
+    small = {r.doc_id for r in hash_sample(docs, 0.2, "doc_id").collect()}
+    large = {r.doc_id for r in hash_sample(docs, 0.5, "doc_id").collect()}
+    assert small <= large
+
+
+def test_hash_sample_stable_under_corpus_growth(docs):
+    # rows sampled from a subset stay sampled in the full corpus
+    sub = docs.filter(F.col("doc_id") < 200)
+    sampled_sub = {r.doc_id for r in hash_sample(sub, 0.4, "doc_id").collect()}
+    sampled_full = {
+        r.doc_id
+        for r in hash_sample(docs, 0.4, "doc_id").collect()
+        if r.doc_id < 200
+    }
+    assert sampled_sub == sampled_full
+
+
+def test_uniform_hash_range(docs):
+    row = docs.select(
+        F.min(uniform_hash(F.col("doc_id"))).alias("lo"),
+        F.max(uniform_hash(F.col("doc_id"))).alias("hi"),
+    ).collect()[0]
+    assert 0.0 <= row.lo and row.hi < 1.0
+
+
+def test_stratified_sample_respects_per_stratum_fractions(docs):
+    # keep all of src1, half of src2, drop src3 explicitly; unlisted
+    # strata fall to default_fraction=0.0
+    frac = {"src1": 1.0, "src2": 0.5, "src3": 0.0}
+    out = stratified_sample(docs, "source", frac, "doc_id")
+    got = {
+        r.source: r.cnt
+        for r in out.groupBy("source").agg(F.count("*").alias("cnt")).collect()
+    }
+    base = {
+        r.source: r.cnt
+        for r in docs.groupBy("source").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert set(got) <= {"src1", "src2"}
+    assert got["src1"] == base["src1"]
+    n = base["src2"]
+    assert abs(got.get("src2", 0) - 0.5 * n) < 4 * (0.25 * n) ** 0.5
+
+
+def test_train_test_split_disjoint_exhaustive_and_seed_stable(docs):
+    out = train_test_split(
+        docs, {"train": 0.8, "test": 0.1, "val": 0.1}, "doc_id"
+    )
+    counts = {
+        r.split: r.cnt
+        for r in out.groupBy("split").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert sum(counts.values()) == docs.count()  # exhaustive, one label each
+    assert counts["train"] > counts["test"] and counts["train"] > counts["val"]
+    again = train_test_split(
+        docs.repartition(7), {"train": 0.8, "test": 0.1, "val": 0.1}, "doc_id"
+    )
+    a = sorted((r.doc_id, r.split) for r in out.select("doc_id", "split").collect())
+    b = sorted((r.doc_id, r.split) for r in again.select("doc_id", "split").collect())
+    assert a == b
+
+
+def test_train_test_split_equal_keys_same_split(spark):
+    df = spark.createDataFrame(
+        [(i % 10, i) for i in range(100)], "key int, row int"
+    )
+    out = train_test_split(df, {"a": 0.5, "b": 0.5}, "key")
+    per_key = (
+        out.groupBy("key")
+        .agg(F.countDistinct("split").alias("n"))
+        .collect()
+    )
+    assert all(r.n == 1 for r in per_key)
+
+
+def test_reservoir_sample_exact_n_and_deterministic(docs):
+    a = reservoir_sample(docs, 25, "doc_id").select("doc_id").collect()
+    b = reservoir_sample(docs.repartition(11), 25, "doc_id").select(
+        "doc_id"
+    ).collect()
+    assert len(a) == 25
+    assert sorted(r.doc_id for r in a) == sorted(r.doc_id for r in b)
+
+
+def test_reservoir_no_global_shuffle(docs):
+    plan = reservoir_sample(docs, 10, "doc_id")._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_pack_documents_matches_sequential_layout(docs):
+    out = pack_documents(docs, budget=512, order_col="doc_id").select(
+        "doc_id", "n_tokens", "bin", "offset"
+    )
+    rows = {r.doc_id: r for r in out.collect()}
+    # sequential reference layout
+    seq = sorted(
+        (r.doc_id, r.n_tokens)
+        for r in out.select("doc_id", "n_tokens").collect()
+    )
+    pos = 0
+    for doc_id, n in seq:
+        r = rows[doc_id]
+        assert (r.bin, r.offset) == (pos // 512, pos % 512), doc_id
+        pos += n
+    assert pos == sum(n for _, n in seq)
+
+
+def test_pack_documents_no_single_partition_exchange(docs):
+    plan = (
+        pack_documents(docs, budget=512, order_col="doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SinglePartition" not in plan
+
+
+def test_pack_documents_existing_token_col(spark):
+    df = spark.createDataFrame(
+        [(i, 100) for i in range(10)], "doc_id int, n_tok int"
+    )
+    out = pack_documents(df, budget=250, order_col="doc_id", token_col="n_tok")
+    got = {r.doc_id: (r.bin, r.offset) for r in out.collect()}
+    # 100-token docs into 250-token bins: starts 0,100,200,300,...
+    assert got[0] == (0, 0) and got[1] == (0, 100) and got[2] == (0, 200)
+    assert got[3] == (1, 50)
