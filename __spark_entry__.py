@@ -549,6 +549,27 @@ def _q_pack_documents(spark, sf_dir):
     ).select("doc_id", "n_tokens", "bin", "offset")
 
 
+def _q_leakage_safe_split(spark, sf_dir):
+    # near-dup clusters (same pair graph as dedup_clusters) keyed
+    # into the split hash: duplicates never straddle train/test
+    from semantic_olap_spark.functions.dedup import jaccard_pairs
+    from semantic_olap_spark.functions.sampling import leakage_safe_split
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, threshold=0.7, block_col="source")
+    return leakage_safe_split(
+        docs, pairs, {"train": 0.9, "test": 0.1}, "doc_id"
+    ).select("doc_id", "split")
+
+
+def _q_quantile_filter(spark, sf_dir):
+    from semantic_olap_spark.functions.sampling import quantile_filter
+
+    return quantile_filter(
+        _t(spark, sf_dir, "orders"), "o_totalprice", 0.1, keep="top"
+    )
+
+
 # ---- Spark-native relational breadth (SURVEY §2.5: joins/windows are
 # gaps in the reference that Spark fills; these pin the physical
 # strategy — broadcast dims, window without global sort) -----------------
@@ -924,6 +945,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_test_split": _q_train_test_split,
         "reservoir_sample": _q_reservoir_sample,
         "pack_documents": _q_pack_documents,
+        "leakage_safe_split": _q_leakage_safe_split,
+        "quantile_filter": _q_quantile_filter,
         # Spark-native analytics breadth (§2.5 fill-ins)
         "rollup_order_revenue": _q_rollup_order_revenue,
         "cube_shipping": _q_cube_shipping,
@@ -1513,6 +1536,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM documents
             ORDER BY {_uhash_sql('doc_id')} ASC, doc_id ASC
             LIMIT 25
+        """,
+        "leakage_safe_split": f"""
+            WITH RECURSIVE {clusters_cte}
+            SELECT d.doc_id,
+                   {_split_case_sql({'train': 0.9, 'test': 0.1},
+                                    'coalesce(cl.cluster_id, d.doc_id)')}
+                       AS split
+            FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
+        """,
+        "quantile_filter": """
+            SELECT * FROM orders
+            WHERE o_totalprice::DOUBLE >= (
+                SELECT quantile_cont(o_totalprice::DOUBLE, 0.9) FROM orders)
         """,
         "pack_documents": r"""
             WITH t AS (

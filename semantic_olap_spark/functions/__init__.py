@@ -31,6 +31,8 @@ from semantic_olap_spark.functions.multimodal import (  # noqa: F401
 )
 from semantic_olap_spark.functions.sampling import (  # noqa: F401
     hash_sample,
+    leakage_safe_split,
+    quantile_filter,
     reservoir_sample,
     stratified_sample,
     train_test_split,

@@ -19,6 +19,11 @@ key column instead:
                           TakeOrderedAndProject — no shuffle of the
                           full data, n rows per partition reach the
                           driver-side merge.
+- ``leakage_safe_split``— split keyed on near-dup CLUSTER labels so
+                          duplicates never straddle train/test.
+- ``quantile_filter``   — keep the top/bottom q fraction by a score
+                          column (quality gating); exact or
+                          sketch-based threshold.
 
 Properties that matter at scale: a row's fate depends only on
 ``(seed, key)`` — stable under repartitioning, AQE re-planning,
@@ -43,6 +48,8 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "hash_sample",
+    "leakage_safe_split",
+    "quantile_filter",
     "reservoir_sample",
     "stratified_sample",
     "train_test_split",
@@ -142,6 +149,78 @@ def train_test_split(
     last = items[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
     return df.withColumn(split_col, expr)
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    seed: int = 42,
+    split_col: str = "split",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Train/test split keyed on near-dup cluster, not row id.
+
+    Splitting rows independently leaks near-duplicates across the
+    train/test boundary — the classic eval-contamination bug.  Given
+    a near-dup pair frame (from ``jaccard_pairs`` /
+    ``minhash_lsh_pairs`` / ``cosine_pairs``), cluster it
+    (:func:`~semantic_olap_spark.functions.dedup.dedup_clusters`) and
+    hash-split on the CLUSTER label (singletons = own id): every
+    member of a duplicate cluster lands in the same split.  The
+    cluster frame is pair-graph-sized — the join back to the corpus
+    broadcasts in the common case.
+    """
+    from semantic_olap_spark.functions.dedup import dedup_clusters
+
+    clusters = dedup_clusters(pairs, id_a=id_a, id_b=id_b).select(
+        F.col("doc_id").alias("_cid"), F.col("cluster_id").alias("_cluster")
+    )
+    tagged = df.join(
+        clusters, df[id_col] == clusters["_cid"], "left"
+    ).withColumn("_skey", F.coalesce(F.col("_cluster"), F.col(id_col)))
+    out = train_test_split(tagged, weights, "_skey", seed, split_col)
+    return out.drop("_cid", "_cluster", "_skey")
+
+
+def quantile_filter(
+    df: DataFrame,
+    col: str,
+    q: float,
+    keep: str = "top",
+    exact: bool = True,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Keep the top (or bottom) ``q`` fraction of rows by ``col``.
+
+    The quality-gate shape ("keep the best 20% by quality score").
+    The threshold is the (1-q) (or q) quantile computed as a 1-row
+    aggregate and broadcast back — the whole thing stays one lazy
+    plan, no driver collect.  ``exact=True`` uses exact interpolated
+    ``percentile`` (a sort-based agg — fine up to billions of rows,
+    and required for oracle parity); ``exact=False`` uses
+    ``approx_percentile`` (single-pass sketch, the 100 TB default —
+    the threshold may differ from exact by the sketch error, which a
+    quality gate tolerates).
+    """
+    if not 0.0 < q <= 1.0:
+        raise ValueError(f"q must be in (0, 1], got {q}")
+    if keep not in ("top", "bottom"):
+        raise ValueError(f"keep must be 'top' or 'bottom', got {keep!r}")
+    p = 1.0 - q if keep == "top" else q
+    c = F.col(col).cast("double")
+    thr_expr = (
+        F.percentile(c, F.lit(p))
+        if exact
+        else F.percentile_approx(c, F.lit(p), F.lit(accuracy))
+    )
+    thr = df.agg(thr_expr.alias("_thr"))
+    cond = c >= F.col("_thr") if keep == "top" else c <= F.col("_thr")
+    from pyspark.sql.functions import broadcast
+
+    return df.crossJoin(broadcast(thr)).filter(cond).drop("_thr")
 
 
 def reservoir_sample(

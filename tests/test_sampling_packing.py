@@ -16,6 +16,8 @@ from pyspark.sql import functions as F
 from semantic_olap_spark.functions.packing import pack_documents
 from semantic_olap_spark.functions.sampling import (
     hash_sample,
+    leakage_safe_split,
+    quantile_filter,
     reservoir_sample,
     stratified_sample,
     train_test_split,
@@ -122,6 +124,67 @@ def test_train_test_split_equal_keys_same_split(spark):
         .collect()
     )
     assert all(r.n == 1 for r in per_key)
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    # 0-1-2 form one near-dup cluster via pairs; 3..9 are singletons
+    df = spark.createDataFrame([(i,) for i in range(10)], "doc_id int")
+    pairs = spark.createDataFrame([(0, 1), (1, 2)], "id_a int, id_b int")
+    out = leakage_safe_split(df, pairs, {"train": 0.5, "test": 0.5})
+    got = {r.doc_id: r.split for r in out.collect()}
+    assert len(got) == 10
+    assert got[0] == got[1] == got[2]  # whole cluster in one split
+
+
+def test_leakage_safe_split_matches_plain_split_for_singletons(spark):
+    df = spark.createDataFrame([(i,) for i in range(50)], "doc_id int")
+    pairs = spark.createDataFrame([], "id_a int, id_b int")
+    a = {
+        r.doc_id: r.split
+        for r in leakage_safe_split(
+            df, pairs, {"train": 0.8, "test": 0.2}
+        ).collect()
+    }
+    b = {
+        r.doc_id: r.split
+        for r in train_test_split(df, {"train": 0.8, "test": 0.2}, "doc_id").collect()
+    }
+    assert a == b
+
+
+def test_quantile_filter_top_fraction(tables):
+    orders = tables["orders"]
+    n = orders.count()
+    kept = quantile_filter(orders, "o_totalprice", 0.1, keep="top")
+    k = kept.count()
+    # exact interpolated threshold keeps ~q*n rows (±1 on ties)
+    assert abs(k - 0.1 * n) <= max(2, 0.01 * n)
+    # every kept row beats every dropped row
+    thr = kept.agg(F.min(F.col("o_totalprice"))).collect()[0][0]
+    dropped_max = (
+        orders.join(kept.select("o_orderkey"), "o_orderkey", "left_anti")
+        .agg(F.max("o_totalprice"))
+        .collect()[0][0]
+    )
+    assert dropped_max <= thr
+
+
+def test_quantile_filter_bottom_and_approx(tables):
+    orders = tables["orders"]
+    bot = quantile_filter(orders, "o_totalprice", 0.2, keep="bottom").count()
+    n = orders.count()
+    assert abs(bot - 0.2 * n) <= max(2, 0.01 * n)
+    approx = quantile_filter(
+        orders, "o_totalprice", 0.1, keep="top", exact=False
+    ).count()
+    assert abs(approx - 0.1 * n) <= 0.05 * n  # sketch-accuracy bound
+
+
+def test_quantile_filter_validates_args(tables):
+    with pytest.raises(ValueError):
+        quantile_filter(tables["orders"], "o_totalprice", 0.0)
+    with pytest.raises(ValueError):
+        quantile_filter(tables["orders"], "o_totalprice", 0.5, keep="middle")
 
 
 def test_reservoir_sample_exact_n_and_deterministic(docs):
