@@ -570,6 +570,24 @@ def _q_quantile_filter(spark, sf_dir):
     )
 
 
+def _q_dedup_against(spark, sf_dir):
+    # incremental-ingest shape: treat src1 as the already-seen corpus
+    from semantic_olap_spark.functions.dedup import dedup_against
+
+    docs = _t(spark, sf_dir, "documents")
+    seen = docs.filter(F.col("source") == "src1")
+    return dedup_against(docs, seen)
+
+
+def _q_profile_columns(spark, sf_dir):
+    from semantic_olap_spark.functions.profiling import profile_columns
+
+    return profile_columns(
+        _t(spark, sf_dir, "orders"),
+        ["o_orderkey", "o_orderstatus", "o_totalprice", "o_custkey"],
+    )
+
+
 # ---- Spark-native relational breadth (SURVEY §2.5: joins/windows are
 # gaps in the reference that Spark fills; these pin the physical
 # strategy — broadcast dims, window without global sort) -----------------
@@ -947,6 +965,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_documents": _q_pack_documents,
         "leakage_safe_split": _q_leakage_safe_split,
         "quantile_filter": _q_quantile_filter,
+        "dedup_against": _q_dedup_against,
+        "profile_columns": _q_profile_columns,
         # Spark-native analytics breadth (§2.5 fill-ins)
         "rollup_order_revenue": _q_rollup_order_revenue,
         "cube_shipping": _q_cube_shipping,
@@ -1549,6 +1569,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM orders
             WHERE o_totalprice::DOUBLE >= (
                 SELECT quantile_cont(o_totalprice::DOUBLE, 0.9) FROM orders)
+        """,
+        "dedup_against": f"""
+            SELECT * FROM documents
+            WHERE {_NORM_MD5} NOT IN (
+                SELECT {_NORM_MD5} FROM documents WHERE source = 'src1')
+        """,
+        "profile_columns": """
+            SELECT c.column, s.n_rows, c.n_null, c.n_distinct,
+                   c.min_num, c.max_num
+            FROM (SELECT count(*) AS n_rows FROM orders) s, (
+              SELECT 'o_orderkey' AS column,
+                     count(*) - count(o_orderkey) AS n_null,
+                     count(DISTINCT o_orderkey) AS n_distinct,
+                     min(try_cast(o_orderkey AS DOUBLE)) AS min_num,
+                     max(try_cast(o_orderkey AS DOUBLE)) AS max_num
+              FROM orders
+              UNION ALL
+              SELECT 'o_orderstatus',
+                     count(*) - count(o_orderstatus),
+                     count(DISTINCT o_orderstatus),
+                     min(try_cast(o_orderstatus AS DOUBLE)),
+                     max(try_cast(o_orderstatus AS DOUBLE))
+              FROM orders
+              UNION ALL
+              SELECT 'o_totalprice',
+                     count(*) - count(o_totalprice),
+                     count(DISTINCT o_totalprice),
+                     min(try_cast(o_totalprice AS DOUBLE)),
+                     max(try_cast(o_totalprice AS DOUBLE))
+              FROM orders
+              UNION ALL
+              SELECT 'o_custkey',
+                     count(*) - count(o_custkey),
+                     count(DISTINCT o_custkey),
+                     min(try_cast(o_custkey AS DOUBLE)),
+                     max(try_cast(o_custkey AS DOUBLE))
+              FROM orders
+            ) c
         """,
         "pack_documents": r"""
             WITH t AS (

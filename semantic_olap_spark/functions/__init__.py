@@ -8,6 +8,7 @@ from semantic_olap_spark.functions.text import (  # noqa: F401
     winnow_fingerprints,
 )
 from semantic_olap_spark.functions.dedup import (  # noqa: F401
+    dedup_against,
     dedup_clusters,
     dedup_exact,
     dedup_keep_best,
@@ -40,4 +41,7 @@ from semantic_olap_spark.functions.sampling import (  # noqa: F401
 )
 from semantic_olap_spark.functions.packing import (  # noqa: F401
     pack_documents,
+)
+from semantic_olap_spark.functions.profiling import (  # noqa: F401
+    profile_columns,
 )

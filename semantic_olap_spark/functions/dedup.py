@@ -85,6 +85,33 @@ def _jaccard(a: Column, b: Column) -> Column:
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
+def dedup_against(
+    df: DataFrame,
+    seen: DataFrame,
+    text_col: str = "text",
+    seen_text_col: str | None = None,
+) -> DataFrame:
+    """Incremental exact dedup: drop rows already in a seen corpus.
+
+    The daily-ingest shape: ``df`` is today's batch, ``seen`` is the
+    accumulated corpus (or just its fingerprint column); rows whose
+    normalized-text fingerprint (:func:`doc_fingerprint`) appears in
+    ``seen`` are dropped.  A fingerprint ``left_anti`` join — shuffles
+    on the 128-bit fingerprint only (never full text), broadcasts
+    when the seen side is small, and composes with
+    :func:`dedup_exact` for intra-batch dups.
+    """
+    fp = doc_fingerprint(F.col(text_col))
+    seen_fp = seen.select(
+        doc_fingerprint(F.col(seen_text_col or text_col)).alias("_fp")
+    ).distinct()
+    return (
+        df.withColumn("_fp", fp)
+        .join(seen_fp, "_fp", "left_anti")
+        .drop("_fp")
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

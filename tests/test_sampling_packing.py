@@ -187,6 +187,61 @@ def test_quantile_filter_validates_args(tables):
         quantile_filter(tables["orders"], "o_totalprice", 0.5, keep="middle")
 
 
+def test_dedup_against_drops_seen_and_only_seen(docs, spark):
+    from semantic_olap_spark.functions.dedup import dedup_against
+
+    seen = docs.filter(F.col("source") == "src1")
+    out = dedup_against(docs, seen)
+    seen_texts = {
+        r.t for r in seen.selectExpr(
+            "trim(regexp_replace(lower(text), '\\\\s+', ' ')) AS t"
+        ).collect()
+    }
+    kept_texts = {
+        r.t for r in out.selectExpr(
+            "trim(regexp_replace(lower(text), '\\\\s+', ' ')) AS t"
+        ).collect()
+    }
+    assert not (kept_texts & seen_texts)
+    # rows dropped are exactly those whose normalized text is seen
+    dropped = docs.count() - out.count()
+    should_drop = docs.selectExpr(
+        "trim(regexp_replace(lower(text), '\\\\s+', ' ')) AS t"
+    ).filter(F.col("t").isin(list(seen_texts))).count()
+    assert dropped == should_drop
+
+
+def test_profile_columns_values(tables, spark):
+    from semantic_olap_spark.functions.profiling import profile_columns
+
+    orders = tables["orders"]
+    out = {
+        r.column: r
+        for r in profile_columns(
+            orders, ["o_orderkey", "o_orderstatus"]
+        ).collect()
+    }
+    n = orders.count()
+    assert out["o_orderkey"].n_rows == n
+    assert out["o_orderkey"].n_null == 0
+    assert out["o_orderkey"].n_distinct == n  # primary key
+    assert out["o_orderkey"].min_num == float(
+        orders.agg(F.min("o_orderkey")).collect()[0][0]
+    )
+    assert out["o_orderstatus"].min_num is None  # non-numeric
+    assert out["o_orderstatus"].n_distinct == 3
+
+
+def test_profile_columns_approx_mode_runs(tables):
+    from semantic_olap_spark.functions.profiling import profile_columns
+
+    out = profile_columns(
+        tables["orders"], ["o_orderkey"], approx_distinct=True
+    ).collect()
+    n = tables["orders"].count()
+    assert abs(out[0].n_distinct - n) < 0.1 * n
+
+
 def test_reservoir_sample_exact_n_and_deterministic(docs):
     a = reservoir_sample(docs, 25, "doc_id").select("doc_id").collect()
     b = reservoir_sample(docs.repartition(11), 25, "doc_id").select(
