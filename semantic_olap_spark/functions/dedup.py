@@ -1,11 +1,13 @@
 """Deduplication for training-data pipelines: exact + near-dup.
 
 Beyond-reference operators (SURVEY.md §7.1 M7; BASELINE.json north
-star).  Four strategies, each the standard shape used by large corpus
+star).  Each strategy is the standard shape used by large corpus
 pipelines:
 
 - ``dedup_exact``       — hash-groupBy on a normalized-text
                           fingerprint; keeps the lowest-id row.
+- ``dedup_against``     — incremental ingest: anti-join today's batch
+                          against the seen corpus's fingerprints.
 - ``jaccard_pairs``     — exact token-set Jaccard over candidate
                           pairs; quadratic within a blocking key, so
                           it is the *oracle/baseline* path and the

@@ -251,6 +251,30 @@ def test_reservoir_sample_exact_n_and_deterministic(docs):
     assert sorted(r.doc_id for r in a) == sorted(r.doc_id for r in b)
 
 
+def test_hash_sample_plan_pruned_scan_no_shuffle(docs):
+    plan = (
+        hash_sample(docs, 0.3, "doc_id")
+        .select("doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ReadSchema: struct<doc_id:bigint>" in plan  # column pruning
+    assert "Exchange" not in plan  # scan-side filter, zero shuffle
+
+
+def test_quantile_filter_plan_broadcasts_threshold(tables):
+    plan = (
+        quantile_filter(tables["orders"], "o_totalprice", 0.1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # threshold is a broadcast 1-row frame, never a shuffled join
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_reservoir_no_global_shuffle(docs):
     plan = reservoir_sample(docs, 10, "doc_id")._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
