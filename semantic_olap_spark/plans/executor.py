@@ -276,4 +276,92 @@ class PlanExecutor:
                 p.get("id_col", sem.OLAP_ID),
                 lf,
             )
+        fn = _PIPELINE_OPS.get(name)
+        if fn is not None:
+            return fn(df, p)
         raise ValueError(f"unknown operator {name!r}")
+
+
+# ---- pipeline operators as plan-language steps (SURVEY §7.1 M7:
+# "each designed as a plan-language operator").  Single-frame ops
+# only — every entry is (df, params) -> DataFrame, so NL planners and
+# replayed plans can splice dedup/sampling/packing/profiling steps
+# between filters exactly like the reference's own operators.
+
+
+def _pipe(fn, *required, **renames):
+    """Adapt functions.* signature to a (df, params) plan step."""
+
+    def step(df: DataFrame, p: Mapping) -> DataFrame:
+        kwargs = dict(p)
+        for missing in (r for r in required if r not in kwargs):
+            raise ValueError(f"{fn.__name__} step requires {missing!r}")
+        for plan_key, arg_key in renames.items():
+            if plan_key in kwargs:
+                kwargs[arg_key] = kwargs.pop(plan_key)
+        return fn(df, **kwargs)
+
+    return step
+
+
+def _dedup_near_step(df: DataFrame, p: Mapping) -> DataFrame:
+    """minhash candidate pairs → cluster → keep best, one step."""
+    from semantic_olap_spark.functions.dedup import (
+        dedup_keep_best,
+        minhash_lsh_pairs,
+    )
+
+    pair_kwargs = {
+        k: p[k]
+        for k in (
+            "text_col", "id_col", "shingle_n", "num_hashes", "bands",
+            "threshold", "max_bucket_size",
+        )
+        if k in p
+    }
+    pairs = minhash_lsh_pairs(df, **pair_kwargs)
+    return dedup_keep_best(
+        df, pairs,
+        id_col=p.get("id_col", "doc_id"),
+        score_col=p.get("score_col"),
+    )
+
+
+def _build_pipeline_ops() -> dict:
+    from semantic_olap_spark.functions import (
+        dedup_exact,
+        hash_sample,
+        jaccard_pairs,
+        minhash_lsh_pairs,
+        pack_documents,
+        profile_columns,
+        quantile_filter,
+        reservoir_sample,
+        simhash_pairs,
+        stratified_sample,
+        text_profile,
+        train_test_split,
+        winnow_overlap_pairs,
+    )
+
+    return {
+        "text_profile": _pipe(text_profile),
+        "dedup_exact": _pipe(dedup_exact),
+        "dedup_near": _dedup_near_step,
+        "jaccard_pairs": _pipe(jaccard_pairs),
+        "minhash_lsh_pairs": _pipe(minhash_lsh_pairs),
+        "simhash_pairs": _pipe(simhash_pairs),
+        "winnow_overlap_pairs": _pipe(winnow_overlap_pairs),
+        "hash_sample": _pipe(hash_sample, "fraction", "key_col"),
+        "stratified_sample": _pipe(
+            stratified_sample, "strata_col", "fractions", "key_col"
+        ),
+        "train_test_split": _pipe(train_test_split, "weights", "key_col"),
+        "reservoir_sample": _pipe(reservoir_sample, "n", "key_col"),
+        "quantile_filter": _pipe(quantile_filter, "col", "q"),
+        "pack_documents": _pipe(pack_documents, "budget"),
+        "profile_columns": _pipe(profile_columns),
+    }
+
+
+_PIPELINE_OPS = _build_pipeline_ops()

@@ -308,6 +308,64 @@ def test_pack_documents_no_single_partition_exchange(docs):
     assert "SinglePartition" not in plan
 
 
+def test_pipeline_ops_in_plan_language(docs, spark):
+    # SURVEY §7.1 M7: pipeline operators are plan-language operators —
+    # splice sampling/dedup steps between ordinary filter steps
+    from semantic_olap_spark.plans.executor import PlanExecutor
+
+    ex = PlanExecutor()
+    out = ex.execute(
+        docs,
+        [
+            {"operator": "keyword_filter",
+             "params": {"columns": ["text"], "keywords": ["spark"]}},
+            {"operator": "hash_sample",
+             "params": {"fraction": 0.5, "key_col": "doc_id"}},
+            {"operator": "train_test_split",
+             "params": {"weights": {"train": 0.8, "test": 0.2},
+                        "key_col": "doc_id"}},
+        ],
+    )
+    direct = train_test_split(
+        hash_sample(
+            docs.filter(F.lower(F.col("text")).contains("spark")),
+            0.5,
+            "doc_id",
+        ),
+        {"train": 0.8, "test": 0.2},
+        "doc_id",
+    )
+    got = sorted((r.doc_id, r.split) for r in out.select("doc_id", "split").collect())
+    want = sorted(
+        (r.doc_id, r.split) for r in direct.select("doc_id", "split").collect()
+    )
+    assert got == want and len(got) > 0
+    assert [s["operator_name"] for s in ex.lineage] == [
+        "keyword_filter", "hash_sample", "train_test_split",
+    ]
+
+
+def test_dedup_near_plan_step(docs):
+    from semantic_olap_spark.plans.executor import PlanExecutor
+
+    out = PlanExecutor().execute(
+        docs,
+        [{"operator": "dedup_near",
+          "params": {"threshold": 0.7, "num_hashes": 16, "bands": 4}}],
+    )
+    assert out.columns == docs.columns  # original schema survives
+    assert 0 < out.count() <= docs.count()
+
+
+def test_pipeline_plan_step_missing_param_raises(docs):
+    from semantic_olap_spark.plans.executor import PlanExecutor
+
+    with pytest.raises(ValueError, match="requires"):
+        PlanExecutor().execute_step(
+            docs, {"operator": "hash_sample", "params": {"fraction": 0.5}}
+        )
+
+
 def test_pack_documents_existing_token_col(spark):
     df = spark.createDataFrame(
         [(i, 100) for i in range(10)], "doc_id int, n_tok int"
