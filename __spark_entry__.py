@@ -753,7 +753,7 @@ def _q_embedding_dedup(spark, sf_dir):
     # embeddings table (threshold tuned to the synthetic corpus's
     # cosine range so real clusters form)
     emb = _t(spark, sf_dir, "embeddings")
-    pairs = cosine_pairs(emb, threshold=0.42)
+    pairs = cosine_pairs(emb, threshold=0.42, allow_unblocked=True)
     return dedup_keep_best(emb, pairs, id_col="vec_id").select(
         "vec_id", "label"
     )

@@ -122,6 +122,7 @@ def jaccard_pairs(
     block_col: str | None = None,
     round_to: int = 4,
     broadcast: bool = True,
+    allow_unblocked: bool = False,
 ) -> DataFrame:
     """Exact token-set Jaccard similar pairs, optionally blocked.
 
@@ -129,6 +130,9 @@ def jaccard_pairs(
     ``jaccard >= threshold``.  Without ``block_col`` this is an
     all-pairs self-join — O(n²), the brute-force baseline; give a
     blocking key (or use :func:`minhash_lsh_pairs`) at scale.
+    Because an accidental unblocked run on a large corpus is a
+    cluster-killer, the O(n²) mode must be requested explicitly
+    with ``allow_unblocked=True``.
 
     ``broadcast=True`` broadcasts the right side and spreads the
     left over ``2×defaultParallelism`` partitions: a blocked
@@ -138,6 +142,12 @@ def jaccard_pairs(
     where an all-pairs baseline is sane at all; set ``False`` to
     fall back to the shuffle join.
     """
+    if block_col is None and not allow_unblocked:
+        raise ValueError(
+            "jaccard_pairs without block_col is an O(n²) all-pairs "
+            "self-join; pass block_col= (or use minhash_lsh_pairs) "
+            "at scale, or opt in with allow_unblocked=True"
+        )
     nparts = df.sparkSession.sparkContext.defaultParallelism
     base = (
         df.select(

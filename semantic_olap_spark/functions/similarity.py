@@ -107,6 +107,7 @@ def cosine_pairs(
     block_col: str | None = None,
     round_to: int = 6,
     broadcast: bool = True,
+    allow_unblocked: bool = False,
 ) -> DataFrame:
     """Pairs with cosine ≥ threshold — embedding near-dup detection.
 
@@ -114,11 +115,20 @@ def cosine_pairs(
     product.  All-pairs within ``block_col`` (or the whole table when
     None — brute-force baseline; at scale, block on an LSH/IVF
     assignment column).  Output ``(id_a, id_b, cosine)``, id_a < id_b.
+    The unblocked O(n²) mode must be requested explicitly with
+    ``allow_unblocked=True`` — an accidental all-pairs join over a
+    full embedding corpus is a cluster-killer.
 
     ``broadcast=True``: broadcast-right + repartitioned-left join —
     a blocked self-join otherwise caps parallelism at #blocks tasks
     (see :func:`~semantic_olap_spark.functions.dedup.jaccard_pairs`).
     """
+    if block_col is None and not allow_unblocked:
+        raise ValueError(
+            "cosine_pairs without block_col is an O(n²) all-pairs "
+            "self-join; block on an lsh_assign/ivf_assign column at "
+            "scale, or opt in with allow_unblocked=True"
+        )
     a = _as_double(vec_col)
     # materialize the norm once per row: embedding the O(d) norm
     # aggregate inside the per-element lambda would re-evaluate it d

@@ -30,6 +30,7 @@ def asof_join(
     by: list[str] | None = None,
     tolerance: str | None = None,
     right_prefix: str = "r_",
+    allow_unkeyed: bool = False,
 ) -> DataFrame:
     """For each left row, attach the latest right row at-or-before it.
 
@@ -42,14 +43,22 @@ def asof_join(
     (by, on, side) carrying the last seen right values forward
     (``last_value(..., ignoreNulls)``).  Exactly one shuffle on the
     ``by`` keys, per-key windows.  WITHOUT ``by`` keys the window
-    has no partitioning — fine for a small right/left pair, but a
-    single-task sort at scale: always pass ``by`` (or pre-bucket
-    time ranges) on large inputs.  Right-side value columns come
+    has no partitioning — a single-task global sort, fine only for
+    a small right/left pair, so the keyless mode must be requested
+    explicitly with ``allow_unkeyed=True``; always pass ``by`` (or
+    pre-bucket time ranges) on large inputs.  Right-side value
+    columns come
     back prefixed with ``right_prefix``; prefixed names (and the
     internal ``_side``/``_rv_*``/``_r_ts`` markers) must not collide
     with existing left columns — checked, clear error.
     """
     by = list(by or [])
+    if not by and not allow_unkeyed:
+        raise ValueError(
+            "asof_join without by keys runs a single-task global "
+            "sort; pass by=[...] on large inputs, or opt in with "
+            "allow_unkeyed=True"
+        )
     value_cols = [c for c in right.columns if c != on and c not in by]
     reserved = {"_side", "_r_ts"} | {f"_rv_{c}" for c in value_cols} | {
         f"{right_prefix}{c}" for c in value_cols + [on]

@@ -144,7 +144,7 @@ def test_minhash_lsh_recall_vs_exact(tables):
     docs = tables["documents"]
     exact = {
         (r["id_a"], r["id_b"])
-        for r in jaccard_pairs(docs, threshold=0.8).collect()
+        for r in jaccard_pairs(docs, threshold=0.8, allow_unblocked=True).collect()
     }
     lsh = {
         (r["id_a"], r["id_b"])
@@ -152,7 +152,7 @@ def test_minhash_lsh_recall_vs_exact(tables):
     }
     assert lsh <= {
         (r["id_a"], r["id_b"])
-        for r in jaccard_pairs(docs, threshold=0.8).collect()
+        for r in jaccard_pairs(docs, threshold=0.8, allow_unblocked=True).collect()
     } or True  # LSH verifies exactly, so lsh ⊆ exact always
     if exact:
         assert len(lsh & exact) / len(exact) >= 0.9
@@ -390,3 +390,13 @@ def test_dedup_clusters_oracle(tables, duck):
         SELECT u AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY u
         """,
     )
+
+
+def test_unblocked_pair_ops_require_opt_in(tables):
+    # O(n²) all-pairs modes are cluster-killers at scale: guarded
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="allow_unblocked"):
+        jaccard_pairs(tables["documents"], threshold=0.8)
+    with _pytest.raises(ValueError, match="allow_unblocked"):
+        cosine_pairs(tables["embeddings"], threshold=0.9)

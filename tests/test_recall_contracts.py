@@ -49,7 +49,7 @@ def test_minhash_recall_floor_vs_exact_jaccard(tables, threshold):
     docs = tables["documents"]
     exact = {
         (r["id_a"], r["id_b"])
-        for r in jaccard_pairs(docs, threshold=threshold).collect()
+        for r in jaccard_pairs(docs, threshold=threshold, allow_unblocked=True).collect()
     }
     assert exact, "fixture must produce exact pairs for the floor to bind"
     found = {

@@ -210,3 +210,15 @@ def test_running_user_stats_stream_state_accumulates(spark, tmp_path):
     # user 1 must have emitted an intermediate running value too
     user1 = [r["running_count"] for r in rows if r["user_id"] == 1]
     assert len(user1) >= 2 and max(user1) == 3
+
+
+def test_asof_join_unkeyed_requires_opt_in(spark):
+    import pytest as _pytest
+
+    left = spark.createDataFrame([(_ts(5), 1)], ["ts", "x"])
+    right = spark.createDataFrame([(_ts(4), 2.0)], ["ts", "score"])
+    # keyless = single-task global sort: guarded behind an explicit flag
+    with _pytest.raises(ValueError, match="allow_unkeyed"):
+        asof_join(left, right, "ts")
+    row = asof_join(left, right, "ts", allow_unkeyed=True).collect()[0]
+    assert row["r_score"] == 2.0
