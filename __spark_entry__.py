@@ -353,6 +353,20 @@ def _q_jaccard_pairs(spark, sf_dir):
     )
 
 
+def _q_ngram_jaccard_pairs(spark, sf_dir):
+    # order-sensitive word-2-gram Jaccard (shingle_n) — the exact
+    # unit MinHash approximates; low threshold because the synthetic
+    # token-bag corpus shares vocabulary, not word order
+    from semantic_olap_spark.functions.dedup import jaccard_pairs
+
+    return jaccard_pairs(
+        _t(spark, sf_dir, "documents"),
+        threshold=0.1,
+        block_col="source",
+        shingle_n=2,
+    )
+
+
 def _q_minhash_lsh_pairs(spark, sf_dir):
     # exact_hash=True swaps xxhash64 for md5 end to end so the WHOLE
     # pipeline (shingle → 64-fn signature → 16 band keys → candidate
@@ -938,6 +952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pipeline: dedup
         "dedup_exact": _q_dedup_exact,
         "jaccard_pairs": _q_jaccard_pairs,
+        "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "simhash_pairs": _q_simhash_pairs,
         "winnow_overlap_pairs": _q_winnow_overlap_pairs,
@@ -1291,6 +1306,32 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY {_NORM_MD5} ORDER BY doc_id) = 1
         """,
         "jaccard_pairs": jaccard_sql,
+        # word-2-gram shingle Jaccard: DuckDB rebuilds the shingle
+        # sets with the same slice semantics (clamped slices, whole
+        # text when < n tokens)
+        "ngram_jaccard_pairs": r"""
+            WITH sh AS (
+              SELECT doc_id, source,
+                list_distinct(list_transform(
+                  range(0, greatest(
+                    len(str_split_regex(lower(trim(text)), '\s+')) - 2,
+                    0) + 1),
+                  i -> array_to_string(
+                    str_split_regex(lower(trim(text)), '\s+')[i+1:i+2],
+                    ' ')
+                )) AS sg
+              FROM documents)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(len(list_intersect(a.sg, b.sg))::DOUBLE /
+                         (len(a.sg) + len(b.sg)
+                          - len(list_intersect(a.sg, b.sg))), 4)
+                       AS jaccard
+            FROM sh a JOIN sh b
+              ON a.doc_id < b.doc_id AND a.source = b.source
+            WHERE round(len(list_intersect(a.sg, b.sg))::DOUBLE /
+                        (len(a.sg) + len(b.sg)
+                         - len(list_intersect(a.sg, b.sg))), 4) >= 0.1
+        """,
         # minhash_lsh_pairs runs in exact_hash (md5) mode for the
         # driver, so the whole pipeline — word 3-gram shingles → 64
         # min-hash functions md5('i:'||shingle) → 16 band keys

@@ -123,13 +123,18 @@ def jaccard_pairs(
     round_to: int = 4,
     broadcast: bool = True,
     allow_unblocked: bool = False,
+    shingle_n: int | None = None,
 ) -> DataFrame:
     """Exact token-set Jaccard similar pairs, optionally blocked.
 
     Output: ``(id_a, id_b, jaccard)`` with ``id_a < id_b`` and
-    ``jaccard >= threshold``.  Without ``block_col`` this is an
-    all-pairs self-join — O(n²), the brute-force baseline; give a
-    blocking key (or use :func:`minhash_lsh_pairs`) at scale.
+    ``jaccard >= threshold``.  With ``shingle_n`` the comparison
+    unit is word n-gram shingles (:func:`word_shingles`) instead of
+    single tokens — order-sensitive n-gram Jaccard, the unit MinHash
+    approximates, so this doubles as its exact oracle.  Without
+    ``block_col`` this is an all-pairs self-join — O(n²), the
+    brute-force baseline; give a blocking key (or use
+    :func:`minhash_lsh_pairs`) at scale.
     Because an accidental unblocked run on a large corpus is a
     cluster-killer, the O(n²) mode must be requested explicitly
     with ``allow_unblocked=True``.
@@ -157,7 +162,11 @@ def jaccard_pairs(
         .repartition(nparts)  # parallelize tokenization (see minhash)
         .select(
             F.col(id_col), *([F.col(block_col)] if block_col else []),
-            _hashed(_norm_tokens(F.col(text_col))).alias("_toks"),
+            _hashed(
+                word_shingles(F.col(text_col), shingle_n)
+                if shingle_n
+                else _norm_tokens(F.col(text_col))
+            ).alias("_toks"),
         )
     )
     a = base.select(
