@@ -758,6 +758,29 @@ def _q_monthly_revenue(spark, sf_dir):
     )
 
 
+def _q_embedding_dedup_lsh(spark, sf_dir):
+    # the scale path for embedding dedup: LSH-bucket the corpus once
+    # (sign-bit signatures, seeded hyperplanes), then all-pairs only
+    # WITHIN buckets — near-linear vs the unblocked O(n²) baseline
+    # below.  Recall < 1 by construction (cross-bucket pairs are
+    # missed); the oracle reproduces the bucketing exactly, so this
+    # is still a full hash-match row, not rows-only.
+    from semantic_olap_spark.functions.dedup import dedup_keep_best
+    from semantic_olap_spark.functions.similarity import (
+        cosine_pairs,
+        lsh_assign,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    bucketed = lsh_assign(emb, nbits=4, seed=42, bucket_col="_bkt")
+    pairs = cosine_pairs(
+        bucketed, threshold=0.42, block_col="_bkt"
+    )
+    return dedup_keep_best(emb, pairs, id_col="vec_id").select(
+        "vec_id", "label"
+    )
+
+
 def _q_embedding_dedup(spark, sf_dir):
     from semantic_olap_spark.functions.dedup import dedup_keep_best
     from semantic_olap_spark.functions.similarity import cosine_pairs
@@ -990,6 +1013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentile_quantity": _q_percentile_quantity,
         "monthly_revenue": _q_monthly_revenue,
         "embedding_dedup": _q_embedding_dedup,
+        "embedding_dedup_lsh": _q_embedding_dedup_lsh,
         # streaming (batch-parity forms)
         "windowed_agg": _q_windowed_agg,
         "session_agg": _q_session_agg,
@@ -1715,6 +1739,36 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(o_totalprice::DECIMAL(18,6)), 2)::DOUBLE
                        AS revenue
             FROM orders GROUP BY 1
+        """,
+        # LSH-blocked variant: identical component/keep-lowest logic,
+        # but candidate pairs require equal 4-bit signatures (the
+        # literal-hyperplane expression matches lsh_assign's UDF)
+        "embedding_dedup_lsh": f"""
+            WITH RECURSIVE p AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+              WHERE {_lsh_bucket_sql("a.embedding::DOUBLE[]")}
+                    = {_lsh_bucket_sql("b.embedding::DOUBLE[]")}
+                AND round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                 b.embedding::DOUBLE[]), 6)
+                    >= 0.42
+            ),
+            edges AS (
+              SELECT id_a AS u, id_b AS v FROM p
+              UNION ALL SELECT id_b, id_a FROM p
+            ),
+            cnodes AS (SELECT DISTINCT u FROM edges),
+            reach(u, r) AS (
+              SELECT u, u FROM cnodes
+              UNION
+              SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.v
+            ),
+            cl AS (
+              SELECT u AS node, MIN(r) AS cluster_id FROM reach GROUP BY u
+            )
+            SELECT e.vec_id, e.label
+            FROM embeddings e LEFT JOIN cl ON cl.node = e.vec_id
+            WHERE e.vec_id = coalesce(cl.cluster_id, e.vec_id)
         """,
         "embedding_dedup": """
             WITH RECURSIVE p AS (

@@ -58,6 +58,9 @@ HEADLINE = [
     "jaccard_pairs",
     "cosine_topk",
     "embedding_dedup",
+    # the scale path for the same dedup: LSH-bucketed candidate
+    # pairs instead of the unblocked O(n²) baseline above
+    "embedding_dedup_lsh",
     "ivf_topk",
     # assign-once / probe-many ANN: index built in warmup (the
     # amortized cost), probe timed — contrast with ivf_topk above,
