@@ -5,3 +5,12 @@ from semantic_olap_spark.sources.loaders import (  # noqa: F401
     load_tables,
     with_olap_id,
 )
+from semantic_olap_spark.sources.bucketing import (  # noqa: F401
+    read_table,
+    write_bucketed,
+)
+from semantic_olap_spark.sources.sinks import (  # noqa: F401
+    compact,
+    write_partitioned,
+    write_stream_parquet,
+)

@@ -1,0 +1,126 @@
+"""Sinks: partitioned batch writes, small-file compaction, stream sinks.
+
+The reference's only sinks are Streamlit tables and a TCP log socket
+(SURVEY.md §2.5 — Semantic-OLAP/pages/Cube.py:61-63,
+Utils/send_logs.py:7-15); a Spark engine feeding a 100 TB lakehouse
+needs the real ones:
+
+- ``write_partitioned`` — hive-layout parquet with bounded file
+  sizes.  Partition pruning on read is free thereafter; the
+  ``max_records_per_file`` bound stops any single task from emitting
+  a multi-GB file that later becomes one unsplittable-ish scan unit
+  (parquet row groups split, but memory spikes at write time don't).
+- ``compact`` — the small-files repair job.  Streaming ingest and
+  fine-grained partitioning leave thousands of KB-sized files per
+  partition; NameNode/listing pressure and per-file open cost then
+  dominate scans.  Reads the source layout, rewrites it with
+  size-targeted files, preserves the partition columns.
+- ``write_stream_parquet`` — exactly-once file sink for Structured
+  Streaming: parquet + checkpointed WAL, the production counterpart
+  of the in-memory sinks the tests use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    max_records_per_file: int | None = 1_000_000,
+    mode: str = "overwrite",
+    sort_within_partitions: list[str] | None = None,
+) -> None:
+    """Write hive-partitioned parquet with bounded file sizes.
+
+    ``sort_within_partitions`` clusters rows inside each file (no
+    extra shuffle — ``sortWithinPartitions`` is task-local), which
+    tightens parquet min/max column stats so later range predicates
+    skip whole row groups.
+    """
+    out = df
+    if sort_within_partitions:
+        out = out.sortWithinPartitions(*sort_within_partitions)
+    writer = out.write.mode(mode)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def compact(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_records_per_file: int = 1_000_000,
+    partition_by: list[str] | None = None,
+) -> None:
+    """Rewrite a parquet layout with size-targeted files.
+
+    ``dst`` must differ from ``src``: Spark cannot overwrite a path
+    it is reading lazily (the scan would observe its own deletes), so
+    compaction is write-new-then-swap — the swap (atomic rename /
+    catalog pointer flip) is the deployment's job, and keeping it
+    out of this function is what makes the rewrite idempotent and
+    safely re-runnable.
+
+    Partition columns are auto-detected from the hive layout when
+    ``partition_by`` is None, so ``compact(spark, p, q)`` preserves
+    the source layout by default.  File count per partition comes
+    from ``maxRecordsPerFile``; AQE coalescing keeps the shuffle-free
+    path (no repartition — compaction must not pay a full shuffle
+    just to merge files; the writer splits oversized tasks instead).
+    """
+    if src.rstrip("/") == dst.rstrip("/"):
+        raise ValueError(
+            "compact cannot rewrite a path onto itself (the lazy scan "
+            "would observe its own deletes); write to a new path and "
+            "swap atomically"
+        )
+    df = spark.read.parquet(src)
+    if partition_by is None:
+        # hive-layout partition columns: present in the schema but
+        # sourced from directory names — detect via the file listing
+        first = spark.read.parquet(src).inputFiles()
+        partition_by = [
+            seg.split("=", 1)[0]
+            for seg in (first[0].split("/") if first else [])
+            if "=" in seg
+        ]
+    write_partitioned(
+        df,
+        dst,
+        partition_by=partition_by or None,
+        max_records_per_file=target_records_per_file,
+    )
+
+
+def write_stream_parquet(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    trigger_once: bool = False,
+    partition_by: list[str] | None = None,
+):
+    """Start an exactly-once parquet file sink for a streaming frame.
+
+    The checkpoint directory carries the WAL + state store; the file
+    sink's manifest makes output files exactly-once under restart.
+    ``trigger_once=True`` uses availableNow — drain-everything-then-
+    stop, the batch-parity mode the tests use.  Returns the
+    StreamingQuery (caller owns ``awaitTermination``/``stop``).
+    """
+    writer = (
+        df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

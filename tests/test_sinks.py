@@ -1,0 +1,82 @@
+"""Sink layer: partitioned writes, compaction, streaming file sink."""
+
+import glob
+
+import pytest
+from pyspark.sql import functions as F
+
+from semantic_olap_spark.sources.sinks import (
+    compact,
+    write_partitioned,
+    write_stream_parquet,
+)
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.select(*cols).collect())
+
+
+def test_write_partitioned_roundtrip_and_layout(spark, tables, tmp_path):
+    docs = tables["documents"]
+    out = str(tmp_path / "docs")
+    write_partitioned(docs, out, partition_by=["source"])
+    back = spark.read.parquet(out)
+    cols = ["doc_id", "text", "source"]
+    assert _rows(back, cols) == _rows(docs, cols)
+    # hive layout: one directory per source value
+    parts = {p.split("=")[1] for p in glob.glob(f"{out}/source=*")
+             for p in [p.rsplit("/", 1)[1]]}
+    want = {r["source"] for r in docs.select("source").distinct().collect()}
+    assert parts == want
+
+
+def test_write_partitioned_bounds_file_size(spark, tables, tmp_path):
+    docs = tables["documents"].coalesce(1)
+    out = str(tmp_path / "bounded")
+    write_partitioned(docs, out, max_records_per_file=100)
+    files = glob.glob(f"{out}/*.parquet")
+    n = tables["documents"].count()
+    # a single 500-row task must have split into >= n/100 files
+    assert len(files) >= n // 100
+
+
+def test_compact_merges_small_files(spark, tables, tmp_path):
+    src, dst = str(tmp_path / "frag"), str(tmp_path / "compacted")
+    # fragment: 32 tasks x partitioned-by-source -> many tiny files
+    tables["documents"].repartition(32).write.partitionBy(
+        "source"
+    ).parquet(src)
+    n_before = len(glob.glob(f"{src}/source=*/*.parquet"))
+    compact(spark, src, dst)
+    n_after = len(glob.glob(f"{dst}/source=*/*.parquet"))
+    assert n_after < n_before
+    # layout preserved (partition columns auto-detected) + data equal
+    assert glob.glob(f"{dst}/source=*")
+    cols = ["doc_id", "text", "source"]
+    assert _rows(spark.read.parquet(dst), cols) == _rows(
+        tables["documents"], cols
+    )
+
+
+def test_compact_refuses_in_place(spark, tmp_path):
+    with pytest.raises(ValueError, match="swap"):
+        compact(spark, str(tmp_path / "p"), str(tmp_path / "p"))
+
+
+def test_write_stream_parquet_exactly_once(spark, tables, tmp_path):
+    src = str(tmp_path / "stream_src")
+    tables["events"].select("event_id", "user_id", "value").write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = write_stream_parquet(stream, out, ckpt, trigger_once=True)
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == tables["events"].count()
+    # restart with the same checkpoint: nothing new -> no duplicates
+    q2 = write_stream_parquet(
+        spark.readStream.schema(schema).parquet(src), out, ckpt,
+        trigger_once=True,
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == tables["events"].count()
