@@ -1,6 +1,8 @@
 from semantic_olap_spark.sources.loaders import (  # noqa: F401
     TABLES,
+    load_csv,
     load_json_flat,
+    load_jsonl,
     load_table,
     load_tables,
     with_olap_id,

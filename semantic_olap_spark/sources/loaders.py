@@ -117,6 +117,76 @@ def load_json_flat(
     return df.select(*cols)
 
 
+def load_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str | None = None,
+    header: bool = True,
+    malformed: str = "PERMISSIVE",
+    corrupt_col: str | None = None,
+) -> DataFrame:
+    """Read CSV with an explicit malformed-record policy.
+
+    ``schema`` should be given in production — schema inference is a
+    full extra pass over the data (at 100 TB, a full extra scan).
+    ``malformed``: PERMISSIVE (bad fields → null, row kept),
+    DROPMALFORMED (row dropped), or FAILFAST (abort).  With
+    ``corrupt_col`` the PERMISSIVE mode lands the raw bad line in
+    that column so a quality gate can route rejects instead of
+    silently nulling them.
+    """
+    reader = (
+        spark.read.option("header", str(header).lower())
+        .option("mode", malformed)
+    )
+    if corrupt_col:
+        reader = reader.option("columnNameOfCorruptRecord", corrupt_col)
+        if schema is not None and isinstance(schema, T.StructType):
+            # fresh StructType: .add mutates in place, and silently
+            # growing the CALLER's schema breaks its later use (a
+            # DROPMALFORMED read with a phantom column drops all rows)
+            schema = T.StructType(
+                list(schema.fields)
+                + [T.StructField(corrupt_col, T.StringType())]
+            )
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def load_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str | None = None,
+    malformed: str = "PERMISSIVE",
+    flatten: bool = False,
+) -> DataFrame:
+    """Read newline-delimited JSON (the corpus-interchange format).
+
+    Unlike :func:`load_json_flat` (one multiline JSON array — the
+    reference's input shape), JSONL is splittable: every executor
+    reads its own byte range, so a 100 TB corpus parallelizes at the
+    block level.  ``flatten=True`` applies the same stringify-nested
+    contract on top.
+    """
+    reader = spark.read.option("mode", malformed)
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.json(path)
+    if flatten:
+        df = df.select(
+            *[
+                F.to_json(F.col(f.name)).alias(f.name)
+                if _is_nested(f.dataType)
+                else F.col(f.name)
+                for f in df.schema.fields
+            ]
+        )
+    return df
+
+
 def with_olap_id(df: DataFrame, order_by: list[str] | None = None) -> DataFrame:
     """Attach the synthetic row id (reference: OLAP_Memory.py:110-111).
 

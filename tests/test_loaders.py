@@ -50,3 +50,42 @@ def test_events_nanos_timestamp_converted(spark):
     ev = load_table(spark, "/root/testdata/sf0.001", "events")
     assert isinstance(ev.schema["ts"].dataType, T.TimestampType)
     assert ev.filter(F.col("ts").isNull()).count() == 0
+
+
+def test_load_csv_malformed_policies(spark, tmp_path):
+    from semantic_olap_spark.sources.loaders import load_csv
+
+    p = tmp_path / "in.csv"
+    p.write_text("id,score\n1,2.5\n2,notanumber\n3,4.0\n")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    # PERMISSIVE + corrupt_col: bad row kept, raw line routed aside
+    df = load_csv(
+        spark, str(p), schema=schema, corrupt_col="_bad"
+    ).cache()
+    assert df.count() == 3
+    bad = df.filter(F.col("_bad").isNotNull()).collect()
+    assert len(bad) == 1 and bad[0]["_bad"] == "2,notanumber"
+    # DROPMALFORMED: the row disappears
+    dropped = load_csv(
+        spark, str(p), schema=schema, malformed="DROPMALFORMED"
+    )
+    assert sorted(r["id"] for r in dropped.collect()) == [1, 3]
+
+
+def test_load_jsonl_splittable_and_flatten(spark, tmp_path):
+    from semantic_olap_spark.sources.loaders import load_jsonl
+
+    p = tmp_path / "in.jsonl"
+    p.write_text(
+        '{"id": 1, "meta": {"a": 1}}\n'
+        '{"id": 2, "meta": {"a": 2}}\n'
+    )
+    df = load_jsonl(spark, str(p), flatten=True)
+    rows = {r["id"]: r["meta"] for r in df.collect()}
+    assert rows == {1: '{"a":1}', 2: '{"a":2}'}
+    assert isinstance(df.schema["meta"].dataType, T.StringType)
