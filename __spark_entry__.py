@@ -367,6 +367,29 @@ def _q_ngram_jaccard_pairs(spark, sf_dir):
     )
 
 
+_BATCH_SRCS = ("src0", "src1", "src2", "src3", "src4")
+
+
+def _q_minhash_dedup_against(spark, sf_dir):
+    # incremental near-dup ingest: the batch (5 sources) is checked
+    # against a MinHash index of the remaining corpus; rows sharing
+    # an LSH band bucket AND verifying at shingle-Jaccard >= 0.5 are
+    # dropped.  exact_hash=True (md5) so the whole index+probe
+    # pipeline reproduces in the DuckDB oracle.
+    from semantic_olap_spark.functions.dedup import (
+        dedup_against_minhash,
+        minhash_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("source").isin(*_BATCH_SRCS))
+    corpus = docs.filter(~F.col("source").isin(*_BATCH_SRCS))
+    idx = minhash_index(corpus, exact_hash=True)
+    return dedup_against_minhash(
+        batch, idx, threshold=0.5, exact_hash=True
+    )
+
+
 def _q_minhash_lsh_pairs(spark, sf_dir):
     # exact_hash=True swaps xxhash64 for md5 end to end so the WHOLE
     # pipeline (shingle → 64-fn signature → 16 band keys → candidate
@@ -977,6 +1000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": _q_jaccard_pairs,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
+        "minhash_dedup_against": _q_minhash_dedup_against,
         "simhash_pairs": _q_simhash_pairs,
         "winnow_overlap_pairs": _q_winnow_overlap_pairs,
         "dedup_clusters": _q_dedup_clusters,
@@ -1402,6 +1426,57 @@ def oracle_sql() -> dict[str, str]:
               JOIN sh y ON c.id_b = y.doc_id
             )
             SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.5
+        """,
+        # minhash_dedup_against: the same md5 signature/band pipeline
+        # for BOTH sides, candidates = batch band keys hitting corpus
+        # band keys, verify = exact shingle Jaccard, anti-join
+        "minhash_dedup_against": f"""
+            WITH t AS (
+              SELECT doc_id, source,
+                     str_split_regex(lower(trim(text)), '\\s+') AS toks
+              FROM documents
+            ),
+            sh AS (
+              SELECT doc_id, source, list_distinct([
+                  array_to_string(toks[j + 1 : j + 3], ' ')
+                  for j in generate_series(0, greatest(len(toks) - 3, 0))
+              ]) AS shingles
+              FROM t
+            ),
+            hs AS (
+              SELECT doc_id, i, min(md5(i::VARCHAR || ':' || s)) AS h
+              FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)
+              CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i)
+              GROUP BY doc_id, i
+            ),
+            bands AS (
+              SELECT doc_id, i // 4 AS band,
+                     md5(string_agg(h, '|' ORDER BY i)) AS bh
+              FROM hs GROUP BY doc_id, i // 4
+            ),
+            batch AS (SELECT doc_id FROM documents
+                      WHERE source IN {_BATCH_SRCS}),
+            corp AS (SELECT doc_id FROM documents
+                     WHERE source NOT IN {_BATCH_SRCS}),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS qid, b.doc_id AS cid
+              FROM bands a
+              JOIN batch ON a.doc_id = batch.doc_id
+              JOIN bands b ON a.band = b.band AND a.bh = b.bh
+              JOIN corp ON b.doc_id = corp.doc_id
+            ),
+            dup AS (
+              SELECT DISTINCT c.qid
+              FROM cand c
+              JOIN sh x ON c.qid = x.doc_id
+              JOIN sh y ON c.cid = y.doc_id
+              WHERE len(list_intersect(x.shingles, y.shingles))::DOUBLE
+                    / len(list_distinct(
+                          list_concat(x.shingles, y.shingles))) >= 0.5
+            )
+            SELECT d.* FROM documents d
+            JOIN batch ON d.doc_id = batch.doc_id
+            WHERE d.doc_id NOT IN (SELECT qid FROM dup)
         """,
         # winnow_overlap_pairs: exact_hash (md5) mode — k-gram md5
         # hashes, window-of-4 lexicographic min, distinct prints,

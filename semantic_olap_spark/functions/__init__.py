@@ -9,10 +9,12 @@ from semantic_olap_spark.functions.text import (  # noqa: F401
 )
 from semantic_olap_spark.functions.dedup import (  # noqa: F401
     dedup_against,
+    dedup_against_minhash,
     dedup_clusters,
     dedup_exact,
     dedup_keep_best,
     jaccard_pairs,
+    minhash_index,
     minhash_lsh_pairs,
     simhash_pairs,
     winnow_overlap_pairs,

@@ -251,6 +251,27 @@ def _minhash_signature_md5(shingles: Column, num_hashes: int) -> Column:
     )
 
 
+def _band_keys(
+    sig: Column, num_hashes: int, bands: int, exact_hash: bool
+) -> Column:
+    """One LSH bucket key per band of the signature array."""
+    r = num_hashes // bands
+    if exact_hash:
+        return F.array(
+            *[
+                F.md5(
+                    F.concat_ws("|", F.slice(sig, b * r + 1, r)).cast(
+                        "binary"
+                    )
+                )
+                for b in range(bands)
+            ]
+        )
+    return F.array(
+        *[F.hash(F.slice(sig, b * r + 1, r)) for b in range(bands)]
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -317,26 +338,11 @@ def minhash_lsh_pairs(
         sig = docs.withColumn(
             "_sig", _minhash_signature_md5(F.col("_sh"), num_hashes)
         )
-        band_arr = F.array(
-            *[
-                F.md5(
-                    F.concat_ws(
-                        "|", F.slice(F.col("_sig"), b * r + 1, r)
-                    ).cast("binary")
-                )
-                for b in range(bands)
-            ]
-        )
     else:
         sig = docs.withColumn(
             "_sig", _minhash_signature(F.col("_sh"), num_hashes)
         )
-        band_arr = F.array(
-            *[
-                F.hash(F.slice(F.col("_sig"), b * r + 1, r))
-                for b in range(bands)
-            ]
-        )
+    band_arr = _band_keys(F.col("_sig"), num_hashes, bands, exact_hash)
     banded = sig.select(
         "_id", F.posexplode(band_arr).alias("_band", "_bh")
     )
@@ -368,6 +374,129 @@ def minhash_lsh_pairs(
         with_sets.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    exact_hash: bool = False,
+) -> DataFrame:
+    """Build the corpus-side MinHash-LSH index: one row per document.
+
+    Output: ``(_id, _sh, _bkeys)`` — the document's hashed shingle
+    set (for the exact-Jaccard verify step) and its ``bands`` LSH
+    bucket keys.  Persist this ONCE per corpus (plain parquet is
+    fine; the probe explodes ``_bkeys`` itself), then every incoming
+    batch is checked with :func:`dedup_against_minhash` without
+    re-shingling the corpus — the continuous-ingest analog of
+    :func:`dedup_against` for NEAR duplicates, and the reason the
+    95%-of-the-work signature pass runs once, not per batch.
+
+    The probe must use the SAME ``(shingle_n, num_hashes, bands,
+    exact_hash)`` — signatures from different parameters never
+    collide correctly.  :func:`dedup_against_minhash` recomputes the
+    batch side internally from its own arguments, so pass one shared
+    config dict in calling code.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    nparts = df.sparkSession.sparkContext.defaultParallelism
+    shingle_set = (
+        word_shingles(F.col(text_col), shingle_n)
+        if exact_hash
+        else _hashed(word_shingles(F.col(text_col), shingle_n))
+    )
+    docs = (
+        df.select(F.col(id_col).alias("_id"), F.col(text_col))
+        .repartition(nparts)
+        .select("_id", shingle_set.alias("_sh"))
+    )
+    sig = (
+        _minhash_signature_md5(F.col("_sh"), num_hashes)
+        if exact_hash
+        else _minhash_signature(F.col("_sh"), num_hashes)
+    )
+    return docs.select(
+        "_id",
+        "_sh",
+        _band_keys(sig, num_hashes, bands, exact_hash).alias("_bkeys"),
+    )
+
+
+def dedup_against_minhash(
+    df: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    max_bucket_size: int | None = 5000,
+    exact_hash: bool = False,
+) -> DataFrame:
+    """Drop batch rows that near-duplicate an indexed corpus.
+
+    The daily-ingest near-dup shape: ``index`` is
+    :func:`minhash_index` output for the accumulated corpus (built
+    with the SAME parameters); a batch row is dropped when it shares
+    an LSH bucket with an indexed document AND exact shingle-set
+    Jaccard ``>= threshold``.  Candidates come from a band-key
+    equi-join (batch bands × corpus bands) — cost follows bucket
+    sizes, never |batch|×|corpus| — with the same hot-bucket skew
+    guard as :func:`minhash_lsh_pairs`, applied to the corpus side
+    where boilerplate cliques accumulate.  Output: the surviving
+    rows of ``df``, original schema.  Intra-batch duplicates are out
+    of scope — compose with :func:`minhash_lsh_pairs` +
+    :func:`dedup_keep_best` on the batch first.
+    """
+    batch_idx = minhash_index(
+        df, text_col, id_col, shingle_n, num_hashes, bands, exact_hash
+    ).persist()
+    # candidate join carries only (id, band, key) — the shingle
+    # arrays would otherwise ride the shuffle ``bands`` times each
+    b = batch_idx.select(
+        F.col("_id").alias("_qid"),
+        F.posexplode("_bkeys").alias("_band", "_bh"),
+    )
+    c = index.select(
+        F.col("_id").alias("_cid"),
+        F.posexplode("_bkeys").alias("_band", "_bh"),
+    )
+    if max_bucket_size is not None:
+        w = Window.partitionBy("_band", "_bh")
+        c = (
+            c.withColumn("_bsz", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bsz") <= max_bucket_size)
+            .drop("_bsz")
+        )
+    cand = (
+        b.join(c, ["_band", "_bh"]).select("_qid", "_cid").distinct()
+    )
+    dup_ids = (
+        cand.join(
+            batch_idx.select(
+                F.col("_id").alias("_qid"), F.col("_sh").alias("_qsh")
+            ),
+            "_qid",
+        )
+        .join(
+            index.select(
+                F.col("_id").alias("_cid"), F.col("_sh").alias("_csh")
+            ),
+            "_cid",
+        )
+        .filter(_jaccard(F.col("_qsh"), F.col("_csh")) >= threshold)
+        .select("_qid")
+        .distinct()
+    )
+    return df.join(
+        dup_ids, F.col(id_col) == F.col("_qid"), "left_anti"
     )
 
 

@@ -400,3 +400,49 @@ def test_unblocked_pair_ops_require_opt_in(tables):
         jaccard_pairs(tables["documents"], threshold=0.8)
     with _pytest.raises(ValueError, match="allow_unblocked"):
         cosine_pairs(tables["embeddings"], threshold=0.9)
+
+
+def test_dedup_against_minhash_sound_and_recalls_planted(tables, spark):
+    from semantic_olap_spark.functions.dedup import (
+        dedup_against_minhash,
+        jaccard_pairs,
+        minhash_index,
+        word_shingles,
+        _hashed,
+        _jaccard,
+    )
+
+    docs = tables["documents"]
+    corpus = docs.filter(F.col("source") != "web")
+    # batch: the web docs, plus one verbatim copy of a corpus doc
+    planted = (
+        corpus.limit(1)
+        .select((F.lit(900000)).alias("doc_id"), "text", "source",
+                "n_chars", *[c for c in docs.columns
+                             if c not in ("doc_id", "text", "source",
+                                          "n_chars")])
+    )
+    batch = docs.filter(F.col("source") == "web").unionByName(planted)
+
+    idx = minhash_index(corpus)
+    out = dedup_against_minhash(batch, idx, threshold=0.5)
+    kept = {r["doc_id"] for r in out.select("doc_id").collect()}
+    dropped = {
+        r["doc_id"] for r in batch.select("doc_id").collect()
+    } - kept
+
+    # recall: the verbatim plant (J=1.0) must be dropped
+    assert 900000 in dropped
+    # soundness: every dropped row has a true corpus near-dup at J>=0.5
+    # (exact shingle-set jaccard, the same unit the verify step uses)
+    sh = lambda df: df.select(
+        "doc_id", _hashed(word_shingles(F.col("text"), 3)).alias("_sh")
+    )
+    true_dups = {
+        r["doc_id"]
+        for r in sh(batch).alias("b").join(
+            sh(corpus).select(F.col("_sh").alias("_csh")).alias("c"),
+            _jaccard(F.col("b._sh"), F.col("c._csh")) >= 0.5,
+        ).select("doc_id").distinct().collect()
+    }
+    assert dropped <= true_dups
