@@ -770,9 +770,13 @@ def _q_percentile_quantity(spark, sf_dir):
 def _q_monthly_revenue(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
     revenue = F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+    # cast to DATE: Spark's date_trunc returns TIMESTAMP while
+    # DuckDB's returns DATE for month granularity — pin one type so
+    # the value-hash compare sees identical objects either way
     return (
         orders.groupBy(
-            F.date_trunc("month", F.col("o_orderdate")).alias("month")
+            F.date_trunc("month", F.col("o_orderdate"))
+            .cast("date").alias("month")
         )
         .agg(
             F.count("*").alias("n_orders"),
@@ -1809,7 +1813,7 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem GROUP BY l_returnflag
         """,
         "monthly_revenue": """
-            SELECT date_trunc('month', o_orderdate) AS month,
+            SELECT date_trunc('month', o_orderdate)::DATE AS month,
                    count(*) AS n_orders,
                    round(sum(o_totalprice::DECIMAL(18,6)), 2)::DOUBLE
                        AS revenue

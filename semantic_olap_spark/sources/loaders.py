@@ -81,6 +81,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # `div` = integer division: epoch-nanos exceed double
             # precision (2^53), so float division would corrupt them
             df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    # normalize TIMESTAMP_NTZ (tz-naive parquet micros) to the session
+    # TimestampType: the session tz is pinned UTC (session.py), so the
+    # cast is value-preserving, and every downstream consumer (window
+    # aggs, as-of joins, the DuckDB oracle comparison) sees ONE
+    # timestamp type regardless of how the file encoded it
+    for f in df.schema.fields:
+        if isinstance(f.dataType, T.TimestampNTZType):
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
     return df
 
 

@@ -31,6 +31,7 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from semantic_olap_spark.operators.deterministic import AGGS
 
@@ -150,4 +151,10 @@ def read_events_stream(
             stream = stream.withColumn(
                 c, F.expr(f"timestamp_micros(`{c}` div 1000)")
             )
+    # TIMESTAMP_NTZ (plain micros, tz-naive) → session TimestampType,
+    # mirroring load_table: watermarks/event-time require TIMESTAMP,
+    # and the session tz is pinned UTC so the cast preserves values
+    for f in stream.schema.fields:
+        if isinstance(f.dataType, T.TimestampNTZType):
+            stream = stream.withColumn(f.name, F.col(f.name).cast("timestamp"))
     return stream

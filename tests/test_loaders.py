@@ -46,7 +46,11 @@ def test_with_olap_id_sparse_unique(spark):
     assert len(set(ids)) == 100
 
 
-def test_events_nanos_timestamp_converted(spark):
+def test_events_timestamp_normalized(spark):
+    # regardless of the file's encoding (TIMESTAMP(NANOS) read as
+    # long, or plain micros TIMESTAMP_NTZ), load_table surfaces ONE
+    # session-timezone TimestampType so window aggs / as-of joins /
+    # oracle comparisons never see a mixed-type corpus
     ev = load_table(spark, "/root/testdata/sf0.001", "events")
     assert isinstance(ev.schema["ts"].dataType, T.TimestampType)
     assert ev.filter(F.col("ts").isNull()).count() == 0
