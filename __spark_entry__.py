@@ -599,6 +599,67 @@ def _q_leakage_safe_split(spark, sf_dir):
     ).select("doc_id", "split")
 
 
+def _q_redact_pii(spark, sf_dir):
+    # the synthetic corpus has no PII, so both sides append a
+    # deterministic doc_id-derived email/URL/IP/phone to every row;
+    # redaction + per-kind counts then reproduce exactly in SQL
+    from semantic_olap_spark.functions.cleaning import redact_pii
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id").cast("string")
+    docs = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), d, F.lit("@example.com"),
+            F.lit(" via http://ex.com/p/"), d,
+            F.lit(" from 10.0."), (F.col("doc_id") % 200).cast("string"),
+            F.lit(".7 call +1415555"),
+            (F.col("doc_id") % 10).cast("string"),
+        ),
+    )
+    return redact_pii(docs).select(
+        "doc_id", "text", "n_url", "n_email", "n_ip", "n_phone"
+    )
+
+
+def _q_repetition_profile(spark, sf_dir):
+    from semantic_olap_spark.functions.cleaning import repetition_profile
+
+    return repetition_profile(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "top_token_frac", "dup_2gram_frac", "mean_token_len",
+        "symbol_ratio",
+    )
+
+
+def _q_heuristic_filter(spark, sf_dir):
+    from semantic_olap_spark.functions.cleaning import heuristic_filter
+
+    return heuristic_filter(
+        _t(spark, sf_dir, "documents"),
+        min_tokens=20, max_top_token_frac=0.12, max_dup_2gram_frac=0.05,
+    )
+
+
+def _q_decontaminate_bench(spark, sf_dir):
+    # benchmark decontamination: treat src0 as the eval set; drop any
+    # other document sharing a verbatim 4-token span with it
+    from semantic_olap_spark.functions.cleaning import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("source") == "src0")
+    corpus = docs.filter(F.col("source") != "src0")
+    return decontaminate(corpus, bench, n=4)
+
+
+def _q_take_token_budget(spark, sf_dir):
+    from semantic_olap_spark.functions.cleaning import take_token_budget
+
+    return take_token_budget(
+        _t(spark, sf_dir, "documents"), budget=1500, score_col="n_chars"
+    ).select("doc_id", "n_chars", "n_tokens")
+
+
 def _q_quantile_filter(spark, sf_dir):
     from semantic_olap_spark.functions.sampling import quantile_filter
 
@@ -1033,6 +1094,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_filter": _q_quantile_filter,
         "dedup_against": _q_dedup_against,
         "profile_columns": _q_profile_columns,
+        # pipeline: corpus cleaning
+        "redact_pii": _q_redact_pii,
+        "repetition_profile": _q_repetition_profile,
+        "heuristic_filter": _q_heuristic_filter,
+        "decontaminate_bench": _q_decontaminate_bench,
+        "take_token_budget": _q_take_token_budget,
         # Spark-native analytics breadth (§2.5 fill-ins)
         "rollup_order_revenue": _q_rollup_order_revenue,
         "cube_shipping": _q_cube_shipping,
@@ -1058,6 +1125,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 _NORM_MD5 = r"md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))"
+
+# repetition metrics (functions/cleaning.py repetition_profile) as a
+# DuckDB CTE chain; rounding and operand order mirror the Spark exprs
+# so doubles are bit-identical
+_REPETITION_CTE = r"""
+        t AS (
+          SELECT doc_id, text,
+                 str_split_regex(lower(trim(text)), '\s+') AS toks
+          FROM documents
+        ),
+        m AS (
+          SELECT doc_id, text, toks, len(toks) AS n,
+                 [array_to_string(toks[i + 1 : i + 2], ' ')
+                  for i in generate_series(0, greatest(len(toks) - 2, 0))]
+                     AS g2
+          FROM t
+        ),
+        prof AS (
+          SELECT doc_id, n,
+                 round(CASE WHEN trim(text) = '' THEN 0
+                       ELSE list_max(list_transform(list_distinct(toks),
+                                s -> len(list_filter(toks, x -> x = s))
+                            ))::DOUBLE / n
+                       END, 6) AS top_token_frac,
+                 round(CASE WHEN trim(text) = '' OR n < 2 THEN 0
+                       ELSE 1 - len(list_distinct(g2))::DOUBLE / len(g2)
+                       END, 6) AS dup_2gram_frac,
+                 round(CASE WHEN trim(text) = '' THEN 0
+                       ELSE list_sum(list_transform(toks, s -> len(s)))::DOUBLE
+                            / n
+                       END, 6) AS mean_token_len,
+                 round(CASE WHEN len(text) > 0 THEN
+                           len(regexp_replace(text, '[A-Za-z0-9\s]', '',
+                               'g'))::DOUBLE / len(text)
+                       ELSE 0 END, 6) AS symbol_ratio
+          FROM m
+        )
+"""
 _STOPS = {
     "en": ("the", "a", "and", "of", "to", "in", "is", "it", "that", "for"),
     "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "zu"),
@@ -1718,6 +1823,113 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM documents
             WHERE {_NORM_MD5} NOT IN (
                 SELECT {_NORM_MD5} FROM documents WHERE source = 'src1')
+        """,
+        # redact_pii: both sides append the same doc_id-derived PII,
+        # then apply the identical Java∩RE2 patterns in the identical
+        # order, counting on the progressively-redacted text
+        "redact_pii": r"""
+            WITH t0 AS (
+              SELECT doc_id,
+                     text || ' contact user' || doc_id::VARCHAR
+                          || '@example.com via http://ex.com/p/'
+                          || doc_id::VARCHAR
+                          || ' from 10.0.' || (doc_id % 200)::VARCHAR
+                          || '.7 call +1415555' || (doc_id % 10)::VARCHAR
+                         AS t
+              FROM documents
+            ),
+            s1 AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(t, 'https?://\S+')) AS n_url,
+                     regexp_replace(t, 'https?://\S+', '<URL>', 'g') AS t
+              FROM t0
+            ),
+            s2 AS (
+              SELECT doc_id, n_url,
+                     len(regexp_extract_all(t,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                         AS n_email,
+                     regexp_replace(t,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                         '<EMAIL>', 'g') AS t
+              FROM s1
+            ),
+            s3 AS (
+              SELECT doc_id, n_url, n_email,
+                     len(regexp_extract_all(t,
+                         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
+                     regexp_replace(t,
+                         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                         '<IP>', 'g') AS t
+              FROM s2
+            ),
+            s4 AS (
+              SELECT doc_id, n_url, n_email, n_ip,
+                     len(regexp_extract_all(t, '\+\d[\d\- ]{6,}\d'))
+                         AS n_phone,
+                     regexp_replace(t, '\+\d[\d\- ]{6,}\d', '<PHONE>', 'g')
+                         AS t
+              FROM s3
+            )
+            SELECT doc_id, t AS text, n_url, n_email, n_ip, n_phone FROM s4
+        """,
+        "repetition_profile": rf"""
+            WITH {_REPETITION_CTE}
+            SELECT doc_id, top_token_frac, dup_2gram_frac, mean_token_len,
+                   symbol_ratio
+            FROM prof
+        """,
+        "heuristic_filter": rf"""
+            WITH {_REPETITION_CTE}
+            SELECT d.* FROM documents d JOIN prof USING (doc_id)
+            WHERE prof.n >= 20
+              AND prof.top_token_frac <= 0.12
+              AND prof.dup_2gram_frac <= 0.05
+              AND prof.mean_token_len BETWEEN 2.0 AND 12.0
+              AND prof.symbol_ratio <= 0.2
+        """,
+        # decontaminate: distinct 4-gram sets; a corpus doc sharing
+        # ANY gram with the src0 "benchmark" is dropped
+        "decontaminate_bench": r"""
+            WITH t AS (
+              SELECT doc_id, source,
+                     str_split_regex(lower(trim(text)), '\s+') AS toks
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id, source, list_distinct([
+                  array_to_string(toks[i + 1 : i + 4], ' ')
+                  for i in generate_series(0, greatest(len(toks) - 4, 0))
+              ]) AS gs
+              FROM t
+            ),
+            bench AS (
+              SELECT DISTINCT unnest(gs) AS gram FROM g WHERE source = 'src0'
+            ),
+            ge AS (
+              SELECT doc_id, unnest(gs) AS gram FROM g WHERE source != 'src0'
+            ),
+            hits AS (SELECT DISTINCT ge.doc_id FROM ge JOIN bench USING (gram))
+            SELECT d.* FROM documents d
+            WHERE d.source != 'src0'
+              AND d.doc_id NOT IN (SELECT doc_id FROM hits)
+        """,
+        "take_token_budget": r"""
+            WITH t AS (
+              SELECT doc_id, n_chars,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(str_split_regex(trim(text), '\s+'))
+                     END AS n_tokens
+              FROM documents
+            ),
+            s AS (
+              SELECT doc_id, n_chars, n_tokens,
+                     sum(n_tokens) OVER (
+                         ORDER BY n_chars DESC, doc_id ASC
+                         ROWS UNBOUNDED PRECEDING) AS cum
+              FROM t
+            )
+            SELECT doc_id, n_chars, n_tokens FROM s WHERE cum <= 1500
         """,
         "profile_columns": """
             SELECT c.column, s.n_rows, c.n_null, c.n_distinct,

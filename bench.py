@@ -54,6 +54,12 @@ HEADLINE = [
     # deterministic sampling + the two-phase prefix-sum packer
     "hash_sample",
     "pack_documents",
+    # corpus cleaning: scan-side PII/repetition gates, broadcast
+    # n-gram decontamination, two-phase token-budget curation
+    "redact_pii",
+    "heuristic_filter",
+    "decontaminate_bench",
+    "take_token_budget",
     "dedup_exact",
     "jaccard_pairs",
     "cosine_topk",

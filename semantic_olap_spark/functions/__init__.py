@@ -44,6 +44,13 @@ from semantic_olap_spark.functions.sampling import (  # noqa: F401
 from semantic_olap_spark.functions.packing import (  # noqa: F401
     pack_documents,
 )
+from semantic_olap_spark.functions.cleaning import (  # noqa: F401
+    decontaminate,
+    heuristic_filter,
+    redact_pii,
+    repetition_profile,
+    take_token_budget,
+)
 from semantic_olap_spark.functions.profiling import (  # noqa: F401
     profile_columns,
 )

@@ -1,0 +1,300 @@
+"""Corpus cleaning for training-data pipelines — pure Catalyst exprs.
+
+Beyond-reference operators (SURVEY.md §7.1 M7): the standard cheap
+first-pass gates of a large-corpus pipeline that `text.py`'s profile
+doesn't cover —
+
+- :func:`redact_pii`        — regex redaction of emails / URLs /
+  IPv4s / phone numbers, with per-kind hit counts.
+- :func:`repetition_profile` — repetition + shape metrics (top-token
+  fraction, duplicate-bigram fraction, mean token length, symbol
+  ratio): the Gopher-rules family of repetition heuristics.
+- :func:`heuristic_filter`  — threshold gate over those metrics.
+- :func:`decontaminate`     — drop documents sharing any token
+  ``n``-gram with a benchmark/eval set (benchmark decontamination).
+- :func:`take_token_budget` — greedy highest-score prefix under a
+  global token budget (corpus curation to a target size).
+
+Everything except the prefix sum is a per-row ``pyspark.sql.functions``
+expression — no Python UDFs, no shuffle, whole-stage codegen at scan
+speed — and each op has an exact ANSI-SQL mirror for the DuckDB
+oracle.  The 100 TB postures:
+
+- ``redact_pii`` / ``repetition_profile`` / ``heuristic_filter``:
+  scan-side, embarrassingly parallel.
+- ``decontaminate``: the benchmark side is small by definition (an
+  eval set), so its distinct n-gram set broadcasts; the corpus side
+  explodes its n-grams map-side and hits are a broadcast semi-join —
+  no shuffle of the corpus.
+- ``take_token_budget``: an exact global prefix sum — the textbook
+  single-partition-window trap.  Uses the same two-phase
+  range-partition + per-partition-offset construction as
+  ``pack_documents`` (functions/packing.py:68-97): one bounded
+  driver row per partition, full parallelism otherwise.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "PII_PATTERNS",
+    "decontaminate",
+    "heuristic_filter",
+    "redact_pii",
+    "repetition_profile",
+    "take_token_budget",
+]
+
+_WS = r"\s+"
+
+# Ordered: URL first so an email/IP *inside* a URL is swallowed by
+# <URL> rather than double-redacted; each later pattern sees the
+# already-redacted text.  Patterns stay inside the Java-regex ∩ RE2
+# common subset (no backrefs, no lookaround) so the DuckDB oracle
+# applies literally the same strings.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("url", r"https?://\S+", "<URL>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d[\d\- ]{6,}\d", "<PHONE>"),
+)
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str | None = None,
+    kinds: Sequence[str] | None = None,
+) -> DataFrame:
+    """Redact PII spans; count hits per kind.
+
+    Adds ``{out_col}`` (redacted text, default overwrites
+    ``text_col``) and one ``n_{kind}`` column per redacted kind.
+    Counts are taken on the progressively-redacted text in pattern
+    order, so a hit never counts under two kinds (an IP inside a URL
+    is one URL, zero IPs).
+    """
+    out_col = out_col or text_col
+    wanted = set(kinds) if kinds is not None else {k for k, _, _ in PII_PATTERNS}
+    unknown = wanted - {k for k, _, _ in PII_PATTERNS}
+    if unknown:
+        raise ValueError(f"unknown PII kinds: {sorted(unknown)}")
+    cur: Column = F.col(text_col)
+    counts: list[tuple[str, Column]] = []
+    for kind, pat, token in PII_PATTERNS:
+        if kind not in wanted:
+            continue
+        counts.append((kind, F.size(F.regexp_extract_all(cur, F.lit(pat), 0))))
+        cur = F.regexp_replace(cur, pat, token)
+    # counts FIRST: they are rooted at the original text column, and
+    # when out_col == text_col the redacted projection would otherwise
+    # shadow it, making every count zero
+    out = df
+    for kind, c in counts:
+        out = out.withColumn(f"n_{kind}", c)
+    return out.withColumn(out_col, cur)
+
+
+def _toks(col: Column) -> Column:
+    return F.split(F.lower(F.trim(col)), _WS)
+
+
+def repetition_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach repetition/shape metrics (one scan, no shuffle).
+
+    - ``top_token_frac``:  occurrences of the most frequent token /
+      total tokens (high → degenerate repetition).
+    - ``dup_2gram_frac``:  1 − distinct bigrams / total bigrams.
+    - ``mean_token_len``:  mean characters per token.
+    - ``symbol_ratio``:    non-alphanumeric-non-space chars / chars.
+
+    All rounded to 6 decimals so the values are bit-stable across
+    engines.  The top-token count is O(distinct × tokens) per row —
+    quadratic in the worst case but per-document bounded; documents
+    big enough for that to matter should be length-capped upstream.
+    """
+    c = F.col(text_col)
+    toks = _toks(c)
+    n = F.size(toks).cast("double")
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda t: F.size(F.filter(toks, lambda x: x == t)),
+        )
+    ).cast("double")
+    grams2 = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - 2, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+    )
+    dup2 = F.when(
+        F.size(toks) < 2, F.lit(0.0)
+    ).otherwise(
+        1.0 - F.size(F.array_distinct(grams2)).cast("double") / F.size(grams2)
+    )
+    tok_chars = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    ).cast("double")
+    n_chars = F.length(c).cast("double")
+    sym = F.length(F.regexp_replace(c, r"[A-Za-z0-9\s]", "")).cast("double")
+    blank = F.trim(c) == ""
+    return (
+        df.withColumn(
+            "top_token_frac",
+            F.round(F.when(blank, 0.0).otherwise(top / n), 6),
+        )
+        .withColumn("dup_2gram_frac", F.round(F.when(blank, 0.0).otherwise(dup2), 6))
+        .withColumn(
+            "mean_token_len",
+            F.round(F.when(blank, 0.0).otherwise(tok_chars / n), 6),
+        )
+        .withColumn(
+            "symbol_ratio",
+            F.round(F.when(n_chars > 0, sym / n_chars).otherwise(0.0), 6),
+        )
+    )
+
+
+def heuristic_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 10,
+    max_top_token_frac: float = 0.2,
+    max_dup_2gram_frac: float = 0.3,
+    min_mean_token_len: float = 2.0,
+    max_mean_token_len: float = 12.0,
+    max_symbol_ratio: float = 0.2,
+) -> DataFrame:
+    """Gopher-style threshold gate over the repetition profile.
+
+    Keeps rows passing ALL bounds; drops the metric columns again so
+    the output schema equals the input schema (use
+    :func:`repetition_profile` directly to keep the metrics).
+    """
+    from semantic_olap_spark.functions.text import token_count
+
+    prof = repetition_profile(df, text_col)
+    keep = (
+        (token_count(F.col(text_col)) >= int(min_tokens))
+        & (F.col("top_token_frac") <= float(max_top_token_frac))
+        & (F.col("dup_2gram_frac") <= float(max_dup_2gram_frac))
+        & (F.col("mean_token_len") >= float(min_mean_token_len))
+        & (F.col("mean_token_len") <= float(max_mean_token_len))
+        & (F.col("symbol_ratio") <= float(max_symbol_ratio))
+    )
+    return prof.filter(keep).drop(
+        "top_token_frac", "dup_2gram_frac", "mean_token_len", "symbol_ratio"
+    )
+
+
+def _ngrams(col: Column, n: int) -> Column:
+    toks = _toks(col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+
+
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Drop rows sharing ANY token ``n``-gram with the benchmark set.
+
+    Benchmark decontamination: training documents that contain a
+    verbatim ``n``-token span of an eval set leak the benchmark.
+    The benchmark's distinct n-gram set is small by definition and
+    broadcasts; the corpus explodes its n-grams map-side, a broadcast
+    inner join marks contaminated ids, and an anti-join removes them
+    — the corpus itself is never shuffled.
+
+    A document shorter than ``n`` tokens contributes its whole text
+    as its only "n-gram" (clamped slice) — consistent on both sides,
+    so short exact matches still count as contamination.
+    """
+    bench_text_col = bench_text_col or text_col
+    bench_grams = (
+        benchmark.select(
+            F.explode(_ngrams(F.col(bench_text_col), n)).alias("_gram")
+        ).distinct()
+    )
+    hits = (
+        df.select(id_col, F.explode(_ngrams(F.col(text_col), n)).alias("_gram"))
+        .join(F.broadcast(bench_grams), "_gram")
+        .select(id_col)
+        .distinct()
+    )
+    return df.join(hits, id_col, "left_anti")
+
+
+def take_token_budget(
+    df: DataFrame,
+    budget: int,
+    score_col: str,
+    id_col: str = "doc_id",
+    token_col: str | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy best-score prefix under a global token budget.
+
+    Orders by (``score_col`` desc, ``id_col`` asc) and keeps rows
+    while the running inclusive token total stays ≤ ``budget`` — the
+    standard "curate the best N tokens" selection.  The prefix sum is
+    the two-phase range-partition construction (see module docstring
+    and functions/packing.py): no single-partition window, one
+    bounded driver row per partition.
+
+    Output: input columns + ``n_tokens`` (the row's token count).
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    if token_col is None:
+        from semantic_olap_spark.functions.text import token_count
+
+        toks: Column = token_count(F.col(text_col))
+    else:
+        toks = F.col(token_col).cast("long")
+    with_tok = df.withColumn("n_tokens", toks)
+
+    order = [F.col(score_col).desc(), F.col(id_col).asc()]
+    nparts = max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    # persist pins ONE partition layout: range boundaries are sampled
+    # per execution, so the count pass and the output pass must see
+    # the same membership (same reasoning as sem_topk / pack_documents)
+    ranged = (
+        with_tok.repartitionByRange(nparts, *order)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    part_totals = sorted(
+        (r["_pid"], r["tot"])
+        for r in ranged.groupBy("_pid")
+        .agg(F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("tot"))
+        .collect()
+    )
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid, tot in part_totals:
+        offsets[pid] = acc
+        acc += int(tot)
+    off_map = F.create_map(*[F.lit(x) for pair in offsets.items() for x in pair])
+    local_w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = F.sum(F.col("n_tokens")).over(local_w) + off_map[F.col("_pid")]
+    return (
+        ranged.withColumn("_cum", running.cast("long"))
+        .filter(F.col("_cum") <= int(budget))
+        .drop("_pid", "_cum")
+    )

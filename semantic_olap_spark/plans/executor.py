@@ -331,14 +331,18 @@ def _build_pipeline_ops() -> dict:
     from semantic_olap_spark.functions import (
         dedup_exact,
         hash_sample,
+        heuristic_filter,
         jaccard_pairs,
         minhash_lsh_pairs,
         pack_documents,
         profile_columns,
         quantile_filter,
+        redact_pii,
+        repetition_profile,
         reservoir_sample,
         simhash_pairs,
         stratified_sample,
+        take_token_budget,
         text_profile,
         train_test_split,
         winnow_overlap_pairs,
@@ -346,6 +350,10 @@ def _build_pipeline_ops() -> dict:
 
     return {
         "text_profile": _pipe(text_profile),
+        "redact_pii": _pipe(redact_pii),
+        "repetition_profile": _pipe(repetition_profile),
+        "heuristic_filter": _pipe(heuristic_filter),
+        "take_token_budget": _pipe(take_token_budget, "budget", "score_col"),
         "dedup_exact": _pipe(dedup_exact),
         "dedup_near": _dedup_near_step,
         "jaccard_pairs": _pipe(jaccard_pairs),

@@ -60,3 +60,38 @@ def test_ivf_partitioned_corpus_prunes_scan(spark, tables, tmp_path):
     total = corpus.count()
     probed = probe.count()
     assert 0 < probed < total
+
+
+def test_cleaning_ops_plan_shapes(spark, tables):
+    """Pin the 100 TB postures of the corpus-cleaning operators.
+
+    - decontaminate: benchmark side broadcasts (no corpus shuffle)
+    - take_token_budget: the prefix sum never funnels through a
+      single-partition Exchange (two-phase construction)
+    - heuristic_filter / redact_pii: zero Exchanges (pure scan-side)
+    """
+    from semantic_olap_spark.functions.cleaning import (
+        decontaminate,
+        heuristic_filter,
+        redact_pii,
+        take_token_budget,
+    )
+
+    docs = tables["documents"]
+
+    dec = decontaminate(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        n=4,
+    )
+    plan = dec._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+    tb = take_token_budget(docs, budget=1500, score_col="n_chars")
+    plan = tb._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+
+    for df in (heuristic_filter(docs), redact_pii(docs)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
