@@ -756,6 +756,79 @@ def _q_window_top_order_per_cust(spark, sf_dir):
 # entries pin the exact semantics against the DuckDB oracle.
 
 
+def _q_semi_join_urgent_custs(spark, sf_dir):
+    # left-semi: customers with at least one urgent order.  The
+    # probe side is the big fact table filtered then broadcast —
+    # the customer scan is never shuffled.
+    cust = _t(spark, sf_dir, "customer")
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return cust.join(
+        F.broadcast(urgent), cust["c_custkey"] == F.col("o_custkey"),
+        "left_semi",
+    )
+
+
+def _q_anti_join_custs_no_urgent(spark, sf_dir):
+    # left-anti (TPC-H Q22 shape): customers with NO urgent order —
+    # urgent-only filter keeps the row set nontrivial (every customer
+    # in the synthetic data has at least one order of some priority)
+    cust = _t(spark, sf_dir, "customer")
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return cust.join(
+        F.broadcast(urgent), cust["c_custkey"] == F.col("o_custkey"),
+        "left_anti",
+    )
+
+
+def _q_above_avg_orders(spark, sf_dir):
+    # correlated-subquery shape (orders above their customer's own
+    # average) decorrelated into ONE window pass — no self-join, no
+    # second scan of the fact table
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    return (
+        orders.withColumn("_cavg", F.avg("o_totalprice").over(w))
+        .filter(F.col("o_totalprice") > F.col("_cavg"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+def _q_range_join_events(spark, sf_dir):
+    # interval containment: each click opens a 10-minute window; an
+    # error event is matched to every same-user window containing it
+    # (equi-part on user drives the hash join, the range condition is
+    # a residual filter — relational.py range_join)
+    from semantic_olap_spark.operators.relational import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    right = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("ts").alias("w_start"),
+            (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("w_end"),
+            F.col("value").alias("w_value"),
+        )
+    )
+    return range_join(
+        left, right, point="ts", start="w_start", end="w_end",
+        by=["user_id"],
+    ).select("event_id", "user_id", "ts", "w_start", "w_value")
+
+
 def _q_rollup_order_revenue(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
     revenue = F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
@@ -1079,6 +1152,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_revenue_by_nation": _q_join_revenue_by_nation,
         "window_top_order_per_cust": _q_window_top_order_per_cust,
         "asof_join_events": _q_asof_join_events,
+        "range_join_events": _q_range_join_events,
+        "semi_join_urgent_custs": _q_semi_join_urgent_custs,
+        "anti_join_custs_no_urgent": _q_anti_join_custs_no_urgent,
+        "above_avg_orders": _q_above_avg_orders,
         "running_user_stats": _q_running_user_stats,
         # pipeline: multimodal
         "multimodal_metadata": _q_multimodal_metadata,
@@ -1763,6 +1840,37 @@ def oracle_sql() -> dict[str, str]:
             ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
                             WHERE event_type = 'click') r
               ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "range_join_events": """
+            SELECT l.event_id, l.user_id, l.ts,
+                   r.ts AS w_start, r.value AS w_value
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'error') l
+            JOIN (SELECT user_id, ts, value FROM events
+                  WHERE event_type = 'click') r
+              ON l.user_id = r.user_id
+             AND l.ts >= r.ts
+             AND l.ts < r.ts + INTERVAL '10 minutes'
+        """,
+        "semi_join_urgent_custs": """
+            SELECT * FROM customer
+            WHERE c_custkey IN (
+                SELECT o_custkey FROM orders
+                WHERE o_orderpriority = '1-URGENT')
+        """,
+        "anti_join_custs_no_urgent": """
+            SELECT * FROM customer
+            WHERE c_custkey NOT IN (
+                SELECT o_custkey FROM orders
+                WHERE o_orderpriority = '1-URGENT')
+        """,
+        "above_avg_orders": """
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM (SELECT o_orderkey, o_custkey, o_totalprice,
+                         avg(o_totalprice) OVER (PARTITION BY o_custkey)
+                             AS cavg
+                  FROM orders)
+            WHERE o_totalprice > cavg
         """,
         "running_user_stats": """
             SELECT user_id, count(*) AS running_count,

@@ -44,6 +44,8 @@ HEADLINE = [
     # relational breadth: broadcast-join star query + window dedup
     "join_revenue_by_nation",
     "window_top_order_per_cust",
+    "semi_join_urgent_custs",
+    "above_avg_orders",
     # streaming (batch-parity forms) over 100k events
     "windowed_agg",
     "session_agg",
