@@ -660,6 +660,25 @@ def _q_take_token_budget(spark, sf_dir):
     ).select("doc_id", "n_chars", "n_tokens")
 
 
+def _q_mix_corpus(spark, sf_dir):
+    # domain mixing to a 2:1:1 target over three sources; dyadic
+    # weights keep the derived fractions bit-identical in the oracle
+    from semantic_olap_spark.functions.sampling import mix_corpus
+
+    return mix_corpus(
+        _t(spark, sf_dir, "documents"), "source",
+        {"src1": 0.5, "src2": 0.25, "src3": 0.25}, "doc_id",
+    )
+
+
+def _q_ngram_counts(spark, sf_dir):
+    from semantic_olap_spark.functions.text import ngram_counts
+
+    return ngram_counts(
+        _t(spark, sf_dir, "documents"), n=2, min_count=5
+    )
+
+
 def _q_quantile_filter(spark, sf_dir):
     from semantic_olap_spark.functions.sampling import quantile_filter
 
@@ -1172,6 +1191,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_against": _q_dedup_against,
         "profile_columns": _q_profile_columns,
         # pipeline: corpus cleaning
+        "mix_corpus": _q_mix_corpus,
+        "ngram_counts": _q_ngram_counts,
         "redact_pii": _q_redact_pii,
         "repetition_profile": _q_repetition_profile,
         "heuristic_filter": _q_heuristic_filter,
@@ -1931,6 +1952,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM documents
             WHERE {_NORM_MD5} NOT IN (
                 SELECT {_NORM_MD5} FROM documents WHERE source = 'src1')
+        """,
+        # mix_corpus: the achievable-total/fraction arithmetic redone
+        # in SQL with ::DOUBLE casts (DuckDB literals default to
+        # DECIMAL) so the derived fractions are bit-identical
+        "mix_corpus": f"""
+            WITH cnt AS (
+              SELECT source, count(*) AS c FROM documents
+              WHERE source IN ('src1', 'src2', 'src3')
+              GROUP BY source
+            ),
+            w AS (
+              SELECT source, c,
+                     (CASE source WHEN 'src1' THEN 0.5
+                                  WHEN 'src2' THEN 0.25
+                                  WHEN 'src3' THEN 0.25 END)::DOUBLE AS wt
+              FROM cnt
+            ),
+            t AS (SELECT min(c / wt) AS tmax FROM w),
+            fr AS (
+              SELECT source, least(1.0::DOUBLE, tmax * wt / c) AS f
+              FROM w, t
+            )
+            SELECT d.* FROM documents d
+            JOIN fr ON d.source = fr.source
+            WHERE {_uhash_sql('d.doc_id')} < fr.f
+        """,
+        "ngram_counts": r"""
+            WITH t AS (
+              SELECT str_split_regex(lower(trim(text)), '\s+') AS toks
+              FROM documents
+            ),
+            g AS (
+              SELECT unnest(CASE WHEN len(toks) < 2 THEN []::VARCHAR[]
+                     ELSE [array_to_string(toks[i + 1 : i + 2], ' ')
+                           for i in generate_series(0, len(toks) - 2)]
+                     END) AS gram
+              FROM t
+            )
+            SELECT gram, count(*) AS count FROM g
+            GROUP BY gram HAVING count(*) >= 5
         """,
         # redact_pii: both sides append the same doc_id-derived PII,
         # then apply the identical Java∩RE2 patterns in the identical

@@ -1,6 +1,7 @@
 from semantic_olap_spark.functions.text import (  # noqa: F401
     doc_fingerprint,
     lang_id,
+    ngram_counts,
     quality_score,
     text_profile,
     token_count,
@@ -35,6 +36,7 @@ from semantic_olap_spark.functions.multimodal import (  # noqa: F401
 from semantic_olap_spark.functions.sampling import (  # noqa: F401
     hash_sample,
     leakage_safe_split,
+    mix_corpus,
     quantile_filter,
     reservoir_sample,
     stratified_sample,

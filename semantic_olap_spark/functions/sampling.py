@@ -49,6 +49,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "hash_sample",
     "leakage_safe_split",
+    "mix_corpus",
     "quantile_filter",
     "reservoir_sample",
     "stratified_sample",
@@ -113,6 +114,56 @@ def stratified_sample(
             F.col(strata_col).cast("string") == str(value), F.lit(float(f))
         ).otherwise(frac)
     return df.filter(uniform_hash(F.col(key_col), seed) < frac)
+
+
+def mix_corpus(
+    df: DataFrame,
+    strata_col: str,
+    weights: dict[str, float],
+    key_col: str,
+    seed: int = 42,
+) -> DataFrame:
+    """Downsample strata to TARGET proportions (domain mixing).
+
+    ``stratified_sample`` takes per-stratum keep *fractions*;
+    ``mix_corpus`` takes the desired output *mixture* (stratum →
+    relative weight) and derives the fractions: the largest total T
+    achievable without upsampling is ``min_s count_s / w̄_s``
+    (``w̄`` = normalized weight), then stratum ``s`` keeps
+    ``T·w̄_s / count_s`` — the binding stratum keeps everything,
+    the rest downsample.  Strata not in ``weights`` are dropped.
+
+    The count pass is one bounded aggregation (#strata rows to the
+    driver — same bounded-artifact class as the enum previews);
+    sampling itself is the deterministic scan-side hash filter, so
+    the result is a pure function of ``(data, weights, seed)`` and
+    carries a full SQL oracle.
+    """
+    total_w = float(sum(weights.values()))
+    if total_w <= 0:
+        raise ValueError("weights must sum to a positive value")
+    counts = {
+        str(r["_s"]): r["_n"]
+        for r in df.groupBy(F.col(strata_col).cast("string").alias("_s"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
+    }
+    t_max = None
+    for s, w in sorted(weights.items()):
+        if w <= 0 or s not in counts:
+            continue
+        cap = counts[s] / (float(w) / total_w)
+        t_max = cap if t_max is None else min(t_max, cap)
+    if t_max is None:
+        return df.filter(F.lit(False))
+    fractions = {
+        s: min(1.0, t_max * (float(w) / total_w) / counts[s])
+        for s, w in weights.items()
+        if w > 0 and s in counts
+    }
+    return stratified_sample(
+        df, strata_col, fractions, key_col, seed, default_fraction=0.0
+    )
 
 
 def train_test_split(

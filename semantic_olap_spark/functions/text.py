@@ -141,6 +141,46 @@ def winnow_fingerprints(
     return F.sort_array(F.array_distinct(mins))
 
 
+def ngram_counts(
+    df: DataFrame,
+    n: int = 2,
+    text_col: str = "text",
+    min_count: int = 1,
+) -> DataFrame:
+    """Corpus-level token n-gram frequencies: ``(gram, count)``.
+
+    The classic corpus-statistics aggregation (vocabulary / bigram
+    tables for LM analysis).  Occurrences count multiply within a
+    document; documents shorter than ``n`` tokens contribute nothing
+    (no clamped partial grams — they would pollute the table).
+
+    100 TB posture: explode is map-side; the single shuffle is the
+    ``groupBy(gram)`` with automatic partial (map-side combine)
+    aggregation, so shuffle volume is the number of *distinct* grams
+    per partition, not total tokens.  ``min_count`` prunes the long
+    tail after the combine.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    toks = _tokens(F.col(text_col))
+    grams = F.when(
+        F.size(toks) < n, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+    out = (
+        df.select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+    if min_count > 1:
+        out = out.filter(F.col("count") >= int(min_count))
+    return out
+
+
 def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach all text-analysis columns at once (single scan)."""
     c = F.col(text_col)

@@ -334,6 +334,8 @@ def _build_pipeline_ops() -> dict:
         heuristic_filter,
         jaccard_pairs,
         minhash_lsh_pairs,
+        mix_corpus,
+        ngram_counts,
         pack_documents,
         profile_columns,
         quantile_filter,
@@ -361,6 +363,8 @@ def _build_pipeline_ops() -> dict:
         "simhash_pairs": _pipe(simhash_pairs),
         "winnow_overlap_pairs": _pipe(winnow_overlap_pairs),
         "hash_sample": _pipe(hash_sample, "fraction", "key_col"),
+        "mix_corpus": _pipe(mix_corpus, "strata_col", "weights", "key_col"),
+        "ngram_counts": _pipe(ngram_counts),
         "stratified_sample": _pipe(
             stratified_sample, "strata_col", "fractions", "key_col"
         ),

@@ -446,3 +446,26 @@ def test_dedup_against_minhash_sound_and_recalls_planted(tables, spark):
         ).select("doc_id").distinct().collect()
     }
     assert dropped <= true_dups
+
+
+def test_ngram_counts_hand_checked(spark):
+    from semantic_olap_spark.functions.text import ngram_counts
+
+    df = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a b c"), (2, "x")], ["doc_id", "text"]
+    )
+    got = {r["gram"]: r["count"] for r in ngram_counts(df, n=2).collect()}
+    # "a b" occurs twice in doc0 (multiplicity counts) + once in doc1
+    assert got == {"a b": 3, "b a": 1, "b c": 1}
+    # doc2 is shorter than n → contributes nothing (no clamped grams)
+    assert "x" not in got
+
+    filtered = {
+        r["gram"]
+        for r in ngram_counts(df, n=2, min_count=3).collect()
+    }
+    assert filtered == {"a b"}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="n must be"):
+        ngram_counts(df, n=0)

@@ -375,3 +375,42 @@ def test_pack_documents_existing_token_col(spark):
     # 100-token docs into 250-token bins: starts 0,100,200,300,...
     assert got[0] == (0, 0) and got[1] == (0, 100) and got[2] == (0, 200)
     assert got[3] == (1, 50)
+
+
+def test_mix_corpus_proportions_and_binding_stratum(spark):
+    from semantic_olap_spark.functions.sampling import mix_corpus
+
+    rows = (
+        [(i, "a") for i in range(100)]
+        + [(i + 100, "b") for i in range(400)]
+        + [(i + 500, "c") for i in range(50)]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "src"])
+    # target 1:1 over a,b → binding stratum is a (100 rows):
+    # T = 200, a keeps all 100, b keeps ~100 of 400, c dropped
+    out = mix_corpus(df, "src", {"a": 0.5, "b": 0.5}, "doc_id")
+    got = {r["src"]: r["n"] for r in
+           out.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    assert got.get("a") == 100
+    assert "c" not in got
+    assert 70 <= got.get("b", 0) <= 130  # Bernoulli(0.25) of 400
+
+    # determinism: rerun on repartitioned input → identical rows
+    ids1 = {r["doc_id"] for r in out.collect()}
+    ids2 = {
+        r["doc_id"]
+        for r in mix_corpus(
+            df.repartition(7), "src", {"a": 0.5, "b": 0.5}, "doc_id"
+        ).collect()
+    }
+    assert ids1 == ids2
+
+
+def test_mix_corpus_edge_cases(spark):
+    from semantic_olap_spark.functions.sampling import mix_corpus
+
+    df = spark.createDataFrame([(1, "a")], ["doc_id", "src"])
+    # no weighted stratum present in the data → empty result
+    assert mix_corpus(df, "src", {"zz": 1.0}, "doc_id").count() == 0
+    with pytest.raises(ValueError, match="positive"):
+        mix_corpus(df, "src", {"a": 0.0}, "doc_id")
