@@ -5,5 +5,6 @@ from semantic_olap_spark.streaming.windows import (  # noqa: F401
     read_events_stream,
     session_agg,
     stream_dedup,
+    stream_interval_join,
     windowed_agg,
 )

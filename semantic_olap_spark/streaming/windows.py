@@ -11,6 +11,8 @@ transformation works identically on a batch DataFrame and a
   (``F.session_window``).
 - ``stream_dedup``  — watermarked ``dropDuplicates`` keyed on an id
   column: exactly-once per id within the watermark horizon.
+- ``stream_interval_join`` — stream-stream join on keys + a
+  time-interval range with watermark-bounded state.
 - ``read_events_stream`` — file-source stream over the driver's
   ``events`` parquet directory (schema taken from a batch read), for
   end-to-end streaming tests with an ``availableNow`` trigger.
@@ -116,6 +118,48 @@ def stream_dedup(
         df = df.withWatermark(ts_col, watermark)
         return df.dropDuplicatesWithinWatermark(list(id_cols))
     return df.dropDuplicates(list(id_cols))
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    keys: Sequence[str],
+    lookback: str = "10 minutes",
+    watermark: str | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream (or batch) join on keys + a time-interval range.
+
+    Each left row matches right rows with the same ``keys`` and
+    ``right_ts`` ∈ [``left_ts`` − ``lookback``, ``left_ts``] — the
+    enrichment shape ("join each event to the activity that preceded
+    it").  With ``watermark`` set and two streaming inputs this is a
+    bounded-state stream-stream join: Spark derives the state
+    horizon from the watermark + the range condition and evicts
+    buffered rows past it.  On batch frames ``withWatermark`` is a
+    no-op and the same code is a plain range join, so stream/batch
+    parity holds by construction.
+
+    ``right``'s key columns are renamed ``_r_<key>`` internally and
+    dropped after the join; its other columns must not collide with
+    ``left``'s (rename upstream — this function cannot guess intent).
+    """
+    ks = list(keys)
+    r = right
+    for k in ks:
+        r = r.withColumnRenamed(k, f"_r_{k}")
+    if watermark is not None:
+        left = left.withWatermark(left_ts, watermark)
+        r = r.withWatermark(right_ts, watermark)
+    cond = (
+        (F.col(right_ts) >= F.col(left_ts) - F.expr(f"INTERVAL {lookback}"))
+        & (F.col(right_ts) <= F.col(left_ts))
+    )
+    for k in ks:
+        cond = (F.col(k) == F.col(f"_r_{k}")) & cond
+    return left.join(r, cond, how).drop(*[f"_r_{k}" for k in ks])
 
 
 def read_events_stream(

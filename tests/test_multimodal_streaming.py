@@ -254,3 +254,44 @@ def test_stream_dedup_streaming_end_to_end(spark, tmp_path):
         "SELECT event_id FROM dedup_stream_test ORDER BY event_id"
     ).collect()
     assert [r["event_id"] for r in got] == list(range(10))
+
+
+def test_stream_interval_join_matches_batch(spark, sf_dir, tables):
+    from semantic_olap_spark.streaming import stream_interval_join
+
+    def sides(src):
+        left = src.filter(F.col("event_type") == "error").select(
+            "event_id", "user_id", F.col("ts").alias("l_ts")
+        )
+        right = src.filter(F.col("event_type") == "click").select(
+            "user_id", F.col("ts").alias("r_ts"),
+            F.col("value").alias("r_value"),
+        )
+        return left, right
+
+    sl, sr = sides(read_events_stream(spark, sf_dir))
+    joined = stream_interval_join(
+        sl, sr, "l_ts", "r_ts", ["user_id"],
+        lookback="30 minutes", watermark="1 hour",
+    )
+    assert joined.isStreaming
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT event_id, r_ts, r_value FROM ssj_test"
+    ).toPandas()
+    bl, br = sides(tables["events"])
+    want = stream_interval_join(
+        bl, br, "l_ts", "r_ts", ["user_id"], lookback="30 minutes"
+    ).select("event_id", "r_ts", "r_value").toPandas()
+    key = ["event_id", "r_ts"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    assert len(want) > 0
+    pd.testing.assert_frame_equal(got, want, check_like=True)
