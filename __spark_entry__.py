@@ -530,6 +530,15 @@ def _q_image_features(spark, sf_dir):
     return image_features(docs)
 
 
+def _q_audio_features(spark, sf_dir):
+    from semantic_olap_spark.functions.multimodal import audio_features
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "payload", F.encode(F.col("text"), "utf-8")
+    )
+    return audio_features(docs)
+
+
 def _q_sample_frames(spark, sf_dir):
     from semantic_olap_spark.functions.multimodal import sample_frames
 
@@ -1179,6 +1188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pipeline: multimodal
         "multimodal_metadata": _q_multimodal_metadata,
         "image_features": _q_image_features,
+        "audio_features": _q_audio_features,
         "sample_frames": _q_sample_frames,
         # pipeline: deterministic sampling & packing
         "hash_sample": _q_hash_sample,
@@ -1770,6 +1780,19 @@ def oracle_sql() -> dict[str, str]:
                    64 + ('0x' || substr(m, 3, 2))::INT * 4 AS height,
                    round(('0x' || substr(m, 5, 2))::INT / 255.0, 6)
                        AS mean_luma
+            FROM h
+        """,
+        # audio_features: like image_features, the stub decode derives
+        # every feature from the md5 content hash; duration is dyadic
+        # (x/16) so the DOUBLE cast is lossless on both sides
+        "audio_features": """
+            WITH h AS (SELECT md5(text) AS m FROM documents)
+            SELECT m AS media_id,
+                   (0.5 + ('0x' || substr(m, 7, 2))::INT / 16.0)::DOUBLE
+                       AS duration_s,
+                   8000 * (1 + ('0x' || substr(m, 9, 2))::INT % 5)
+                       AS sample_rate,
+                   round(('0x' || substr(m, 11, 2))::INT / 255.0, 6) AS rms
             FROM h
         """,
         "cosine_topk": """

@@ -28,6 +28,7 @@ from semantic_olap_spark.functions.similarity import (  # noqa: F401
 )
 from semantic_olap_spark.functions.multimodal import (  # noqa: F401
     attach_binary_metadata,
+    audio_features,
     caption_media,
     image_features,
     sample_frames,

@@ -124,6 +124,60 @@ def image_features(
     return df.select(binary_col).mapInPandas(run, schema=_IMAGE_FEATURES_SCHEMA)
 
 
+_AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("rms", T.DoubleType()),
+    ]
+)
+
+
+def _fake_audio_decode(payload: bytes) -> tuple[float, int, float]:
+    """STUB decode — deterministic pseudo-features from the content
+    hash (same contract as ``_fake_decode``).  A real implementation
+    reads the container header / PCM frames (soundfile/ffprobe); the
+    signature and batch shape stay the same."""
+    h = hashlib.md5(payload).digest()
+    duration_s = 0.5 + h[3] / 16.0  # dyadic: exact in float and SQL
+    sample_rate = 8000 * (1 + h[4] % 5)
+    rms = round(h[5] / 255.0, 6)
+    return duration_s, sample_rate, rms
+
+
+def audio_features(
+    df: DataFrame, binary_col: str = "payload"
+) -> DataFrame:
+    """Per-clip audio features via an Arrow-batched ``mapInPandas``.
+
+    Output: one row per clip ``(media_id, duration_s, sample_rate,
+    rms)``.  Decode is the stub above; the Spark plumbing (schema,
+    batch iteration, pruning to the binary column) is
+    production-shaped — the audio analog of :func:`image_features`.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_id": [], "duration_s": [], "sample_rate": [], "rms": [],
+            }
+            for payload in pdf[binary_col]:
+                if payload is None:
+                    for k in out:
+                        out[k].append(None)
+                    continue
+                b = bytes(payload)
+                dur, sr, rms = _fake_audio_decode(b)
+                out["media_id"].append(hashlib.md5(b).hexdigest())
+                out["duration_s"].append(dur)
+                out["sample_rate"].append(sr)
+                out["rms"].append(rms)
+            yield pd.DataFrame(out)
+
+    return df.select(binary_col).mapInPandas(run, schema=_AUDIO_FEATURES_SCHEMA)
+
+
 def _frames_schema(id_col: str, id_type: T.DataType) -> T.StructType:
     return T.StructType(
         [
