@@ -11,6 +11,15 @@ Each query is forced with a noop-sink write (full distributed
 compute, no driver-side collect cost).  Prints ONE JSON line:
 ``{"metric": ..., "value": N, "unit": "sec", "queries": {...},
 "sf": ...}``.
+
+Cross-round caveat: the driver regenerates the testdata between
+rounds, and the corpus composition moves the pair-dedup rows —
+e.g. the round-3 sf0.1 documents table is ~41% near-duplicate
+within sources (255k of 622k blocked pairs at J≥0.7), so
+``jaccard_pairs`` emits two orders of magnitude more output rows
+than the round-2 corpus at identical code.  Compare pair-dedup
+timings within a round (capped vs uncapped, LSH vs exact), not
+across rounds.
 """
 
 from __future__ import annotations
