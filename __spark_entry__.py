@@ -988,6 +988,22 @@ def _q_embedding_dedup(spark, sf_dir):
 # ---- streaming operators (batch-parity forms) --------------------------
 
 
+def _q_funnel_events(spark, sf_dir):
+    # view → click → purchase ordered funnel, earliest-first
+    # chaining with strict "after"
+    from semantic_olap_spark.functions.analytics import funnel
+
+    return funnel(
+        _t(spark, sf_dir, "events"), ["view", "click", "purchase"]
+    )
+
+
+def _q_cohort_retention(spark, sf_dir):
+    from semantic_olap_spark.functions.analytics import cohort_retention
+
+    return cohort_retention(_t(spark, sf_dir, "events"), period="day")
+
+
 def _q_windowed_agg(spark, sf_dir):
     from semantic_olap_spark.streaming import windowed_agg
 
@@ -1217,6 +1233,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "monthly_revenue": _q_monthly_revenue,
         "embedding_dedup": _q_embedding_dedup,
         "embedding_dedup_lsh": _q_embedding_dedup_lsh,
+        # event analytics
+        "funnel_events": _q_funnel_events,
+        "cohort_retention": _q_cohort_retention,
         # streaming (batch-parity forms)
         "windowed_agg": _q_windowed_agg,
         "session_agg": _q_session_agg,
@@ -2277,6 +2296,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.vec_id, e.label
             FROM embeddings e LEFT JOIN cl ON cl.node = e.vec_id
             WHERE e.vec_id = coalesce(cl.cluster_id, e.vec_id)
+        """,
+        "funnel_events": """
+            WITH s1 AS (
+              SELECT user_id, min(ts) AS t FROM events
+              WHERE event_type = 'view' GROUP BY user_id
+            ),
+            s2 AS (
+              SELECT e.user_id, min(e.ts) AS t FROM events e
+              JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+              WHERE e.event_type = 'click' GROUP BY e.user_id
+            ),
+            s3 AS (
+              SELECT e.user_id, min(e.ts) AS t FROM events e
+              JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+              WHERE e.event_type = 'purchase' GROUP BY e.user_id
+            )
+            SELECT 1 AS step, 'view' AS name,
+                   (SELECT count(*) FROM s1) AS users
+            UNION ALL
+            SELECT 2, 'click', (SELECT count(*) FROM s2)
+            UNION ALL
+            SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+        """,
+        "cohort_retention": """
+            WITH b AS (
+              SELECT DISTINCT user_id, ts::DATE AS d FROM events
+            ),
+            f AS (SELECT user_id, min(d) AS first_d FROM b GROUP BY user_id)
+            SELECT f.first_d AS cohort,
+                   (b.d - f.first_d) AS offset,
+                   count(DISTINCT b.user_id) AS users
+            FROM b JOIN f ON b.user_id = f.user_id
+            GROUP BY 1, 2
         """,
         "windowed_agg": """
             SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,

@@ -47,6 +47,10 @@ from semantic_olap_spark.functions.sampling import (  # noqa: F401
 from semantic_olap_spark.functions.packing import (  # noqa: F401
     pack_documents,
 )
+from semantic_olap_spark.functions.analytics import (  # noqa: F401
+    cohort_retention,
+    funnel,
+)
 from semantic_olap_spark.functions.cleaning import (  # noqa: F401
     decontaminate,
     heuristic_filter,

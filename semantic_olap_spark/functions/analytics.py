@@ -1,0 +1,107 @@
+"""Event analytics: funnel conversion and cohort retention.
+
+Classic product-analytics OLAP shapes over an event stream —
+(user, timestamp, event_type) — absent from both the reference
+(SURVEY.md §2.5: no window functions, no multi-step analyses) and
+plain SQL convenience.  Both operators are deterministic
+compositions of joins and aggregations with exact ANSI-SQL mirrors.
+
+100 TB posture:
+
+- :func:`funnel` is ``k−1`` equi-joins on the user key, where each
+  stage frame is one row per user who reached that stage — frames
+  shrink monotonically down the funnel, and every join is a plain
+  hash join on the same key (AQE can pick broadcast when a stage
+  collapses to few survivors).  No per-user event arrays are ever
+  collected, so a power user with millions of events costs nothing
+  extra.
+- :func:`cohort_retention` is two hash aggregations (first-seen per
+  user, then the cohort × offset matrix) joined on the user key;
+  the output is bounded by #cohorts × horizon, not by events.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["cohort_retention", "funnel"]
+
+
+def funnel(
+    df: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel conversion counts: one row per step.
+
+    A user reaches step ``i`` if they have an event of type
+    ``steps[i]`` STRICTLY after their earliest qualifying event for
+    step ``i−1`` (earliest-first chaining — the standard funnel
+    semantics; simultaneous events do not satisfy "after").
+    Output: ``(step: int, name, users: long)`` where ``users`` is
+    the number of users reaching at least that step.
+    """
+    steps = list(steps)
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    rows: list[DataFrame] = []
+    prev: DataFrame | None = None
+    for i, name in enumerate(steps):
+        stage = df.filter(F.col(type_col) == name).select(
+            user_col, F.col(ts_col).alias("_ts")
+        )
+        if prev is not None:
+            stage = stage.join(prev, user_col).filter(
+                F.col("_ts") > F.col("_prev_ts")
+            )
+        reached = stage.groupBy(user_col).agg(F.min("_ts").alias("_prev_ts"))
+        rows.append(
+            reached.agg(F.count(F.lit(1)).alias("users")).select(
+                F.lit(i + 1).alias("step"),
+                F.lit(name).alias("name"),
+                "users",
+            )
+        )
+        prev = reached
+    return reduce(DataFrame.unionByName, rows)
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "day",
+) -> DataFrame:
+    """Cohort × offset retention matrix.
+
+    Cohort = the user's first active period (day or week); a cell
+    ``(cohort, offset, users)`` counts distinct users of that cohort
+    active ``offset`` periods later.  ``offset = 0`` is the cohort
+    size, so retention rates divide out downstream.
+    """
+    if period == "day":
+        bucket = F.to_date(F.col(ts_col))
+        offset = F.datediff(F.col("_b"), F.col("_first"))
+    elif period == "week":
+        bucket = F.date_trunc("week", F.col(ts_col)).cast("date")
+        offset = (
+            F.datediff(F.col("_b"), F.col("_first")) / F.lit(7)
+        ).cast("int")
+    else:
+        raise ValueError(f"period must be 'day' or 'week', got {period!r}")
+    buckets = df.select(user_col, bucket.alias("_b")).distinct()
+    first = buckets.groupBy(user_col).agg(F.min("_b").alias("_first"))
+    return (
+        buckets.join(first, user_col)
+        .groupBy(
+            F.col("_first").alias("cohort"),
+            offset.alias("offset"),
+        )
+        .agg(F.count_distinct(F.col(user_col)).alias("users"))
+    )
