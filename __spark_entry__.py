@@ -669,6 +669,18 @@ def _q_take_token_budget(spark, sf_dir):
     ).select("doc_id", "n_chars", "n_tokens")
 
 
+def _q_ngram_lm_score(spark, sf_dir):
+    # unigram LM trained on the corpus itself; ln() is libm on both
+    # engines and the mean is rounded to 4 decimals, which absorbs
+    # summation-order ulp differences (same tolerance class as the
+    # avg/cosine oracles)
+    from semantic_olap_spark.functions.text import ngram_lm_score
+
+    return ngram_lm_score(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "lm_score"
+    )
+
+
 def _q_mix_corpus(spark, sf_dir):
     # domain mixing to a 2:1:1 target over three sources; dyadic
     # weights keep the derived fractions bit-identical in the oracle
@@ -1219,6 +1231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pipeline: corpus cleaning
         "mix_corpus": _q_mix_corpus,
         "ngram_counts": _q_ngram_counts,
+        "ngram_lm_score": _q_ngram_lm_score,
         "redact_pii": _q_redact_pii,
         "repetition_profile": _q_repetition_profile,
         "heuristic_filter": _q_heuristic_filter,
@@ -2019,6 +2032,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.* FROM documents d
             JOIN fr ON d.source = fr.source
             WHERE {_uhash_sql('d.doc_id')} < fr.f
+        """,
+        "ngram_lm_score": r"""
+            WITH tk AS (
+              SELECT doc_id,
+                     unnest(str_split_regex(lower(trim(text)), '\s+'))
+                         AS gram
+              FROM documents
+            ),
+            st AS (SELECT gram, count(*) AS c FROM tk GROUP BY gram),
+            tot AS (
+              SELECT sum(c)::DOUBLE AS t, count(*)::DOUBLE AS v FROM st
+            ),
+            lp AS (
+              SELECT tk.doc_id,
+                     ln((coalesce(st.c, 0)::DOUBLE + 0.5)
+                        / (tot.t + 0.5 * tot.v)) AS l
+              FROM tk LEFT JOIN st USING (gram), tot
+            ),
+            sc AS (
+              SELECT doc_id, round(avg(l), 4) AS lm_score
+              FROM lp GROUP BY doc_id
+            )
+            SELECT d.doc_id, sc.lm_score
+            FROM documents d LEFT JOIN sc USING (doc_id)
         """,
         "ngram_counts": r"""
             WITH t AS (

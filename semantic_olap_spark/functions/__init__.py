@@ -2,6 +2,7 @@ from semantic_olap_spark.functions.text import (  # noqa: F401
     doc_fingerprint,
     lang_id,
     ngram_counts,
+    ngram_lm_score,
     quality_score,
     text_profile,
     token_count,

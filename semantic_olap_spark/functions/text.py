@@ -181,6 +181,53 @@ def ngram_counts(
     return out
 
 
+def ngram_lm_score(
+    df: DataFrame,
+    stats_df: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    smoothing: float = 0.5,
+    score_col: str = "lm_score",
+) -> DataFrame:
+    """Unigram-LM log-likelihood quality score per document.
+
+    The corpus-statistics quality signal (CCNet-style LM filtering,
+    with a unigram model standing in for the 5-gram KenLM): score =
+    mean over token occurrences of ``ln p(token)`` under additive
+    smoothing — ``p = (count + s) / (total + s·vocab)`` — so
+    documents full of rare/garbage tokens score low.  ``stats_df``
+    is a ``(gram, count)`` table (:func:`ngram_counts` output),
+    typically trained once on a reference corpus and reused; when
+    ``None`` the model is trained on ``df`` itself (no OOV).  OOV
+    tokens get the smoothed zero-count probability.
+
+    100 TB posture: the stats table is vocabulary-sized and
+    broadcasts; the token explode is map-side; the one big shuffle
+    is the per-document mean.  Output: ``df`` + ``score_col``
+    (NULL for documents the tokenizer leaves empty).
+    """
+    if smoothing <= 0:
+        raise ValueError(f"smoothing must be > 0, got {smoothing}")
+    stats = stats_df if stats_df is not None else ngram_counts(df, 1, text_col)
+    tot = stats.agg(
+        F.sum("count").cast("double").alias("_tot"),
+        F.count(F.lit(1)).cast("double").alias("_vocab"),
+    )
+    toks = df.select(id_col, F.explode(_tokens(F.col(text_col))).alias("gram"))
+    s = float(smoothing)
+    logp = F.log(
+        (F.coalesce(F.col("count"), F.lit(0)).cast("double") + F.lit(s))
+        / (F.col("_tot") + F.lit(s) * F.col("_vocab"))
+    )
+    scores = (
+        toks.join(F.broadcast(stats), "gram", "left")
+        .crossJoin(F.broadcast(tot))
+        .groupBy(id_col)
+        .agg(F.round(F.avg(logp), 4).alias(score_col))
+    )
+    return df.join(scores, id_col, "left")
+
+
 def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach all text-analysis columns at once (single scan)."""
     c = F.col(text_col)

@@ -469,3 +469,33 @@ def test_ngram_counts_hand_checked(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="n must be"):
         ngram_counts(df, n=0)
+
+
+def test_ngram_lm_score_semantics(spark):
+    import math
+
+    from semantic_olap_spark.functions.text import ngram_counts, ngram_lm_score
+
+    df = spark.createDataFrame(
+        [(0, "common common common rare"), (1, "common common"),
+         (2, "rare rare")],
+        ["doc_id", "text"],
+    )
+    scored = {r["doc_id"]: r["lm_score"]
+              for r in ngram_lm_score(df).collect()}
+    # all-common doc beats the mixed doc beats the all-rare doc
+    assert scored[1] > scored[0] > scored[2]
+    # hand-check doc1: 8 token occurrences, vocab 2, count(common)=5
+    # -> p(common) = (5+.5)/(8+.5*2)
+    want = round(math.log(5.5 / 9.0), 4)
+    assert scored[1] == want
+
+    # external stats with OOV: 'novel' never seen -> smoothed zero
+    stats = ngram_counts(df, n=1)
+    ext = spark.createDataFrame([(9, "novel")], ["doc_id", "text"])
+    s = ngram_lm_score(ext, stats_df=stats).collect()[0]["lm_score"]
+    assert s == round(math.log(0.5 / 9.0), 4)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="smoothing"):
+        ngram_lm_score(df, smoothing=0.0)
