@@ -669,6 +669,14 @@ def _q_take_token_budget(spark, sf_dir):
     ).select("doc_id", "n_chars", "n_tokens")
 
 
+def _q_bm25_topk(spark, sf_dir):
+    from semantic_olap_spark.functions.text import bm25_topk
+
+    return bm25_topk(
+        _t(spark, sf_dir, "documents"), "spark join performance", k=10
+    ).select("doc_id", "bm25")
+
+
 def _q_ngram_lm_score(spark, sf_dir):
     # unigram LM trained on the corpus itself; ln() is libm on both
     # engines and the mean is rounded to 4 decimals, which absorbs
@@ -1232,6 +1240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_corpus": _q_mix_corpus,
         "ngram_counts": _q_ngram_counts,
         "ngram_lm_score": _q_ngram_lm_score,
+        "bm25_topk": _q_bm25_topk,
         "redact_pii": _q_redact_pii,
         "repetition_profile": _q_repetition_profile,
         "heuristic_filter": _q_heuristic_filter,
@@ -2032,6 +2041,57 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.* FROM documents d
             JOIN fr ON d.source = fr.source
             WHERE {_uhash_sql('d.doc_id')} < fr.f
+        """,
+        # bm25: corpus stats (N, avgdl, per-term df) in one CTE, then
+        # the scoring arithmetic written operand-for-operand like the
+        # Spark expression (1-b precomputed to 0.25, fixed term
+        # order, parenthesization matching Python's left-assoc) so
+        # the round-4 doubles are bit-identical
+        "bm25_topk": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     str_split_regex(lower(trim(text)), '\s+') AS toks,
+                     (CASE WHEN trim(text) = '' THEN 0
+                           ELSE len(str_split_regex(trim(text), '\s+'))
+                      END)::DOUBLE AS dl
+              FROM documents
+            ),
+            st AS (
+              SELECT count(*)::DOUBLE AS n,
+                     avg(dl) AS avgdl,
+                     sum(CASE WHEN list_contains(toks, 'spark')
+                              THEN 1 ELSE 0 END)::DOUBLE AS df0,
+                     sum(CASE WHEN list_contains(toks, 'join')
+                              THEN 1 ELSE 0 END)::DOUBLE AS df1,
+                     sum(CASE WHEN list_contains(toks, 'performance')
+                              THEN 1 ELSE 0 END)::DOUBLE AS df2
+              FROM d
+            ),
+            sc AS (
+              SELECT doc_id,
+                     round(
+                       0.0
+                       + ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5))
+                         * (len(list_filter(toks, x -> x = 'spark'))::DOUBLE
+                            * 2.2)
+                         / (len(list_filter(toks, x -> x = 'spark'))::DOUBLE
+                            + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                       + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5))
+                         * (len(list_filter(toks, x -> x = 'join'))::DOUBLE
+                            * 2.2)
+                         / (len(list_filter(toks, x -> x = 'join'))::DOUBLE
+                            + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                       + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5))
+                         * (len(list_filter(toks,
+                                x -> x = 'performance'))::DOUBLE * 2.2)
+                         / (len(list_filter(toks,
+                                x -> x = 'performance'))::DOUBLE
+                            + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                     , 4) AS bm25
+              FROM d, st
+            )
+            SELECT doc_id, bm25 FROM sc
+            ORDER BY bm25 DESC, doc_id ASC LIMIT 10
         """,
         "ngram_lm_score": r"""
             WITH tk AS (

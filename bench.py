@@ -62,6 +62,8 @@ HEADLINE = [
     # the signature-based queries — their persisted frames otherwise
     # add memory pressure to the biggest pair join)
     "text_profile",
+    "bm25_topk",
+    "ngram_lm_score",
     # deterministic sampling + the two-phase prefix-sum packer
     "hash_sample",
     "pack_documents",

@@ -228,6 +228,73 @@ def ngram_lm_score(
     return df.join(scores, id_col, "left")
 
 
+def bm25_topk(
+    df: DataFrame,
+    query: str,
+    k: int = 10,
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    score_col: str = "bm25",
+    tiebreak: str = "doc_id",
+) -> DataFrame:
+    """Top-k documents by BM25 against a tokenized query.
+
+    The standard lexical-retrieval scorer (Okapi BM25) as one lazy
+    plan: corpus statistics (N, average document length, per-term
+    document frequency) come from a single 1-row aggregation that
+    broadcasts; each document's score is then a pure Catalyst
+    expression — per-term tf from the token array, idf =
+    ``ln(1 + (N − df + 0.5)/(df + 0.5))``, the usual k1/b length
+    normalization — summed in fixed query-term order (bit-stable
+    across engines).  Final selection is ``orderBy(limit k)`` →
+    TakeOrderedAndProject, so only k rows per partition reach the
+    driver merge.  Complements the embedding ANN paths
+    (`similarity.py`) with exact sparse retrieval.
+    """
+    terms = [t for t in query.lower().split() if t]
+    if not terms:
+        raise ValueError("query must contain at least one token")
+    toks = _tokens(F.col(text_col))
+    dl = token_count(F.col(text_col)).cast("double")
+    stats = df.agg(
+        F.count(F.lit(1)).cast("double").alias("_n_docs"),
+        F.avg(token_count(F.col(text_col))).alias("_avgdl"),
+        *[
+            F.sum(
+                F.when(F.array_contains(_tokens(F.col(text_col)), t), 1)
+                .otherwise(0)
+            ).cast("double").alias(f"_df_{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    def _tf(term: str) -> Column:
+        # NB: F.filter treats a 2-arg lambda as (element, index), so
+        # the term must be closed over via this helper, not a
+        # default argument
+        return F.size(F.filter(toks, lambda x: x == F.lit(term))).cast("double")
+
+    score = F.lit(0.0)
+    for i, t in enumerate(terms):
+        tf = _tf(t)
+        idf = F.log(
+            1.0
+            + (F.col("_n_docs") - F.col(f"_df_{i}") + 0.5)
+            / (F.col(f"_df_{i}") + 0.5)
+        )
+        norm = tf + F.lit(float(k1)) * (
+            1.0 - float(b) + F.lit(float(b)) * dl / F.col("_avgdl")
+        )
+        score = score + idf * (tf * (float(k1) + 1.0)) / norm
+    return (
+        df.crossJoin(F.broadcast(stats))
+        .withColumn(score_col, F.round(score, 4))
+        .drop("_n_docs", "_avgdl", *[f"_df_{i}" for i in range(len(terms))])
+        .orderBy(F.col(score_col).desc(), F.col(tiebreak).asc())
+        .limit(int(k))
+    )
+
+
 def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach all text-analysis columns at once (single scan)."""
     c = F.col(text_col)

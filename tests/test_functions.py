@@ -499,3 +499,31 @@ def test_ngram_lm_score_semantics(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="smoothing"):
         ngram_lm_score(df, smoothing=0.0)
+
+
+def test_bm25_ranking_semantics(spark):
+    from semantic_olap_spark.functions.text import bm25_topk
+
+    df = spark.createDataFrame(
+        [
+            (0, "cats and dogs and cats"),       # both query terms
+            (1, "cats cats cats cats"),          # common term only
+            (2, "dogs"),                         # rarer term only
+            (3, "birds and fish"),               # neither
+            (4, "cats dogs"),                    # both, short doc
+        ],
+        ["doc_id", "text"],
+    )
+    out = bm25_topk(df, "cats dogs", k=5).collect()
+    order = [r["doc_id"] for r in out]
+    scores = {r["doc_id"]: r["bm25"] for r in out}
+    # both-term docs beat single-term docs; the no-term doc scores 0
+    assert set(order[:2]) == {0, 4}
+    assert scores[3] == 0.0
+    # idf: 'dogs' (3 docs) is rarer than 'cats' (3 docs)... equal here,
+    # but single-term docs must both beat the no-term doc
+    assert scores[1] > scores[3] and scores[2] > scores[3]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="at least one"):
+        bm25_topk(df, "   ")
