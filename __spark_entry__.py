@@ -919,6 +919,21 @@ def _q_pivot_priority_by_status(spark, sf_dir):
     )
 
 
+def _q_unpivot_lineitem_metrics(spark, sf_dir):
+    # wide→long reshape (df.unpivot/melt): per-metric totals after
+    # melting three measure columns into (metric, value) rows
+    li = _t(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ["l_returnflag"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "metric", "value",
+    )
+    total = F.sum(F.col("value").cast("decimal(18,6)"))
+    return long.groupBy("l_returnflag", "metric").agg(
+        F.round(total, 2).cast("double").alias("total")
+    )
+
+
 def _q_set_ops_custkeys(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
@@ -1251,6 +1266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_shipping": _q_cube_shipping,
         "pivot_priority_by_status": _q_pivot_priority_by_status,
         "set_ops_custkeys": _q_set_ops_custkeys,
+        "unpivot_lineitem_metrics": _q_unpivot_lineitem_metrics,
         "percentile_quantity": _q_percentile_quantity,
         "monthly_revenue": _q_monthly_revenue,
         "embedding_dedup": _q_embedding_dedup,
@@ -2325,6 +2341,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
             EXCEPT
             SELECT c_custkey FROM customer WHERE c_acctbal < 0
+        """,
+        "unpivot_lineitem_metrics": """
+            WITH long AS (
+              SELECT l_returnflag, 'l_quantity' AS metric,
+                     l_quantity AS value FROM lineitem
+              UNION ALL
+              SELECT l_returnflag, 'l_extendedprice', l_extendedprice
+              FROM lineitem
+              UNION ALL
+              SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+            )
+            SELECT l_returnflag, metric,
+                   round(sum(value::DECIMAL(18,6)), 2)::DOUBLE AS total
+            FROM long GROUP BY l_returnflag, metric
         """,
         "percentile_quantity": """
             SELECT l_returnflag,
