@@ -163,14 +163,20 @@ def ngram_counts(
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
     toks = _tokens(F.col(text_col))
+    # zip-fold over shifted slices: O(tokens·n), one lambda call per
+    # output gram (the per-index transform+slice form is quadratic
+    # under interpreted lambda evaluation)
+    m = F.size(toks) - (n - 1)
+    folded = F.slice(toks, 1, m)
+    for i in range(1, n):
+        folded = F.zip_with(
+            folded,
+            F.slice(toks, 1 + i, m),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
     grams = F.when(
         F.size(toks) < n, F.array().cast("array<string>")
-    ).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        )
-    )
+    ).otherwise(folded)
     out = (
         df.select(F.explode(grams).alias("gram"))
         .groupBy("gram")
