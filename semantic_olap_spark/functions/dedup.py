@@ -195,12 +195,25 @@ def jaccard_pairs(
 
 
 def word_shingles(col: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles; whole text if < n tokens."""
+    """Distinct word n-gram shingles; whole text if < n tokens.
+
+    Built as a fold of ``zip_with`` over shifted slices — one lambda
+    invocation per output gram.  The per-index ``transform``+
+    ``slice`` form is quadratic under interpreted lambda evaluation
+    (measured ~3-4× slower on the signature pass at sf0.1).
+    """
     toks = F.split(F.lower(F.trim(col)), _WS)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-    )
+    m = F.size(toks) - (n - 1)
+    acc = F.slice(toks, 1, m)
+    for i in range(1, n):
+        acc = F.zip_with(
+            acc,
+            F.slice(toks, 1 + i, m),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    grams = F.when(
+        F.size(toks) < n, F.array(F.array_join(toks, " "))
+    ).otherwise(acc)
     return F.array_distinct(grams)
 
 

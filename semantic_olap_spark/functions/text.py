@@ -126,18 +126,38 @@ def winnow_fingerprints(
     reproducible in the DuckDB oracle; oracle/driver use only.
     """
     toks = F.split(F.lower(F.trim(col)), _WS)
-    n_grams = F.greatest(F.size(toks) - (k - 1), F.lit(1))
-    gram = (
-        (lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, k)).cast("binary")))
+    # k-gram texts via a zip_with fold over shifted slices (linear;
+    # the per-index transform+slice form is quadratic under
+    # interpreted lambda evaluation), clamped to the whole text for
+    # docs shorter than k tokens — then hashed elementwise
+    m = F.size(toks) - (k - 1)
+    acc = F.slice(toks, 1, m)
+    for i in range(1, k):
+        acc = F.zip_with(
+            acc,
+            F.slice(toks, 1 + i, m),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    gram_texts = F.when(
+        F.size(toks) < k, F.array(F.array_join(toks, " "))
+    ).otherwise(acc)
+    grams = F.transform(
+        gram_texts,
+        (lambda g: F.md5(g.cast("binary")))
         if exact_hash
-        else (lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, k))))
+        else (lambda g: F.xxhash64(g)),
     )
-    grams = F.transform(F.sequence(F.lit(0), n_grams - 1), gram)
-    n_windows = F.greatest(F.size(grams) - (window - 1), F.lit(1))
-    mins = F.transform(
-        F.sequence(F.lit(0), n_windows - 1),
-        lambda i: F.array_min(F.slice(grams, i + 1, window)),
-    )
+    # sliding-window minimum as a least() fold over shifted slices of
+    # the gram-hash array — same linearization
+    w = F.size(grams) - (window - 1)
+    macc = F.slice(grams, 1, w)
+    for i in range(1, window):
+        macc = F.zip_with(
+            macc, F.slice(grams, 1 + i, w), lambda a, b: F.least(a, b)
+        )
+    mins = F.when(
+        F.size(grams) < window, F.array(F.array_min(grams))
+    ).otherwise(macc)
     return F.sort_array(F.array_distinct(mins))
 
 
