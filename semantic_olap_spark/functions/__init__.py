@@ -1,4 +1,5 @@
 from semantic_olap_spark.functions.text import (  # noqa: F401
+    bm25_topk,
     doc_fingerprint,
     lang_id,
     ngram_counts,

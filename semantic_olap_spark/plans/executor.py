@@ -329,13 +329,17 @@ def _dedup_near_step(df: DataFrame, p: Mapping) -> DataFrame:
 
 def _build_pipeline_ops() -> dict:
     from semantic_olap_spark.functions import (
+        bm25_topk,
+        cohort_retention,
         dedup_exact,
+        funnel,
         hash_sample,
         heuristic_filter,
         jaccard_pairs,
         minhash_lsh_pairs,
         mix_corpus,
         ngram_counts,
+        ngram_lm_score,
         pack_documents,
         profile_columns,
         quantile_filter,
@@ -365,6 +369,10 @@ def _build_pipeline_ops() -> dict:
         "hash_sample": _pipe(hash_sample, "fraction", "key_col"),
         "mix_corpus": _pipe(mix_corpus, "strata_col", "weights", "key_col"),
         "ngram_counts": _pipe(ngram_counts),
+        "ngram_lm_score": _pipe(ngram_lm_score),
+        "bm25_topk": _pipe(bm25_topk, "query"),
+        "funnel": _pipe(funnel, "steps"),
+        "cohort_retention": _pipe(cohort_retention),
         "stratified_sample": _pipe(
             stratified_sample, "strata_col", "fractions", "key_col"
         ),

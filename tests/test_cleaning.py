@@ -192,3 +192,34 @@ class TestPlanSteps:
         rows = out.collect()
         assert [r["doc_id"] for r in rows] == [0]
         assert "top_token_frac" in out.columns
+
+
+def test_new_ops_as_plan_steps(spark):
+    from semantic_olap_spark.plans.executor import PlanExecutor
+
+    df = spark.createDataFrame(
+        [(0, "alpha beta alpha"), (1, "beta gamma delta")],
+        ["doc_id", "text"],
+    )
+    ex = PlanExecutor()
+    out = ex.execute(df, [
+        {"operator": "ngram_lm_score", "params": {}},
+        {"operator": "bm25_topk", "params": {"query": "alpha", "k": 1}},
+    ])
+    rows = out.collect()
+    assert [r["doc_id"] for r in rows] == [0]
+    assert "lm_score" in out.columns and "bm25" in out.columns
+
+    import datetime as dt
+    ev = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), "view"),
+         (1, dt.datetime(2024, 1, 1, 1), "click")],
+        ["user_id", "ts", "event_type"],
+    )
+    fun = ex.execute(ev, [{"operator": "funnel",
+                           "params": {"steps": ["view", "click"]}}])
+    assert {r["name"]: r["users"] for r in fun.collect()} == {
+        "view": 1, "click": 1,
+    }
+    coh = ex.execute(ev, [{"operator": "cohort_retention", "params": {}}])
+    assert coh.collect()[0]["users"] == 1
