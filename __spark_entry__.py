@@ -708,6 +708,33 @@ def _q_ngram_counts(spark, sf_dir):
     )
 
 
+def _q_training_pipeline(spark, sf_dir):
+    # the end-to-end corpus-curation story as ONE lazy plan:
+    # quality gate → exact dedup → benchmark decontamination (src0
+    # as the eval set) → deterministic train/test split.  Every
+    # stage is scan-side or broadcast except dedup's one window
+    # shuffle; the whole chain carries a single composed SQL oracle.
+    from semantic_olap_spark.functions.cleaning import (
+        decontaminate,
+        heuristic_filter,
+    )
+    from semantic_olap_spark.functions.dedup import dedup_exact
+    from semantic_olap_spark.functions.sampling import train_test_split
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("source") == "src0")
+    kept = dedup_exact(
+        heuristic_filter(
+            docs, min_tokens=20,
+            max_top_token_frac=0.12, max_dup_2gram_frac=0.05,
+        )
+    ).filter(F.col("source") != "src0")
+    clean = decontaminate(kept, bench, n=4)
+    return train_test_split(
+        clean, {"train": 0.9, "test": 0.1}, "doc_id"
+    ).select("doc_id", "split")
+
+
 def _q_quantile_filter(spark, sf_dir):
     from semantic_olap_spark.functions.sampling import quantile_filter
 
@@ -1261,6 +1288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heuristic_filter": _q_heuristic_filter,
         "decontaminate_bench": _q_decontaminate_bench,
         "take_token_budget": _q_take_token_budget,
+        "training_pipeline": _q_training_pipeline,
         # Spark-native analytics breadth (§2.5 fill-ins)
         "rollup_order_revenue": _q_rollup_order_revenue,
         "cube_shipping": _q_cube_shipping,
@@ -2237,6 +2265,51 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.* FROM documents d
             WHERE d.source != 'src0'
               AND d.doc_id NOT IN (SELECT doc_id FROM hits)
+        """,
+        # training_pipeline: the composed curation chain — quality
+        # gate → exact dedup → decontaminate vs src0 → hash split
+        "training_pipeline": rf"""
+            WITH {_REPETITION_CTE},
+            kept1 AS (
+              SELECT d.* FROM documents d JOIN prof USING (doc_id)
+              WHERE prof.n >= 20
+                AND prof.top_token_frac <= 0.12
+                AND prof.dup_2gram_frac <= 0.05
+                AND prof.mean_token_len BETWEEN 2.0 AND 12.0
+                AND prof.symbol_ratio <= 0.2
+            ),
+            kept2 AS (
+              SELECT * FROM kept1
+              QUALIFY row_number() OVER (
+                  PARTITION BY {_NORM_MD5} ORDER BY doc_id) = 1
+            ),
+            corpus AS (SELECT * FROM kept2 WHERE source != 'src0'),
+            tok4 AS (
+              SELECT doc_id, source,
+                     str_split_regex(lower(trim(text)), '\s+') AS toks
+              FROM documents
+            ),
+            g4 AS (
+              SELECT doc_id, source, list_distinct([
+                  array_to_string(toks[i + 1 : i + 4], ' ')
+                  for i in generate_series(0, greatest(len(toks) - 4, 0))
+              ]) AS gs
+              FROM tok4
+            ),
+            bench AS (
+              SELECT DISTINCT unnest(gs) AS gram FROM g4
+              WHERE source = 'src0'
+            ),
+            ge AS (
+              SELECT g4.doc_id, unnest(g4.gs) AS gram
+              FROM g4 JOIN corpus USING (doc_id)
+            ),
+            hits AS (SELECT DISTINCT ge.doc_id FROM ge JOIN bench USING (gram))
+            SELECT doc_id,
+                   {_split_case_sql({'train': 0.9, 'test': 0.1}, 'doc_id')}
+                       AS split
+            FROM corpus
+            WHERE doc_id NOT IN (SELECT doc_id FROM hits)
         """,
         "take_token_budget": r"""
             WITH t AS (

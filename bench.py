@@ -73,6 +73,8 @@ HEADLINE = [
     "heuristic_filter",
     "decontaminate_bench",
     "take_token_budget",
+    # the composed curation chain (gate → dedup → decontam → split)
+    "training_pipeline",
     "dedup_exact",
     "jaccard_pairs",
     "cosine_topk",
