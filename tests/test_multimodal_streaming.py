@@ -318,3 +318,34 @@ def test_audio_features_stub_deterministic_and_null_safe(spark):
     assert f["duration_s"] >= 0.5 and f["sample_rate"] % 8000 == 0
     assert 0.0 <= f["rms"] <= 1.0
     assert feats[0] == feats[1]
+
+
+def test_cleaning_ops_work_on_streams(spark, sf_dir):
+    # stateless scan-side gates apply to streaming frames unchanged
+    from semantic_olap_spark.functions.cleaning import (
+        heuristic_filter,
+        redact_pii,
+    )
+    from semantic_olap_spark.sources.loaders import load_table
+
+    schema = load_table(spark, sf_dir, "documents").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    gated = heuristic_filter(redact_pii(stream), min_tokens=5)
+    assert gated.isStreaming
+    q = (
+        gated.writeStream.format("memory")
+        .queryName("clean_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT count(*) c FROM clean_stream_test").collect()[0]["c"]
+    want = heuristic_filter(
+        redact_pii(load_table(spark, sf_dir, "documents")), min_tokens=5
+    ).count()
+    assert got == want > 0

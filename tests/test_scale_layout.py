@@ -95,3 +95,25 @@ def test_cleaning_ops_plan_shapes(spark, tables):
     for df in (heuristic_filter(docs), redact_pii(docs)):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+def test_retrieval_and_funnel_plan_shapes(spark, tables):
+    """bm25 ends in TakeOrderedAndProject (k rows per partition to
+    the driver merge); funnel's per-stage joins never blow past the
+    stage count."""
+    from semantic_olap_spark.functions.analytics import funnel
+    from semantic_olap_spark.functions.text import bm25_topk
+
+    plan = (
+        bm25_topk(tables["documents"], "spark join", k=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+
+    fplan = (
+        funnel(tables["events"], ["view", "click", "purchase"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # k-1 = 2 inter-stage joins; a blowup (cross/nested-loop) would fail
+    assert "CartesianProduct" not in fplan
+    assert "BroadcastNestedLoopJoin" not in fplan
