@@ -12,6 +12,7 @@ from semantic_olap_spark.plans.memory import (  # noqa: F401
 from semantic_olap_spark.plans.planner import (  # noqa: F401
     dice_plan,
     flatten_plan,
+    plan_nl_filter,
     run_nl_filter,
     slice_plan,
     topk_dispatch,

@@ -399,6 +399,30 @@ def flatten_plan(plan: Mapping) -> dict:
     return {"operations": new_ops, "logic": flat_logic}
 
 
+def plan_nl_filter(
+    df: DataFrame,
+    operations: Sequence[Mapping],
+    logic: Logic,
+    llm_factory: LLMFactory = default_llm_factory,
+) -> dict:
+    """Plan-only entry point: the flattened physical plan, unexecuted.
+
+    The contract of the reference's plan-only baselines
+    (Semantic-OLAP/baselines/baseline_LLM_direct.py:138-178,
+    baseline_ReAct_OutTool.py:307-317): given the decomposed-filter
+    IR, emit the full plan in the 10-operator language —
+    ``{"operations": [...], "logic": [...]}`` — without touching the
+    data beyond the profiling samples.  ``run_nl_filter`` is exactly
+    this plan replayed through the staged executor, so plan-matching
+    evaluation (the eval corpus's methodology) can run against the
+    planner alone.
+    """
+    injected = inject_sub_plans(
+        {"operations": operations, "logic": logic}, df, llm_factory
+    )
+    return flatten_plan(injected)
+
+
 def run_nl_filter(
     df: DataFrame,
     operations: Sequence[Mapping],
@@ -413,10 +437,7 @@ def run_nl_filter(
     """
     from semantic_olap_spark.plans.executor import run_filter
 
-    injected = inject_sub_plans(
-        {"operations": operations, "logic": logic}, df, llm_factory
-    )
-    flat = flatten_plan(injected)
+    flat = plan_nl_filter(df, operations, logic, llm_factory)
     return run_filter(df, flat["operations"], flat["logic"], llm_factory)
 
 

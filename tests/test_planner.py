@@ -381,3 +381,32 @@ def test_cube_node_persist_path(spark, tables, tmp_path):
     assert node.df.count() == 3
     # re-read from disk, not lineage: input files point at the path
     assert any("node0" in f for f in node.df.inputFiles())
+
+
+def test_plan_only_entry_point_replays_identically(spark, tables):
+    # the plan-only contract (reference baselines): plan_nl_filter's
+    # output replayed through run_filter equals run_nl_filter
+    from semantic_olap_spark.plans.executor import run_filter
+    from semantic_olap_spark.plans.planner import (
+        plan_nl_filter,
+        run_nl_filter,
+    )
+
+    docs = tables["documents"]
+    ops = [
+        {"id": 1, "agent": "slice", "instruction": "mentions spark in text"},
+        {"id": 2, "agent": "dice", "field": "n_chars",
+         "instruction": "n_chars > 200"},
+    ]
+    logic = ["AND", 1, 2]
+    flat = plan_nl_filter(docs, ops, logic)
+    # a real plan in the 10-operator language, nothing executed yet
+    assert flat["operations"] and all(
+        "operator_name" in op and "parameters" in op
+        for op in flat["operations"]
+    )
+    replayed = run_filter(docs, flat["operations"], flat["logic"])
+    direct = run_nl_filter(docs, ops, logic)
+    assert sorted(r["doc_id"] for r in replayed.collect()) == sorted(
+        r["doc_id"] for r in direct.collect()
+    )

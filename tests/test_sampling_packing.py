@@ -414,3 +414,66 @@ def test_mix_corpus_edge_cases(spark):
     assert mix_corpus(df, "src", {"zz": 1.0}, "doc_id").count() == 0
     with pytest.raises(ValueError, match="positive"):
         mix_corpus(df, "src", {"a": 0.0}, "doc_id")
+
+
+def _py_uniform(key, seed=42):
+    import hashlib
+
+    h = hashlib.md5(f"{seed}:{key}".encode()).hexdigest()
+    return int(h[:8], 16) / float(1 << 32)
+
+
+@pytest.mark.parametrize("pyseed,n_rows,budget", [(1, 57, 100), (2, 200, 777)])
+def test_take_token_budget_matches_sequential_reference(
+    spark, pyseed, n_rows, budget
+):
+    import random
+
+    from semantic_olap_spark.functions.cleaning import take_token_budget
+
+    rng = random.Random(pyseed)
+    rows = [
+        (i, " ".join("w" for _ in range(rng.randint(1, 9))),
+         rng.randint(0, 5))
+        for i in range(n_rows)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "score"])
+    got = {r["doc_id"] for r in take_token_budget(
+        df.repartition(7), budget, score_col="score"
+    ).collect()}
+    # sequential greedy reference: (score desc, id asc), inclusive cumsum
+    want, cum = set(), 0
+    for i, text, score in sorted(rows, key=lambda r: (-r[2], r[0])):
+        cum += len(text.split())
+        if cum > budget:
+            break
+        want.add(i)
+    assert got == want
+
+
+@pytest.mark.parametrize("pyseed", [3, 4])
+def test_mix_corpus_matches_hash_reference(spark, pyseed):
+    import random
+
+    from semantic_olap_spark.functions.sampling import mix_corpus
+
+    rng = random.Random(pyseed)
+    strata = {"a": rng.randint(20, 60), "b": rng.randint(100, 300),
+              "c": rng.randint(5, 15)}
+    rows, i = [], 0
+    for s, n in strata.items():
+        for _ in range(n):
+            rows.append((i, s))
+            i += 1
+    df = spark.createDataFrame(rows, ["doc_id", "src"])
+    weights = {"a": 0.5, "b": 0.5}
+    got = {r["doc_id"] for r in mix_corpus(
+        df.repartition(5), "src", weights, "doc_id"
+    ).collect()}
+    # python reference: same fraction arithmetic + same md5 uniform
+    total_w = sum(weights.values())
+    t_max = min(strata[s] / (w / total_w) for s, w in weights.items())
+    frac = {s: min(1.0, t_max * (w / total_w) / strata[s])
+            for s, w in weights.items()}
+    want = {i for i, s in rows if s in frac and _py_uniform(i) < frac[s]}
+    assert got == want
