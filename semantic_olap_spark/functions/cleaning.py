@@ -145,15 +145,11 @@ def repetition_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
         ),
         lambda acc: acc["best"],
     ).cast("double")
-    # bigrams as zip_with(toks[:-1], toks[1:]) — O(n) array work; the
-    # per-index transform+slice construction is O(n²) in interpreted
-    # lambda evaluation and measured ~3.5× slower at sf0.1
-    nm1 = F.greatest(F.size(toks) - 1, F.lit(0))
-    grams2 = F.zip_with(
-        F.slice(toks, 1, nm1),
-        F.slice(toks, 2, nm1),
-        lambda a, b: F.concat(a, F.lit(" "), b),
-    )
+    # bigrams via the shared linear fold (guarded: dup2 is only
+    # evaluated for size >= 2, where m = size-1 is positive)
+    from semantic_olap_spark.functions.text import zip_ngram_fold
+
+    grams2 = zip_ngram_fold(toks, 2)
     dup2 = F.when(
         F.size(toks) < 2, F.lit(0.0)
     ).otherwise(
@@ -200,6 +196,16 @@ def heuristic_filter(
     """
     from semantic_olap_spark.functions.text import token_count
 
+    metrics = (
+        "top_token_frac", "dup_2gram_frac", "mean_token_len", "symbol_ratio",
+    )
+    clash = [c for c in metrics if c in df.columns]
+    if clash:
+        raise ValueError(
+            f"heuristic_filter would overwrite and then drop input "
+            f"columns {clash}; rename them, or call repetition_profile "
+            f"and filter explicitly"
+        )
     prof = repetition_profile(df, text_col)
     keep = (
         (token_count(F.col(text_col)) >= int(min_tokens))
@@ -214,33 +220,16 @@ def heuristic_filter(
     )
 
 
-def _zip_ngrams(toks: Column, n: int) -> Column:
-    """Token n-grams via a fold of ``zip_with`` over shifted slices.
-
-    O(n·k) with one lambda invocation per output element — the
-    per-index ``transform`` + ``slice`` construction is quadratic in
-    interpreted lambda evaluation (measured ~3.5× slower at sf0.1).
-    Assumes ``size(toks) >= n`` (callers guard the short case).
-    """
-    m = F.size(toks) - (n - 1)
-    acc = F.slice(toks, 1, m)
-    for i in range(1, n):
-        acc = F.zip_with(
-            acc,
-            F.slice(toks, 1 + i, m),
-            lambda a, b: F.concat(a, F.lit(" "), b),
-        )
-    return acc
-
-
 def _ngrams(col: Column, n: int) -> Column:
+    from semantic_olap_spark.functions.text import zip_ngram_fold
+
     toks = _toks(col)
     # documents shorter than n contribute their whole text as the
     # single clamped "n-gram" (consistent with the SQL oracle's
     # clamped list slices)
     return F.array_distinct(
         F.when(F.size(toks) < n, F.array(F.array_join(toks, " ")))
-        .otherwise(_zip_ngrams(toks, n))
+        .otherwise(zip_ngram_fold(toks, n))
     )
 
 
@@ -307,6 +296,11 @@ def take_token_budget(
         toks: Column = token_count(F.col(text_col))
     else:
         toks = F.col(token_col).cast("long")
+    # NULL text / token counts → 0 tokens, NOT NULL: the window sum
+    # skips NULLs, so a NULL row would otherwise pass the budget
+    # filter "for free" with an unusable n_tokens — pre-filter such
+    # rows upstream if they shouldn't be selected at all
+    toks = F.coalesce(toks.cast("long"), F.lit(0))
     with_tok = df.withColumn("n_tokens", toks)
 
     order = [F.col(score_col).desc(), F.col(id_col).asc()]

@@ -139,6 +139,11 @@ def mix_corpus(
     the result is a pure function of ``(data, weights, seed)`` and
     carries a full SQL oracle.
     """
+    # counts are keyed by the stratum's STRING rendering, so weights
+    # keys must be normalized the same way (stratified_sample does
+    # str(value) too) — otherwise int/date keys silently match
+    # nothing and the result is empty
+    weights = {str(k): float(v) for k, v in weights.items()}
     total_w = float(sum(weights.values()))
     if total_w <= 0:
         raise ValueError("weights must sum to a positive value")

@@ -36,6 +36,28 @@ def _tokens(col: Column) -> Column:
     return F.split(F.lower(F.trim(col)), _WS)
 
 
+def zip_ngram_fold(toks: Column, n: int) -> Column:
+    """Space-joined token n-grams via a ``zip_with`` fold.
+
+    One lambda invocation per output gram (the per-index
+    ``transform``+``slice`` construction is quadratic under
+    interpreted lambda evaluation — SCALE.md "Global posture").
+    Assumes ``size(toks) >= n``; callers guard the short case with
+    their own semantics (clamp to whole text, or empty).  Shared by
+    every n-gram producer in the package (cleaning, dedup shingles,
+    winnowing, corpus counts).
+    """
+    m = F.size(toks) - (n - 1)
+    acc = F.slice(toks, 1, m)
+    for i in range(1, n):
+        acc = F.zip_with(
+            acc,
+            F.slice(toks, 1 + i, m),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return acc
+
+
 def token_count(col: Column) -> Column:
     """Whitespace token count; empty/blank text counts 0."""
     return F.when(F.trim(col) == "", F.lit(0)).otherwise(
@@ -126,21 +148,11 @@ def winnow_fingerprints(
     reproducible in the DuckDB oracle; oracle/driver use only.
     """
     toks = F.split(F.lower(F.trim(col)), _WS)
-    # k-gram texts via a zip_with fold over shifted slices (linear;
-    # the per-index transform+slice form is quadratic under
-    # interpreted lambda evaluation), clamped to the whole text for
+    # k-gram texts (zip_ngram_fold), clamped to the whole text for
     # docs shorter than k tokens — then hashed elementwise
-    m = F.size(toks) - (k - 1)
-    acc = F.slice(toks, 1, m)
-    for i in range(1, k):
-        acc = F.zip_with(
-            acc,
-            F.slice(toks, 1 + i, m),
-            lambda a, b: F.concat(a, F.lit(" "), b),
-        )
     gram_texts = F.when(
         F.size(toks) < k, F.array(F.array_join(toks, " "))
-    ).otherwise(acc)
+    ).otherwise(zip_ngram_fold(toks, k))
     grams = F.transform(
         gram_texts,
         (lambda g: F.md5(g.cast("binary")))
@@ -183,20 +195,9 @@ def ngram_counts(
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
     toks = _tokens(F.col(text_col))
-    # zip-fold over shifted slices: O(tokens·n), one lambda call per
-    # output gram (the per-index transform+slice form is quadratic
-    # under interpreted lambda evaluation)
-    m = F.size(toks) - (n - 1)
-    folded = F.slice(toks, 1, m)
-    for i in range(1, n):
-        folded = F.zip_with(
-            folded,
-            F.slice(toks, 1 + i, m),
-            lambda a, b: F.concat(a, F.lit(" "), b),
-        )
     grams = F.when(
         F.size(toks) < n, F.array().cast("array<string>")
-    ).otherwise(folded)
+    ).otherwise(zip_ngram_fold(toks, n))
     out = (
         df.select(F.explode(grams).alias("gram"))
         .groupBy("gram")

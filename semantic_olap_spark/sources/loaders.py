@@ -88,7 +88,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # timestamp type regardless of how the file encoded it
     for f in df.schema.fields:
         if isinstance(f.dataType, T.TimestampNTZType):
-            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
+            # df[name] resolves the exact column name (F.col would
+            # parse dots as struct access)
+            df = df.withColumn(f.name, df[f.name].cast("timestamp"))
     return df
 
 

@@ -142,24 +142,40 @@ def stream_interval_join(
     no-op and the same code is a plain range join, so stream/batch
     parity holds by construction.
 
-    ``right``'s key columns are renamed ``_r_<key>`` internally and
-    dropped after the join; its other columns must not collide with
-    ``left``'s (rename upstream — this function cannot guess intent).
+    ``right``'s key columns (and, when it collides with ``left_ts``,
+    its timestamp) are renamed ``_r_<name>`` internally; key columns
+    are coalesced back to their original name after the join, so
+    right-unmatched rows of an outer join keep their key.  A
+    colliding ``right_ts`` stays exposed as ``_r_<right_ts>`` in the
+    output.  Other column collisions must be renamed upstream.
     """
     ks = list(keys)
     r = right
+    rts = right_ts
+    if right_ts == left_ts:
+        # most natural usage: both streams carry e.g. "ts" — rename
+        # right's so the range condition isn't ambiguous
+        rts = f"_r_{right_ts}"
+        r = r.withColumnRenamed(right_ts, rts)
     for k in ks:
         r = r.withColumnRenamed(k, f"_r_{k}")
     if watermark is not None:
         left = left.withWatermark(left_ts, watermark)
-        r = r.withWatermark(right_ts, watermark)
+        r = r.withWatermark(rts, watermark)
     cond = (
-        (F.col(right_ts) >= F.col(left_ts) - F.expr(f"INTERVAL {lookback}"))
-        & (F.col(right_ts) <= F.col(left_ts))
+        (F.col(rts) >= F.col(left_ts) - F.expr(f"INTERVAL {lookback}"))
+        & (F.col(rts) <= F.col(left_ts))
     )
     for k in ks:
         cond = (F.col(k) == F.col(f"_r_{k}")) & cond
-    return left.join(r, cond, how).drop(*[f"_r_{k}" for k in ks])
+    out = left.join(r, cond, how)
+    for k in ks:
+        # right-outer/full rows have NULL left keys; the real key
+        # lives in _r_<k> — coalesce before dropping it
+        out = out.withColumn(
+            k, F.coalesce(F.col(k), F.col(f"_r_{k}"))
+        ).drop(f"_r_{k}")
+    return out
 
 
 def read_events_stream(
@@ -200,5 +216,6 @@ def read_events_stream(
     # and the session tz is pinned UTC so the cast preserves values
     for f in stream.schema.fields:
         if isinstance(f.dataType, T.TimestampNTZType):
-            stream = stream.withColumn(f.name, F.col(f.name).cast("timestamp"))
+            # exact-name resolution (dots in names) — see loaders.py
+            stream = stream.withColumn(f.name, stream[f.name].cast("timestamp"))
     return stream

@@ -223,3 +223,37 @@ def test_new_ops_as_plan_steps(spark):
     }
     coh = ex.execute(ev, [{"operator": "cohort_retention", "params": {}}])
     assert coh.collect()[0]["users"] == 1
+
+
+def test_take_token_budget_null_text_consumes_zero(spark):
+    from pyspark.sql import types as T
+
+    from semantic_olap_spark.functions.cleaning import take_token_budget
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("score", T.LongType()),
+    ])
+    df = spark.createDataFrame(
+        [(0, "a b c", 2), (1, None, 3), (2, "d e", 1)], schema
+    )
+    rows = {r["doc_id"]: r["n_tokens"] for r in take_token_budget(
+        df, budget=5, score_col="score"
+    ).collect()}
+    # NULL doc counts 0 tokens (not NULL) and doesn't corrupt the
+    # running total: order is doc1(0) -> doc0(3) -> doc2(2), cum 5
+    assert rows == {1: 0, 0: 3, 2: 2}
+
+
+def test_heuristic_filter_rejects_metric_column_collision(spark):
+    from semantic_olap_spark.functions.cleaning import (
+        heuristic_filter,
+        repetition_profile,
+    )
+
+    df = repetition_profile(
+        spark.createDataFrame([(0, "a b c")], ["doc_id", "text"])
+    )
+    with pytest.raises(ValueError, match="overwrite"):
+        heuristic_filter(df)

@@ -349,3 +349,31 @@ def test_cleaning_ops_work_on_streams(spark, sf_dir):
         redact_pii(load_table(spark, sf_dir, "documents")), min_tokens=5
     ).count()
     assert got == want > 0
+
+
+def test_stream_interval_join_same_ts_name_and_outer_keys(spark):
+    import datetime as dt
+
+    from semantic_olap_spark.streaming import stream_interval_join
+
+    t = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(1, t), (2, t)], ["user_id", "ts"]
+    )
+    right = spark.createDataFrame(
+        [(1, t - dt.timedelta(minutes=5), 1.5),
+         (9, t, 9.9)],  # right-only user
+        ["user_id", "ts", "value"],
+    )
+    # identical ts names on both sides must not be ambiguous
+    out = stream_interval_join(
+        left, right, "ts", "ts", ["user_id"], lookback="10 minutes",
+        how="full",
+    ).collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert by_user[1][0]["value"] == 1.5
+    assert by_user[2][0]["value"] is None        # left-unmatched
+    assert 9 in by_user                          # right-only keeps its key
+    assert by_user[9][0]["_r_ts"] is not None    # colliding ts exposed

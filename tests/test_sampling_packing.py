@@ -477,3 +477,13 @@ def test_mix_corpus_matches_hash_reference(spark, pyseed):
             for s, w in weights.items()}
     want = {i for i, s in rows if s in frac and _py_uniform(i) < frac[s]}
     assert got == want
+
+
+def test_mix_corpus_non_string_weight_keys(spark):
+    from semantic_olap_spark.functions.sampling import mix_corpus
+
+    df = spark.createDataFrame(
+        [(i, 2023 + (i % 2)) for i in range(40)], ["doc_id", "year"]
+    )
+    out = mix_corpus(df, "year", {2023: 0.5, 2024: 0.5}, "doc_id")
+    assert out.count() > 0  # int keys match the stringified strata
