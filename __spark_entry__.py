@@ -677,6 +677,54 @@ def _q_bm25_topk(spark, sf_dir):
     ).select("doc_id", "bm25")
 
 
+def _q_chunk_documents(spark, sf_dir):
+    # retrieval/context-window chunker: 32-token windows, stride 24
+    from semantic_olap_spark.functions.packing import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), size=32, overlap=8
+    ).select("doc_id", "chunk_id", "chunk", "n_chunk_tokens")
+
+
+def _q_normalize_text(spark, sf_dir):
+    from semantic_olap_spark.functions.cleaning import normalize_text
+
+    return normalize_text(
+        _t(spark, sf_dir, "documents"), out_col="norm"
+    ).select("doc_id", "norm")
+
+
+def _q_cap_per_source(spark, sf_dir):
+    # anti-domination quota: best 3 docs per source by length
+    from semantic_olap_spark.functions.cleaning import cap_per_group
+
+    return cap_per_group(
+        _t(spark, sf_dir, "documents"), "source", 3, order_col="n_chars"
+    ).select("doc_id", "source", "n_chars")
+
+
+def _q_rrf_fuse_hybrid(spark, sf_dir):
+    # hybrid retrieval: BM25 lexical ranking fused with a document-
+    # length prior by Reciprocal Rank Fusion.  Two lists per id →
+    # the double sum is commutative, so round-6 scores are
+    # bit-identical to the SQL oracle.
+    from semantic_olap_spark.functions.retrieval import rrf_fuse
+    from semantic_olap_spark.functions.text import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    bm = bm25_topk(docs, "spark join performance", k=20).select(
+        "doc_id", "bm25"
+    )
+    length = (
+        docs.select(
+            "doc_id", F.col("n_chars").cast("double").alias("s")
+        )
+        .orderBy(F.col("s").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+    return rrf_fuse([bm, length], k=10)
+
+
 def _q_ngram_lm_score(spark, sf_dir):
     # unigram LM trained on the corpus itself; ln() is libm on both
     # engines and the mean is rounded to 4 decimals, which absorbs
@@ -1288,6 +1336,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heuristic_filter": _q_heuristic_filter,
         "decontaminate_bench": _q_decontaminate_bench,
         "take_token_budget": _q_take_token_budget,
+        "chunk_documents": _q_chunk_documents,
+        "normalize_text": _q_normalize_text,
+        "cap_per_source": _q_cap_per_source,
+        "rrf_fuse_hybrid": _q_rrf_fuse_hybrid,
         "training_pipeline": _q_training_pipeline,
         # Spark-native analytics breadth (§2.5 fill-ins)
         "rollup_order_revenue": _q_rollup_order_revenue,
@@ -1315,6 +1367,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_dispatch_num": _q_topk_dispatch_num,
         "dimension_catalog": _q_dimension_catalog,
     }
+
+
+
+# bm25 scoring CTEs (d: tokenized docs, st: corpus stats, sc:
+# round-4 scores) shared by the bm25_topk and rrf_fuse_hybrid
+# oracles
+_BM25_CTES = r"""d AS (
+              SELECT doc_id,
+                     str_split_regex(lower(trim(text)), '\s+') AS toks,
+                     (CASE WHEN trim(text) = '' THEN 0
+                           ELSE len(str_split_regex(trim(text), '\s+'))
+                      END)::DOUBLE AS dl
+              FROM documents
+            ),
+            st AS (
+              SELECT count(*)::DOUBLE AS n,
+                     avg(dl) AS avgdl,
+                     sum(CASE WHEN list_contains(toks, 'spark')
+                              THEN 1 ELSE 0 END)::DOUBLE AS df0,
+                     sum(CASE WHEN list_contains(toks, 'join')
+                              THEN 1 ELSE 0 END)::DOUBLE AS df1,
+                     sum(CASE WHEN list_contains(toks, 'performance')
+                              THEN 1 ELSE 0 END)::DOUBLE AS df2
+              FROM d
+            ),
+            sc AS (
+              SELECT doc_id,
+                     round(
+                       0.0
+                       + ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5))
+                         * (len(list_filter(toks, x -> x = 'spark'))::DOUBLE
+                            * 2.2)
+                         / (len(list_filter(toks, x -> x = 'spark'))::DOUBLE
+                            + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                       + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5))
+                         * (len(list_filter(toks, x -> x = 'join'))::DOUBLE
+                            * 2.2)
+                         / (len(list_filter(toks, x -> x = 'join'))::DOUBLE
+                            + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                       + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5))
+                         * (len(list_filter(toks,
+                                x -> x = 'performance'))::DOUBLE * 2.2)
+                         / (len(list_filter(toks,
+                                x -> x = 'performance'))::DOUBLE
+                            + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                     , 4) AS bm25
+              FROM d, st
+            )"""
 
 
 _NORM_MD5 = r"md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))"
@@ -2091,51 +2191,36 @@ def oracle_sql() -> dict[str, str]:
         # Spark expression (1-b precomputed to 0.25, fixed term
         # order, parenthesization matching Python's left-assoc) so
         # the round-4 doubles are bit-identical
-        "bm25_topk": r"""
-            WITH d AS (
-              SELECT doc_id,
-                     str_split_regex(lower(trim(text)), '\s+') AS toks,
-                     (CASE WHEN trim(text) = '' THEN 0
-                           ELSE len(str_split_regex(trim(text), '\s+'))
-                      END)::DOUBLE AS dl
-              FROM documents
-            ),
-            st AS (
-              SELECT count(*)::DOUBLE AS n,
-                     avg(dl) AS avgdl,
-                     sum(CASE WHEN list_contains(toks, 'spark')
-                              THEN 1 ELSE 0 END)::DOUBLE AS df0,
-                     sum(CASE WHEN list_contains(toks, 'join')
-                              THEN 1 ELSE 0 END)::DOUBLE AS df1,
-                     sum(CASE WHEN list_contains(toks, 'performance')
-                              THEN 1 ELSE 0 END)::DOUBLE AS df2
-              FROM d
-            ),
-            sc AS (
-              SELECT doc_id,
-                     round(
-                       0.0
-                       + ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5))
-                         * (len(list_filter(toks, x -> x = 'spark'))::DOUBLE
-                            * 2.2)
-                         / (len(list_filter(toks, x -> x = 'spark'))::DOUBLE
-                            + 1.2 * (0.25 + 0.75 * dl / avgdl))
-                       + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5))
-                         * (len(list_filter(toks, x -> x = 'join'))::DOUBLE
-                            * 2.2)
-                         / (len(list_filter(toks, x -> x = 'join'))::DOUBLE
-                            + 1.2 * (0.25 + 0.75 * dl / avgdl))
-                       + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5))
-                         * (len(list_filter(toks,
-                                x -> x = 'performance'))::DOUBLE * 2.2)
-                         / (len(list_filter(toks,
-                                x -> x = 'performance'))::DOUBLE
-                            + 1.2 * (0.25 + 0.75 * dl / avgdl))
-                     , 4) AS bm25
-              FROM d, st
-            )
+        "bm25_topk": "WITH " + _BM25_CTES + """
             SELECT doc_id, bm25 FROM sc
             ORDER BY bm25 DESC, doc_id ASC LIMIT 10
+        """,
+        # rrf_fuse_hybrid: the bm25 scoring CTEs verbatim, a length-
+        # prior top-20, 1-based ranks per list, fused 1/(60+r) —
+        # two terms per id, commutative double sum, round-6 exact
+        "rrf_fuse_hybrid": "WITH " + _BM25_CTES + """,
+            bm AS (
+              SELECT doc_id, bm25 FROM sc
+              ORDER BY bm25 DESC, doc_id ASC LIMIT 20
+            ),
+            ln_prior AS (
+              SELECT doc_id, n_chars::DOUBLE AS s FROM documents
+              ORDER BY s DESC, doc_id ASC LIMIT 20
+            ),
+            ranked AS (
+              SELECT doc_id,
+                     row_number() OVER (
+                       ORDER BY bm25 DESC, doc_id ASC) AS r
+              FROM bm
+              UNION ALL
+              SELECT doc_id,
+                     row_number() OVER (ORDER BY s DESC, doc_id ASC)
+              FROM ln_prior
+            )
+            SELECT doc_id,
+                   round(sum(1.0 / (60 + r)), 6) AS rrf
+            FROM ranked GROUP BY doc_id
+            ORDER BY rrf DESC, doc_id ASC LIMIT 10
         """,
         "ngram_lm_score": r"""
             WITH tk AS (
@@ -2327,6 +2412,50 @@ def oracle_sql() -> dict[str, str]:
               FROM t
             )
             SELECT doc_id, n_chars, n_tokens FROM s WHERE cum <= 1500
+        """,
+        # chunk_documents: 32-token windows, stride 24, last window
+        # clamped; chunk count = 1 if n<=32 else ceil((n-32)/24)+1,
+        # written with the integer-division identity
+        "chunk_documents": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     str_split_regex(trim(text), '\s+') AS toks,
+                     len(str_split_regex(trim(text), '\s+')) AS n
+              FROM documents WHERE trim(coalesce(text, '')) <> ''
+            ), c AS (
+              SELECT doc_id, toks, n,
+                     CASE WHEN n <= 32 THEN 1
+                          ELSE (n - 32 + 23) // 24 + 1
+                     END AS nc
+              FROM t
+            )
+            SELECT doc_id,
+                   i - 1 AS chunk_id,
+                   array_to_string(
+                     toks[(i - 1) * 24 + 1 : (i - 1) * 24 + 32],
+                     ' ') AS chunk,
+                   least(32, n - (i - 1) * 24)::INT AS n_chunk_tokens
+            FROM c, unnest(generate_series(1, nc)) AS g(i)
+        """,
+        # normalize_text: identical regex strings (Java ∩ RE2 subset)
+        "normalize_text": r"""
+            SELECT doc_id,
+                   lower(trim(regexp_replace(
+                     regexp_replace(text,
+                       '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F'
+                       || '\x{200B}\x{200C}\x{200D}\x{FEFF}]',
+                       '', 'g'),
+                     '\s+', ' ', 'g'))) AS norm
+            FROM documents
+        """,
+        "cap_per_source": """
+            SELECT doc_id, source, n_chars FROM (
+              SELECT doc_id, source, n_chars,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY n_chars DESC, doc_id ASC) AS rn
+              FROM documents
+            ) WHERE rn <= 3
         """,
         "profile_columns": """
             SELECT c.column, s.n_rows, c.n_null, c.n_distinct,

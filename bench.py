@@ -63,13 +63,17 @@ HEADLINE = [
     # add memory pressure to the biggest pair join)
     "text_profile",
     "bm25_topk",
+    "rrf_fuse_hybrid",
     "ngram_lm_score",
+    # scan-side window chunker (explode, no shuffle)
+    "chunk_documents",
     # deterministic sampling + the two-phase prefix-sum packer
     "hash_sample",
     "pack_documents",
     # corpus cleaning: scan-side PII/repetition gates, broadcast
     # n-gram decontamination, two-phase token-budget curation
     "redact_pii",
+    "normalize_text",
     "heuristic_filter",
     "decontaminate_bench",
     "take_token_budget",

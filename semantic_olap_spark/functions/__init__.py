@@ -47,15 +47,21 @@ from semantic_olap_spark.functions.sampling import (  # noqa: F401
     uniform_hash,
 )
 from semantic_olap_spark.functions.packing import (  # noqa: F401
+    chunk_documents,
     pack_documents,
+)
+from semantic_olap_spark.functions.retrieval import (  # noqa: F401
+    rrf_fuse,
 )
 from semantic_olap_spark.functions.analytics import (  # noqa: F401
     cohort_retention,
     funnel,
 )
 from semantic_olap_spark.functions.cleaning import (  # noqa: F401
+    cap_per_group,
     decontaminate,
     heuristic_filter,
+    normalize_text,
     redact_pii,
     repetition_profile,
     take_token_budget,

@@ -42,8 +42,10 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "PII_PATTERNS",
+    "cap_per_group",
     "decontaminate",
     "heuristic_filter",
+    "normalize_text",
     "redact_pii",
     "repetition_profile",
     "take_token_budget",
@@ -97,6 +99,81 @@ def redact_pii(
     for kind, c in counts:
         out = out.withColumn(f"n_{kind}", c)
     return out.withColumn(out_col, cur)
+
+
+# C0/C1 controls minus \t\n\r (which are whitespace, handled by the
+# collapse step) plus zero-width space/joiners and the BOM.  The
+# \x{hhhh} form is the Java-regex ∩ RE2 common spelling, so the
+# DuckDB oracle uses the identical string.
+_CTRL_ZW = (
+    r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F"
+    r"\x{200B}\x{200C}\x{200D}\x{FEFF}]"
+)
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str | None = None,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Canonicalize text: strip controls, collapse whitespace, case.
+
+    The standard pre-dedup normalization pass — exact dedup and
+    n-gram fingerprints should see one canonical form, not
+    whitespace/case variants:
+
+    1. control characters (C0/C1 except ``\\t \\n \\r``) and
+       zero-width/BOM code points removed,
+    2. every whitespace run collapsed to one space, ends trimmed,
+    3. optionally lowercased.
+
+    Pure scan-side ``regexp_replace`` chain — no shuffle, no Python —
+    and every pattern stays in the Java-regex ∩ RE2 subset with
+    explicit code points, so the DuckDB oracle runs literally the
+    same strings.  NULL text stays NULL.
+    """
+    out_col = out_col or text_col
+    c: Column = F.col(text_col)
+    c = F.regexp_replace(c, _CTRL_ZW, "")
+    c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    if lowercase:
+        c = F.lower(c)
+    return df.withColumn(out_col, c)
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    cap: int,
+    order_col: str = "n_chars",
+    id_col: str = "doc_id",
+    descending: bool = True,
+) -> DataFrame:
+    """Keep at most ``cap`` best rows per group (domain/source quota).
+
+    The anti-domination pass of corpus curation: no single domain,
+    source, or crawl bucket may contribute more than ``cap``
+    documents, and within a group the best ``order_col`` rows win
+    (``id_col`` ascending breaks ties deterministically).  One
+    ``row_number`` window partitioned by ``group_col`` — state per
+    task is one counter per group, parallelism = #groups; a corpus
+    with a single degenerate group should be pre-split upstream
+    (same caveat class as the dedup bucket caps, SCALE.md).
+    """
+    if cap <= 0:
+        raise ValueError(f"cap must be positive, got {cap}")
+    order = (
+        [F.col(order_col).desc(), F.col(id_col).asc()]
+        if descending
+        else [F.col(order_col).asc(), F.col(id_col).asc()]
+    )
+    w = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= int(cap))
+        .drop("_rn")
+    )
 
 
 def _toks(col: Column) -> Column:

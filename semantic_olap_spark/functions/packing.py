@@ -29,7 +29,68 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["pack_documents"]
+__all__ = ["chunk_documents", "pack_documents"]
+
+
+def chunk_documents(
+    df: DataFrame,
+    size: int,
+    overlap: int = 0,
+    text_col: str = "text",
+    chunk_id_col: str = "chunk_id",
+    chunk_col: str = "chunk",
+) -> DataFrame:
+    """Split each document into overlapping ``size``-token windows.
+
+    The retrieval/context-window chunker: whitespace tokens, windows
+    of ``size`` tokens starting every ``size - overlap`` tokens, the
+    last window clamped to the document end.  A document of ``n``
+    tokens yields ``1`` chunk when ``n <= size``, else
+    ``⌈(n - size) / stride⌉ + 1`` — every token is covered and no
+    window starts past the last full stride (no redundant tail chunk
+    fully contained in its predecessor).  Blank/NULL text yields zero
+    chunks.
+
+    Output: input columns + ``{chunk_id_col}`` (0-based),
+    ``{chunk_col}`` (space-joined window), ``n_chunk_tokens``.
+
+    Scale: one scan-side ``transform``+``explode`` — one lambda
+    invocation per *chunk* (each a single ``slice``), not per token
+    (SCALE.md "Global posture" interpreted-lambda rule), no shuffle,
+    output ~``n/stride`` rows per document.  Deterministic, so the
+    driver verifies it against a DuckDB ``generate_series`` +
+    ``list_slice`` oracle bit-for-bit.
+    """
+    if size <= 0:
+        raise ValueError(f"size must be positive, got {size}")
+    if not 0 <= overlap < size:
+        raise ValueError(
+            f"overlap must satisfy 0 <= overlap < size, got {overlap}"
+        )
+    stride = size - overlap
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    n_chunks = F.when(
+        n <= size, F.lit(1)
+    ).otherwise(F.floor((n - size + stride - 1) / F.lit(stride)) + 1)
+    chunks = F.transform(
+        F.sequence(F.lit(0), (n_chunks - 1).cast("int")),
+        lambda i: F.array_join(F.slice(toks, i * stride + 1, size), " "),
+    )
+    return (
+        df.filter(F.trim(F.col(text_col)) != "")
+        .withColumn("_chunks", chunks)
+        .select(
+            "*", F.posexplode("_chunks").alias(chunk_id_col, chunk_col)
+        )
+        .drop("_chunks")
+        .withColumn(
+            "n_chunk_tokens",
+            F.least(
+                F.lit(size), n - F.col(chunk_id_col) * stride
+            ).cast("int"),
+        )
+    )
 
 
 def pack_documents(
