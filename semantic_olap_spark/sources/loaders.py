@@ -197,6 +197,30 @@ def load_jsonl(
     return df
 
 
+def load_orc(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str | None = None,
+    merge_schema: bool = False,
+) -> DataFrame:
+    """Read ORC (the Hive/Trino-estate columnar format).
+
+    Spark's native vectorized ORC reader has the same pushdown
+    surface as parquet — predicate pushdown to stripe/row-group
+    stats, column pruning, hive partition pruning — so downstream
+    plans are format-agnostic.  ``schema`` skips footer inference on
+    huge file listings; ``merge_schema=True`` reconciles files whose
+    schemas drifted (an extra listing pass — leave off for stable
+    layouts).
+    """
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.orc(path)
+
+
 def with_olap_id(df: DataFrame, order_by: list[str] | None = None) -> DataFrame:
     """Attach the synthetic row id (reference: OLAP_Memory.py:110-111).
 

@@ -25,6 +25,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
+_FORMATS = ("parquet", "orc")
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,
@@ -32,14 +35,21 @@ def write_partitioned(
     max_records_per_file: int | None = 1_000_000,
     mode: str = "overwrite",
     sort_within_partitions: list[str] | None = None,
+    format: str = "parquet",
 ) -> None:
-    """Write hive-partitioned parquet with bounded file sizes.
+    """Write hive-partitioned columnar files with bounded file sizes.
 
     ``sort_within_partitions`` clusters rows inside each file (no
     extra shuffle — ``sortWithinPartitions`` is task-local), which
-    tightens parquet min/max column stats so later range predicates
-    skip whole row groups.
+    tightens min/max column stats so later range predicates skip
+    whole row groups (parquet) / stripes (orc).  ``format``:
+    ``parquet`` (default) or ``orc`` — both are Spark-native columnar
+    formats with predicate pushdown and identical partition-pruning
+    behavior, so the choice is an interop decision (Hive/Trino
+    estates are often ORC), not a capability one.
     """
+    if format not in _FORMATS:
+        raise ValueError(f"format must be one of {_FORMATS}, got {format!r}")
     out = df
     if sort_within_partitions:
         out = out.sortWithinPartitions(*sort_within_partitions)
@@ -48,7 +58,7 @@ def write_partitioned(
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
-    writer.parquet(path)
+    getattr(writer, format)(path)
 
 
 def compact(
@@ -57,6 +67,7 @@ def compact(
     dst: str,
     target_records_per_file: int = 1_000_000,
     partition_by: list[str] | None = None,
+    format: str = "parquet",
 ) -> None:
     """Rewrite a parquet layout with size-targeted files.
 
@@ -80,11 +91,13 @@ def compact(
             "would observe its own deletes); write to a new path and "
             "swap atomically"
         )
-    df = spark.read.parquet(src)
+    if format not in _FORMATS:
+        raise ValueError(f"format must be one of {_FORMATS}, got {format!r}")
+    df = getattr(spark.read, format)(src)
     if partition_by is None:
         # hive-layout partition columns: present in the schema but
         # sourced from directory names — detect via the file listing
-        first = spark.read.parquet(src).inputFiles()
+        first = df.inputFiles()
         partition_by = [
             seg.split("=", 1)[0]
             for seg in (first[0].split("/") if first else [])
@@ -95,6 +108,7 @@ def compact(
         dst,
         partition_by=partition_by or None,
         max_records_per_file=target_records_per_file,
+        format=format,
     )
 
 

@@ -80,3 +80,47 @@ def test_write_stream_parquet_exactly_once(spark, tables, tmp_path):
     )
     q2.awaitTermination(120)
     assert spark.read.parquet(out).count() == tables["events"].count()
+
+
+def test_orc_roundtrip_partitioned_and_compact(spark, tables, tmp_path):
+    from semantic_olap_spark.sources.loaders import load_orc
+
+    docs = tables["documents"]
+    out = str(tmp_path / "docs_orc")
+    write_partitioned(docs, out, partition_by=["source"], format="orc")
+    assert glob.glob(f"{out}/source=*/*.orc")
+    back = load_orc(spark, out)
+    cols = ["doc_id", "text", "source"]
+    assert _rows(back, cols) == _rows(docs, cols)
+    # compaction preserves format and layout
+    dst = str(tmp_path / "docs_orc2")
+    compact(spark, out, dst, format="orc")
+    assert glob.glob(f"{dst}/source=*/*.orc")
+    assert _rows(load_orc(spark, dst), cols) == _rows(docs, cols)
+
+
+def test_orc_scan_prunes_and_pushes_down(spark, tables, tmp_path):
+    from semantic_olap_spark.sources.loaders import load_orc
+
+    docs = tables["documents"]
+    out = str(tmp_path / "docs_orc_scan")
+    write_partitioned(docs, out, partition_by=["source"], format="orc")
+    q = (
+        load_orc(spark, out)
+        .filter((F.col("source") == "src1") & (F.col("n_chars") > 100))
+        .select("doc_id")
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    # partition pruning: the source predicate became a PartitionFilter
+    # (inputFiles() lists the unpruned relation, so assert on the plan)
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "src1" in pf
+    # predicate pushdown reaches the ORC scan
+    assert "PushedFilters: [" in plan and "n_chars" in plan.split(
+        "PushedFilters", 1
+    )[1].split("]", 1)[0]
+
+
+def test_write_partitioned_rejects_unknown_format(spark, tables):
+    with pytest.raises(ValueError):
+        write_partitioned(tables["documents"], "/tmp/x", format="avro")
