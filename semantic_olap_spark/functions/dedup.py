@@ -707,12 +707,25 @@ def dedup_clusters(
     at 100 TB corpus scale the pair graph is orders of magnitude
     smaller than the corpus itself.
     """
-    fwd = pairs.select(
-        F.col(id_a).alias("_src"), F.col(id_b).alias("_dst")
+    # both edge directions from ONE evaluation of `pairs` — a union
+    # of two selects would run the (possibly expensive: cosine /
+    # signature join) pair plan twice in the materialization job
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(id_a).alias("_src"), F.col(id_b).alias("_dst")
+                    ),
+                    F.struct(
+                        F.col(id_b).alias("_src"), F.col(id_a).alias("_dst")
+                    ),
+                )
+            ).alias("_e")
+        )
+        .select("_e._src", "_e._dst")
+        .persist()
     )
-    edges = fwd.union(
-        pairs.select(F.col(id_b).alias("_src"), F.col(id_a).alias("_dst"))
-    ).persist()
     labels = (
         edges.select(F.col("_src").alias("_node"))
         .distinct()
