@@ -725,6 +725,70 @@ def _q_rrf_fuse_hybrid(spark, sf_dir):
     return rrf_fuse([bm, length], k=10)
 
 
+def _q_sentiment_docs(spark, sf_dir):
+    from semantic_olap_spark.functions.text import sentiment_score
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", sentiment_score(F.col("text")).alias("sentiment")
+    )
+
+
+def _q_extract_entities(spark, sf_dir):
+    # the synthetic corpus has no entities, so both sides append a
+    # deterministic doc_id-derived date/money/URL/proper-noun tail to
+    # every row (same pattern as the redact_pii query)
+    from semantic_olap_spark.functions.text import extract_entities
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    name = (
+        F.when(d % 3 == 0, F.lit("Alice Smith"))
+        .when(d % 3 == 1, F.lit("Bob Jones"))
+        .otherwise(F.lit("Carol White"))
+    )
+    docs = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" meet "), name,
+            F.lit(" on 2024-"),
+            F.lpad(((d % 12) + 1).cast("string"), 2, "0"),
+            F.lit("-"),
+            F.lpad(((d % 28) + 1).cast("string"), 2, "0"),
+            F.lit(" at https://ex"), ds, F.lit(".org for $"),
+            (d % 100).cast("string"), F.lit("."), ds,
+        ),
+    )
+    return extract_entities(docs)
+
+
+def _q_assemble_docs(spark, sf_dir):
+    from semantic_olap_spark.functions.packing import assemble_docs
+
+    return assemble_docs(
+        _t(spark, sf_dir, "documents"), "source", sep="\n\n"
+    )
+
+
+def _q_quantized_topk(spark, sf_dir):
+    from semantic_olap_spark.functions.similarity import quantized_topk
+
+    q = _query_vec(spark, sf_dir)
+    return quantized_topk(
+        _t(spark, sf_dir, "embeddings"), q, k=10, rerank=4
+    )
+
+
+def _q_quantize_embeddings(spark, sf_dir):
+    # flattened to scalar rows (the driver compare sorts cell values)
+    from semantic_olap_spark.functions.similarity import quantize_embeddings
+
+    return quantize_embeddings(_t(spark, sf_dir, "embeddings")).select(
+        "vec_id", "qscale", F.posexplode("qvec").alias("pos", "qi")
+    )
+
+
 def _q_ngram_lm_score(spark, sf_dir):
     # unigram LM trained on the corpus itself; ln() is libm on both
     # engines and the mean is rounded to 4 decimals, which absorbs
@@ -835,6 +899,45 @@ def _q_join_revenue_by_nation(spark, sf_dir):
               F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(F.round(revenue, 2).cast("double").alias("revenue"))
+    )
+
+
+def _q_pricing_summary(spark, sf_dir):
+    # the TPC-H Q1 shape: one wide scan → one 4-group aggregate with
+    # 8 measures.  Decimal casts per term make every sum
+    # order-independent and the averages exact ratios, so the result
+    # is bit-identical across engines (same trick as
+    # join_revenue_by_nation).  100 TB posture: partial aggregation
+    # map-side, 4 result rows cross the shuffle.
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: c.cast("decimal(18,6)")  # noqa: E731
+    disc = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    charge = disc * (F.lit(1.0) + F.col("l_tax"))
+    cnt = F.count(F.lit(1))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(dec(F.col("l_quantity"))), 2)
+            .cast("double").alias("sum_qty"),
+            F.round(F.sum(dec(F.col("l_extendedprice"))), 2)
+            .cast("double").alias("sum_base_price"),
+            F.round(F.sum(dec(disc)), 2)
+            .cast("double").alias("sum_disc_price"),
+            F.round(F.sum(dec(charge)), 2)
+            .cast("double").alias("sum_charge"),
+            # averages: exact decimal sum → double, THEN divide — the
+            # engines' decimal-division scale rules differ, but a
+            # double-by-int division of identical doubles does not
+            F.round(F.sum(dec(F.col("l_quantity"))).cast("double") / cnt, 6)
+            .alias("avg_qty"),
+            F.round(
+                F.sum(dec(F.col("l_extendedprice"))).cast("double") / cnt, 6
+            ).alias("avg_price"),
+            F.round(F.sum(dec(F.col("l_discount"))).cast("double") / cnt, 6)
+            .alias("avg_disc"),
+            cnt.alias("count_order"),
+        )
     )
 
 
@@ -1340,6 +1443,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_text": _q_normalize_text,
         "cap_per_source": _q_cap_per_source,
         "rrf_fuse_hybrid": _q_rrf_fuse_hybrid,
+        "sentiment_docs": _q_sentiment_docs,
+        "extract_entities": _q_extract_entities,
+        "assemble_docs": _q_assemble_docs,
+        "quantize_embeddings": _q_quantize_embeddings,
+        "quantized_topk": _q_quantized_topk,
+        "pricing_summary": _q_pricing_summary,
         "training_pipeline": _q_training_pipeline,
         # Spark-native analytics breadth (§2.5 fill-ins)
         "rollup_order_revenue": _q_rollup_order_revenue,
@@ -1418,6 +1527,19 @@ _BM25_CTES = r"""d AS (
 
 
 _NORM_MD5 = r"md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))"
+
+
+def _sent_list(words) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+from semantic_olap_spark.functions.text import (  # noqa: E402
+    SENTIMENT_NEG as _SN,
+    SENTIMENT_POS as _SP,
+)
+
+_SENT_POS = _sent_list(_SP)
+_SENT_NEG = _sent_list(_SN)
 
 # repetition metrics (functions/cleaning.py repetition_profile) as a
 # DuckDB CTE chain; rounding and operand order mirror the Spark exprs
@@ -2456,6 +2578,159 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY n_chars DESC, doc_id ASC) AS rn
               FROM documents
             ) WHERE rn <= 3
+        """,
+        "sentiment_docs": rf"""
+            SELECT doc_id,
+                   round(CASE WHEN trim(text) = '' THEN 0.0 ELSE
+                     (len(list_filter(
+                        str_split_regex(lower(trim(text)), '\s+'),
+                        t -> t IN ({_SENT_POS})))
+                      - len(list_filter(
+                          str_split_regex(lower(trim(text)), '\s+'),
+                          t -> t IN ({_SENT_NEG}))))::DOUBLE
+                     / len(str_split_regex(trim(text), '\s+'))
+                   END, 6) AS sentiment
+            FROM documents
+        """,
+        # extract_entities: rebuild the same seeded tail, run the
+        # identical four patterns (Java-regex ∩ RE2), keep duplicate
+        # mentions via unnest of each extract_all
+        "extract_entities": r"""
+            WITH s AS (
+              SELECT doc_id,
+                     text || ' meet '
+                       || CASE doc_id % 3 WHEN 0 THEN 'Alice Smith'
+                            WHEN 1 THEN 'Bob Jones'
+                            ELSE 'Carol White' END
+                       || ' on 2024-'
+                       || lpad(((doc_id % 12) + 1)::VARCHAR, 2, '0')
+                       || '-'
+                       || lpad(((doc_id % 28) + 1)::VARCHAR, 2, '0')
+                       || ' at https://ex' || doc_id::VARCHAR
+                       || '.org for $' || (doc_id % 100)::VARCHAR
+                       || '.' || doc_id::VARCHAR AS t
+              FROM documents
+            )
+            SELECT doc_id, 'date' AS entity_type,
+                   unnest(regexp_extract_all(t,
+                     '\b\d{4}-\d{2}-\d{2}\b')) AS entity FROM s
+            UNION ALL
+            SELECT doc_id, 'money',
+                   unnest(regexp_extract_all(t,
+                     '\$\d+(?:\.\d+)?')) FROM s
+            UNION ALL
+            SELECT doc_id, 'url',
+                   unnest(regexp_extract_all(t,
+                     'https?://[^\s]+')) FROM s
+            UNION ALL
+            SELECT doc_id, 'proper',
+                   unnest(regexp_extract_all(t,
+                     '\b[A-Z][a-z]+(?: [A-Z][a-z]+)+\b')) FROM s
+        """,
+        "assemble_docs": r"""
+            SELECT source,
+                   string_agg(text, e'\n\n' ORDER BY doc_id) AS text,
+                   count(*)::INT AS n_fragments
+            FROM documents GROUP BY source
+        """,
+        # quantized_topk: the full two-tier pipeline in SQL — unit
+        # vectors, floor(+0.5) int8 codes for corpus AND query, an
+        # integer coarse dot (products ≤ 127²·d stay exact in
+        # doubles, so any summation order gives the same integer),
+        # coarse top k·rerank, exact float re-rank
+        "quantized_topk": """
+            WITH q0 AS (
+              SELECT embedding::DOUBLE[] AS e FROM embeddings
+              WHERE vec_id = 0
+            ),
+            qn AS (
+              SELECT list_transform(e, v -> v /
+                       sqrt(list_sum(list_transform(e, x -> x * x))))
+                     AS u
+              FROM q0
+            ),
+            qs AS (
+              SELECT u, list_max(list_transform(u, v -> abs(v))) / 127.0
+                     AS s
+              FROM qn
+            ),
+            qv AS (
+              SELECT list_transform(u, v -> greatest(-127, least(127,
+                       floor(v / s + 0.5)::INT))) AS qq
+              FROM qs
+            ),
+            cn AS (
+              SELECT vec_id, embedding::DOUBLE[] AS ev,
+                     list_transform(embedding::DOUBLE[], v -> v /
+                       sqrt(list_sum(list_transform(
+                         embedding::DOUBLE[], x -> x * x)))) AS u
+              FROM embeddings
+            ),
+            cs AS (
+              SELECT vec_id, ev, u,
+                     list_max(list_transform(u, v -> abs(v))) / 127.0
+                         AS s
+              FROM cn
+            ),
+            cv AS (
+              SELECT vec_id, ev, s,
+                     list_transform(u, v -> greatest(-127, least(127,
+                       floor(v / s + 0.5)::INT))) AS cq
+              FROM cs
+            ),
+            coarse AS (
+              SELECT vec_id, ev,
+                     list_dot_product(cq::DOUBLE[],
+                       (SELECT qq FROM qv)::DOUBLE[]) * s AS c
+              FROM cv
+              ORDER BY c DESC, vec_id ASC LIMIT 40
+            )
+            SELECT vec_id,
+                   round(list_cosine_similarity(
+                     ev, (SELECT e FROM q0)), 6) AS cosine
+            FROM coarse
+            ORDER BY cosine DESC, vec_id ASC LIMIT 10
+        """,
+        # pricing_summary: decimal per-term sums (order-independent),
+        # double division only after the exact sum
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity::DECIMAL(18,6)), 2)::DOUBLE
+                       AS sum_qty,
+                   round(sum(l_extendedprice::DECIMAL(18,6)), 2)::DOUBLE
+                       AS sum_base_price,
+                   round(sum(((l_extendedprice * (1.0 - l_discount))
+                     )::DECIMAL(18,6)), 2)::DOUBLE AS sum_disc_price,
+                   round(sum(((l_extendedprice * (1.0 - l_discount))
+                     * (1.0 + l_tax))::DECIMAL(18,6)), 2)::DOUBLE
+                       AS sum_charge,
+                   round(sum(l_quantity::DECIMAL(18,6))::DOUBLE
+                     / count(*), 6) AS avg_qty,
+                   round(sum(l_extendedprice::DECIMAL(18,6))::DOUBLE
+                     / count(*), 6) AS avg_price,
+                   round(sum(l_discount::DECIMAL(18,6))::DOUBLE
+                     / count(*), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "quantize_embeddings": """
+            WITH x AS (
+              SELECT vec_id, embedding::DOUBLE[] AS e,
+                     list_max(list_transform(embedding::DOUBLE[],
+                              v -> abs(v))) / 127.0 AS qscale
+              FROM embeddings
+            ), q AS (
+              SELECT vec_id, qscale,
+                     CASE WHEN qscale > 0 THEN
+                       list_transform(e, v -> greatest(-127, least(127,
+                         floor(v / qscale + 0.5)::INT)))
+                     ELSE list_transform(e, v -> 0) END AS qvec
+              FROM x
+            )
+            SELECT vec_id, qscale, g.i - 1 AS pos, qvec[g.i] AS qi
+            FROM q, unnest(generate_series(1, len(qvec))) AS g(i)
         """,
         "profile_columns": """
             SELECT c.column, s.n_rows, c.n_null, c.n_distinct,

@@ -65,8 +65,17 @@ HEADLINE = [
     "bm25_topk",
     "rrf_fuse_hybrid",
     "ngram_lm_score",
-    # scan-side window chunker (explode, no shuffle)
+    # scan-side window chunker (explode, no shuffle) + its inverse
     "chunk_documents",
+    "assemble_docs",
+    # pattern NER + lexicon sentiment (M7 text analysis)
+    "extract_entities",
+    "sentiment_docs",
+    # int8 embedding tier + the two-tier coarse/re-rank top-k
+    "quantize_embeddings",
+    "quantized_topk",
+    # classic wide-scan aggregate (TPC-H Q1 shape)
+    "pricing_summary",
     # deterministic sampling + the two-phase prefix-sum packer
     "hash_sample",
     "pack_documents",

@@ -1,10 +1,12 @@
 from semantic_olap_spark.functions.text import (  # noqa: F401
     bm25_topk,
     doc_fingerprint,
+    extract_entities,
     lang_id,
     ngram_counts,
     ngram_lm_score,
     quality_score,
+    sentiment_score,
     text_profile,
     token_count,
     token_count_bpe,
@@ -25,6 +27,8 @@ from semantic_olap_spark.functions.dedup import (  # noqa: F401
 from semantic_olap_spark.functions.similarity import (  # noqa: F401
     cosine_pairs,
     cosine_topk,
+    dequantize_embeddings,
+    quantize_embeddings,
     ivf_topk,
     lsh_topk,
 )
@@ -47,6 +51,7 @@ from semantic_olap_spark.functions.sampling import (  # noqa: F401
     uniform_hash,
 )
 from semantic_olap_spark.functions.packing import (  # noqa: F401
+    assemble_docs,
     chunk_documents,
     pack_documents,
 )

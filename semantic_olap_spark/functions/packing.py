@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["chunk_documents", "pack_documents"]
+__all__ = ["assemble_docs", "chunk_documents", "pack_documents"]
 
 
 def chunk_documents(
@@ -89,6 +89,46 @@ def chunk_documents(
             F.least(
                 F.lit(size), n - F.col(chunk_id_col) * stride
             ).cast("int"),
+        )
+    )
+
+
+def assemble_docs(
+    df: DataFrame,
+    group_col: str,
+    order_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+    out_col: str = "text",
+) -> DataFrame:
+    """Reassemble fragments into one document per group.
+
+    The inverse of :func:`chunk_documents` at corpus scale: crawl
+    pipelines carry page/paragraph fragments keyed by a parent id
+    (WARC record, thread id, book id) that must be stitched back into
+    one training document in a deterministic order.  One ``groupBy``
+    — ``collect_list(struct(order, text))`` then a JVM-side
+    ``array_sort`` + ``transform`` + ``array_join``, so ordering
+    never needs a sort shuffle, only the group-by shuffle it already
+    pays.  Output: ``(group_col, {out_col}, n_fragments)``.
+
+    Group size bounds memory: one group's fragments must fit in an
+    executor's aggregation buffer (same contract as sem_reduce's
+    value cap) — cap fragment counts upstream for degenerate parents.
+    """
+    frag = F.struct(
+        F.col(order_col).alias("o"), F.col(text_col).alias("t")
+    )
+    return (
+        df.groupBy(group_col)
+        .agg(F.collect_list(frag).alias("_f"))
+        .select(
+            group_col,
+            F.array_join(
+                F.transform(F.array_sort("_f"), lambda s: s["t"]),
+                sep,
+            ).alias(out_col),
+            F.size("_f").alias("n_fragments"),
         )
     )
 

@@ -41,10 +41,13 @@ from pyspark.sql.types import IntegerType
 __all__ = [
     "cosine_pairs",
     "cosine_topk",
+    "dequantize_embeddings",
     "ivf_assign",
     "ivf_topk",
     "lsh_assign",
     "lsh_topk",
+    "quantize_embeddings",
+    "quantized_topk",
     "train_ivf_centroids",
     "write_ann_index",
 ]
@@ -66,6 +69,147 @@ def _as_double(vec_col: str) -> Column:
 
 def _lit_vec(v: Sequence[float]) -> Column:
     return F.array(*[F.lit(float(x)) for x in v])
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    qvec_col: str = "qvec",
+    scale_col: str = "qscale",
+) -> DataFrame:
+    """Symmetric int8 quantization: 4× smaller vectors for ANN tiers.
+
+    Per-vector max-abs scaling: ``scale = max|x| / 127``, ``q_i =
+    floor(x_i / scale + 0.5)`` in [-127, 127] — written as an
+    explicit ``floor(+0.5)`` (not ``round``) so both engines share
+    one rounding rule and the oracle is bit-exact.  An all-zero (or
+    NULL-scale) vector quantizes to zeros with scale 0.
+
+    At 100 TB the embedding column dominates storage and shuffle
+    width; an int8 tier cuts both 4× while keeping recall@k within
+    ~1% for max-abs-normalized corpora — the standard coarse tier in
+    front of a float re-rank (:func:`dequantize_embeddings`).  Pure
+    scan-side array exprs; the scale is materialized once per row,
+    not re-derived per element.
+    """
+    x = _as_double(vec_col)
+    with_scale = df.withColumn(
+        scale_col,
+        F.aggregate(
+            x, F.lit(0.0), lambda acc, v: F.greatest(acc, F.abs(v))
+        )
+        / F.lit(127.0),
+    )
+    q = F.when(
+        F.col(scale_col) > 0,
+        F.transform(
+            x,
+            lambda v: F.greatest(
+                F.lit(-127),
+                F.least(
+                    F.lit(127),
+                    F.floor(v / F.col(scale_col) + F.lit(0.5)).cast("int"),
+                ),
+            ),
+        ),
+    ).otherwise(F.transform(x, lambda v: F.lit(0)))
+    return with_scale.withColumn(qvec_col, q)
+
+
+def dequantize_embeddings(
+    df: DataFrame,
+    qvec_col: str = "qvec",
+    scale_col: str = "qscale",
+    out_col: str = "embedding",
+) -> DataFrame:
+    """Reconstruct float vectors from the int8 tier: ``q_i · scale``."""
+    return df.withColumn(
+        out_col,
+        F.transform(
+            F.col(qvec_col),
+            lambda v: v.cast("double") * F.col(scale_col),
+        ),
+    )
+
+
+def quantized_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    rerank: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Two-tier cosine top-k: int8 coarse scan, float re-rank.
+
+    Tier 1 quantizes the *unit* vectors (so inner product ≈ cosine)
+    and scores every row with an exact int64 dot product of int8
+    codes — at 100 TB this is the tier that touches the whole
+    corpus, at 4× less scan width and integer arithmetic.  Tier 2
+    re-scores only the coarse top ``k·rerank`` rows with the exact
+    float cosine and returns the top ``k``.  Output ``(id, cosine)``
+    — identical shape to :func:`cosine_topk`; recall depends only on
+    the coarse tier not dropping a true top-k row out of the top
+    ``k·rerank`` (int8 on unit vectors keeps relative error ~1/254,
+    so ``rerank=4`` is generous).
+
+    Every arithmetic step (sequential fold sums, ``floor(+0.5)``
+    quantization, int dot) is order-pinned, so the full two-tier
+    pipeline reproduces bit-exactly in the SQL oracle.  The query is
+    quantized with the same rule driver-side.
+    """
+    if k <= 0 or rerank < 1:
+        raise ValueError(f"need k > 0, rerank >= 1; got {k}, {rerank}")
+    q = np.asarray([float(x) for x in query_vec], dtype=np.float64)
+    qn = q / np.sqrt(np.sum(q * q))
+    qs = float(np.max(np.abs(qn)) / 127.0)
+    qq = [int(v) for v in np.floor(qn / qs + 0.5).clip(-127, 127)]
+
+    x = _as_double(vec_col)
+    # norm as its own column first: embedding _norm(x) inside the
+    # per-element lambda would re-evaluate the O(d) fold d times
+    base = df.withColumn("_n", _norm(x)).withColumn(
+        "_u", F.transform(x, lambda v: v / F.col("_n"))
+    )
+    base = base.withColumn(
+        "_qs",
+        F.aggregate(
+            F.col("_u"), F.lit(0.0), lambda acc, v: F.greatest(acc, F.abs(v))
+        )
+        / F.lit(127.0),
+    ).withColumn(
+        "_qv",
+        F.transform(
+            F.col("_u"),
+            lambda v: F.greatest(
+                F.lit(-127),
+                F.least(
+                    F.lit(127),
+                    F.floor(v / F.col("_qs") + F.lit(0.5)).cast("int"),
+                ),
+            ),
+        ),
+    )
+    qlit = F.array(*[F.lit(v) for v in qq])
+    idot = F.aggregate(
+        F.zip_with(
+            F.col("_qv"), qlit, lambda a, b: (a * b).cast("long")
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    coarse = (
+        base.withColumn("_coarse", idot.cast("double") * F.col("_qs"))
+        .orderBy(F.col("_coarse").desc(), F.col(id_col).asc())
+        .limit(int(k) * int(rerank))
+    )
+    exact = F.round(cosine_similarity(vec_col, [float(v) for v in q]), round_to)
+    return (
+        coarse.select(F.col(id_col), exact.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(int(k))
+    )
 
 
 def cosine_similarity(vec_col: str, query_vec: Sequence[float]) -> Column:

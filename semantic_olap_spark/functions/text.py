@@ -332,3 +332,90 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("quality", quality_score(c))
         .withColumn("fingerprint", doc_fingerprint(c))
     )
+
+
+# Small frozen valence lexicon (deliberately tiny, like
+# LANG_STOPWORDS): a deterministic AFINN-style wordlist.  A
+# model-based scorer would slot in as a pandas_udf behind the same
+# column contract.
+SENTIMENT_POS: tuple[str, ...] = (
+    "good", "great", "excellent", "fast", "best", "easy", "love",
+    "helpful", "efficient", "reliable", "clean", "simple", "improved",
+    "useful", "correct",
+)
+SENTIMENT_NEG: tuple[str, ...] = (
+    "bad", "slow", "worst", "error", "errors", "fail", "failed",
+    "broken", "hate", "hard", "confusing", "wrong", "crash", "leak",
+    "deprecated",
+)
+
+
+def sentiment_score(col: Column) -> Column:
+    """Lexicon sentiment in [-1, 1]: (pos − neg hits) / tokens.
+
+    The cheap first-pass polarity feature (SURVEY §7.1 M7 "text
+    analysis: sentiment").  Pure Catalyst — one ``filter`` pass per
+    valence over the token array — rounded to 6 so values are
+    bit-stable across engines.  Blank text scores 0.
+    """
+    toks = _tokens(col)
+    pos = F.size(F.filter(toks, lambda t: t.isin(*SENTIMENT_POS)))
+    neg = F.size(F.filter(toks, lambda t: t.isin(*SENTIMENT_NEG)))
+    n = token_count(col)
+    return F.round(
+        F.when(n > 0, (pos - neg).cast("double") / n).otherwise(0.0), 6
+    )
+
+
+# Pattern NER: (entity_type, Java-regex ∩ RE2 pattern).  Ordered —
+# extraction is per-type and a span may legitimately match several
+# types (a date inside a URL); downstream consumers filter by type.
+ENTITY_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("date", r"\b\d{4}-\d{2}-\d{2}\b"),
+    ("money", r"\$\d+(?:\.\d+)?"),
+    ("url", r"https?://[^\s]+"),
+    ("proper", r"\b[A-Z][a-z]+(?: [A-Z][a-z]+)+\b"),
+)
+
+
+def extract_entities(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    types: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """Regex NER: one output row per extracted span.
+
+    Output: ``(id_col, entity_type, entity)`` — duplicates kept (a
+    span appearing twice is two mentions; ``distinct()`` downstream
+    if only the vocabulary matters).  Pattern-based NER is the
+    deterministic tier of the M7 text-analysis family: dates, money,
+    URLs, and capitalized multi-word runs as the proper-noun proxy.
+    Scan-side ``regexp_extract_all`` + one explode — no shuffle, no
+    Python — and the patterns live in the Java-regex ∩ RE2 subset so
+    the DuckDB oracle runs the identical strings.
+    """
+    wanted = ENTITY_PATTERNS if types is None else tuple(
+        (t, p) for t, p in ENTITY_PATTERNS if t in set(types)
+    )
+    if not wanted:
+        raise ValueError(f"no known entity types among {types}")
+    c = F.col(text_col)
+
+    def _tag(typ: str):
+        # NB: a default-arg lambda would have arity 2, which
+        # F.transform interprets as (element, index) — same gotcha
+        # as bm25_topk's term filter
+        return lambda e: F.struct(
+            F.lit(typ).alias("entity_type"), e.alias("entity")
+        )
+
+    per_type = [
+        F.transform(F.regexp_extract_all(c, F.lit(pat), 0), _tag(typ))
+        for typ, pat in wanted
+    ]
+    spans = per_type[0] if len(per_type) == 1 else F.concat(*per_type)
+    return (
+        df.select(F.col(id_col), F.explode(spans).alias("_e"))
+        .select(id_col, "_e.entity_type", "_e.entity")
+    )

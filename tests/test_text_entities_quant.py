@@ -1,0 +1,278 @@
+"""M7 text analysis (sentiment, pattern NER), doc assembly, int8 quant.
+
+Properties: sentiment equals the hand-computed lexicon ratio and is 0
+on blank text; entity extraction returns exactly the spans the regex
+family defines (mentions kept, order-insensitive); assemble_docs is
+the inverse of chunking a concatenation; quantization is bit-exact
+vs the floor(+0.5) definition, bounded to ±127, and reconstruction
+error is within scale/2 per element.  DuckDB oracle matches at smoke
+scale mirror the driver's contract shapes.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from semantic_olap_spark.functions.packing import assemble_docs, chunk_documents
+from semantic_olap_spark.functions.similarity import (
+    dequantize_embeddings,
+    quantize_embeddings,
+)
+from semantic_olap_spark.functions.text import (
+    ENTITY_PATTERNS,
+    SENTIMENT_NEG,
+    SENTIMENT_POS,
+    extract_entities,
+    sentiment_score,
+)
+from tests.conftest import assert_matches
+
+
+@pytest.fixture(scope="module")
+def docs(tables):
+    return tables["documents"]
+
+
+@pytest.fixture(scope="module")
+def emb(tables):
+    return tables["embeddings"]
+
+
+# ---------------------------------------------------------------- sentiment
+
+def test_sentiment_score_hand_values(spark):
+    rows = [
+        (0, "good good bad x"),        # (2-1)/4
+        (1, "GREAT and Fast"),         # lowercased: (2-0)/3
+        (2, "error crash leak"),       # (0-3)/3 = -1
+        (3, ""),                       # blank -> 0
+        (4, "neutral words only here"),
+    ]
+    df = spark.createDataFrame(rows, ["i", "text"])
+    got = {
+        r["i"]: r["s"]
+        for r in df.select(
+            "i", sentiment_score(F.col("text")).alias("s")
+        ).collect()
+    }
+    assert got == {0: 0.25, 1: round(2 / 3, 6), 2: -1.0, 3: 0.0, 4: 0.0}
+
+
+def test_sentiment_oracle(docs, duck):
+    out = docs.select(
+        "doc_id", sentiment_score(F.col("text")).alias("sentiment")
+    )
+    pos = ", ".join(f"'{w}'" for w in SENTIMENT_POS)
+    neg = ", ".join(f"'{w}'" for w in SENTIMENT_NEG)
+    assert_matches(
+        out,
+        duck,
+        rf"""
+        SELECT doc_id,
+               round(CASE WHEN trim(text) = '' THEN 0.0 ELSE
+                 (len(list_filter(str_split_regex(lower(trim(text)), '\s+'),
+                      t -> t IN ({pos})))
+                  - len(list_filter(str_split_regex(lower(trim(text)), '\s+'),
+                        t -> t IN ({neg}))))::DOUBLE
+                 / len(str_split_regex(trim(text), '\s+'))
+               END, 6) AS sentiment
+        FROM documents
+        """,
+    )
+
+
+# ---------------------------------------------------------------- NER
+
+def test_extract_entities_hand_values(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "Meeting on 2024-01-15 with Alice Smith costs $12.50"),
+            (1, "see https://example.com/x and Bob Jones Again"),
+            (2, "no entities here"),
+            (3, "$5 $5"),  # duplicate mentions kept
+        ],
+        ["doc_id", "text"],
+    )
+    got = sorted(
+        (r["doc_id"], r["entity_type"], r["entity"])
+        for r in extract_entities(df).collect()
+    )
+    assert got == sorted(
+        [
+            (0, "date", "2024-01-15"),
+            (0, "proper", "Alice Smith"),
+            (0, "money", "$12.50"),
+            (1, "url", "https://example.com/x"),
+            (1, "proper", "Bob Jones Again"),
+            (3, "money", "$5"),
+            (3, "money", "$5"),
+        ]
+    )
+
+
+def test_extract_entities_type_filter_and_validation(spark):
+    df = spark.createDataFrame([(0, "$5 on 2024-01-15")], ["doc_id", "text"])
+    only_money = extract_entities(df, types=("money",)).collect()
+    assert [(r["entity_type"], r["entity"]) for r in only_money] == [
+        ("money", "$5")
+    ]
+    with pytest.raises(ValueError):
+        extract_entities(df, types=("nonsense",))
+
+
+def test_extract_entities_no_shuffle(docs):
+    plan = (
+        extract_entities(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------- assembly
+
+def test_assemble_docs_roundtrips_chunks(spark):
+    text = " ".join(f"tok{i}" for i in range(100))
+    df = spark.createDataFrame([(7, text)], ["doc_id", "text"])
+    chunks = chunk_documents(df, size=16, overlap=0).select(
+        F.lit(7).alias("parent"),
+        F.col("chunk_id"),
+        F.col("chunk"),
+    )
+    back = assemble_docs(
+        chunks, "parent", order_col="chunk_id", text_col="chunk", sep=" "
+    ).collect()[0]
+    assert back["text"] == text
+    assert back["n_fragments"] == 7  # ceil(100/16)
+
+
+def test_assemble_docs_orders_within_group(spark):
+    df = spark.createDataFrame(
+        [("a", 2, "C"), ("a", 0, "A"), ("a", 1, "B"), ("b", 0, "X")],
+        ["src", "ord", "text"],
+    )
+    got = {
+        r["src"]: (r["text"], r["n_fragments"])
+        for r in assemble_docs(df, "src", order_col="ord", sep="|").collect()
+    }
+    assert got == {"a": ("A|B|C", 3), "b": ("X", 1)}
+
+
+def test_assemble_docs_oracle(docs, duck):
+    out = assemble_docs(docs, "source", sep="\n\n")
+    assert_matches(
+        out,
+        duck,
+        """
+        SELECT source,
+               string_agg(text, e'\\n\\n' ORDER BY doc_id) AS text,
+               count(*)::INT AS n_fragments
+        FROM documents GROUP BY source
+        """,
+    )
+
+
+# ---------------------------------------------------------------- quant
+
+def test_quantize_bounds_and_reconstruction(emb):
+    q = quantize_embeddings(emb)
+    flat = q.select(
+        "vec_id", "qscale", F.explode("qvec").alias("qi")
+    )
+    mn, mx = flat.agg(F.min("qi"), F.max("qi")).collect()[0]
+    assert -127 <= mn and mx <= 127
+    # at least one element per vector hits ±127 (max-abs scaling)
+    hits = (
+        flat.filter(F.abs(F.col("qi")) == 127)
+        .select("vec_id").distinct().count()
+    )
+    assert hits == emb.count()
+    # reconstruction error ≤ scale/2 + ulp per element
+    rec = dequantize_embeddings(q, out_col="recon")
+    err = rec.select(
+        F.max(
+            F.aggregate(
+                F.zip_with(
+                    F.col("embedding").cast("array<double>"),
+                    F.col("recon"),
+                    lambda a, b: F.abs(a - b) / F.col("qscale"),
+                ),
+                F.lit(0.0),
+                lambda acc, v: F.greatest(acc, v),
+            )
+        )
+    ).collect()[0][0]
+    assert err <= 0.5 + 1e-9
+
+
+def test_quantize_zero_vector(spark):
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0, 0.0]), (1, [1.0, -2.0, 0.5])],
+        ["vec_id", "embedding"],
+    )
+    got = {
+        r["vec_id"]: (r["qscale"], r["qvec"])
+        for r in quantize_embeddings(df).collect()
+    }
+    assert got[0] == (0.0, [0, 0, 0])
+    s = 2.0 / 127.0
+    import math
+    want = [math.floor(1.0 / s + 0.5), math.floor(-2.0 / s + 0.5),
+            math.floor(0.5 / s + 0.5)]
+    assert got[1][1] == want
+
+
+def test_quantize_oracle(emb, duck):
+    # flattened to scalar rows: the pandas-side compare cannot sort
+    # array cells
+    out = quantize_embeddings(emb).select(
+        "vec_id", "qscale", F.posexplode("qvec").alias("pos", "qi")
+    )
+    assert_matches(
+        out,
+        duck,
+        """
+        WITH x AS (
+          SELECT vec_id, embedding::DOUBLE[] AS e,
+                 list_max(list_transform(embedding::DOUBLE[],
+                                         v -> abs(v))) / 127.0 AS qscale
+          FROM embeddings
+        ), q AS (
+          SELECT vec_id, qscale,
+                 CASE WHEN qscale > 0 THEN
+                   list_transform(e, v -> greatest(-127, least(127,
+                     floor(v / qscale + 0.5)::INT)))
+                 ELSE list_transform(e, v -> 0) END AS qvec
+          FROM x
+        )
+        SELECT vec_id, qscale, g.i - 1 AS pos, qvec[g.i] AS qi
+        FROM q, unnest(generate_series(1, len(qvec))) AS g(i)
+        """,
+    )
+
+
+# ---------------------------------------------------------------- 2-tier ANN
+
+def test_quantized_topk_matches_exact_topk(emb, spark):
+    from semantic_olap_spark.functions.similarity import (
+        cosine_topk,
+        quantized_topk,
+    )
+
+    q = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    exact = [r["vec_id"] for r in cosine_topk(emb, q, k=10).collect()]
+    two_tier = [r["vec_id"] for r in quantized_topk(emb, q, k=10).collect()]
+    # int8 on unit vectors: relative error ~1/254, rerank=4 margin —
+    # demand high recall, and identical top-1
+    overlap = len(set(exact) & set(two_tier))
+    assert overlap >= 9, (exact, two_tier)
+    assert exact[0] == two_tier[0]
+
+
+def test_quantized_topk_validates(emb):
+    from semantic_olap_spark.functions.similarity import quantized_topk
+
+    with pytest.raises(ValueError):
+        quantized_topk(emb, [1.0, 0.0], k=0)
+    with pytest.raises(ValueError):
+        quantized_topk(emb, [1.0, 0.0], k=5, rerank=0)
