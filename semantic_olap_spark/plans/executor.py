@@ -327,11 +327,26 @@ def _dedup_near_step(df: DataFrame, p: Mapping) -> DataFrame:
     )
 
 
+def _sentiment_step(df: DataFrame, p: Mapping) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from semantic_olap_spark.functions import sentiment_score
+
+    return df.withColumn(
+        p.get("out_col", "sentiment"),
+        sentiment_score(F.col(p.get("text_col", "text"))),
+    )
+
+
 def _build_pipeline_ops() -> dict:
     from semantic_olap_spark.functions import (
+        assemble_docs,
         bm25_topk,
+        cap_per_group,
+        chunk_documents,
         cohort_retention,
         dedup_exact,
+        extract_entities,
         funnel,
         hash_sample,
         heuristic_filter,
@@ -340,9 +355,11 @@ def _build_pipeline_ops() -> dict:
         mix_corpus,
         ngram_counts,
         ngram_lm_score,
+        normalize_text,
         pack_documents,
         profile_columns,
         quantile_filter,
+        quantize_embeddings,
         redact_pii,
         repetition_profile,
         reservoir_sample,
@@ -355,6 +372,13 @@ def _build_pipeline_ops() -> dict:
     )
 
     return {
+        "normalize_text": _pipe(normalize_text),
+        "chunk_documents": _pipe(chunk_documents, "size"),
+        "assemble_docs": _pipe(assemble_docs, "group_col"),
+        "cap_per_group": _pipe(cap_per_group, "group_col", "cap"),
+        "extract_entities": _pipe(extract_entities),
+        "quantize_embeddings": _pipe(quantize_embeddings),
+        "sentiment": _sentiment_step,
         "text_profile": _pipe(text_profile),
         "redact_pii": _pipe(redact_pii),
         "repetition_profile": _pipe(repetition_profile),

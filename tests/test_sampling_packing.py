@@ -487,3 +487,34 @@ def test_mix_corpus_non_string_weight_keys(spark):
     )
     out = mix_corpus(df, "year", {2023: 0.5, 2024: 0.5}, "doc_id")
     assert out.count() > 0  # int keys match the stringified strata
+
+
+def test_curation_chain_plan_steps(docs):
+    # the round-3 ops compose in the plan language too: normalize →
+    # chunk → per-source cap → sentiment column
+    from semantic_olap_spark.plans.executor import PlanExecutor
+
+    ex = PlanExecutor()
+    out = ex.execute(
+        docs,
+        [
+            {"operator": "normalize_text", "params": {}},
+            {"operator": "cap_per_group",
+             "params": {"group_col": "source", "cap": 5,
+                        "order_col": "n_chars"}},
+            {"operator": "chunk_documents",
+             "params": {"size": 32, "overlap": 8}},
+            {"operator": "sentiment",
+             "params": {"text_col": "chunk"}},
+        ],
+    )
+    assert "chunk_id" in out.columns and "sentiment" in out.columns
+    per_src = out.select("source", "doc_id").distinct() \
+        .groupBy("source").count().collect()
+    assert all(r["count"] <= 5 for r in per_src)
+    vals = out.select("sentiment").distinct().collect()
+    assert all(-1.0 <= r["sentiment"] <= 1.0 for r in vals)
+    with __import__("pytest").raises(ValueError):
+        PlanExecutor().execute(
+            docs, [{"operator": "chunk_documents", "params": {}}]
+        )
