@@ -771,6 +771,20 @@ def _q_assemble_docs(spark, sf_dir):
     )
 
 
+def _q_dedup_against_embeddings(spark, sf_dir):
+    # incremental semantic ingest: even vec_ids are the accumulated
+    # corpus, odd the new batch; batch rows with cosine >= 0.42 to a
+    # corpus row in an LSH bucket within Hamming 1 are dropped
+    from semantic_olap_spark.functions.dedup import dedup_against_embeddings
+
+    emb = _t(spark, sf_dir, "embeddings")
+    seen = emb.filter(F.col("vec_id") % 2 == 0)
+    batch = emb.filter(F.col("vec_id") % 2 == 1)
+    return dedup_against_embeddings(
+        batch, seen, threshold=0.42, nbits=4, seed=42, multiprobe=1
+    ).select("vec_id", "label")
+
+
 def _q_quantized_topk(spark, sf_dir):
     from semantic_olap_spark.functions.similarity import quantized_topk
 
@@ -1449,6 +1463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_embeddings": _q_quantize_embeddings,
         "quantized_topk": _q_quantized_topk,
         "pricing_summary": _q_pricing_summary,
+        "dedup_against_embeddings": _q_dedup_against_embeddings,
         "training_pipeline": _q_training_pipeline,
         # Spark-native analytics breadth (§2.5 fill-ins)
         "rollup_order_revenue": _q_rollup_order_revenue,
@@ -2632,6 +2647,27 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(text, e'\n\n' ORDER BY doc_id) AS text,
                    count(*)::INT AS n_fragments
             FROM documents GROUP BY source
+        """,
+        # dedup_against_embeddings: probe explosion ≡ a Hamming
+        # filter on the 4-bit signatures (bit_count(xor) <= 1), so
+        # the oracle states the semantic contract directly
+        "dedup_against_embeddings": f"""
+            WITH s AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v,
+                     {_lsh_bucket_sql('embedding::DOUBLE[]')} AS bkt
+              FROM embeddings WHERE vec_id % 2 = 0
+            ),
+            b AS (
+              SELECT vec_id, label, embedding::DOUBLE[] AS v,
+                     {_lsh_bucket_sql('embedding::DOUBLE[]')} AS bkt
+              FROM embeddings WHERE vec_id % 2 = 1
+            )
+            SELECT b.vec_id, b.label FROM b
+            WHERE NOT EXISTS (
+              SELECT 1 FROM s
+              WHERE bit_count(xor(b.bkt, s.bkt)) <= 1
+                AND round(list_cosine_similarity(b.v, s.v), 6) >= 0.42
+            )
         """,
         # quantized_topk: the full two-tier pipeline in SQL — unit
         # vectors, floor(+0.5) int8 codes for corpus AND query, an

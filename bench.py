@@ -95,6 +95,8 @@ HEADLINE = [
     # the scale path for the same dedup: LSH-bucketed candidate
     # pairs instead of the unblocked O(n²) baseline above
     "embedding_dedup_lsh",
+    # incremental semantic ingest: batch probes the bucketed corpus
+    "dedup_against_embeddings",
     "ivf_topk",
     # assign-once / probe-many ANN: index built in warmup (the
     # amortized cost), probe timed — contrast with ivf_topk above,

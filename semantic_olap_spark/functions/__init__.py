@@ -14,6 +14,7 @@ from semantic_olap_spark.functions.text import (  # noqa: F401
 )
 from semantic_olap_spark.functions.dedup import (  # noqa: F401
     dedup_against,
+    dedup_against_embeddings,
     dedup_against_minhash,
     dedup_clusters,
     dedup_exact,

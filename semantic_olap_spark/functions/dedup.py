@@ -114,6 +114,103 @@ def dedup_against(
     )
 
 
+def dedup_against_embeddings(
+    df: DataFrame,
+    seen: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nbits: int = 8,
+    seed: int = 42,
+    multiprobe: int = 1,
+    bucket_col: str = "_bkt",
+) -> DataFrame:
+    """Incremental *semantic* dedup: drop batch rows near the corpus.
+
+    The embedding counterpart of :func:`dedup_against` /
+    :func:`dedup_against_minhash`: ``df`` is today's batch, ``seen``
+    the accumulated corpus; batch rows with cosine ≥ ``threshold``
+    to any seen row are dropped.  Candidates come from sign-bit LSH
+    buckets (:func:`~semantic_olap_spark.functions.similarity
+    .lsh_assign`, same ``(nbits, seed)`` both sides): each batch row
+    probes its own bucket plus all buckets within Hamming
+    ``multiprobe`` (probe explosion → plain equi-join, never a
+    cross-join with a distance filter).  If either frame already
+    carries ``bucket_col`` — e.g. a corpus persisted via
+    ``write_ann_index``, partitioned by bucket — its assignment UDF
+    is not re-run and the probe is a partition-pruned scan.
+
+    Recall < 1 by construction (a near-dup pair split across buckets
+    farther than ``multiprobe`` is missed) — raise ``multiprobe`` or
+    ``nbits`` to trade cost for recall; the probe fan-out is
+    Σ_{{d≤multiprobe}} C(nbits, d) rows per batch row, ids + buckets
+    only (vectors join in once, per side).
+    """
+    import itertools
+
+    from semantic_olap_spark.functions.similarity import lsh_assign
+
+    if not 0 <= multiprobe <= nbits:
+        raise ValueError(
+            f"multiprobe must be in [0, nbits={nbits}], got {multiprobe}"
+        )
+    if bucket_col not in seen.columns:
+        seen = lsh_assign(
+            seen, nbits=nbits, seed=seed,
+            vec_col=vec_col, bucket_col=bucket_col,
+        )
+    batch = df
+    if bucket_col not in batch.columns:
+        batch = lsh_assign(
+            batch, nbits=nbits, seed=seed,
+            vec_col=vec_col, bucket_col=bucket_col,
+        )
+    masks = [0] + [
+        sum(1 << b for b in flips)
+        for d in range(1, multiprobe + 1)
+        for flips in itertools.combinations(range(nbits), d)
+    ]
+    probes = F.array(
+        *[F.col(bucket_col).bitwiseXOR(F.lit(m)) for m in masks]
+    )
+    v = F.col(vec_col).cast("array<double>")
+    vnorm = F.sqrt(
+        F.aggregate(F.col("_v"), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    b_side = (
+        batch.select(F.col(id_col), F.col(bucket_col), v.alias("_v"))
+        .withColumn("_n", vnorm)
+        .select(
+            F.col(id_col),
+            F.explode(probes).alias("_probe"),
+            F.transform(F.col("_v"), lambda x: x / F.col("_n")).alias("_ub"),
+        )
+    )
+    s_side = (
+        seen.select(F.col(bucket_col).alias("_probe"), v.alias("_v"))
+        .withColumn("_n", vnorm)
+        .select(
+            "_probe",
+            F.transform(F.col("_v"), lambda x: x / F.col("_n")).alias("_us"),
+        )
+    )
+    cos = F.round(
+        F.aggregate(
+            F.zip_with(F.col("_ub"), F.col("_us"), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    hits = (
+        b_side.join(s_side, "_probe")
+        .filter(cos >= float(threshold))
+        .select(id_col)
+        .distinct()
+    )
+    return df.join(hits, id_col, "left_anti")
+
+
 def jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

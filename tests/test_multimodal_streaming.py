@@ -377,3 +377,44 @@ def test_stream_interval_join_same_ts_name_and_outer_keys(spark):
     assert by_user[2][0]["value"] is None        # left-unmatched
     assert 9 in by_user                          # right-only keeps its key
     assert by_user[9][0]["_r_ts"] is not None    # colliding ts exposed
+
+
+def test_chunk_normalize_sentiment_work_on_streams(spark, sf_dir):
+    # the round-3 stateless ops (normalize → chunk → sentiment col)
+    # apply to streaming frames unchanged — no state, no watermark
+    from pyspark.sql import functions as F
+
+    from semantic_olap_spark.functions.cleaning import normalize_text
+    from semantic_olap_spark.functions.packing import chunk_documents
+    from semantic_olap_spark.functions.text import sentiment_score
+    from semantic_olap_spark.sources.loaders import load_table
+
+    schema = load_table(spark, sf_dir, "documents").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+    def pipe(df):
+        return chunk_documents(
+            normalize_text(df), size=32, overlap=8
+        ).withColumn("sentiment", sentiment_score(F.col("chunk")))
+
+    out = pipe(stream)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("chunk_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT count(*) c, sum(n_chunk_tokens) t FROM chunk_stream_test"
+    ).collect()[0]
+    want = pipe(load_table(spark, sf_dir, "documents")).agg(
+        F.count("*").alias("c"), F.sum("n_chunk_tokens").alias("t")
+    ).collect()[0]
+    assert (got["c"], got["t"]) == (want["c"], want["t"]) and got["c"] > 0

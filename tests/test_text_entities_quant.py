@@ -276,3 +276,68 @@ def test_quantized_topk_validates(emb):
         quantized_topk(emb, [1.0, 0.0], k=0)
     with pytest.raises(ValueError):
         quantized_topk(emb, [1.0, 0.0], k=5, rerank=0)
+
+
+# ------------------------------------------------------- incremental dedup
+
+def test_dedup_against_embeddings_drops_near_corpus_rows(spark):
+    from semantic_olap_spark.functions.dedup import dedup_against_embeddings
+
+    # corpus: 3 orthogonal-ish vectors; batch: one near-dup of seen#0
+    # (same direction scaled), one genuinely new direction
+    seen = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0]),
+         (2, [0.0, 0.0, 1.0, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    batch = spark.createDataFrame(
+        [(10, [2.0, 0.01, 0.0, 0.0]),   # cosine ~1 vs seen 0 -> dropped
+         (11, [0.0, 0.0, 0.0, 5.0])],   # orthogonal to all -> kept
+        ["vec_id", "embedding"],
+    )
+    out = dedup_against_embeddings(
+        batch, seen, threshold=0.9, nbits=4, multiprobe=2
+    )
+    assert sorted(r["vec_id"] for r in out.collect()) == [11]
+
+
+def test_dedup_against_embeddings_multiprobe_recall(tables):
+    from semantic_olap_spark.functions.dedup import dedup_against_embeddings
+
+    emb = tables["embeddings"]
+    seen = emb.filter(F.col("vec_id") % 2 == 0)
+    batch = emb.filter(F.col("vec_id") % 2 == 1)
+    survivors = {
+        mp: dedup_against_embeddings(
+            batch, seen, threshold=0.42, nbits=4, multiprobe=mp
+        ).count()
+        for mp in (0, 1, 4)
+    }
+    # more probes -> more candidates found -> fewer survivors;
+    # mp = nbits is exhaustive (every bucket probed)
+    assert survivors[0] >= survivors[1] >= survivors[4]
+    # exhaustive probing equals the brute-force semi-join answer
+    from semantic_olap_spark.functions.similarity import cosine_pairs
+
+    both = seen.select("vec_id", "embedding").unionByName(
+        batch.select("vec_id", "embedding")
+    )
+    all_pairs = cosine_pairs(both, threshold=0.42, allow_unblocked=True)
+    seen_ids = {r["vec_id"] for r in seen.select("vec_id").collect()}
+    dropped = set()
+    for r in all_pairs.collect():
+        a, b = r["id_a"], r["id_b"]
+        if a in seen_ids and b not in seen_ids:
+            dropped.add(b)
+        if b in seen_ids and a not in seen_ids:
+            dropped.add(a)
+    want = batch.count() - len(dropped)
+    assert survivors[4] == want
+
+
+def test_dedup_against_embeddings_validates(tables):
+    from semantic_olap_spark.functions.dedup import dedup_against_embeddings
+
+    emb = tables["embeddings"]
+    with pytest.raises(ValueError):
+        dedup_against_embeddings(emb, emb, nbits=4, multiprobe=5)
