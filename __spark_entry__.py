@@ -725,6 +725,15 @@ def _q_rrf_fuse_hybrid(spark, sf_dir):
     return rrf_fuse([bm, length], k=10)
 
 
+def _q_hash_embed(spark, sf_dir):
+    # hashing-trick vectorizer (flattened — the compare sorts cells)
+    from semantic_olap_spark.functions.text import hash_embed
+
+    return hash_embed(_t(spark, sf_dir, "documents"), dim=16).select(
+        "doc_id", F.posexplode("embedding").alias("pos", "v")
+    )
+
+
 def _q_sentiment_docs(spark, sf_dir):
     from semantic_olap_spark.functions.text import sentiment_score
 
@@ -1457,6 +1466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_text": _q_normalize_text,
         "cap_per_source": _q_cap_per_source,
         "rrf_fuse_hybrid": _q_rrf_fuse_hybrid,
+        "hash_embed": _q_hash_embed,
         "sentiment_docs": _q_sentiment_docs,
         "extract_entities": _q_extract_entities,
         "assemble_docs": _q_assemble_docs,
@@ -2593,6 +2603,44 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY n_chars DESC, doc_id ASC) AS rn
               FROM documents
             ) WHERE rn <= 3
+        """,
+        # hash_embed: feature hashing — md5 bucket/sign per token,
+        # signed counts, L2 normalize, densified via a correlated
+        # lookup per (doc, pos)
+        "hash_embed": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(str_split_regex(lower(trim(text)), '\s+'))
+                         AS t
+              FROM documents WHERE trim(coalesce(text, '')) <> ''
+            ),
+            h AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(t), 1, 8))::BIGINT % 16 AS pos,
+                     CASE WHEN ('0x' || substr(md5(t), 9, 1))::BIGINT % 2
+                               = 0
+                          THEN 1.0 ELSE -1.0 END AS sgn
+              FROM tok
+            ),
+            agg AS (
+              SELECT doc_id, pos, sum(sgn)::DOUBLE AS v
+              FROM h GROUP BY doc_id, pos
+            ),
+            nrm AS (
+              SELECT doc_id, sqrt(sum(v * v)) AS n FROM agg
+              GROUP BY doc_id
+            ),
+            dense AS (
+              SELECT d.doc_id, g.i - 1 AS pos,
+                     coalesce(
+                       (SELECT round(a.v / nrm.n, 6) FROM agg a, nrm
+                        WHERE a.doc_id = d.doc_id
+                          AND nrm.doc_id = d.doc_id
+                          AND a.pos = g.i - 1),
+                       0.0) AS v
+              FROM documents d, unnest(generate_series(1, 16)) AS g(i)
+            )
+            SELECT doc_id, pos, v FROM dense
         """,
         "sentiment_docs": rf"""
             SELECT doc_id,

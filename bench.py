@@ -71,6 +71,8 @@ HEADLINE = [
     # pattern NER + lexicon sentiment (M7 text analysis)
     "extract_entities",
     "sentiment_docs",
+    # hashing-trick vectorizer (text -> dense vector bridge)
+    "hash_embed",
     # int8 embedding tier + the two-tier coarse/re-rank top-k
     "quantize_embeddings",
     "quantized_topk",

@@ -2,6 +2,7 @@ from semantic_olap_spark.functions.text import (  # noqa: F401
     bm25_topk,
     doc_fingerprint,
     extract_entities,
+    hash_embed,
     lang_id,
     ngram_counts,
     ngram_lm_score,

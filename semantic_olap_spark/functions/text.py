@@ -334,6 +334,87 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def hash_embed(
+    df: DataFrame,
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "embedding",
+    normalize: bool = True,
+    round_to: int = 6,
+) -> DataFrame:
+    """Hashing-trick text vectorizer: text → dense ``dim``-float vector.
+
+    The feature-hashing construction (Weinberger et al., ICML 2009):
+    each token lands in bucket ``md5(token) % dim`` with a ±1 sign
+    from an independent md5 bit, bucket values are signed counts,
+    and the vector is optionally L2-normalized.  This is the bridge
+    from raw text to every embedding operator in the package
+    (cosine/LSH/IVF top-k, quantization, embedding dedup) without an
+    external model — and, being md5-derived, it is a pure function
+    of the text: stable across partitioning, engines, and corpus
+    growth (the sampling-ops determinism contract).
+
+    Plan shape: explode tokens map-side, ``groupBy(id, bucket)``
+    partial-agg (shuffle rows = nonzero buckets, not tokens), one
+    ``groupBy(id)`` to collect the sparse map, then a JVM-side
+    ``transform(sequence(dim))`` densify (``dim`` lambda steps per
+    row — bounded, not data-sized).  No Python UDFs.  Blank/NULL
+    text yields the zero vector.
+    """
+    if dim <= 0:
+        raise ValueError(f"dim must be positive, got {dim}")
+    toks = _tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col),
+        F.explode(
+            F.when(token_count(F.col(text_col)) > 0, toks).otherwise(
+                F.array().cast("array<string>")
+            )
+        ).alias("_t"),
+    )
+    h = F.md5(F.col("_t"))
+    pos = F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % dim
+    sgn = F.when(
+        F.conv(F.substring(h, 9, 1), 16, 10).cast("long") % 2 == 0,
+        F.lit(1.0),
+    ).otherwise(F.lit(-1.0))
+    sparse = (
+        base.select(F.col(id_col), pos.alias("_pos"), sgn.alias("_sgn"))
+        .groupBy(id_col, "_pos")
+        .agg(F.sum("_sgn").alias("_v"))
+        .groupBy(id_col)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("_pos"), F.col("_v")))
+            ).alias("_m")
+        )
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(int(dim) - 1)),
+        lambda i: F.coalesce(F.element_at(F.col("_m"), i.cast("long")), F.lit(0.0)),
+    )
+    out = sparse.withColumn("_d", dense)
+    if normalize:
+        n = F.sqrt(
+            F.aggregate(F.col("_d"), F.lit(0.0), lambda a, x: a + x * x)
+        )
+        vec = F.when(
+            n > 0,
+            F.transform(F.col("_d"), lambda x: F.round(x / n, round_to)),
+        ).otherwise(F.col("_d"))
+    else:
+        vec = F.col("_d")
+    # left join back: blank/NULL-text rows produced no tokens and
+    # fall out of the aggregate — restore them with the zero vector
+    zeros = F.array_repeat(F.lit(0.0), int(dim))
+    return (
+        df.join(out.withColumn(out_col, vec).select(id_col, out_col),
+                id_col, "left")
+        .withColumn(out_col, F.coalesce(F.col(out_col), zeros))
+    )
+
+
 # Small frozen valence lexicon (deliberately tiny, like
 # LANG_STOPWORDS): a deterministic AFINN-style wordlist.  A
 # model-based scorer would slot in as a pandas_udf behind the same

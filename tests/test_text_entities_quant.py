@@ -341,3 +341,109 @@ def test_dedup_against_embeddings_validates(tables):
     emb = tables["embeddings"]
     with pytest.raises(ValueError):
         dedup_against_embeddings(emb, emb, nbits=4, multiprobe=5)
+
+
+# ------------------------------------------------------------- hash_embed
+
+def _py_hash_embed(text, dim=8, normalize=True):
+    import hashlib
+    import math
+
+    v = [0.0] * dim
+    toks = text.strip().lower().split()
+    for t in toks:
+        h = hashlib.md5(t.encode()).hexdigest()
+        pos = int(h[:8], 16) % dim
+        sgn = 1.0 if int(h[8], 16) % 2 == 0 else -1.0
+        v[pos] += sgn
+    if normalize:
+        n = math.sqrt(sum(x * x for x in v))
+        if n > 0:
+            v = [round(x / n, 6) for x in v]
+    return v
+
+
+def test_hash_embed_matches_python_reference(spark):
+    from semantic_olap_spark.functions.text import hash_embed
+
+    rows = [
+        (0, "spark join scan spark"),
+        (1, "one"),
+        (2, ""),          # zero vector
+        (3, None),        # zero vector
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r["embedding"]
+        for r in hash_embed(df, dim=8).collect()
+    }
+    for doc_id, text in rows:
+        want = _py_hash_embed(text or "", dim=8)
+        assert got[doc_id] == want, (doc_id, got[doc_id], want)
+
+
+def test_hash_embed_partition_invariant_and_normalized(docs):
+    from semantic_olap_spark.functions.text import hash_embed
+
+    a = {r["doc_id"]: tuple(r["embedding"])
+         for r in hash_embed(docs, dim=16).collect()}
+    b = {r["doc_id"]: tuple(r["embedding"])
+         for r in hash_embed(docs.repartition(13), dim=16).collect()}
+    assert a == b
+    for vec in a.values():
+        n = sum(x * x for x in vec)
+        assert n == 0 or abs(n - 1.0) < 1e-4
+
+
+def test_hash_embed_feeds_embedding_ops(docs):
+    # the bridge works: raw text -> vectors -> cosine top-k
+    from semantic_olap_spark.functions.similarity import cosine_topk
+    from semantic_olap_spark.functions.text import hash_embed
+
+    vecs = hash_embed(docs, dim=32).select("doc_id", "embedding")
+    q = vecs.filter(F.col("doc_id") == 0).collect()[0]["embedding"]
+    top = cosine_topk(vecs, q, k=5, id_col="doc_id").collect()
+    assert top[0]["doc_id"] == 0 and top[0]["cosine"] == 1.0
+
+
+def test_hash_embed_oracle(docs, duck):
+    from semantic_olap_spark.functions.text import hash_embed
+
+    out = hash_embed(docs, dim=16).select(
+        "doc_id", F.posexplode("embedding").alias("pos", "v")
+    )
+    assert_matches(
+        out,
+        duck,
+        r"""
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(str_split_regex(lower(trim(text)), '\s+')) AS t
+          FROM documents WHERE trim(coalesce(text, '')) <> ''
+        ),
+        h AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5(t), 1, 8))::BIGINT % 16 AS pos,
+                 CASE WHEN ('0x' || substr(md5(t), 9, 1))::BIGINT % 2 = 0
+                      THEN 1.0 ELSE -1.0 END AS sgn
+          FROM tok
+        ),
+        agg AS (
+          SELECT doc_id, pos, sum(sgn)::DOUBLE AS v
+          FROM h GROUP BY doc_id, pos
+        ),
+        nrm AS (
+          SELECT doc_id, sqrt(sum(v * v)) AS n FROM agg GROUP BY doc_id
+        ),
+        dense AS (
+          SELECT d.doc_id, g.i - 1 AS pos,
+                 coalesce(
+                   (SELECT round(a.v / nrm.n, 6) FROM agg a, nrm
+                    WHERE a.doc_id = d.doc_id AND nrm.doc_id = d.doc_id
+                      AND a.pos = g.i - 1),
+                   0.0) AS v
+          FROM documents d, unnest(generate_series(1, 16)) AS g(i)
+        )
+        SELECT doc_id, pos, v FROM dense
+        """,
+    )
