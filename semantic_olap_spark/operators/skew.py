@@ -1,16 +1,25 @@
-"""Skew-safe aggregation: two-phase salted groupBy.
+"""Skew-safe aggregation and joins: salting helpers.
 
 At 100 TB a single hot key (one language, one boilerplate source)
 can put most of a shuffle's rows into one reducer.  AQE's skew-join
-splitting covers joins; for AGGREGATIONS over algebraic functions
-(count/sum/min/max — and avg as sum/count) the classic fix is
-salting: phase 1 groups by (key, salt) so the hot key spreads over
-``salt_buckets`` reducers, phase 2 re-aggregates the partials by key
-— the second shuffle carries ``salt_buckets`` rows per key, not the
-raw rows.
+splitting covers sort-merge joins *when statistics surface in time*;
+these helpers are the explicit fixes:
 
-For LOW-skew data this costs an extra (tiny) shuffle; use it when a
-key-frequency profile (or a failed stage) says a key dominates.
+- :func:`salted_agg` — aggregations over algebraic functions
+  (count/sum/min/max — avg as sum/count): phase 1 groups by
+  (key, salt) so the hot key spreads over ``salt_buckets`` reducers,
+  phase 2 re-aggregates the partials by key — the second shuffle
+  carries ``salt_buckets`` rows per key, not the raw rows.
+- :func:`salted_join` — the skewed-fact ⋈ modest-dim equi-join that
+  AQE can't always save (e.g. the dim side is too big to broadcast
+  whole but a few fact keys dominate): salt the fact side, replicate
+  the dim side once per salt, join on (key, salt).  Row-identical to
+  the plain join; the hot key's rows land on ``salt_buckets``
+  reducers.
+
+For LOW-skew data these cost an extra (tiny) shuffle or a
+``salt_buckets``× dim replication; use them when a key-frequency
+profile (or a failed stage) says a key dominates.
 """
 
 from __future__ import annotations
@@ -51,3 +60,46 @@ def salted_agg(
             e = F.round(e, round_to)
         final_aggs.append(e.alias(f"sum_{c}"))
     return partial.groupBy(*keys).agg(*final_aggs)
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: Sequence[str] | str,
+    how: str = "inner",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Skew-safe equi-join: salt the fact side, replicate the dim side.
+
+    Each fact row gets a random salt in ``[0, salt_buckets)``; each
+    dim row is replicated once per salt value (an ``explode`` of a
+    ``salt_buckets``-element array — map-side, no shuffle of its
+    own); the join key becomes ``(on..., salt)``.  The result is
+    row-identical to ``fact.join(dim, on, how)`` — every fact row
+    still meets every matching dim row exactly once — but a hot key's
+    fact rows now hash to ``salt_buckets`` distinct reducers instead
+    of one.
+
+    Supported ``how``: inner / left / left_outer (the fact side must
+    be the preserved side — a right/full join would multiply
+    unmatched dim rows by the replication factor).  Cost: the dim
+    shuffle grows ``salt_buckets``×; keep it for dims too big to
+    broadcast but far smaller than the fact table.
+    """
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(
+            f"salted_join supports inner/left joins (fact side "
+            f"preserved), got how={how!r}"
+        )
+    keys = [on] if isinstance(on, str) else list(on)
+    clash = {"_salt"} & (set(fact.columns) | set(dim.columns))
+    if clash:
+        raise ValueError("input already has a _salt column")
+    f_s = fact.withColumn(
+        "_salt", (F.rand(seed=42) * salt_buckets).cast("int")
+    )
+    d_s = dim.withColumn(
+        "_salt",
+        F.explode(F.array(*[F.lit(i) for i in range(int(salt_buckets))])),
+    )
+    return f_s.join(d_s, [*keys, "_salt"], how).drop("_salt")

@@ -348,6 +348,7 @@ def _build_pipeline_ops() -> dict:
         dedup_exact,
         extract_entities,
         funnel,
+        hash_embed,
         hash_sample,
         heuristic_filter,
         jaccard_pairs,
@@ -378,6 +379,7 @@ def _build_pipeline_ops() -> dict:
         "cap_per_group": _pipe(cap_per_group, "group_col", "cap"),
         "extract_entities": _pipe(extract_entities),
         "quantize_embeddings": _pipe(quantize_embeddings),
+        "hash_embed": _pipe(hash_embed),
         "sentiment": _sentiment_step,
         "text_profile": _pipe(text_profile),
         "redact_pii": _pipe(redact_pii),

@@ -277,3 +277,48 @@ def test_topk_plan_is_take_ordered(tables):
     df = num_topk(tables["orders"], "o_totalprice", 10, "desc", ["o_orderkey"])
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_salted_join_matches_plain_join(tables):
+    from pyspark.sql import functions as F
+
+    from semantic_olap_spark.operators.skew import salted_join
+
+    orders = tables["orders"].select("o_orderkey", "o_custkey", "o_totalprice")
+    cust = tables["customer"].select("c_custkey", "c_nationkey")
+    plain = orders.join(
+        cust, orders["o_custkey"] == cust["c_custkey"]
+    ).select("o_orderkey", "c_nationkey")
+    salted = salted_join(
+        orders.withColumnRenamed("o_custkey", "c_custkey"), cust,
+        on="c_custkey", salt_buckets=8,
+    ).select("o_orderkey", "c_nationkey")
+    a = sorted(tuple(r) for r in plain.collect())
+    b = sorted(tuple(r) for r in salted.collect())
+    assert a == b and len(a) > 0
+
+
+def test_salted_join_left_keeps_unmatched_fact_rows(spark):
+    from semantic_olap_spark.operators.skew import salted_join
+
+    fact = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["k", "x"]
+    )
+    dim = spark.createDataFrame([(1, "D1")], ["k", "d"])
+    out = salted_join(fact, dim, on="k", how="left", salt_buckets=4)
+    got = sorted((r["k"], r["d"]) for r in out.collect())
+    assert got == [(1, "D1"), (2, None), (3, None)]
+
+
+def test_salted_join_rejects_right_and_clash(spark):
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from semantic_olap_spark.operators.skew import salted_join
+
+    a = spark.createDataFrame([(1, 2)], ["k", "v"])
+    with _pytest.raises(ValueError):
+        salted_join(a, a, on="k", how="right")
+    with _pytest.raises(ValueError):
+        salted_join(a.withColumn("_salt", F.lit(1)), a, on="k")
