@@ -105,6 +105,7 @@ HEADLINE = [
     # which re-assigns the corpus per query
     "ivf_probe_indexed",
     "lsh_probe_indexed",
+    "quantized_probe_indexed",
     "minhash_lsh_pairs",
     "simhash_pairs",
     # skew-guard stress (VERDICT r2 item 7): synthetic corpora with a
@@ -231,6 +232,16 @@ def main() -> None:
     )
     qs["lsh_probe_indexed"] = lambda spark_, sf_: lsh_topk(
         emb, qvec, k=10, nbits=4, index_df=lsh_idx
+    )
+    from semantic_olap_spark.functions.similarity import (
+        quantize_index,
+        quantized_topk,
+    )
+
+    qz_idx = quantize_index(emb).persist()
+    qz_idx.count()
+    qs["quantized_probe_indexed"] = lambda spark_, sf_: quantized_topk(
+        emb, qvec, k=10, index_df=qz_idx
     )
     # skew stress corpora (generation + write happen here, in warmup)
     # clique sizes chosen so the uncapped blowup is visible (~2x) but

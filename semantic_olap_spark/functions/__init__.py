@@ -31,6 +31,7 @@ from semantic_olap_spark.functions.similarity import (  # noqa: F401
     cosine_topk,
     dequantize_embeddings,
     quantize_embeddings,
+    quantize_index,
     ivf_topk,
     lsh_topk,
 )

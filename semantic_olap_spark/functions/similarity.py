@@ -47,6 +47,7 @@ __all__ = [
     "lsh_assign",
     "lsh_topk",
     "quantize_embeddings",
+    "quantize_index",
     "quantized_topk",
     "train_ivf_centroids",
     "write_ann_index",
@@ -132,6 +133,52 @@ def dequantize_embeddings(
     )
 
 
+def quantize_index(
+    df: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Build the int8 coarse tier once: unit-quantized codes + scale.
+
+    Adds ``_qs`` (per-row scale) and ``_qv`` (int8 codes of the
+    *unit* vector) to ``df``.  Persist or write this frame (e.g. via
+    ``write_partitioned``) and pass it to :func:`quantized_topk` as
+    ``index_df`` — repeated queries then skip the whole
+    normalize+quantize pass, the same assign-once/probe-many
+    contract as :func:`ivf_assign`/:func:`lsh_assign`.
+    """
+    x = _as_double(vec_col)
+    # norm as its own column first: embedding _norm(x) inside the
+    # per-element lambda would re-evaluate the O(d) fold d times
+    base = df.withColumn("_n", _norm(x)).withColumn(
+        "_u", F.transform(x, lambda v: v / F.col("_n"))
+    )
+    return (
+        base.withColumn(
+            "_qs",
+            F.aggregate(
+                F.col("_u"),
+                F.lit(0.0),
+                lambda acc, v: F.greatest(acc, F.abs(v)),
+            )
+            / F.lit(127.0),
+        )
+        .withColumn(
+            "_qv",
+            F.transform(
+                F.col("_u"),
+                lambda v: F.greatest(
+                    F.lit(-127),
+                    F.least(
+                        F.lit(127),
+                        F.floor(v / F.col("_qs") + F.lit(0.5)).cast("int"),
+                    ),
+                ),
+            ),
+        )
+        .drop("_n", "_u")
+    )
+
+
 def quantized_topk(
     df: DataFrame,
     query_vec: Sequence[float],
@@ -140,6 +187,7 @@ def quantized_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 6,
+    index_df: DataFrame | None = None,
 ) -> DataFrame:
     """Two-tier cosine top-k: int8 coarse scan, float re-rank.
 
@@ -158,6 +206,10 @@ def quantized_topk(
     quantization, int dot) is order-pinned, so the full two-tier
     pipeline reproduces bit-exactly in the SQL oracle.  The query is
     quantized with the same rule driver-side.
+
+    ``index_df``: a pre-built (ideally persisted) frame from
+    :func:`quantize_index` — repeated queries then read codes
+    instead of re-quantizing the corpus per call.
     """
     if k <= 0 or rerank < 1:
         raise ValueError(f"need k > 0, rerank >= 1; got {k}, {rerank}")
@@ -166,31 +218,16 @@ def quantized_topk(
     qs = float(np.max(np.abs(qn)) / 127.0)
     qq = [int(v) for v in np.floor(qn / qs + 0.5).clip(-127, 127)]
 
-    x = _as_double(vec_col)
-    # norm as its own column first: embedding _norm(x) inside the
-    # per-element lambda would re-evaluate the O(d) fold d times
-    base = df.withColumn("_n", _norm(x)).withColumn(
-        "_u", F.transform(x, lambda v: v / F.col("_n"))
-    )
-    base = base.withColumn(
-        "_qs",
-        F.aggregate(
-            F.col("_u"), F.lit(0.0), lambda acc, v: F.greatest(acc, F.abs(v))
-        )
-        / F.lit(127.0),
-    ).withColumn(
-        "_qv",
-        F.transform(
-            F.col("_u"),
-            lambda v: F.greatest(
-                F.lit(-127),
-                F.least(
-                    F.lit(127),
-                    F.floor(v / F.col("_qs") + F.lit(0.5)).cast("int"),
-                ),
-            ),
-        ),
-    )
+    if index_df is not None:
+        missing = {"_qs", "_qv"} - set(index_df.columns)
+        if missing:
+            raise ValueError(
+                f"index_df lacks {sorted(missing)}; build it with "
+                f"quantize_index()"
+            )
+        base = index_df
+    else:
+        base = quantize_index(df, vec_col=vec_col)
     qlit = F.array(*[F.lit(v) for v in qq])
     idot = F.aggregate(
         F.zip_with(

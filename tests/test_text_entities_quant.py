@@ -447,3 +447,21 @@ def test_hash_embed_oracle(docs, duck):
         SELECT doc_id, pos, v FROM dense
         """,
     )
+
+
+def test_quantized_topk_indexed_matches_inline(emb):
+    from semantic_olap_spark.functions.similarity import (
+        quantize_index,
+        quantized_topk,
+    )
+
+    q = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    inline = [tuple(r) for r in quantized_topk(emb, q, k=10).collect()]
+    idx = quantize_index(emb)
+    indexed = [
+        tuple(r)
+        for r in quantized_topk(emb, q, k=10, index_df=idx).collect()
+    ]
+    assert inline == indexed
+    with pytest.raises(ValueError):
+        quantized_topk(emb, q, index_df=emb)  # lacks _qv/_qs
