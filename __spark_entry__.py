@@ -661,6 +661,19 @@ def _q_decontaminate_bench(spark, sf_dir):
     return decontaminate(corpus, bench, n=4)
 
 
+def _q_contamination_report(spark, sf_dir):
+    # audit companion of decontaminate_bench: annotate severity
+    # instead of dropping
+    from semantic_olap_spark.functions.cleaning import contamination_report
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("source") == "src0")
+    corpus = docs.filter(F.col("source") != "src0")
+    return contamination_report(corpus, bench, n=4).select(
+        "doc_id", "n_contaminated_grams", "contaminated"
+    )
+
+
 def _q_take_token_budget(spark, sf_dir):
     from semantic_olap_spark.functions.cleaning import take_token_budget
 
@@ -1461,6 +1474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_profile": _q_repetition_profile,
         "heuristic_filter": _q_heuristic_filter,
         "decontaminate_bench": _q_decontaminate_bench,
+        "contamination_report": _q_contamination_report,
         "take_token_budget": _q_take_token_budget,
         "chunk_documents": _q_chunk_documents,
         "normalize_text": _q_normalize_text,
@@ -2497,6 +2511,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.* FROM documents d
             WHERE d.source != 'src0'
               AND d.doc_id NOT IN (SELECT doc_id FROM hits)
+        """,
+        "contamination_report": r"""
+            WITH t AS (
+              SELECT doc_id, source,
+                     str_split_regex(lower(trim(text)), '\s+') AS toks
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id, source, list_distinct([
+                  array_to_string(toks[i + 1 : i + 4], ' ')
+                  for i in generate_series(0, greatest(len(toks) - 4, 0))
+              ]) AS gs
+              FROM t
+            ),
+            bench AS (
+              SELECT DISTINCT unnest(gs) AS gram FROM g
+              WHERE source = 'src0'
+            ),
+            ge AS (
+              SELECT doc_id, unnest(gs) AS gram FROM g
+              WHERE source != 'src0'
+            ),
+            hits AS (
+              SELECT ge.doc_id,
+                     count(DISTINCT ge.gram) AS n_contaminated_grams
+              FROM ge JOIN bench USING (gram) GROUP BY ge.doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(h.n_contaminated_grams, 0)
+                       AS n_contaminated_grams,
+                   coalesce(h.n_contaminated_grams, 0) > 0
+                       AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+            WHERE d.source != 'src0'
         """,
         # training_pipeline: the composed curation chain — quality
         # gate → exact dedup → decontaminate vs src0 → hash split

@@ -67,6 +67,7 @@ from semantic_olap_spark.functions.analytics import (  # noqa: F401
 )
 from semantic_olap_spark.functions.cleaning import (  # noqa: F401
     cap_per_group,
+    contamination_report,
     decontaminate,
     heuristic_filter,
     normalize_text,

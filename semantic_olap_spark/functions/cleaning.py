@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "PII_PATTERNS",
     "cap_per_group",
+    "contamination_report",
     "decontaminate",
     "heuristic_filter",
     "normalize_text",
@@ -344,6 +345,46 @@ def decontaminate(
         .distinct()
     )
     return df.join(hits, id_col, "left_anti")
+
+
+def contamination_report(
+    df: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Annotate (don't drop) benchmark contamination per document.
+
+    The audit companion of :func:`decontaminate`: adds
+    ``n_contaminated_grams`` (distinct token ``n``-grams shared with
+    the benchmark set) and ``contaminated``.  Same physical shape —
+    benchmark grams broadcast, corpus grams explode map-side, one
+    count per hit document — so the report costs what the drop
+    costs, and a pipeline can gate on severity (e.g. drop only
+    ``n_contaminated_grams >= 3``) instead of any-hit.
+    """
+    bench_text_col = bench_text_col or text_col
+    bench_grams = (
+        benchmark.select(
+            F.explode(_ngrams(F.col(bench_text_col), n)).alias("_gram")
+        ).distinct()
+    )
+    hits = (
+        df.select(id_col, F.explode(_ngrams(F.col(text_col), n)).alias("_gram"))
+        .join(F.broadcast(bench_grams), "_gram")
+        .groupBy(id_col)
+        .agg(F.count_distinct("_gram").alias("n_contaminated_grams"))
+    )
+    return (
+        df.join(hits, id_col, "left")
+        .withColumn(
+            "n_contaminated_grams",
+            F.coalesce(F.col("n_contaminated_grams"), F.lit(0)),
+        )
+        .withColumn("contaminated", F.col("n_contaminated_grams") > 0)
+    )
 
 
 def take_token_budget(

@@ -327,6 +327,20 @@ def _dedup_near_step(df: DataFrame, p: Mapping) -> DataFrame:
     )
 
 
+def _bench_pipe_contamination(df: DataFrame, p: Mapping) -> DataFrame:
+    # two-frame op: the benchmark side arrives as a named temp view
+    # (plan params are JSON scalars, not frames)
+    from semantic_olap_spark.functions.cleaning import contamination_report
+
+    view = p.get("benchmark_view")
+    if not view:
+        raise ValueError("contamination_report step requires benchmark_view")
+    bench = df.sparkSession.table(view)
+    kwargs = {k: p[k] for k in ("n", "text_col", "bench_text_col", "id_col")
+              if k in p}
+    return contamination_report(df, bench, **kwargs)
+
+
 def _sentiment_step(df: DataFrame, p: Mapping) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -378,6 +392,7 @@ def _build_pipeline_ops() -> dict:
         "assemble_docs": _pipe(assemble_docs, "group_col"),
         "cap_per_group": _pipe(cap_per_group, "group_col", "cap"),
         "extract_entities": _pipe(extract_entities),
+        "contamination_report": _bench_pipe_contamination,
         "quantize_embeddings": _pipe(quantize_embeddings),
         "hash_embed": _pipe(hash_embed),
         "sentiment": _sentiment_step,

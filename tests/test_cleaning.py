@@ -257,3 +257,78 @@ def test_heuristic_filter_rejects_metric_column_collision(spark):
     )
     with pytest.raises(ValueError, match="overwrite"):
         heuristic_filter(df)
+
+
+def test_contamination_report_consistent_with_decontaminate(tables):
+    from pyspark.sql import functions as F
+
+    from semantic_olap_spark.functions.cleaning import (
+        contamination_report,
+        decontaminate,
+    )
+
+    docs = tables["documents"]
+    bench = docs.filter(F.col("source") == "src0")
+    corpus = docs.filter(F.col("source") != "src0")
+    report = contamination_report(corpus, bench, n=4)
+    # severity-0 rows are exactly decontaminate's survivors
+    clean_ids = {
+        r["doc_id"]
+        for r in report.filter(~F.col("contaminated"))
+        .select("doc_id").collect()
+    }
+    survivors = {
+        r["doc_id"]
+        for r in decontaminate(corpus, bench, n=4).select("doc_id").collect()
+    }
+    assert clean_ids == survivors
+    # report keeps every corpus row and counts are non-negative
+    assert report.count() == corpus.count()
+    assert report.filter(F.col("n_contaminated_grams") < 0).count() == 0
+
+
+def test_contamination_report_hand_case(spark):
+    from semantic_olap_spark.functions.cleaning import contamination_report
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], ["doc_id", "text"]
+    )
+    corpus = spark.createDataFrame(
+        [
+            (0, "x alpha beta gamma delta y"),       # 1 shared 4-gram? two!
+            (1, "alpha beta gamma delta epsilon z"), # several shared
+            (2, "totally different words here now"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (r["n_contaminated_grams"], r["contaminated"])
+        for r in contamination_report(corpus, bench, n=4).collect()
+    }
+    # bench distinct 4-grams: "alpha beta gamma delta",
+    # "beta gamma delta epsilon"
+    assert got[0] == (1, True)
+    assert got[1] == (2, True)
+    assert got[2] == (0, False)
+
+
+def test_contamination_report_plan_step(tables, spark):
+    from pyspark.sql import functions as F
+
+    from semantic_olap_spark.plans.executor import PlanExecutor
+
+    docs = tables["documents"]
+    docs.filter(F.col("source") == "src0").createOrReplaceTempView(
+        "bench_src0"
+    )
+    out = PlanExecutor().execute(
+        docs.filter(F.col("source") != "src0"),
+        [{"operator": "contamination_report",
+          "params": {"benchmark_view": "bench_src0", "n": 4}}],
+    )
+    assert "n_contaminated_grams" in out.columns
+    assert out.count() > 0
+    with __import__("pytest").raises(ValueError):
+        PlanExecutor().execute(
+            docs, [{"operator": "contamination_report", "params": {}}]
+        )
