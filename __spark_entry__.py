@@ -977,6 +977,35 @@ def _q_pricing_summary(spark, sf_dir):
     )
 
 
+def _q_shipping_priority(spark, sf_dir):
+    # the TPC-H Q3 shape: selective date predicates on both sides of
+    # a fact join, revenue per order, top-10.  Decimal per-term sums
+    # (bit-exact), broadcast orders-side projection, then
+    # TakeOrderedAndProject for the top-k.
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cutoff = F.to_timestamp(F.lit("1995-03-15"))
+    revenue = F.sum(
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+        .cast("decimal(18,6)")
+    )
+    return (
+        li.filter(F.col("l_shipdate") > cutoff)
+        .join(
+            F.broadcast(
+                orders.filter(F.col("o_orderdate") < cutoff).select(
+                    "o_orderkey", "o_orderdate", "o_orderpriority"
+                )
+            ),
+            li["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(revenue, 2).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
 def _q_asof_join_events(spark, sf_dir):
     from semantic_olap_spark.operators.relational import asof_join
 
@@ -1487,6 +1516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_embeddings": _q_quantize_embeddings,
         "quantized_topk": _q_quantized_topk,
         "pricing_summary": _q_pricing_summary,
+        "shipping_priority": _q_shipping_priority,
         "dedup_against_embeddings": _q_dedup_against_embeddings,
         "training_pipeline": _q_training_pipeline,
         # Spark-native analytics breadth (§2.5 fill-ins)
@@ -2822,6 +2852,17 @@ def oracle_sql() -> dict[str, str]:
                      ev, (SELECT e FROM q0)), 6) AS cosine
             FROM coarse
             ORDER BY cosine DESC, vec_id ASC LIMIT 10
+        """,
+        "shipping_priority": """
+            SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+                   round(sum(((l.l_extendedprice * (1.0 - l.l_discount))
+                     )::DECIMAL(18,6)), 2)::DOUBLE AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+              AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+            GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+            ORDER BY revenue DESC, o.o_orderkey ASC LIMIT 10
         """,
         # pricing_summary: decimal per-term sums (order-independent),
         # double division only after the exact sum

@@ -52,6 +52,7 @@ HEADLINE = [
     "sem_join_topics",
     # relational breadth: broadcast-join star query + window dedup
     "join_revenue_by_nation",
+    "shipping_priority",
     "window_top_order_per_cust",
     "semi_join_urgent_custs",
     "above_avg_orders",

@@ -418,3 +418,39 @@ def test_chunk_normalize_sentiment_work_on_streams(spark, sf_dir):
         F.count("*").alias("c"), F.sum("n_chunk_tokens").alias("t")
     ).collect()[0]
     assert (got["c"], got["t"]) == (want["c"], want["t"]) and got["c"] > 0
+
+
+def test_dedup_against_works_on_streams(spark, sf_dir):
+    # incremental ingest dedup is a stream-static left_anti join on
+    # fingerprints — stateless on the stream side, supported by
+    # Structured Streaming as-is
+    from pyspark.sql import functions as F
+
+    from semantic_olap_spark.functions.dedup import dedup_against
+    from semantic_olap_spark.sources.loaders import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    seen = docs.filter(F.col("doc_id") % 3 == 0)
+    schema = docs.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    out = dedup_against(stream, seen)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_against_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT count(*) c FROM dedup_against_stream"
+    ).collect()[0]["c"]
+    want = dedup_against(docs, seen).count()
+    assert got == want
+    # every surviving row's fingerprint is absent from seen
+    assert want < docs.count()

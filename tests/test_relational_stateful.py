@@ -222,3 +222,19 @@ def test_asof_join_unkeyed_requires_opt_in(spark):
         asof_join(left, right, "ts")
     row = asof_join(left, right, "ts", allow_unkeyed=True).collect()[0]
     assert row["r_score"] == 2.0
+
+
+def test_shipping_priority_plan_shape(spark, sf_dir):
+    # the Q3 shape: broadcast join + TakeOrderedAndProject, and the
+    # ship-date predicate pushed to the fact scan
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry
+
+    q = entry.queries()["shipping_priority"](spark, sf_dir)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split(
+        "PushedFilters", 1)[1][:400]
