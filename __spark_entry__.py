@@ -2668,6 +2668,7 @@ def oracle_sql() -> dict[str, str]:
                    lower(trim(regexp_replace(
                      regexp_replace(text,
                        '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F'
+                       || '\x{0080}-\x{009F}'
                        || '\x{200B}\x{200C}\x{200D}\x{FEFF}]',
                        '', 'g'),
                      '\s+', ' ', 'g'))) AS norm
@@ -2711,7 +2712,9 @@ def oracle_sql() -> dict[str, str]:
             dense AS (
               SELECT d.doc_id, g.i - 1 AS pos,
                      coalesce(
-                       (SELECT round(a.v / nrm.n, 6) FROM agg a, nrm
+                       (SELECT CASE WHEN nrm.n > 0
+                               THEN round(a.v / nrm.n, 6) ELSE 0.0 END
+                        FROM agg a, nrm
                         WHERE a.doc_id = d.doc_id
                           AND nrm.doc_id = d.doc_id
                           AND a.pos = g.i - 1),
@@ -2722,7 +2725,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sentiment_docs": rf"""
             SELECT doc_id,
-                   round(CASE WHEN trim(text) = '' THEN 0.0 ELSE
+                   round(CASE WHEN trim(coalesce(text, '')) = '' THEN 0.0 ELSE
                      (len(list_filter(
                         str_split_regex(lower(trim(text)), '\s+'),
                         t -> t IN ({_SENT_POS})))

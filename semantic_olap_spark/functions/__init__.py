@@ -32,6 +32,7 @@ from semantic_olap_spark.functions.similarity import (  # noqa: F401
     dequantize_embeddings,
     quantize_embeddings,
     quantize_index,
+    quantized_topk,
     ivf_topk,
     lsh_topk,
 )

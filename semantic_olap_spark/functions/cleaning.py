@@ -103,11 +103,14 @@ def redact_pii(
 
 
 # C0/C1 controls minus \t\n\r (which are whitespace, handled by the
-# collapse step) plus zero-width space/joiners and the BOM.  The
-# \x{hhhh} form is the Java-regex ∩ RE2 common spelling, so the
-# DuckDB oracle uses the identical string.
+# collapse step) plus zero-width space/joiners and the BOM.  C1
+# (U+0080–U+009F) matters for mis-decoded latin-1/cp1252 crawl text
+# (NEL, CSI…) and is NOT \s in Java or RE2.  The \x{hhhh} form is
+# the Java-regex ∩ RE2 common spelling, so the DuckDB oracle uses
+# the identical string.
 _CTRL_ZW = (
     r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F"
+    r"\x{0080}-\x{009F}"
     r"\x{200B}\x{200C}\x{200D}\x{FEFF}]"
 )
 

@@ -177,14 +177,11 @@ def dedup_against_embeddings(
     vnorm = F.sqrt(
         F.aggregate(F.col("_v"), F.lit(0.0), lambda acc, x: acc + x * x)
     )
-    b_side = (
-        batch.select(F.col(id_col), F.col(bucket_col), v.alias("_v"))
-        .withColumn("_n", vnorm)
-        .select(
-            F.col(id_col),
-            F.explode(probes).alias("_probe"),
-            F.transform(F.col("_v"), lambda x: x / F.col("_n")).alias("_ub"),
-        )
+    # the probe explode carries ids + buckets ONLY — exploding the
+    # d-dim vector alongside would shuffle fan-out× copies of every
+    # embedding; the batch vector joins back in once per *candidate*
+    b_slim = batch.select(
+        F.col(id_col), F.explode(probes).alias("_probe")
     )
     s_side = (
         seen.select(F.col(bucket_col).alias("_probe"), v.alias("_v"))
@@ -192,6 +189,14 @@ def dedup_against_embeddings(
         .select(
             "_probe",
             F.transform(F.col("_v"), lambda x: x / F.col("_n")).alias("_us"),
+        )
+    )
+    b_vec = (
+        batch.select(F.col(id_col), v.alias("_v"))
+        .withColumn("_n", vnorm)
+        .select(
+            F.col(id_col),
+            F.transform(F.col("_v"), lambda x: x / F.col("_n")).alias("_ub"),
         )
     )
     cos = F.round(
@@ -203,7 +208,8 @@ def dedup_against_embeddings(
         6,
     )
     hits = (
-        b_side.join(s_side, "_probe")
+        b_slim.join(s_side, "_probe")
+        .join(b_vec, id_col)
         .filter(cos >= float(threshold))
         .select(id_col)
         .distinct()

@@ -214,7 +214,10 @@ def quantized_topk(
     if k <= 0 or rerank < 1:
         raise ValueError(f"need k > 0, rerank >= 1; got {k}, {rerank}")
     q = np.asarray([float(x) for x in query_vec], dtype=np.float64)
-    qn = q / np.sqrt(np.sum(q * q))
+    qnorm = float(np.sqrt(np.sum(q * q)))
+    if not qnorm > 0:
+        raise ValueError("query_vec must have a positive norm")
+    qn = q / qnorm
     qs = float(np.max(np.abs(qn)) / 127.0)
     qq = [int(v) for v in np.floor(qn / qs + 0.5).clip(-127, 127)]
 

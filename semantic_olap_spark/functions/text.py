@@ -476,11 +476,19 @@ def extract_entities(
     Python — and the patterns live in the Java-regex ∩ RE2 subset so
     the DuckDB oracle runs the identical strings.
     """
-    wanted = ENTITY_PATTERNS if types is None else tuple(
-        (t, p) for t, p in ENTITY_PATTERNS if t in set(types)
-    )
-    if not wanted:
-        raise ValueError(f"no known entity types among {types}")
+    if types is None:
+        wanted = ENTITY_PATTERNS
+    else:
+        known = {t for t, _ in ENTITY_PATTERNS}
+        unknown = set(types) - known
+        if unknown:
+            raise ValueError(
+                f"unknown entity types {sorted(unknown)}; "
+                f"known: {sorted(known)}"
+            )
+        wanted = tuple((t, p) for t, p in ENTITY_PATTERNS if t in set(types))
+        if not wanted:
+            raise ValueError("types must name at least one entity type")
     c = F.col(text_col)
 
     def _tag(typ: str):

@@ -193,13 +193,15 @@ def test_normalize_text_canonicalizes_and_is_idempotent(spark):
     rows = [
         (0, "  Hello\t\tWORLD \n\n x  "),
         (1, "a\x00b\x1fc\u200bd"),
+        (5, "x\u0085y\u009bz"),  # C1 controls (NEL, CSI)
         (2, ""),
         (3, None),
     ]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     once = normalize_text(df)
     got = {r["doc_id"]: r["text"] for r in once.collect()}
-    assert got == {0: "hello world x", 1: "abcd", 2: "", 3: None}
+    assert got == {0: "hello world x", 1: "abcd", 2: "", 3: None,
+                   5: "xyz"}
     twice = {
         r["doc_id"]: r["text"] for r in normalize_text(once).collect()
     }
@@ -216,6 +218,7 @@ def test_normalize_text_oracle(docs, duck):
                lower(trim(regexp_replace(
                  regexp_replace(text,
                    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F'
+                   || '\x{0080}-\x{009F}'
                    || '\x{200B}\x{200C}\x{200D}\x{FEFF}]', '', 'g'),
                  '\s+', ' ', 'g'))) AS norm
         FROM documents

@@ -70,7 +70,7 @@ def test_sentiment_oracle(docs, duck):
         duck,
         rf"""
         SELECT doc_id,
-               round(CASE WHEN trim(text) = '' THEN 0.0 ELSE
+               round(CASE WHEN trim(coalesce(text, '')) = '' THEN 0.0 ELSE
                  (len(list_filter(str_split_regex(lower(trim(text)), '\s+'),
                       t -> t IN ({pos})))
                   - len(list_filter(str_split_regex(lower(trim(text)), '\s+'),
@@ -438,7 +438,9 @@ def test_hash_embed_oracle(docs, duck):
         dense AS (
           SELECT d.doc_id, g.i - 1 AS pos,
                  coalesce(
-                   (SELECT round(a.v / nrm.n, 6) FROM agg a, nrm
+                   (SELECT CASE WHEN nrm.n > 0
+                           THEN round(a.v / nrm.n, 6) ELSE 0.0 END
+                    FROM agg a, nrm
                     WHERE a.doc_id = d.doc_id AND nrm.doc_id = d.doc_id
                       AND a.pos = g.i - 1),
                    0.0) AS v
@@ -465,3 +467,16 @@ def test_quantized_topk_indexed_matches_inline(emb):
     assert inline == indexed
     with pytest.raises(ValueError):
         quantized_topk(emb, q, index_df=emb)  # lacks _qv/_qs
+
+
+def test_review_fix_validations(spark, emb):
+    # partial-typo entity types raise instead of silently dropping
+    from semantic_olap_spark.functions.similarity import quantized_topk
+    from semantic_olap_spark.functions.text import extract_entities
+
+    df = spark.createDataFrame([(0, "$5")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="unknown entity types"):
+        extract_entities(df, types=("money", "urls"))
+    # zero query vector fails fast with a clear message
+    with pytest.raises(ValueError, match="positive norm"):
+        quantized_topk(emb, [0.0, 0.0, 0.0])
