@@ -1266,6 +1266,16 @@ def _q_embedding_dedup(spark, sf_dir):
 # ---- streaming operators (batch-parity forms) --------------------------
 
 
+def _q_funnel_stages(spark, sf_dir):
+    # per-user funnel progression (streaming_funnel's batch path —
+    # the stream path is pytest-verified for batch parity)
+    from semantic_olap_spark.streaming.stateful import streaming_funnel
+
+    return streaming_funnel(
+        _t(spark, sf_dir, "events"), ["view", "click", "purchase"]
+    )
+
+
 def _q_funnel_events(spark, sf_dir):
     # view → click → purchase ordered funnel, earliest-first
     # chaining with strict "after"
@@ -1531,6 +1541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dedup_lsh": _q_embedding_dedup_lsh,
         # event analytics
         "funnel_events": _q_funnel_events,
+        "funnel_stages": _q_funnel_stages,
         "cohort_retention": _q_cohort_retention,
         # streaming (batch-parity forms)
         "windowed_agg": _q_windowed_agg,
@@ -3076,6 +3087,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.vec_id, e.label
             FROM embeddings e LEFT JOIN cl ON cl.node = e.vec_id
             WHERE e.vec_id = coalesce(cl.cluster_id, e.vec_id)
+        """,
+        # funnel_stages: per-user (stage, reached_ts) — the stage
+        # CTEs mirror funnel's strict-after chaining on epoch-second
+        # doubles; each user reports their deepest stage
+        "funnel_stages": """
+            WITH s1 AS (
+              SELECT user_id, min(epoch(ts)) AS t FROM events
+              WHERE event_type = 'view' GROUP BY user_id
+            ),
+            s2 AS (
+              SELECT e.user_id, min(epoch(e.ts)) AS t FROM events e
+              JOIN s1 ON e.user_id = s1.user_id
+                     AND epoch(e.ts) > s1.t
+              WHERE e.event_type = 'click' GROUP BY e.user_id
+            ),
+            s3 AS (
+              SELECT e.user_id, min(epoch(e.ts)) AS t FROM events e
+              JOIN s2 ON e.user_id = s2.user_id
+                     AND epoch(e.ts) > s2.t
+              WHERE e.event_type = 'purchase' GROUP BY e.user_id
+            )
+            SELECT user_id, 3 AS stage, t AS reached_ts FROM s3
+            UNION ALL
+            SELECT user_id, 2, t FROM s2
+            WHERE user_id NOT IN (SELECT user_id FROM s3)
+            UNION ALL
+            SELECT user_id, 1, t FROM s1
+            WHERE user_id NOT IN (SELECT user_id FROM s2)
         """,
         "funnel_events": """
             WITH s1 AS (

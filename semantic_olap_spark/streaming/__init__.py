@@ -1,5 +1,6 @@
 from semantic_olap_spark.streaming.stateful import (  # noqa: F401
     running_user_stats,
+    streaming_funnel,
 )
 from semantic_olap_spark.streaming.windows import (  # noqa: F401
     read_events_stream,

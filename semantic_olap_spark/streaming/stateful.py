@@ -22,7 +22,7 @@ from __future__ import annotations
 from typing import Iterator, Tuple
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
@@ -99,6 +99,140 @@ def running_user_stats(
         _update,
         outputStructType=_out_schema(df.schema[user_col].dataType),
         stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---- stateful streaming funnel ----------------------------------------
+
+from pyspark.sql.types import ArrayType, IntegerType  # noqa: E402
+
+
+def _funnel_out_schema(key_type) -> StructType:
+    return StructType(
+        [
+            StructField("user_id", key_type),
+            StructField("stage", IntegerType()),
+            StructField("reached_ts", DoubleType()),
+        ]
+    )
+
+
+_FUNNEL_STATE_SCHEMA = StructType(
+    [StructField("reached", ArrayType(DoubleType()))]
+)
+
+
+def streaming_funnel(
+    df: DataFrame,
+    steps,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-user funnel progression, stateful across micro-batches.
+
+    The streaming counterpart of
+    :func:`~semantic_olap_spark.functions.analytics.funnel`: state is
+    one ``reached[i]`` timestamp per step per user (earliest time the
+    user completed step ``i`` with the strict-after chaining rule);
+    each micro-batch advances users and emits their CURRENT
+    ``(stage, reached_ts)`` (output mode ``update``).  Output rows:
+    one per user seen in the batch.
+
+    Ordering contract: events are chained in timestamp order WITHIN
+    each micro-batch, so results equal the batch funnel whenever
+    batch boundaries respect event time (availableNow over ordered
+    files, or any time-partitioned source).  An event arriving out
+    of order ACROSS batches cannot retroactively re-chain steps that
+    depended on it — the standard streaming-funnel approximation;
+    state stays O(#steps) per user regardless.
+
+    Batch input: exact one-shot computation via the same equi-join
+    chain as :func:`funnel`, returning the same per-user shape —
+    stream/batch parity on ordered input is the test contract.
+    """
+    steps = list(steps)
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    if len(set(steps)) != len(steps):
+        raise ValueError("steps must be distinct event types")
+    n_steps = len(steps)
+    idx = {name: i for i, name in enumerate(steps)}
+
+    renamed = df.filter(F.col(type_col).isin(*steps)).select(
+        F.col(user_col).alias("user_id"),
+        F.col(ts_col).cast("timestamp").cast("double").alias("_ts"),
+        F.col(type_col).alias("_et"),
+    )
+
+    if not df.isStreaming:
+        prev = None
+        stages = []
+        for i, name in enumerate(steps):
+            stage = renamed.filter(F.col("_et") == name).select(
+                "user_id", "_ts"
+            )
+            if prev is not None:
+                stage = stage.join(prev, "user_id").filter(
+                    F.col("_ts") > F.col("_prev_ts")
+                )
+            reached = stage.groupBy("user_id").agg(
+                F.min("_ts").alias("_prev_ts")
+            )
+            stages.append(
+                reached.select(
+                    "user_id",
+                    F.lit(i + 1).alias("stage"),
+                    F.col("_prev_ts").alias("reached_ts"),
+                )
+            )
+            prev = reached
+        from functools import reduce as _reduce
+
+        all_stages = _reduce(DataFrame.unionByName, stages)
+        w = Window.partitionBy("user_id").orderBy(F.col("stage").desc())
+        return (
+            all_stages.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    def update(key, pdfs, state: GroupState):
+        reached = (
+            list(state.get[0]) if state.exists else [None] * n_steps
+        )
+        events = []
+        for pdf in pdfs:
+            events.extend(zip(pdf["_ts"], pdf["_et"]))
+        events.sort(key=lambda e: e[0])
+        for ts, et in events:
+            i = idx[et]
+            if i == 0:
+                if reached[0] is None or ts < reached[0]:
+                    reached[0] = ts
+            elif reached[i - 1] is not None and ts > reached[i - 1]:
+                if reached[i] is None or ts < reached[i]:
+                    reached[i] = ts
+        state.update((reached,))
+        stage = 0
+        for i in range(n_steps):
+            if reached[i] is None:
+                break
+            stage = i + 1
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "stage": [stage],
+                "reached_ts": [reached[stage - 1] if stage else None],
+            }
+        )
+
+    return renamed.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_funnel_out_schema(df.schema[user_col].dataType),
+        stateStructType=_FUNNEL_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

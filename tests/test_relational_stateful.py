@@ -238,3 +238,112 @@ def test_shipping_priority_plan_shape(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "PushedFilters" in plan and "l_shipdate" in plan.split(
         "PushedFilters", 1)[1][:400]
+
+
+def test_streaming_funnel_matches_batch_on_single_batch(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from semantic_olap_spark.sources.loaders import load_table
+    from semantic_olap_spark.streaming.stateful import streaming_funnel
+
+    steps = ["view", "click", "purchase"]
+    events = load_table(spark, sf_dir, "events")
+    batch = streaming_funnel(events, steps)
+    schema = events.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    out = streaming_funnel(stream, steps)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sfunnel")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["stage"], r["reached_ts"])
+        for r in spark.sql("SELECT * FROM sfunnel").collect()
+    }
+    want = {
+        (r["user_id"], r["stage"], r["reached_ts"])
+        for r in batch.collect()
+    }
+    # the stream path also emits stage-0 users (seen but not yet at
+    # step 1 after filtering); batch path emits reached users only
+    got_reached = {g for g in got if g[1] > 0}
+    assert got_reached == want and len(want) > 0
+
+
+def test_streaming_funnel_batch_agrees_with_funnel_counts(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from semantic_olap_spark.functions.analytics import funnel
+    from semantic_olap_spark.sources.loaders import load_table
+    from semantic_olap_spark.streaming.stateful import streaming_funnel
+
+    steps = ["view", "click", "purchase"]
+    events = load_table(spark, sf_dir, "events")
+    per_user = streaming_funnel(events, steps)
+    counts = {
+        r["step"]: r["users"] for r in funnel(events, steps).collect()
+    }
+    # users at stage >= i equals funnel's "reached step i" count
+    for i in (1, 2, 3):
+        got = per_user.filter(F.col("stage") >= i).count()
+        assert got == counts[i], (i, got, counts)
+
+
+def test_streaming_funnel_stateful_chaining_across_batches(spark, tmp_path):
+    import datetime as dt
+
+    from semantic_olap_spark.streaming.stateful import streaming_funnel
+
+    # two time-ordered batches: user 1 views in batch 1, clicks and
+    # buys in batch 2; user 2 clicks before viewing (never advances
+    # past view)
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows1 = [(1, t0, "view"), (2, t0, "click")]
+    rows2 = [
+        (1, t0 + dt.timedelta(minutes=1), "click"),
+        (1, t0 + dt.timedelta(minutes=2), "purchase"),
+        (2, t0 + dt.timedelta(minutes=1), "view"),
+    ]
+    src = str(tmp_path / "events_src")
+    cols = ["user_id", "ts", "event_type"]
+    spark.createDataFrame(rows1, cols).write.mode("overwrite").parquet(
+        f"{src}/b1"
+    )
+    spark.createDataFrame(rows2, cols).write.mode("overwrite").parquet(
+        f"{src}/b2"
+    )
+    schema = spark.read.parquet(f"{src}/b1").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    out = streaming_funnel(stream, ["view", "click", "purchase"])
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sfunnel2")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # final state per user = last emitted row
+    rows = spark.sql(
+        "SELECT * FROM sfunnel2"
+    ).collect()
+    last = {}
+    for r in rows:
+        last[r["user_id"]] = max(
+            last.get(r["user_id"], 0), r["stage"]
+        )
+    assert last[1] == 3      # advanced across batches via state
+    assert last.get(2, 0) <= 1  # click-before-view never chains
