@@ -1266,6 +1266,21 @@ def _q_embedding_dedup(spark, sf_dir):
 # ---- streaming operators (batch-parity forms) --------------------------
 
 
+def _q_events_props_agg(spark, sf_dir):
+    # JSON payload flattening: parse events.props into typed columns
+    # and aggregate — the inverse of load_json_flat's stringify
+    from semantic_olap_spark.sources.loaders import flatten_json_col
+
+    return (
+        flatten_json_col(_t(spark, sf_dir, "events"), "props")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("props_k").cast("long")).alias("sum_k"),
+        )
+    )
+
+
 def _q_funnel_stages(spark, sf_dir):
     # per-user funnel progression (streaming_funnel's batch path —
     # the stream path is pytest-verified for batch parity)
@@ -1542,6 +1557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # event analytics
         "funnel_events": _q_funnel_events,
         "funnel_stages": _q_funnel_stages,
+        "events_props_agg": _q_events_props_agg,
         "cohort_retention": _q_cohort_retention,
         # streaming (batch-parity forms)
         "windowed_agg": _q_windowed_agg,
@@ -3087,6 +3103,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.vec_id, e.label
             FROM embeddings e LEFT JOIN cl ON cl.node = e.vec_id
             WHERE e.vec_id = coalesce(cl.cluster_id, e.vec_id)
+        """,
+        "events_props_agg": """
+            SELECT event_type, count(*) AS n,
+                   sum((props->>'k')::BIGINT) AS sum_k
+            FROM events GROUP BY event_type
         """,
         # funnel_stages: per-user (stage, reached_ts) — the stage
         # CTEs mirror funnel's strict-after chaining on epoch-second

@@ -197,6 +197,52 @@ def load_jsonl(
     return df
 
 
+def flatten_json_col(
+    df: DataFrame,
+    col: str,
+    prefix: str | None = None,
+    schema: T.StructType | str | None = None,
+    drop: bool = False,
+) -> DataFrame:
+    """Expand a JSON-string column into typed columns.
+
+    The inverse of :func:`load_json_flat`'s stringify: event tables
+    routinely carry a JSON ``props`` payload; this parses it with
+    ``from_json`` and surfaces each top-level field as
+    ``{prefix}{field}`` (default prefix ``{col}_``).  With
+    ``schema=None`` the schema is inferred from ONE sampled non-null
+    value (a bounded driver lookup — pass an explicit schema in
+    production so inference never misses fields absent from the
+    sampled row; at 100 TB an explicit schema is also what makes the
+    parse a pure scan-side expression with no setup cost).
+    ``drop=True`` removes the original JSON column.
+    """
+    prefix = f"{col}_" if prefix is None else prefix
+    if schema is None:
+        sample = (
+            df.select(col).filter(F.col(col).isNotNull()).limit(1).collect()
+        )
+        if not sample:
+            raise ValueError(
+                f"cannot infer schema: column {col!r} has no non-null "
+                f"values; pass schema= explicitly"
+            )
+        inferred = df.sparkSession.range(1).select(
+            F.schema_of_json(F.lit(sample[0][0])).alias("s")
+        ).collect()[0]["s"]
+        schema = inferred
+    parsed = df.withColumn("_parsed", F.from_json(F.col(col), schema))
+    field_names = parsed.schema["_parsed"].dataType.fieldNames()
+    out = parsed.select(
+        "*",
+        *[
+            F.col(f"_parsed.{f}").alias(f"{prefix}{f}")
+            for f in field_names
+        ],
+    ).drop("_parsed")
+    return out.drop(col) if drop else out
+
+
 def load_orc(
     spark: SparkSession,
     path: str,

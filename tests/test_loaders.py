@@ -93,3 +93,60 @@ def test_load_jsonl_splittable_and_flatten(spark, tmp_path):
     rows = {r["id"]: r["meta"] for r in df.collect()}
     assert rows == {1: '{"a":1}', 2: '{"a":2}'}
     assert isinstance(df.schema["meta"].dataType, T.StringType)
+
+
+def test_flatten_json_col_typed_expansion(spark):
+    from pyspark.sql import functions as F
+
+    from semantic_olap_spark.sources.loaders import flatten_json_col
+
+    df = spark.createDataFrame(
+        [(1, '{"k": 7, "tag": "a"}'), (2, '{"k": 9, "tag": "b"}'),
+         (3, None)],
+        ["id", "props"],
+    )
+    out = flatten_json_col(df, "props")
+    assert {"props_k", "props_tag"} <= set(out.columns)
+    got = {r["id"]: (r["props_k"], r["props_tag"]) for r in out.collect()}
+    assert got == {1: (7, "a"), 2: (9, "b"), 3: (None, None)}
+    # inferred type is numeric, not string
+    assert dict(out.dtypes)["props_k"] in ("bigint", "int")
+    # drop + custom prefix + explicit schema
+    out2 = flatten_json_col(
+        df, "props", prefix="", schema="k LONG, tag STRING", drop=True
+    )
+    assert "props" not in out2.columns and "k" in out2.columns
+    # all-null column refuses inference with a clear error
+    import pytest as _pytest
+
+    nulls = spark.createDataFrame(
+        [(1, None)], "id INT, props STRING"
+    )
+    with _pytest.raises(ValueError, match="no non-null"):
+        flatten_json_col(nulls, "props")
+
+
+def test_flatten_json_col_on_events(spark, tables, duck):
+    from pyspark.sql import functions as F
+
+    from semantic_olap_spark.sources.loaders import flatten_json_col
+    from tests.conftest import assert_matches
+
+    ev = tables["events"]
+    out = (
+        flatten_json_col(ev, "props")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("props_k").cast("long")).alias("sum_k"),
+        )
+    )
+    assert_matches(
+        out,
+        duck,
+        """
+        SELECT event_type, count(*) AS n,
+               sum((props->>'k')::BIGINT) AS sum_k
+        FROM events GROUP BY event_type
+        """,
+    )
