@@ -267,6 +267,37 @@ def load_orc(
     return reader.orc(path)
 
 
+def load_text(
+    spark: SparkSession,
+    path: str,
+    whole_files: bool = False,
+    line_sep: str | None = None,
+) -> DataFrame:
+    """Read raw text: one row per line, or one row per file.
+
+    The corpus-ingest primitive for plain-text sources.  Line mode
+    (default) is splittable — executors read byte ranges, so a huge
+    file parallelizes; ``line_sep`` overrides the record delimiter
+    (e.g. ``"\\0"`` for null-delimited dumps).  ``whole_files=True``
+    yields ``(path, text)`` per file via ``wholetext`` — one TASK per
+    file and the whole file in one row's memory, so reserve it for
+    many-small-files layouts (the file listing itself parallelizes;
+    the per-file read does not split).
+    """
+    reader = spark.read
+    if whole_files:
+        # NB: the option spelling is "wholetext" but only the text()
+        # keyword argument reliably applies it
+        df = reader.text(path, wholetext=True)
+        return df.select(
+            F.input_file_name().alias("path"),
+            F.col("value").alias("text"),
+        )
+    if line_sep is not None:
+        reader = reader.option("lineSep", line_sep)
+    return reader.text(path).select(F.col("value").alias("text"))
+
+
 def with_olap_id(df: DataFrame, order_by: list[str] | None = None) -> DataFrame:
     """Attach the synthetic row id (reference: OLAP_Memory.py:110-111).
 

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
-_FORMATS = ("parquet", "orc")
+_FORMATS = ("parquet", "orc", "json")
 
 
 def write_partitioned(
@@ -46,7 +46,10 @@ def write_partitioned(
     ``parquet`` (default) or ``orc`` — both are Spark-native columnar
     formats with predicate pushdown and identical partition-pruning
     behavior, so the choice is an interop decision (Hive/Trino
-    estates are often ORC), not a capability one.
+    estates are often ORC), not a capability one.  ``json`` writes
+    newline-delimited JSON — the corpus-interchange export (no
+    pushdown on read-back; columnar formats remain the query-side
+    layout).
     """
     if format not in _FORMATS:
         raise ValueError(f"format must be one of {_FORMATS}, got {format!r}")

@@ -150,3 +150,21 @@ def test_flatten_json_col_on_events(spark, tables, duck):
         FROM events GROUP BY event_type
         """,
     )
+
+
+def test_load_text_line_and_whole_modes(spark, tmp_path):
+    from semantic_olap_spark.sources.loaders import load_text
+
+    d = tmp_path / "txt"
+    d.mkdir()
+    (d / "a.txt").write_text("line one\nline two\n")
+    (d / "b.txt").write_text("solo\n")
+    lines = load_text(spark, str(d))
+    assert sorted(r["text"] for r in lines.collect()) == [
+        "line one", "line two", "solo",
+    ]
+    whole = load_text(spark, str(d), whole_files=True)
+    got = {
+        r["path"].rsplit("/", 1)[1]: r["text"] for r in whole.collect()
+    }
+    assert got == {"a.txt": "line one\nline two\n", "b.txt": "solo\n"}

@@ -124,3 +124,15 @@ def test_orc_scan_prunes_and_pushes_down(spark, tables, tmp_path):
 def test_write_partitioned_rejects_unknown_format(spark, tables):
     with pytest.raises(ValueError):
         write_partitioned(tables["documents"], "/tmp/x", format="avro")
+
+
+def test_jsonl_export_roundtrip(spark, tables, tmp_path):
+    from semantic_olap_spark.sources.loaders import load_jsonl
+
+    docs = tables["documents"].select("doc_id", "text", "source")
+    out = str(tmp_path / "docs_jsonl")
+    write_partitioned(docs, out, format="json")
+    assert glob.glob(f"{out}/*.json")
+    back = load_jsonl(spark, out)
+    cols = ["doc_id", "text", "source"]
+    assert _rows(back, cols) == _rows(docs, cols)
