@@ -114,6 +114,15 @@ _CTRL_ZW = (
     r"\x{200B}\x{200C}\x{200D}\x{FEFF}]"
 )
 
+# \s in the Java-regex ∩ RE2 subset is ASCII-only; unicode spaces
+# (NBSP, ogham, en/em/thin spaces, line/para separators, narrow
+# NBSP, math space, ideographic space) must be listed explicitly or
+# they survive normalization (found by the hypothesis suite)
+_WS_UNI = (
+    r"[\s\x{00A0}\x{1680}\x{2000}-\x{200A}"
+    r"\x{2028}\x{2029}\x{202F}\x{205F}\x{3000}]+"
+)
+
 
 def normalize_text(
     df: DataFrame,
@@ -140,7 +149,7 @@ def normalize_text(
     out_col = out_col or text_col
     c: Column = F.col(text_col)
     c = F.regexp_replace(c, _CTRL_ZW, "")
-    c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    c = F.trim(F.regexp_replace(c, _WS_UNI, " "))
     if lowercase:
         c = F.lower(c)
     return df.withColumn(out_col, c)

@@ -220,7 +220,7 @@ def test_normalize_text_oracle(docs, duck):
                    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F'
                    || '\x{0080}-\x{009F}'
                    || '\x{200B}\x{200C}\x{200D}\x{FEFF}]', '', 'g'),
-                 '\s+', ' ', 'g'))) AS norm
+                 '[\s\x{00A0}\x{1680}\x{2000}-\x{200A}\x{2028}\x{2029}\x{202F}\x{205F}\x{3000}]+', ' ', 'g'))) AS norm
         FROM documents
         """,
     )
