@@ -1144,6 +1144,50 @@ def _q_cube_shipping(spark, sf_dir):
     )
 
 
+def _q_grouping_sets_qty(spark, sf_dir):
+    # explicit grouping sets via the package operator: only the
+    # marginals + grand total — Expand emits 3 rows per input row
+    # instead of the cube's 4 (operators/reshape.py)
+    from semantic_olap_spark.operators.reshape import grouping_sets_agg
+
+    li = _t(spark, sf_dir, "lineitem")
+    return grouping_sets_agg(
+        li, [["l_returnflag"], ["l_linestatus"], []], ["l_quantity"]
+    )
+
+
+def _q_monthly_growth(spark, sf_dir):
+    # window breadth: lag-delta and ntile quartile over the monthly
+    # revenue series — one partition-less window over ~#months rows
+    # (bounded output of the upstream agg, not a scale risk)
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    monthly = (
+        orders.groupBy(
+            F.date_trunc("month", F.col("o_orderdate"))
+            .cast("date")
+            .alias("month")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    w = Window.orderBy("month")
+    return monthly.select(
+        "month",
+        "revenue",
+        F.round(
+            F.col("revenue") - F.lag("revenue").over(w), 2
+        ).alias("delta"),
+        F.ntile(4).over(Window.orderBy("revenue")).alias("rev_quartile"),
+    )
+
+
 def _q_pivot_priority_by_status(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
     # explicit value list: the two-pass distinct scan pivot() would
@@ -1548,6 +1592,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_order_revenue": _q_rollup_order_revenue,
         "cube_shipping": _q_cube_shipping,
         "pivot_priority_by_status": _q_pivot_priority_by_status,
+        "grouping_sets_qty": _q_grouping_sets_qty,
+        "monthly_growth": _q_monthly_growth,
         "set_ops_custkeys": _q_set_ops_custkeys,
         "unpivot_lineitem_metrics": _q_unpivot_lineitem_metrics,
         "percentile_quantity": _q_percentile_quantity,
@@ -3035,6 +3081,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, metric,
                    round(sum(value::DECIMAL(18,6)), 2)::DOUBLE AS total
             FROM long GROUP BY l_returnflag, metric
+        """,
+        "grouping_sets_qty": """
+            SELECT l_returnflag, l_linestatus,
+                   GROUPING_ID(l_returnflag, l_linestatus) AS gid,
+                   SUM(l_quantity::DOUBLE) AS sum_l_quantity
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """,
+        "monthly_growth": """
+            WITH monthly AS (
+              SELECT date_trunc('month', o_orderdate)::DATE AS month,
+                     round(sum(o_totalprice::DECIMAL(18,6)), 2)::DOUBLE
+                         AS revenue
+              FROM orders GROUP BY 1
+            )
+            SELECT month, revenue,
+                   round(revenue - lag(revenue) OVER (ORDER BY month), 2)
+                       AS delta,
+                   ntile(4) OVER (ORDER BY revenue) AS rev_quartile
+            FROM monthly
         """,
         "percentile_quantity": """
             SELECT l_returnflag,

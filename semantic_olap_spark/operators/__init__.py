@@ -16,6 +16,12 @@ from semantic_olap_spark.operators.relational import (  # noqa: F401
     asof_join,
     range_join,
 )
+from semantic_olap_spark.operators.reshape import (  # noqa: F401
+    cube_agg,
+    grouping_sets_agg,
+    pivot_agg,
+    rollup_agg,
+)
 from semantic_olap_spark.operators.semantic import (  # noqa: F401
     filter_enum_llm,
     filter_pattern,

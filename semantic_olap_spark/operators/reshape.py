@@ -1,0 +1,164 @@
+"""Reshape and multi-level aggregation operators.
+
+The reference has no pivot and no SQL-sense grouping sets / cube /
+rollup (SURVEY.md §2.5 — its AND/OR mask trees over one table play
+the set-operator role, and roll-up means *semantic* re-granularity).
+For an analytics engine these are table stakes, and on Spark they
+are pure Catalyst — this module is the thin, tested surface over
+them, mirroring the conventions of ``deterministic.py`` (stable
+output aliases, ``round_to`` for oracle-safe float compare).
+
+100 TB posture:
+
+- :func:`pivot_agg` REQUIRES an explicit pivot-value list.  Spark's
+  implicit form first runs a ``distinct().collect()`` over the pivot
+  column — a full extra job plus an unbounded driver collect; with
+  the list supplied the whole pivot is a single partial→final
+  hash aggregation (one shuffle on ``group_cols``) and the output
+  schema is known without touching data.
+- :func:`cube_agg` / :func:`rollup_agg` / :func:`grouping_sets_agg`
+  expand each input row to its grouping combinations *map-side*
+  (Spark's ``Expand`` operator) feeding ONE partial→final
+  aggregation — the shuffle carries one row per (group, gid), never
+  per input row.  A d-dimension cube multiplies map output by 2^d:
+  keep ``dims`` small (≤4) or enumerate only the grouping sets you
+  need via :func:`grouping_sets_agg`.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from semantic_olap_spark.operators.deterministic import AGGS
+
+__all__ = [
+    "cube_agg",
+    "grouping_sets_agg",
+    "pivot_agg",
+    "rollup_agg",
+]
+
+
+def pivot_agg(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    pivot_col: str,
+    pivot_values: Sequence[str],
+    value_col: str,
+    agg: str = "sum",
+    round_to: int | None = None,
+) -> DataFrame:
+    """Long→wide pivot: one output column per pivot value.
+
+    Inverse of the ``unpivot`` reshape (``DataFrame.unpivot``, used
+    by the ``unpivot_lineitem_metrics`` driver query).  Output
+    columns are ``{pivot_col}_{value}`` (sanitized), so plan
+    consumers and the oracle compare see stable names regardless of
+    the value spelling.  Values absent from a group yield NULL, the
+    same as a ``CASE WHEN``-filtered aggregate in ANSI SQL.
+    """
+    if agg not in AGGS:
+        raise ValueError(f"unknown agg {agg!r}")
+    if not pivot_values:
+        raise ValueError(
+            "pivot_agg requires an explicit pivot_values list: the "
+            "implicit form adds a distinct+collect job over the pivot "
+            "column (unbounded at scale)"
+        )
+    pivot_values = [str(v) for v in pivot_values]
+    e = AGGS[agg](F.col(value_col).try_cast("double"))
+    if round_to is not None:
+        e = F.round(e, round_to)
+    out = (
+        df.groupBy(*group_cols)
+        .pivot(pivot_col, pivot_values)
+        .agg(e.alias("_v"))
+    )
+    safe = {
+        v: f"{pivot_col}_{''.join(ch if ch.isalnum() else '_' for ch in v)}"
+        for v in pivot_values
+    }
+    for v in pivot_values:
+        out = out.withColumnRenamed(v, safe[v])
+    return out
+
+
+def _multi_agg_exprs(
+    value_cols: Sequence[str], agg: str, round_to: int | None
+):
+    if agg not in AGGS:
+        raise ValueError(f"unknown agg {agg!r}")
+    exprs = []
+    for c in value_cols:
+        e = AGGS[agg](F.col(c).try_cast("double"))
+        if round_to is not None:
+            e = F.round(e, round_to)
+        exprs.append(e.alias(f"{agg}_{c}"))
+    return exprs
+
+
+def cube_agg(
+    df: DataFrame,
+    dims: Sequence[str],
+    value_cols: Sequence[str],
+    agg: str = "sum",
+    round_to: int | None = None,
+    gid_col: str = "gid",
+) -> DataFrame:
+    """All 2^d grouping combinations of ``dims`` in one pass.
+
+    ``gid_col`` carries ``grouping_id(*dims)`` (left dim = MSB — the
+    same bit convention DuckDB's ``GROUPING_ID`` uses, so the oracle
+    compares exactly).  It also disambiguates a genuine NULL dim
+    value from a rolled-up level, which the bare NULLs cannot.
+    """
+    exprs = [F.grouping_id(*[F.col(d) for d in dims]).alias(gid_col)]
+    exprs += _multi_agg_exprs(value_cols, agg, round_to)
+    return df.cube(*dims).agg(*exprs)
+
+
+def rollup_agg(
+    df: DataFrame,
+    dims: Sequence[str],
+    value_cols: Sequence[str],
+    agg: str = "sum",
+    round_to: int | None = None,
+    gid_col: str = "gid",
+) -> DataFrame:
+    """Hierarchical prefixes of ``dims`` (d+1 levels) in one pass.
+
+    The classic drill-down-ready total: (a,b), (a), () for
+    ``dims=[a,b]``.  Same ``gid_col`` contract as :func:`cube_agg`.
+    """
+    exprs = [F.grouping_id(*[F.col(d) for d in dims]).alias(gid_col)]
+    exprs += _multi_agg_exprs(value_cols, agg, round_to)
+    return df.rollup(*dims).agg(*exprs)
+
+
+def grouping_sets_agg(
+    df: DataFrame,
+    sets: Sequence[Sequence[str]],
+    value_cols: Sequence[str],
+    agg: str = "sum",
+    round_to: int | None = None,
+    gid_col: str = "gid",
+) -> DataFrame:
+    """Only the listed grouping sets — the scale-safe cube subset.
+
+    ``sets`` is a list of column lists, e.g. ``[["a"], ["b"], []]``;
+    the dims of the output are the union of all sets in first-seen
+    order.  Use this instead of :func:`cube_agg` when only a few of
+    the 2^d combinations are wanted: map-side Expand emits
+    ``len(sets)`` rows per input row instead of 2^d.
+    """
+    dims: list[str] = []
+    for s in sets:
+        for c in s:
+            if c not in dims:
+                dims.append(c)
+    exprs = [F.grouping_id(*[F.col(d) for d in dims]).alias(gid_col)]
+    exprs += _multi_agg_exprs(value_cols, agg, round_to)
+    return df.groupingSets([list(s) for s in sets], *dims).agg(*exprs)

@@ -385,8 +385,20 @@ def _build_pipeline_ops() -> dict:
         train_test_split,
         winnow_overlap_pairs,
     )
+    from semantic_olap_spark.operators.reshape import (
+        cube_agg,
+        grouping_sets_agg,
+        pivot_agg,
+        rollup_agg,
+    )
 
     return {
+        "pivot": _pipe(
+            pivot_agg, "group_cols", "pivot_col", "pivot_values", "value_col"
+        ),
+        "cube": _pipe(cube_agg, "dims", "value_cols"),
+        "rollup_agg": _pipe(rollup_agg, "dims", "value_cols"),
+        "grouping_sets": _pipe(grouping_sets_agg, "sets", "value_cols"),
         "normalize_text": _pipe(normalize_text),
         "chunk_documents": _pipe(chunk_documents, "size"),
         "assemble_docs": _pipe(assemble_docs, "group_col"),
