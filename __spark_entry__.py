@@ -1144,6 +1144,37 @@ def _q_cube_shipping(spark, sf_dir):
     )
 
 
+def _q_top_frequent_priority(spark, sf_dir):
+    # exact heavy hitters: distinct-value counts (one shuffle, map-
+    # side combined) + bounded per-group top-k window
+    from semantic_olap_spark.functions.sketches import top_frequent
+
+    orders = _t(spark, sf_dir, "orders")
+    return top_frequent(
+        orders, "o_orderpriority", k=3, group_by="o_orderstatus", support=0.0
+    )
+
+
+def _q_approx_distinct_merge(spark, sf_dir):
+    # mergeable HLL sketches: per-batch sketch rows union-merged to
+    # per-flag estimates — the incremental-ingest distinct path.  The
+    # sketch binary is implementation-defined (no SQL oracle);
+    # tests/test_sketches.py pins merge parity + error bounds
+    from semantic_olap_spark.functions.sketches import (
+        distinct_sketch,
+        estimate_distinct,
+        merge_distinct_sketches,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "_b", F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(4))
+    )
+    per_batch = distinct_sketch(li, "l_orderkey", ["l_returnflag", "_b"])
+    return estimate_distinct(
+        merge_distinct_sketches(per_batch.drop("_b"), "l_returnflag")
+    )
+
+
 def _q_grouping_sets_qty(spark, sf_dir):
     # explicit grouping sets via the package operator: only the
     # marginals + grand total — Expand emits 3 rows per input row
@@ -1594,6 +1625,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_priority_by_status": _q_pivot_priority_by_status,
         "grouping_sets_qty": _q_grouping_sets_qty,
         "monthly_growth": _q_monthly_growth,
+        "top_frequent_priority": _q_top_frequent_priority,
+        "approx_distinct_merge": _q_approx_distinct_merge,
         "set_ops_custkeys": _q_set_ops_custkeys,
         "unpivot_lineitem_metrics": _q_unpivot_lineitem_metrics,
         "percentile_quantity": _q_percentile_quantity,
@@ -3082,6 +3115,19 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value::DECIMAL(18,6)), 2)::DOUBLE AS total
             FROM long GROUP BY l_returnflag, metric
         """,
+        "top_frequent_priority": """
+            SELECT * FROM (
+              SELECT o_orderstatus, o_orderpriority AS value,
+                     count(*) AS freq,
+                     row_number() OVER (
+                       PARTITION BY o_orderstatus
+                       ORDER BY count(*) DESC, o_orderpriority ASC
+                     ) AS rank
+              FROM orders GROUP BY o_orderstatus, o_orderpriority
+            ) WHERE rank <= 3
+        """,
+        # approx_distinct_merge: intentionally no oracle — HLL binary
+        # state is implementation-specific; see tests/test_sketches.py
         "grouping_sets_qty": """
             SELECT l_returnflag, l_linestatus,
                    GROUPING_ID(l_returnflag, l_linestatus) AS gid,

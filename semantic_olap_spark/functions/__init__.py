@@ -79,3 +79,10 @@ from semantic_olap_spark.functions.cleaning import (  # noqa: F401
 from semantic_olap_spark.functions.profiling import (  # noqa: F401
     profile_columns,
 )
+from semantic_olap_spark.functions.sketches import (  # noqa: F401
+    distinct_sketch,
+    estimate_distinct,
+    freq_sketch,
+    merge_distinct_sketches,
+    top_frequent,
+)

@@ -385,6 +385,7 @@ def _build_pipeline_ops() -> dict:
         train_test_split,
         winnow_overlap_pairs,
     )
+    from semantic_olap_spark.functions.sketches import top_frequent
     from semantic_olap_spark.operators.reshape import (
         cube_agg,
         grouping_sets_agg,
@@ -399,6 +400,7 @@ def _build_pipeline_ops() -> dict:
         "cube": _pipe(cube_agg, "dims", "value_cols"),
         "rollup_agg": _pipe(rollup_agg, "dims", "value_cols"),
         "grouping_sets": _pipe(grouping_sets_agg, "sets", "value_cols"),
+        "top_frequent": _pipe(top_frequent, "col"),
         "normalize_text": _pipe(normalize_text),
         "chunk_documents": _pipe(chunk_documents, "size"),
         "assemble_docs": _pipe(assemble_docs, "group_col"),

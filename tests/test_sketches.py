@@ -1,0 +1,120 @@
+"""Sketch contracts: error bounds, merge parity, heavy hitters.
+
+HLL binary state is implementation-specific (no DuckDB oracle); the
+substitute evidence is (1) estimates within the configured error
+bound of exact distinct counts, and (2) batch-merge parity — the
+union of per-batch sketches estimates exactly what the single-pass
+sketch does, so incremental ingestion is loss-free by construction.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from semantic_olap_spark.functions.sketches import (
+    distinct_sketch,
+    estimate_distinct,
+    freq_sketch,
+    merge_distinct_sketches,
+    top_frequent,
+)
+
+
+def test_estimate_within_bound(tables):
+    li = tables["lineitem"]
+    est = {
+        r["l_returnflag"]: r["distinct_est"]
+        for r in estimate_distinct(
+            distinct_sketch(li, "l_orderkey", "l_returnflag")
+        ).collect()
+    }
+    exact = {
+        r["l_returnflag"]: r["n"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_orderkey").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for k, e in est.items():
+        # lg_k=12 → ~1.6% standard error; 5% is >3 sigma
+        assert abs(e - exact[k]) <= max(2, 0.05 * exact[k]), (k, e, exact[k])
+
+
+def test_merge_parity_with_single_pass(tables):
+    # split the table into 3 arbitrary batches; union of per-batch
+    # sketches must estimate exactly what one full-pass sketch does
+    li = tables["lineitem"].withColumn(
+        "_b", F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(3))
+    )
+    per_batch = distinct_sketch(li, "l_suppkey", ["l_returnflag", "_b"])
+    merged = estimate_distinct(
+        merge_distinct_sketches(per_batch.drop("_b"), "l_returnflag")
+    )
+    single = estimate_distinct(distinct_sketch(li, "l_suppkey", "l_returnflag"))
+    got = {r["l_returnflag"]: r["distinct_est"] for r in merged.collect()}
+    want = {r["l_returnflag"]: r["distinct_est"] for r in single.collect()}
+    assert got == want
+
+
+def test_global_sketch_no_groups(tables):
+    out = estimate_distinct(
+        distinct_sketch(tables["orders"], "o_custkey")
+    ).collect()
+    assert len(out) == 1
+    exact = tables["orders"].select("o_custkey").distinct().count()
+    assert abs(out[0]["distinct_est"] - exact) <= max(2, 0.05 * exact)
+
+
+def test_top_frequent_exact_on_small(spark):
+    rows = [("g", v) for v in "aaaabbbcc d".split() for _ in range(1)]
+    df = spark.createDataFrame(
+        [("g", "a")] * 5 + [("g", "b")] * 3 + [("g", "c")] * 2 + [("g", "d")] * 1
+        + [("h", "x")] * 4 + [("h", "y")] * 1,
+        "grp string, v string",
+    )
+    out = top_frequent(df, "v", k=2, group_by="grp", support=0.0)
+    got = {(r["grp"], r["rank"]): (r["value"], r["freq"]) for r in out.collect()}
+    assert got[("g", 1)] == ("a", 5)
+    assert got[("g", 2)] == ("b", 3)
+    assert got[("h", 1)] == ("x", 4)
+    assert got[("h", 2)] == ("y", 1)
+
+
+def test_top_frequent_support_prunes_tail(tables):
+    orders = tables["orders"]
+    out = top_frequent(orders, "o_orderpriority", k=3, support=0.01)
+    assert out.count() <= 3
+    # survivors are genuinely the most frequent priorities
+    exact = (
+        orders.groupBy("o_orderpriority")
+        .count()
+        .orderBy(F.desc("count"))
+        .limit(3)
+    )
+    want = {r["o_orderpriority"] for r in exact.collect()}
+    assert {r["value"] for r in out.collect()} <= want
+
+
+def test_freq_sketch_binary_mergeable(tables):
+    out = freq_sketch(tables["orders"], "o_orderpriority", "o_orderstatus")
+    rows = out.collect()
+    assert len(rows) == 3  # F/O/P
+    assert all(isinstance(r["cms"], (bytes, bytearray)) for r in rows)
+    # decode driver-side with Spark's own CountMinSketch to sanity-
+    # check a known-frequent value's estimate ≥ its true count
+    sketch_bytes = dict((r["o_orderstatus"], bytes(r["cms"])) for r in rows)
+    jvm = tables["orders"].sparkSession._jvm
+    import io  # noqa: F401
+
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        jvm.java.io.ByteArrayInputStream(sketch_bytes["O"])
+    )
+    true_count = (
+        tables["orders"]
+        .filter("o_orderstatus = 'O' and o_orderpriority = '1-URGENT'")
+        .count()
+    )
+    est = cms.estimateCount("1-URGENT")
+    assert est >= true_count  # CMS never underestimates
+    assert est <= true_count * 1.2 + 10
