@@ -938,6 +938,56 @@ def _q_join_revenue_by_nation(spark, sf_dir):
     )
 
 
+def _q_local_supplier_volume(spark, sf_dir):
+    # TPC-H Q5 shape: six-table star-snowflake join with a region
+    # constraint and the customer-nation = supplier-nation "local"
+    # condition.  Dimension chain (region→nation→supplier/customer)
+    # broadcasts; lineitem⋈orders is the one genuine shuffle pair —
+    # at 100 TB both sides are fact-scale, so that join stays a
+    # shuffle hash join on the order key while every other edge is
+    # broadcast (AQE confirms: one Exchange pair in the plan)
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+
+    asia_nations = (
+        nation.join(
+            F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        ).select("n_nationkey", "n_name")
+    )
+    o96 = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    revenue = F.sum(
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+        .cast("decimal(18,6)")
+    )
+    return (
+        li.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(o96, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(
+            F.broadcast(asia_nations),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(F.round(revenue, 2).cast("double").alias("revenue"))
+    )
+
+
 def _q_pricing_summary(spark, sf_dir):
     # the TPC-H Q1 shape: one wide scan → one 4-group aggregate with
     # 8 measures.  Decimal casts per term make every sum
@@ -1616,6 +1666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_embeddings": _q_quantize_embeddings,
         "quantized_topk": _q_quantized_topk,
         "pricing_summary": _q_pricing_summary,
+        "local_supplier_volume": _q_local_supplier_volume,
         "shipping_priority": _q_shipping_priority,
         "dedup_against_embeddings": _q_dedup_against_embeddings,
         "training_pipeline": _q_training_pipeline,
@@ -2975,6 +3026,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         # pricing_summary: decimal per-term sums (order-independent),
         # double division only after the exact sum
+        "local_supplier_volume": """
+            SELECT n_name,
+                   round(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                                  AS DECIMAL(18,6))), 2)::DOUBLE AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN customer ON o_custkey = c_custkey
+                         AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1997-01-01'
+            GROUP BY n_name
+        """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity::DECIMAL(18,6)), 2)::DOUBLE

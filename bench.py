@@ -79,6 +79,13 @@ HEADLINE = [
     "quantized_topk",
     # classic wide-scan aggregate (TPC-H Q1 shape)
     "pricing_summary",
+    # six-table star-snowflake join (TPC-H Q5 shape): one shuffle
+    # pair (lineitem⋈orders), everything else broadcast
+    "local_supplier_volume",
+    # multi-level aggregation (Expand → single partial→final agg)
+    "cube_shipping",
+    # exact heavy hitters: distinct-value counts + bounded top-k
+    "top_frequent_priority",
     # deterministic sampling + the two-phase prefix-sum packer
     "hash_sample",
     "pack_documents",
