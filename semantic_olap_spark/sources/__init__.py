@@ -16,3 +16,7 @@ from semantic_olap_spark.sources.sinks import (  # noqa: F401
     write_partitioned,
     write_stream_parquet,
 )
+from semantic_olap_spark.sources.layout import (  # noqa: F401
+    write_zordered,
+    zorder_key,
+)
