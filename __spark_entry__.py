@@ -1194,6 +1194,34 @@ def _q_cube_shipping(spark, sf_dir):
     )
 
 
+def _q_resample_daily_events(spark, sf_dir):
+    # dense time axis: per-(type, day) aggregates including empty
+    # days — agg first (one row per group-day crosses the shuffle),
+    # then explode a per-group date spine (functions/timeseries.py)
+    from semantic_olap_spark.functions.timeseries import resample
+
+    ev = _t(spark, sf_dir, "events")
+    return resample(ev, "ts", "day", "event_type", "value", "sum").withColumn(
+        "sum_value", F.round("sum_value", 4)
+    )
+
+
+def _q_ffill_user_values(spark, sf_dir):
+    # LOCF forward-fill per user: one group-keyed window, running
+    # state independent of window length
+    from semantic_olap_spark.functions.timeseries import ffill
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts",
+        F.when(
+            F.pmod(F.col("event_id"), F.lit(2)) == 0, F.col("value")
+        ).alias("v"),
+    )
+    return ffill(ev, ["v"], "ts", "user_id").withColumn(
+        "v", F.round("v", 4)
+    )
+
+
 def _q_top_frequent_priority(spark, sf_dir):
     # exact heavy hitters: distinct-value counts (one shuffle, map-
     # side combined) + bounded per-group top-k window
@@ -1677,6 +1705,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets_qty": _q_grouping_sets_qty,
         "monthly_growth": _q_monthly_growth,
         "top_frequent_priority": _q_top_frequent_priority,
+        "resample_daily_events": _q_resample_daily_events,
+        "ffill_user_values": _q_ffill_user_values,
         "approx_distinct_merge": _q_approx_distinct_merge,
         "set_ops_custkeys": _q_set_ops_custkeys,
         "unpivot_lineitem_metrics": _q_unpivot_lineitem_metrics,
@@ -3181,6 +3211,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, metric,
                    round(sum(value::DECIMAL(18,6)), 2)::DOUBLE AS total
             FROM long GROUP BY l_returnflag, metric
+        """,
+        "resample_daily_events": """
+            WITH dense AS (
+              SELECT event_type, date_trunc('day', ts) AS period,
+                     count(*) AS n_events, sum(value) AS sum_value
+              FROM events GROUP BY 1, 2
+            ), spine AS (
+              SELECT event_type,
+                     unnest(generate_series(min(period), max(period),
+                                            INTERVAL 1 DAY)) AS period
+              FROM dense GROUP BY event_type
+            )
+            SELECT s.event_type, s.period,
+                   coalesce(d.n_events, 0) AS n_events,
+                   round(d.sum_value, 4) AS sum_value
+            FROM spine s LEFT JOIN dense d USING (event_type, period)
+        """,
+        "ffill_user_values": """
+            SELECT event_id, user_id, ts,
+                   round(last_value(CASE WHEN event_id % 2 = 0
+                                         THEN value END IGNORE NULLS)
+                         OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING), 4) AS v
+            FROM events
         """,
         "top_frequent_priority": """
             SELECT * FROM (

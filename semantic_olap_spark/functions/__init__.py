@@ -86,3 +86,7 @@ from semantic_olap_spark.functions.sketches import (  # noqa: F401
     merge_distinct_sketches,
     top_frequent,
 )
+from semantic_olap_spark.functions.timeseries import (  # noqa: F401
+    ffill,
+    resample,
+)

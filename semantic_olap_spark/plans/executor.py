@@ -386,6 +386,7 @@ def _build_pipeline_ops() -> dict:
         winnow_overlap_pairs,
     )
     from semantic_olap_spark.functions.sketches import top_frequent
+    from semantic_olap_spark.functions.timeseries import ffill, resample
     from semantic_olap_spark.operators.reshape import (
         cube_agg,
         grouping_sets_agg,
@@ -401,6 +402,8 @@ def _build_pipeline_ops() -> dict:
         "rollup_agg": _pipe(rollup_agg, "dims", "value_cols"),
         "grouping_sets": _pipe(grouping_sets_agg, "sets", "value_cols"),
         "top_frequent": _pipe(top_frequent, "col"),
+        "resample": _pipe(resample, "ts_col"),
+        "ffill": _pipe(ffill, "cols", "ts_col"),
         "normalize_text": _pipe(normalize_text),
         "chunk_documents": _pipe(chunk_documents, "size"),
         "assemble_docs": _pipe(assemble_docs, "group_col"),
