@@ -1,0 +1,127 @@
+"""Physical-plan audit over every driver query.
+
+For each `__spark_entry__.queries()` entry, inspects the executed
+plan string and reports the shapes that matter at 100 TB:
+
+- Exchange count (shuffles) and whether any stage collapses to a
+  SinglePartition exchange (scale-killer unless the operator is a
+  global top-k / bounded aggregate);
+- BroadcastHashJoin vs SortMergeJoin/ShuffledHashJoin counts;
+- CartesianProduct / BroadcastNestedLoopJoin occurrences (legal only
+  for declared blocked/capped pair generators);
+- ArrowEvalPython (vectorized UDF — the only acceptable Python) vs
+  BatchEvalPython (row-at-a-time — flagged);
+- PushedFilters reaching the parquet scan.
+
+Usage: python tools/audit_plans.py [sf_dir] [--md] [only ...]
+Exit code 1 if any query trips a flag not on the allowlist.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = "/root/testdata/sf0.001"
+args = [a for a in sys.argv[1:] if not a.startswith("--")]
+MD = "--md" in sys.argv
+if args and os.path.isdir(args[0]):
+    SF_DIR, args = args[0], args[1:]
+ONLY = set(args)
+
+# queries where a SinglePartition exchange is the *correct* plan:
+# global top-k merges, single-row global aggregates, bounded global
+# sorts of already-aggregated frames, driver-bounded enum collects
+SINGLE_PARTITION_OK = {
+    "num_reduce_avg_global", "count_global", "num_topk_desc",
+    "num_topk_asc", "sem_reduce_global", "sem_topk_docs", "cosine_topk",
+    "lsh_topk", "ivf_topk", "quantized_topk", "bm25_topk",
+    "rrf_fuse_hybrid", "monthly_growth", "monthly_revenue",
+    "percentile_quantity", "pack_documents", "take_token_budget",
+    "assemble_docs", "funnel_events", "funnel_stages", "training_pipeline",
+    "engine_lifecycle", "nl_filter_pipeline", "sem_group_workload",
+    "sem_group_cluster", "sem_map_topic", "sem_reduce_by_region",
+    "approx_distinct_merge", "reservoir_sample", "dimension_catalog",
+    "topk_dispatch_num",
+    # global scalar-stats aggregates (1-row output)
+    "quantile_filter", "profile_columns", "ngram_lm_score",
+    # with_olap_id(order_by=...) parity path: dense row_number ids for
+    # the oracle compare (SCALE.md known trade-off; the scale path is
+    # monotonically_increasing_id)
+    "roll_up_events", "drill_down_topic",
+}
+# declared pair generators: NLJ/cartesian within blocks or against a
+# broadcast side is their documented (capped) strategy
+NLJ_OK = {
+    "jaccard_pairs", "ngram_jaccard_pairs", "cosine_pairs",
+    "simhash_pairs", "winnow_overlap_pairs", "minhash_lsh_pairs",
+    "embedding_dedup", "embedding_dedup_lsh", "sem_join_topics",
+    "dedup_clusters", "dedup_keep_best", "range_join_events",
+    "contamination_report", "decontaminate_bench", "minhash_dedup_against",
+    "dedup_against", "dedup_against_embeddings", "training_pipeline",
+    # 1-row scalar-stats broadcast cross joins (threshold / corpus
+    # totals / query-term stats): build side is one row by
+    # construction — verified BroadcastNestedLoopJoin BuildRight
+    "quantile_filter", "ngram_lm_score", "bm25_topk", "rrf_fuse_hybrid",
+}
+
+
+def main() -> None:
+    import __spark_entry__ as entry
+    from semantic_olap_spark.session import get_spark
+
+    spark = get_spark("plan-audit", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    rows, flagged = [], []
+    for name, fn in entry.queries().items():
+        if ONLY and name not in ONLY:
+            continue
+        try:
+            df = fn(spark, SF_DIR)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as exc:  # noqa: BLE001
+            rows.append((name, "-", "-", "-", "-", f"ERROR {exc}"))
+            flagged.append((name, f"plan error: {exc}"))
+            continue
+        exch = len(re.findall(r"Exchange", plan))
+        single = "SinglePartition" in plan
+        bhj = len(re.findall(r"BroadcastHashJoin", plan))
+        smj = len(re.findall(r"SortMergeJoin|ShuffledHashJoin", plan))
+        nlj = len(re.findall(r"CartesianProduct|BroadcastNestedLoopJoin", plan))
+        arrow = len(re.findall(r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas", plan))
+        rowpy = len(re.findall(r"BatchEvalPython", plan))
+        pushed = bool(re.search(r"PushedFilters: \[[^\]]", plan))
+        notes = []
+        if single and name not in SINGLE_PARTITION_OK:
+            notes.append("SINGLE-PARTITION")
+        if nlj and name not in NLJ_OK:
+            notes.append("NLJ")
+        if rowpy:
+            notes.append("ROW-PYTHON-UDF")
+        if notes:
+            flagged.append((name, ",".join(notes)))
+        rows.append(
+            (name, exch, f"{bhj}b/{smj}s/{nlj}n",
+             f"{arrow}a/{rowpy}r", "y" if pushed else "-",
+             " ".join(notes) or ("1P-ok" if single else "")))
+    if MD:
+        print("| query | exchanges | joins b/s/n | python a/r | pushdown | flags |")
+        print("|---|---|---|---|---|---|")
+        for r in rows:
+            print("| " + " | ".join(str(x) for x in r) + " |")
+    else:
+        for r in rows:
+            print(f"{r[0]:35} exch={r[1]:<3} joins={r[2]:<9} py={r[3]:<6} "
+                  f"pushdown={r[4]} {r[5]}")
+    print(f"\n{len(flagged)} flagged")
+    for n, m in flagged:
+        print(f"  {n}: {m}")
+    spark.stop()
+    sys.exit(1 if flagged else 0)
+
+
+if __name__ == "__main__":
+    main()
