@@ -1194,6 +1194,17 @@ def _q_cube_shipping(spark, sf_dir):
     )
 
 
+def _q_fuzzy_pairs_part_names(spark, sf_dir):
+    # edit-distance entity resolution: brand-blocked candidate pairs,
+    # length-band + thresholded-levenshtein pruning (operators/fuzzy.py)
+    from semantic_olap_spark.operators.fuzzy import fuzzy_pairs
+
+    return fuzzy_pairs(
+        _t(spark, sf_dir, "part"), "p_name", "p_partkey",
+        max_dist=2, block_col="p_brand",
+    )
+
+
 def _q_resample_daily_events(spark, sf_dir):
     # dense time axis: per-(type, day) aggregates including empty
     # days — agg first (one row per group-day crosses the shuffle),
@@ -1705,6 +1716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets_qty": _q_grouping_sets_qty,
         "monthly_growth": _q_monthly_growth,
         "top_frequent_priority": _q_top_frequent_priority,
+        "fuzzy_pairs_part_names": _q_fuzzy_pairs_part_names,
         "resample_daily_events": _q_resample_daily_events,
         "ffill_user_values": _q_ffill_user_values,
         "approx_distinct_merge": _q_approx_distinct_merge,
@@ -3211,6 +3223,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, metric,
                    round(sum(value::DECIMAL(18,6)), 2)::DOUBLE AS total
             FROM long GROUP BY l_returnflag, metric
+        """,
+        "fuzzy_pairs_part_names": """
+            SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+                   levenshtein(a.p_name, b.p_name) AS edit_distance
+            FROM part a JOIN part b
+              ON a.p_brand = b.p_brand
+             AND a.p_partkey < b.p_partkey
+             AND levenshtein(a.p_name, b.p_name) <= 2
         """,
         "resample_daily_events": """
             WITH dense AS (

@@ -16,6 +16,10 @@ from semantic_olap_spark.operators.relational import (  # noqa: F401
     asof_join,
     range_join,
 )
+from semantic_olap_spark.operators.fuzzy import (  # noqa: F401
+    fuzzy_join,
+    fuzzy_pairs,
+)
 from semantic_olap_spark.operators.reshape import (  # noqa: F401
     cube_agg,
     grouping_sets_agg,

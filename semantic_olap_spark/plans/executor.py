@@ -387,6 +387,7 @@ def _build_pipeline_ops() -> dict:
     )
     from semantic_olap_spark.functions.sketches import top_frequent
     from semantic_olap_spark.functions.timeseries import ffill, resample
+    from semantic_olap_spark.operators.fuzzy import fuzzy_pairs
     from semantic_olap_spark.operators.reshape import (
         cube_agg,
         grouping_sets_agg,
@@ -404,6 +405,7 @@ def _build_pipeline_ops() -> dict:
         "top_frequent": _pipe(top_frequent, "col"),
         "resample": _pipe(resample, "ts_col"),
         "ffill": _pipe(ffill, "cols", "ts_col"),
+        "fuzzy_pairs": _pipe(fuzzy_pairs, "col", "id_col"),
         "normalize_text": _pipe(normalize_text),
         "chunk_documents": _pipe(chunk_documents, "size"),
         "assemble_docs": _pipe(assemble_docs, "group_col"),
