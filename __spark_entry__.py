@@ -1194,6 +1194,59 @@ def _q_cube_shipping(spark, sf_dir):
     )
 
 
+def _q_quality_report_lineitem(spark, sf_dir):
+    # expectation gate: every rule is a conditional-sum aggregate in
+    # ONE scan (functions/quality.py); output rows = #rules
+    from semantic_olap_spark.functions.quality import quality_report
+
+    return quality_report(
+        _t(spark, sf_dir, "lineitem"),
+        [
+            {"name": "qty_range", "between": ["l_quantity", 1, 50]},
+            {"name": "disc_range", "between": ["l_discount", 0.0, 0.08]},
+            {"name": "flag_set", "isin": ["l_returnflag", ["A", "N", "R"]]},
+            {"name": "key_not_null", "not_null": "l_orderkey"},
+            {"name": "price_pos", "expr": "l_extendedprice > 0"},
+        ],
+    )
+
+
+def _q_referential_orphans(spark, sf_dir):
+    # referential expectation: LEFT ANTI join against a (deliberately
+    # truncated) parent — orphans are the violation rows
+    from semantic_olap_spark.functions.quality import (
+        referential_violations,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    parent = _t(spark, sf_dir, "orders").filter("o_orderkey % 3 = 0")
+    return referential_violations(li, parent, "l_orderkey", "o_orderkey")
+
+
+def _q_snapshot_diff_orders(spark, sf_dir):
+    # snapshot audit: old = full orders; new drops every 7th order
+    # and reprices every 5th — diff returns exactly the churn.  The
+    # perturbation is an exact double addition (same IEEE result in
+    # both engines; a ×1.1-and-round version trips half-way-rounding
+    # differences between Spark and DuckDB)
+    from semantic_olap_spark.functions.quality import snapshot_diff
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    new = (
+        orders.filter("o_orderkey % 7 != 0")
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 5 == 0,
+                F.col("o_totalprice") + F.lit(1.5),
+            ).otherwise(F.col("o_totalprice")),
+        )
+    )
+    return snapshot_diff(orders, new, "o_orderkey")
+
+
 def _q_fuzzy_pairs_part_names(spark, sf_dir):
     # edit-distance entity resolution: brand-blocked candidate pairs,
     # length-band + thresholded-levenshtein pruning (operators/fuzzy.py)
@@ -1717,6 +1770,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "monthly_growth": _q_monthly_growth,
         "top_frequent_priority": _q_top_frequent_priority,
         "fuzzy_pairs_part_names": _q_fuzzy_pairs_part_names,
+        "quality_report_lineitem": _q_quality_report_lineitem,
+        "referential_orphans": _q_referential_orphans,
+        "snapshot_diff_orders": _q_snapshot_diff_orders,
         "resample_daily_events": _q_resample_daily_events,
         "ffill_user_values": _q_ffill_user_values,
         "approx_distinct_merge": _q_approx_distinct_merge,
@@ -3223,6 +3279,67 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, metric,
                    round(sum(value::DECIMAL(18,6)), 2)::DOUBLE AS total
             FROM long GROUP BY l_returnflag, metric
+        """,
+        "quality_report_lineitem": """
+            WITH wide AS (
+              SELECT count(*) AS n_rows,
+                sum(CASE WHEN NOT coalesce(l_quantity BETWEEN 1 AND 50,
+                                           FALSE) THEN 1 ELSE 0 END)
+                    AS qty_range,
+                sum(CASE WHEN NOT coalesce(l_discount BETWEEN 0.0 AND 0.08,
+                                           FALSE) THEN 1 ELSE 0 END)
+                    AS disc_range,
+                sum(CASE WHEN NOT coalesce(l_returnflag IN ('A','N','R'),
+                                           FALSE) THEN 1 ELSE 0 END)
+                    AS flag_set,
+                sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+                    AS key_not_null,
+                sum(CASE WHEN NOT coalesce(l_extendedprice > 0, FALSE)
+                         THEN 1 ELSE 0 END) AS price_pos
+              FROM lineitem
+            ), long AS (
+              SELECT 'qty_range' AS rule, qty_range AS violations,
+                     n_rows FROM wide
+              UNION ALL SELECT 'disc_range', disc_range, n_rows FROM wide
+              UNION ALL SELECT 'flag_set', flag_set, n_rows FROM wide
+              UNION ALL SELECT 'key_not_null', key_not_null, n_rows FROM wide
+              UNION ALL SELECT 'price_pos', price_pos, n_rows FROM wide
+            )
+            SELECT rule, n_rows, violations,
+                   round((n_rows - violations) / n_rows, 6) AS pass_rate
+            FROM long
+        """,
+        "referential_orphans": """
+            SELECT l_orderkey, l_linenumber FROM lineitem
+            WHERE l_orderkey NOT IN
+                  (SELECT o_orderkey FROM orders WHERE o_orderkey % 3 = 0)
+        """,
+        "snapshot_diff_orders": """
+            WITH o AS (
+              SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+            ), n AS (
+              SELECT o_orderkey, o_orderstatus,
+                     CASE WHEN o_orderkey % 5 = 0
+                          THEN o_totalprice + 1.5
+                          ELSE o_totalprice END AS o_totalprice
+              FROM orders WHERE o_orderkey % 7 != 0
+            )
+            SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+                   o.o_orderstatus AS o_orderstatus_old,
+                   o.o_totalprice AS o_totalprice_old,
+                   n.o_orderstatus AS o_orderstatus_new,
+                   n.o_totalprice AS o_totalprice_new,
+                   CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                        WHEN n.o_orderkey IS NULL THEN 'removed'
+                        WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                          OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                        THEN 'changed' END AS change
+            FROM o FULL OUTER JOIN n USING (o_orderkey)
+            WHERE CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                       WHEN n.o_orderkey IS NULL THEN 'removed'
+                       WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                         OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                       THEN 'changed' END IS NOT NULL
         """,
         "fuzzy_pairs_part_names": """
             SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,

@@ -90,3 +90,9 @@ from semantic_olap_spark.functions.timeseries import (  # noqa: F401
     ffill,
     resample,
 )
+from semantic_olap_spark.functions.quality import (  # noqa: F401
+    quality_report,
+    referential_violations,
+    snapshot_diff,
+    unique_violations,
+)

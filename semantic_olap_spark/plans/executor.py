@@ -387,6 +387,10 @@ def _build_pipeline_ops() -> dict:
     )
     from semantic_olap_spark.functions.sketches import top_frequent
     from semantic_olap_spark.functions.timeseries import ffill, resample
+    from semantic_olap_spark.functions.quality import (
+        quality_report,
+        unique_violations,
+    )
     from semantic_olap_spark.operators.fuzzy import fuzzy_pairs
     from semantic_olap_spark.operators.reshape import (
         cube_agg,
@@ -406,6 +410,8 @@ def _build_pipeline_ops() -> dict:
         "resample": _pipe(resample, "ts_col"),
         "ffill": _pipe(ffill, "cols", "ts_col"),
         "fuzzy_pairs": _pipe(fuzzy_pairs, "col", "id_col"),
+        "quality_report": _pipe(quality_report, "rules"),
+        "unique_violations": _pipe(unique_violations, "cols"),
         "normalize_text": _pipe(normalize_text),
         "chunk_documents": _pipe(chunk_documents, "size"),
         "assemble_docs": _pipe(assemble_docs, "group_col"),

@@ -1,0 +1,126 @@
+"""Data-quality checks + snapshot diff vs the DuckDB oracle."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from semantic_olap_spark.functions.quality import (
+    quality_report,
+    referential_violations,
+    snapshot_diff,
+    unique_violations,
+)
+from tests.conftest import assert_matches
+
+
+RULES = [
+    {"name": "qty_range", "between": ["l_quantity", 1, 50]},
+    {"name": "disc_range", "between": ["l_discount", 0.0, 0.08]},
+    {"name": "flag_set", "isin": ["l_returnflag", ["A", "N", "R"]]},
+    {"name": "key_not_null", "not_null": "l_orderkey"},
+    {"name": "price_pos", "expr": "l_extendedprice > 0"},
+]
+
+
+def test_quality_report_oracle(tables, duck):
+    out = quality_report(tables["lineitem"], RULES)
+    assert_matches(
+        out,
+        duck,
+        """
+        WITH wide AS (
+          SELECT count(*) AS n_rows,
+            sum(CASE WHEN NOT coalesce(l_quantity BETWEEN 1 AND 50, FALSE)
+                     THEN 1 ELSE 0 END) AS qty_range,
+            sum(CASE WHEN NOT coalesce(l_discount BETWEEN 0.0 AND 0.08, FALSE)
+                     THEN 1 ELSE 0 END) AS disc_range,
+            sum(CASE WHEN NOT coalesce(l_returnflag IN ('A','N','R'), FALSE)
+                     THEN 1 ELSE 0 END) AS flag_set,
+            sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+                AS key_not_null,
+            sum(CASE WHEN NOT coalesce(l_extendedprice > 0, FALSE)
+                     THEN 1 ELSE 0 END) AS price_pos
+          FROM lineitem
+        ), long AS (
+          SELECT 'qty_range' AS rule, qty_range AS violations, n_rows FROM wide
+          UNION ALL SELECT 'disc_range', disc_range, n_rows FROM wide
+          UNION ALL SELECT 'flag_set', flag_set, n_rows FROM wide
+          UNION ALL SELECT 'key_not_null', key_not_null, n_rows FROM wide
+          UNION ALL SELECT 'price_pos', price_pos, n_rows FROM wide
+        )
+        SELECT rule, n_rows, violations,
+               round((n_rows - violations) / n_rows, 6) AS pass_rate
+        FROM long
+        """,
+    )
+
+
+def test_quality_report_one_scan(tables):
+    plan = (
+        quality_report(tables["lineitem"], RULES)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("FileScan") == 1  # all rules in one pass
+
+
+def test_quality_report_validations(tables):
+    with pytest.raises(ValueError, match="at least one rule"):
+        quality_report(tables["lineitem"], [])
+    with pytest.raises(ValueError, match="unknown rule spec"):
+        quality_report(tables["lineitem"], [{"frobnicate": "x"}])
+    with pytest.raises(ValueError, match="duplicate rule names"):
+        quality_report(
+            tables["lineitem"],
+            [{"not_null": "l_orderkey"}, {"not_null": "l_orderkey"}],
+        )
+
+
+def test_unique_violations(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (3, "d"), (3, "e"), (3, "f")],
+        "k int, v string",
+    )
+    got = {r["k"]: r["n_dup"] for r in unique_violations(df, ["k"]).collect()}
+    assert got == {1: 2, 3: 3}
+
+
+def test_referential_violations(tables, duck):
+    # orphan lineitems vs a truncated orders parent
+    parent = tables["orders"].filter("o_orderkey % 3 = 0")
+    out = referential_violations(
+        tables["lineitem"].select("l_orderkey", "l_linenumber"),
+        parent, "l_orderkey", "o_orderkey",
+    )
+    assert_matches(
+        out,
+        duck,
+        """
+        SELECT l_orderkey, l_linenumber FROM lineitem
+        WHERE l_orderkey NOT IN
+              (SELECT o_orderkey FROM orders WHERE o_orderkey % 3 = 0)
+        """,
+    )
+
+
+def test_snapshot_diff(spark):
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k int, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 20.0), (3, "c2", 30.0), (4, "d", 40.0)],
+        "k int, s string, v double",
+    )
+    rows = {r["k"]: r for r in snapshot_diff(old, new, "k").collect()}
+    assert set(rows) == {1, 3, 4}  # 2 unchanged → dropped
+    assert rows[1]["change"] == "removed"
+    assert rows[4]["change"] == "added"
+    assert rows[3]["change"] == "changed"
+    assert rows[3]["s_old"] == "c" and rows[3]["s_new"] == "c2"
+
+
+def test_snapshot_diff_null_safe(spark):
+    old = spark.createDataFrame([(1, None)], "k int, v string")
+    new = spark.createDataFrame([(1, None)], "k int, v string")
+    assert snapshot_diff(old, new, "k").count() == 0  # NULL == NULL here
