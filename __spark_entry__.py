@@ -1078,17 +1078,13 @@ def _q_running_user_stats(spark, sf_dir):
 
 
 def _q_window_top_order_per_cust(spark, sf_dir):
-    from pyspark.sql import Window
+    # grouped top-k operator (operators/deterministic.py:topk_per_group)
+    from semantic_olap_spark.operators.deterministic import topk_per_group
 
     orders = _t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.col("o_totalprice").desc(), F.col("o_orderkey")
-    )
-    return (
-        orders.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("o_custkey", "o_orderkey", "o_totalprice")
-    )
+    return topk_per_group(
+        orders, "o_custkey", "o_totalprice", k=1, tiebreak=["o_orderkey"]
+    ).select("o_custkey", "o_orderkey", "o_totalprice")
 
 
 # ---- Spark-native analytics breadth (SURVEY §2.5 fill-ins) -------------

@@ -6,6 +6,7 @@ from semantic_olap_spark.operators.deterministic import (  # noqa: F401
     num_filter_cond,
     num_reduce,
     num_topk,
+    topk_per_group,
 )
 from semantic_olap_spark.operators.logic import (  # noqa: F401
     compile_logic,

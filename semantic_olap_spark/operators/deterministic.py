@@ -222,6 +222,40 @@ def count_op(
     return df.groupBy().agg(*exprs)
 
 
+def topk_per_group(
+    df: DataFrame,
+    group_by: str | Sequence[str],
+    order_col: str,
+    k: int = 1,
+    order: str = "desc",
+    tiebreak: Iterable[str] = (),
+    rank_col: str | None = None,
+) -> DataFrame:
+    """Top-k rows per group by ``order_col`` (grouped `num_topk`).
+
+    A per-group window with `row_number` — one shuffle on the group
+    keys; each task keeps a running counter, not a heap, and rows
+    beyond k are dropped before anything else touches them.  Ties
+    break on ``tiebreak`` columns (then arbitrarily — pass enough
+    tiebreaks for determinism).  ``rank_col`` keeps the 1-based rank
+    in the output when set.
+    """
+    from pyspark.sql.window import Window
+
+    keys = [group_by] if isinstance(group_by, str) else list(group_by)
+    c = F.col(order_col).try_cast("double")
+    key = c.desc_nulls_last() if order == "desc" else c.asc_nulls_last()
+    w = Window.partitionBy(*keys).orderBy(
+        key, *[F.col(t).asc() for t in tiebreak]
+    )
+    out = df.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= int(k)
+    )
+    if rank_col:
+        return out.withColumnRenamed("_rn", rank_col)
+    return out.drop("_rn")
+
+
 def num_topk(
     df: DataFrame,
     column: str,

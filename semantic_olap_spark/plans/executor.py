@@ -411,6 +411,7 @@ def _build_pipeline_ops() -> dict:
         "ffill": _pipe(ffill, "cols", "ts_col"),
         "fuzzy_pairs": _pipe(fuzzy_pairs, "col", "id_col"),
         "quality_report": _pipe(quality_report, "rules"),
+        "topk_per_group": _pipe(det.topk_per_group, "group_by", "order_col"),
         "unique_violations": _pipe(unique_violations, "cols"),
         "normalize_text": _pipe(normalize_text),
         "chunk_documents": _pipe(chunk_documents, "size"),

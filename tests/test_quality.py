@@ -120,6 +120,38 @@ def test_snapshot_diff(spark):
     assert rows[3]["s_old"] == "c" and rows[3]["s_new"] == "c2"
 
 
+def test_snapshot_diff_reconstruction(tables, spark):
+    # applying the diff to old reproduces new exactly: drop removed,
+    # add added, replace changed
+    old = tables["orders"].select("o_orderkey", "o_orderstatus", "o_totalprice")
+    new = old.filter("o_orderkey % 7 != 0").withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + 1.5)
+        .otherwise(F.col("o_totalprice")),
+    )
+    diff = snapshot_diff(old, new, "o_orderkey").collect()
+    removed = {r["o_orderkey"] for r in diff if r["change"] == "removed"}
+    upserts = {
+        r["o_orderkey"]: (r["o_orderstatus_new"], r["o_totalprice_new"])
+        for r in diff if r["change"] in ("added", "changed")
+    }
+    rebuilt = {}
+    for r in old.collect():
+        if r["o_orderkey"] not in removed:
+            rebuilt[r["o_orderkey"]] = (r["o_orderstatus"], r["o_totalprice"])
+    rebuilt.update(upserts)
+    want = {
+        r["o_orderkey"]: (r["o_orderstatus"], r["o_totalprice"])
+        for r in new.collect()
+    }
+    assert rebuilt == want
+
+
+def test_snapshot_diff_identity_empty(tables):
+    o = tables["orders"].select("o_orderkey", "o_totalprice")
+    assert snapshot_diff(o, o, "o_orderkey").count() == 0
+
+
 def test_snapshot_diff_null_safe(spark):
     old = spark.createDataFrame([(1, None)], "k int, v string")
     new = spark.createDataFrame([(1, None)], "k int, v string")
