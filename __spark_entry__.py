@@ -1190,6 +1190,27 @@ def _q_cube_shipping(spark, sf_dir):
     )
 
 
+def _q_histogram_totalprice(spark, sf_dir):
+    # equal-width histogram with dense bins: one groupBy on a
+    # computed bucket + a bins-row spine join (functions/stats.py)
+    from semantic_olap_spark.functions.stats import histogram
+
+    return histogram(
+        _t(spark, sf_dir, "orders"), "o_totalprice",
+        bins=10, lo=0.0, hi=600000.0,
+    )
+
+
+def _q_corr_matrix_lineitem(spark, sf_dir):
+    # all pairwise Pearson correlations in ONE scan
+    from semantic_olap_spark.functions.stats import corr_matrix
+
+    return corr_matrix(
+        _t(spark, sf_dir, "lineitem"),
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+
+
 def _q_quality_report_lineitem(spark, sf_dir):
     # expectation gate: every rule is a conditional-sum aggregate in
     # ONE scan (functions/quality.py); output rows = #rules
@@ -1767,6 +1788,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_frequent_priority": _q_top_frequent_priority,
         "fuzzy_pairs_part_names": _q_fuzzy_pairs_part_names,
         "quality_report_lineitem": _q_quality_report_lineitem,
+        "histogram_totalprice": _q_histogram_totalprice,
+        "corr_matrix_lineitem": _q_corr_matrix_lineitem,
         "referential_orphans": _q_referential_orphans,
         "snapshot_diff_orders": _q_snapshot_diff_orders,
         "resample_daily_events": _q_resample_daily_events,
@@ -3275,6 +3298,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, metric,
                    round(sum(value::DECIMAL(18,6)), 2)::DOUBLE AS total
             FROM long GROUP BY l_returnflag, metric
+        """,
+        "histogram_totalprice": """
+            WITH spine AS (
+              SELECT unnest(generate_series(0, 9))::BIGINT AS bin
+            ), counts AS (
+              SELECT least(floor(o_totalprice / 60000.0), 9)::BIGINT AS bin,
+                     count(*) AS n
+              FROM orders
+              WHERE o_totalprice BETWEEN 0.0 AND 600000.0
+              GROUP BY 1
+            )
+            SELECT s.bin,
+                   round(s.bin * 60000.0, 6) AS lo,
+                   round((s.bin + 1) * 60000.0, 6) AS hi,
+                   coalesce(c.n, 0) AS n
+            FROM spine s LEFT JOIN counts c USING (bin)
+        """,
+        "corr_matrix_lineitem": """
+            SELECT * FROM (
+              SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+                     round(corr(l_quantity, l_extendedprice), 4) AS corr
+              FROM lineitem
+              UNION ALL SELECT 'l_quantity', 'l_discount',
+                     round(corr(l_quantity, l_discount), 4) FROM lineitem
+              UNION ALL SELECT 'l_quantity', 'l_tax',
+                     round(corr(l_quantity, l_tax), 4) FROM lineitem
+              UNION ALL SELECT 'l_extendedprice', 'l_discount',
+                     round(corr(l_extendedprice, l_discount), 4)
+                     FROM lineitem
+              UNION ALL SELECT 'l_extendedprice', 'l_tax',
+                     round(corr(l_extendedprice, l_tax), 4) FROM lineitem
+              UNION ALL SELECT 'l_discount', 'l_tax',
+                     round(corr(l_discount, l_tax), 4) FROM lineitem
+            )
         """,
         "quality_report_lineitem": """
             WITH wide AS (

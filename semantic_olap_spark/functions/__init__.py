@@ -96,3 +96,7 @@ from semantic_olap_spark.functions.quality import (  # noqa: F401
     snapshot_diff,
     unique_violations,
 )
+from semantic_olap_spark.functions.stats import (  # noqa: F401
+    corr_matrix,
+    histogram,
+)

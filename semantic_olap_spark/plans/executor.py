@@ -386,6 +386,7 @@ def _build_pipeline_ops() -> dict:
         winnow_overlap_pairs,
     )
     from semantic_olap_spark.functions.sketches import top_frequent
+    from semantic_olap_spark.functions.stats import corr_matrix, histogram
     from semantic_olap_spark.functions.timeseries import ffill, resample
     from semantic_olap_spark.functions.quality import (
         quality_report,
@@ -412,6 +413,8 @@ def _build_pipeline_ops() -> dict:
         "fuzzy_pairs": _pipe(fuzzy_pairs, "col", "id_col"),
         "quality_report": _pipe(quality_report, "rules"),
         "topk_per_group": _pipe(det.topk_per_group, "group_by", "order_col"),
+        "histogram": _pipe(histogram, "col"),
+        "corr_matrix": _pipe(corr_matrix, "cols"),
         "unique_violations": _pipe(unique_violations, "cols"),
         "normalize_text": _pipe(normalize_text),
         "chunk_documents": _pipe(chunk_documents, "size"),
