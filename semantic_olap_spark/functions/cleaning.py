@@ -190,7 +190,9 @@ def cap_per_group(
 
 
 def _toks(col: Column) -> Column:
-    return F.split(F.lower(F.trim(col)), _WS)
+    # empty tokens dropped: robust to leading \t/\n that ASCII-space
+    # trim leaves behind (functions/text.py:_ws_tokens)
+    return F.filter(F.split(F.lower(col), _WS), lambda t: t != "")
 
 
 def repetition_profile(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -40,9 +40,16 @@ from semantic_olap_spark.functions.text import doc_fingerprint
 _WS = r"\s+"
 
 
+def _ws_lower_tokens(col: Column) -> Column:
+    """Lowercase whitespace tokens, empty tokens dropped (see
+    functions/text.py:_ws_tokens for the leading-whitespace bug
+    class this guards)."""
+    return F.filter(F.split(F.lower(col), _WS), lambda t: t != "")
+
+
 def _norm_tokens(col: Column) -> Column:
     """Distinct lowercase whitespace tokens of a text column."""
-    return F.array_distinct(F.split(F.lower(F.trim(col)), _WS))
+    return F.array_distinct(_ws_lower_tokens(col))
 
 
 def _hashed(arr: Column) -> Column:
@@ -307,7 +314,7 @@ def word_shingles(col: Column, n: int = 3) -> Column:
     """
     from semantic_olap_spark.functions.text import zip_ngram_fold
 
-    toks = F.split(F.lower(F.trim(col)), _WS)
+    toks = _ws_lower_tokens(col)
     grams = F.when(
         F.size(toks) < n, F.array(F.array_join(toks, " "))
     ).otherwise(zip_ngram_fold(toks, n))

@@ -68,7 +68,9 @@ def chunk_documents(
             f"overlap must satisfy 0 <= overlap < size, got {overlap}"
         )
     stride = size - overlap
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda t: t != ""
+    )
     n = F.size(toks)
     n_chunks = F.when(
         n <= size, F.lit(1)

@@ -32,8 +32,20 @@ _WS = r"\s+"
 _BPE_ISH = r"[a-zA-Z0-9]+|[^a-zA-Z0-9\s]"
 
 
+def _ws_tokens(col: Column) -> Column:
+    """Whitespace-split with empty tokens dropped.
+
+    ``trim`` removes ASCII spaces only, so text leading with ``\\t``/
+    ``\\n`` used to survive into ``split`` and emit a bogus empty
+    first token (found by the hypothesis suite via ``'\\x85'``);
+    filtering empties is robust to every leading/trailing
+    whitespace form and makes whitespace-only text tokenize to [].
+    """
+    return F.filter(F.split(col, _WS), lambda t: t != "")
+
+
 def _tokens(col: Column) -> Column:
-    return F.split(F.lower(F.trim(col)), _WS)
+    return _ws_tokens(F.lower(col))
 
 
 def zip_ngram_fold(toks: Column, n: int) -> Column:
@@ -60,9 +72,7 @@ def zip_ngram_fold(toks: Column, n: int) -> Column:
 
 def token_count(col: Column) -> Column:
     """Whitespace token count; empty/blank text counts 0."""
-    return F.when(F.trim(col) == "", F.lit(0)).otherwise(
-        F.size(F.split(F.trim(col), _WS))
-    )
+    return F.size(_ws_tokens(col))
 
 
 def token_count_bpe(col: Column) -> Column:
@@ -147,7 +157,7 @@ def winnow_fingerprints(
     of xxhash64 (window min = lexicographic min) so the selection is
     reproducible in the DuckDB oracle; oracle/driver use only.
     """
-    toks = F.split(F.lower(F.trim(col)), _WS)
+    toks = _tokens(col)
     # k-gram texts (zip_ngram_fold), clamped to the whole text for
     # docs shorter than k tokens — then hashed elementwise
     gram_texts = F.when(
