@@ -210,22 +210,67 @@ class PlanExecutor:
     plans (SURVEY.md §4.2).  A ``filter_group`` step carries nested
     ``operations`` + ``logic`` for general boolean trees and routes
     through :func:`run_filter`.
+
+    ``tables`` (optional) names side DataFrames for multi-table
+    steps: a ``join`` step resolves ``right`` against it — the
+    extension the reference's single-table language never needed
+    (SURVEY.md §2.5) but real star-schema plans do.  ``register``
+    adds custom single-frame operators without forking the language:
+    the registered callable receives ``(df, params)``.
     """
 
-    def __init__(self, llm_factory: LLMFactory = default_llm_factory):
+    def __init__(
+        self,
+        llm_factory: LLMFactory = default_llm_factory,
+        tables: Mapping[str, DataFrame] | None = None,
+    ):
         self.llm_factory = llm_factory
         self.lineage: list[dict] = []
+        self.tables = dict(tables or {})
+        self._custom: dict = {}
+
+    def register(self, name: str, fn) -> None:
+        """Add/override a plan operator: ``fn(df, params) -> DataFrame``."""
+        if name in ("filter_group", "join"):
+            raise ValueError(f"cannot override structural step {name!r}")
+        self._custom[name] = fn
 
     def execute(self, df: DataFrame, plan: Sequence[Mapping]) -> DataFrame:
         for step in plan:
             df = self.execute_step(df, step)
         return df
 
+    def _join_step(self, df: DataFrame, p: Mapping) -> DataFrame:
+        right_name = p.get("right")
+        if right_name not in self.tables:
+            raise ValueError(
+                f"join step: unknown table {right_name!r} — pass it via "
+                f"PlanExecutor(tables={{...}}); have {sorted(self.tables)}"
+            )
+        right = self.tables[right_name]
+        if p.get("select"):
+            right = right.select(*p["select"])
+        if p.get("broadcast"):
+            right = F.broadcast(right)
+        if p.get("left_on"):
+            cond = df[p["left_on"]] == right[p["right_on"]]
+            return df.join(right, cond, p.get("how", "inner"))
+        on = p.get("on")
+        if isinstance(on, str):
+            on = [on]
+        if not on:
+            raise ValueError("join step needs on= or left_on=/right_on=")
+        return df.join(right, list(on), p.get("how", "inner"))
+
     def execute_step(self, df: DataFrame, step: Mapping) -> DataFrame:
         name = step.get("operator_name") or step.get("operator")
         p = step_params(step)
         self.lineage.append(copy.deepcopy({"operator_name": name, "parameters": p}))
         lf = self.llm_factory
+        if name in self._custom:
+            return self._custom[name](df, p)
+        if name == "join":
+            return self._join_step(df, p)
         if name == "filter_group":
             ops = step.get("operations") or p.get("operations")
             logic = step.get("logic") or p.get("logic")
