@@ -86,6 +86,14 @@ HEADLINE = [
     "cube_shipping",
     # exact heavy hitters: distinct-value counts + bounded top-k
     "top_frequent_priority",
+    # edit-distance entity resolution (brand-blocked, thresholded DP)
+    "fuzzy_pairs_part_names",
+    # one-scan expectation gate (5 rules, single FileScan)
+    "quality_report_lineitem",
+    # dense time axis: agg-then-densify with a per-group date spine
+    "resample_daily_events",
+    # dense equal-width histogram (bucket groupBy + bins-row spine)
+    "histogram_totalprice",
     # deterministic sampling + the two-phase prefix-sum packer
     "hash_sample",
     "pack_documents",

@@ -156,3 +156,41 @@ def test_snapshot_diff_null_safe(spark):
     old = spark.createDataFrame([(1, None)], "k int, v string")
     new = spark.createDataFrame([(1, None)], "k int, v string")
     assert snapshot_diff(old, new, "k").count() == 0  # NULL == NULL here
+
+
+def test_quality_report_on_stream(spark, sf_dir):
+    # expectation gates run on streaming frames too: the one-pass
+    # aggregate is a streaming global agg (complete output mode)
+    from semantic_olap_spark.sources.loaders import load_table
+
+    schema = load_table(spark, sf_dir, "lineitem").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "lineitem.parquet")
+        .parquet(sf_dir)
+    )
+    rules = [
+        {"name": "qty_range", "between": ["l_quantity", 1, 50]},
+        {"name": "key_not_null", "not_null": "l_orderkey"},
+    ]
+    rep = quality_report(stream, rules)
+    assert rep.isStreaming
+    q = (
+        rep.writeStream.format("memory")
+        .queryName("quality_stream_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["rule"]: (r["violations"], r["n_rows"])
+        for r in spark.sql("SELECT * FROM quality_stream_test").collect()
+    }
+    want = {
+        r["rule"]: (r["violations"], r["n_rows"])
+        for r in quality_report(
+            load_table(spark, sf_dir, "lineitem"), rules
+        ).collect()
+    }
+    assert got == want
