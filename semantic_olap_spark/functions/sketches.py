@@ -102,8 +102,22 @@ def top_frequent(
         F.count(F.lit(1)).alias("freq")
     )
     if support > 0:
-        total = df.count()
-        counts = counts.filter(F.col("freq") >= max(1, int(support * total)))
+        # lazy scalar total from the counts frame itself — the
+        # duplicated aggregation shares its Exchange (ReuseExchange),
+        # so the raw input is still scanned once and no driver-side
+        # count() action runs at build time
+        total = counts.groupBy().agg(F.sum("freq").alias("_total"))
+        counts = (
+            counts.join(F.broadcast(total))
+            .filter(
+                F.col("freq")
+                >= F.greatest(
+                    F.lit(1),
+                    (F.lit(float(support)) * F.col("_total")).cast("long"),
+                )
+            )
+            .drop("_total")
+        )
     from pyspark.sql import Window
 
     part = Window.partitionBy(*[F.col(c) for c in keys]) if keys else Window.partitionBy()
