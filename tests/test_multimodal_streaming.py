@@ -184,7 +184,7 @@ def test_stream_windowed_agg_matches_batch(spark, sf_dir, tables):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(300)
     got = spark.sql("SELECT * FROM win_agg_test").toPandas()
     want = windowed_agg(
         tables["events"], "ts", "1 hour", group_by=["event_type"],
@@ -212,7 +212,7 @@ def test_sem_filter_works_on_streams(spark, sf_dir, tables):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(300)
     got = spark.sql("SELECT count(*) c FROM sem_stream_test").collect()[0]["c"]
     want = sem_filter(tables["events"], ["event_type"], "error rows").count()
     assert got == want > 0
@@ -249,7 +249,7 @@ def test_stream_dedup_streaming_end_to_end(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(300)
     got = spark.sql(
         "SELECT event_id FROM dedup_stream_test ORDER BY event_id"
     ).collect()
@@ -282,7 +282,7 @@ def test_stream_interval_join_matches_batch(spark, sf_dir, tables):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(300)
     got = spark.sql(
         "SELECT event_id, r_ts, r_value FROM ssj_test"
     ).toPandas()
@@ -343,7 +343,7 @@ def test_cleaning_ops_work_on_streams(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(300)
     got = spark.sql("SELECT count(*) c FROM clean_stream_test").collect()[0]["c"]
     want = heuristic_filter(
         redact_pii(load_table(spark, sf_dir, "documents")), min_tokens=5
@@ -410,7 +410,7 @@ def test_chunk_normalize_sentiment_work_on_streams(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(300)
     got = spark.sql(
         "SELECT count(*) c, sum(n_chunk_tokens) t FROM chunk_stream_test"
     ).collect()[0]
@@ -446,7 +446,7 @@ def test_dedup_against_works_on_streams(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(300)
     got = spark.sql(
         "SELECT count(*) c FROM dedup_against_stream"
     ).collect()[0]["c"]

@@ -182,7 +182,7 @@ def test_quality_report_on_stream(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(300)
     got = {
         r["rule"]: (r["violations"], r["n_rows"])
         for r in spark.sql("SELECT * FROM quality_stream_test").collect()

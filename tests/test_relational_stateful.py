@@ -155,7 +155,7 @@ def test_running_user_stats_string_keys_stream(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(300)
     got = {
         r["user_id"]: (r["running_count"], r["running_sum"])
         for r in spark.sql("SELECT * FROM str_keys_test").collect()
@@ -197,7 +197,7 @@ def test_running_user_stats_stream_state_accumulates(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(300)
     rows = spark.sql("SELECT * FROM running_stats_test").collect()
     # state accumulated across micro-batches: the LAST emission per
     # user must equal the all-data totals
@@ -264,7 +264,7 @@ def test_streaming_funnel_matches_batch_on_single_batch(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(300)
     got = {
         (r["user_id"], r["stage"], r["reached_ts"])
         for r in spark.sql("SELECT * FROM sfunnel").collect()
@@ -315,12 +315,22 @@ def test_streaming_funnel_stateful_chaining_across_batches(spark, tmp_path):
     ]
     src = str(tmp_path / "events_src")
     cols = ["user_id", "ts", "event_type"]
-    spark.createDataFrame(rows1, cols).write.mode("overwrite").parquet(
-        f"{src}/b1"
-    )
-    spark.createDataFrame(rows2, cols).write.mode("overwrite").parquet(
-        f"{src}/b2"
-    )
+    # one part file per batch + strictly increasing mtimes: the file
+    # stream source orders batches by modification time, and equal
+    # mtimes (or multi-part writes) make batch order — and therefore
+    # the state chaining under test — nondeterministic
+    import glob
+    import os
+
+    spark.createDataFrame(rows1, cols).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{src}/b1")
+    spark.createDataFrame(rows2, cols).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{src}/b2")
+    for i, d in enumerate(("b1", "b2")):
+        for f in glob.glob(f"{src}/{d}/*.parquet"):
+            os.utime(f, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
     schema = spark.read.parquet(f"{src}/b1").schema
     stream = (
         spark.readStream.schema(schema)
@@ -335,7 +345,7 @@ def test_streaming_funnel_stateful_chaining_across_batches(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(300)
     # final state per user = last emitted row
     rows = spark.sql(
         "SELECT * FROM sfunnel2"

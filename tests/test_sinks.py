@@ -70,7 +70,7 @@ def test_write_stream_parquet_exactly_once(spark, tables, tmp_path):
     stream = spark.readStream.schema(schema).parquet(src)
     out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
     q = write_stream_parquet(stream, out, ckpt, trigger_once=True)
-    q.awaitTermination(120)
+    assert q.awaitTermination(300)
     got = spark.read.parquet(out)
     assert got.count() == tables["events"].count()
     # restart with the same checkpoint: nothing new -> no duplicates
@@ -78,7 +78,7 @@ def test_write_stream_parquet_exactly_once(spark, tables, tmp_path):
         spark.readStream.schema(schema).parquet(src), out, ckpt,
         trigger_once=True,
     )
-    q2.awaitTermination(120)
+    assert q2.awaitTermination(300)
     assert spark.read.parquet(out).count() == tables["events"].count()
 
 
