@@ -1264,6 +1264,38 @@ def _q_snapshot_diff_orders(spark, sf_dir):
     return snapshot_diff(orders, new, "o_orderkey")
 
 
+def _q_rolling_user_value(spark, sf_dir):
+    # trailing 1-day window per user: incremental range frame, one
+    # shuffle on the user key (functions/timeseries.py).  count is
+    # exact; the windowed sum is re-derived bit-exactly in SQL via
+    # the same decimal cast
+    from semantic_olap_spark.functions.timeseries import rolling_agg
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "value", F.col("value").cast("decimal(18,6)")
+    )
+    out = rolling_agg(
+        ev, "ts", "value", "user_id", window="1 days",
+        aggs=("sum", "count"),
+    )
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("sum_value_1_days").cast("decimal(18,6)")
+        .cast("double").alias("sum_1d"),
+        F.col("count_value_1_days").alias("n_1d"),
+    )
+
+
+def _q_sessionize_events(spark, sf_dir):
+    # row-level gap sessionization: lag + running sum over one
+    # user-keyed window
+    from semantic_olap_spark.functions.timeseries import sessionize
+
+    return sessionize(
+        _t(spark, sf_dir, "events"), "ts", "user_id", gap="30 minutes"
+    ).select("event_id", "user_id", "ts", "session_id")
+
+
 def _q_fuzzy_pairs_part_names(spark, sf_dir):
     # edit-distance entity resolution: brand-blocked candidate pairs,
     # length-band + thresholded-levenshtein pruning (operators/fuzzy.py)
@@ -1787,6 +1819,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "monthly_growth": _q_monthly_growth,
         "top_frequent_priority": _q_top_frequent_priority,
         "fuzzy_pairs_part_names": _q_fuzzy_pairs_part_names,
+        "rolling_user_value": _q_rolling_user_value,
+        "sessionize_events": _q_sessionize_events,
         "quality_report_lineitem": _q_quality_report_lineitem,
         "histogram_totalprice": _q_histogram_totalprice,
         "corr_matrix_lineitem": _q_corr_matrix_lineitem,
@@ -3393,6 +3427,35 @@ def oracle_sql() -> dict[str, str]:
                        WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
                          OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
                        THEN 'changed' END IS NOT NULL
+        """,
+        "rolling_user_value": """
+            SELECT event_id, user_id, ts,
+                   sum(value::DECIMAL(18,6)) OVER w::DECIMAL(18,6)::DOUBLE
+                       AS sum_1d,
+                   count(*) OVER w AS n_1d
+            FROM events
+            WINDOW w AS (
+              PARTITION BY user_id
+              ORDER BY epoch(ts::TIMESTAMP)::BIGINT
+              RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW
+            )
+        """,
+        "sessionize_events": """
+            SELECT event_id, user_id, ts,
+                   sum(new_sess) OVER (
+                     PARTITION BY user_id ORDER BY ts
+                     ROWS UNBOUNDED PRECEDING
+                   ) AS session_id
+            FROM (
+              SELECT event_id, user_id, ts,
+                     CASE WHEN lag(epoch(ts::TIMESTAMP)::BIGINT) OVER
+                              (PARTITION BY user_id ORDER BY ts) IS NULL
+                           OR epoch(ts::TIMESTAMP)::BIGINT
+                              - lag(epoch(ts::TIMESTAMP)::BIGINT) OVER
+                                (PARTITION BY user_id ORDER BY ts) > 1800
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+            )
         """,
         "fuzzy_pairs_part_names": """
             SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,

@@ -89,6 +89,8 @@ from semantic_olap_spark.functions.sketches import (  # noqa: F401
 from semantic_olap_spark.functions.timeseries import (  # noqa: F401
     ffill,
     resample,
+    rolling_agg,
+    sessionize,
 )
 from semantic_olap_spark.functions.quality import (  # noqa: F401
     quality_report,

@@ -31,7 +31,7 @@ from pyspark.sql.window import Window
 
 from semantic_olap_spark.operators.deterministic import AGGS
 
-__all__ = ["ffill", "resample"]
+__all__ = ["ffill", "resample", "rolling_agg", "sessionize"]
 
 _STEPS = {
     "hour": "interval 1 hour",
@@ -94,6 +94,113 @@ def resample(
         vc = f"{agg}_{value_col}"
         out = out.withColumn(vc, F.coalesce(F.col(vc), F.lit(float(fill))))
     return out
+
+
+def rolling_agg(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    group_by: str | Sequence[str],
+    window: str = "7 days",
+    aggs: Sequence[str] = ("avg",),
+    round_to: int | None = None,
+) -> DataFrame:
+    """Trailing time-window aggregates per row: e.g. the 7-day moving
+    average ending at each event.
+
+    One window per group ordered by event time with a
+    ``rangeBetween(-interval, current)`` frame — a single shuffle on
+    the group key; Spark maintains the sliding frame incrementally
+    (values entering/leaving as the bound moves), so cost is O(rows),
+    not O(rows × window).  Output adds ``{agg}_{value_col}_{window}``
+    columns (window spelled with underscores).
+    """
+    keys = [group_by] if isinstance(group_by, str) else list(group_by)
+    if not keys:
+        raise ValueError(
+            "rolling_agg needs group_by: an ungrouped time window is "
+            "a single global sort task"
+        )
+    parts = window.split()
+    if len(parts) != 2 or not parts[0].isdigit():
+        raise ValueError(f"window must look like '7 days', got {window!r}")
+    amount, unit = int(parts[0]), parts[1].rstrip("s")
+    seconds = {
+        "second": 1, "minute": 60, "hour": 3600, "day": 86400,
+    }.get(unit)
+    if seconds is None:
+        raise ValueError(f"unsupported window unit {unit!r}")
+    span = amount * seconds
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(ts_col).cast("timestamp").cast("long"))
+        .rangeBetween(-span, 0)
+    )
+    tag = window.replace(" ", "_")
+    out = df
+    # numeric columns keep their type (a decimal input sums exactly —
+    # the oracle-stable form); only non-numeric goes through the
+    # engine-wide numeric-on-demand cast
+    from pyspark.sql.types import NumericType
+
+    dtype = df.schema[value_col].dataType
+    v = (
+        F.col(value_col)
+        if isinstance(dtype, NumericType)
+        else F.col(value_col).try_cast("double")
+    )
+    for agg in aggs:
+        if agg not in AGGS and agg != "count":
+            raise ValueError(f"unknown agg {agg!r}")
+        e = F.count(F.lit(1)).over(w) if agg == "count" else AGGS[agg](v).over(w)
+        if round_to is not None and agg != "count":
+            e = F.round(e, round_to)
+        out = out.withColumn(f"{agg}_{value_col}_{tag}", e)
+    return out
+
+
+def sessionize(
+    df: DataFrame,
+    ts_col: str,
+    group_by: str | Sequence[str],
+    gap: str = "30 minutes",
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Label each event with its gap-based session ordinal.
+
+    A new session starts when the gap to the previous event of the
+    same group exceeds ``gap``; ``session_col`` is the 1-based
+    session ordinal within the group (deterministic — join it with
+    the group key for a globally unique id).  Row-level counterpart
+    of ``session_agg`` (streaming/windows.py), which aggregates
+    whole sessions; this keeps every event row.  One shuffle on the
+    group key; the running sum over the new-session flags is
+    incremental per task.
+    """
+    keys = [group_by] if isinstance(group_by, str) else list(group_by)
+    if not keys:
+        raise ValueError("sessionize needs group_by")
+    parts = gap.split()
+    if len(parts) != 2 or not parts[0].isdigit():
+        raise ValueError(f"gap must look like '30 minutes', got {gap!r}")
+    amount, unit = int(parts[0]), parts[1].rstrip("s")
+    seconds = {
+        "second": 1, "minute": 60, "hour": 3600, "day": 86400,
+    }.get(unit)
+    if seconds is None:
+        raise ValueError(f"unsupported gap unit {unit!r}")
+    w = Window.partitionBy(*keys).orderBy(F.col(ts_col).asc())
+    ts_long = F.col(ts_col).cast("timestamp").cast("long")
+    prev = F.lag(ts_long).over(w)
+    new_sess = F.when(
+        prev.isNull() | ((ts_long - prev) > amount * seconds), 1
+    ).otherwise(0)
+    return df.withColumn(
+        session_col,
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
 
 
 def ffill(

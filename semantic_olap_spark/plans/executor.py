@@ -432,7 +432,12 @@ def _build_pipeline_ops() -> dict:
     )
     from semantic_olap_spark.functions.sketches import top_frequent
     from semantic_olap_spark.functions.stats import corr_matrix, histogram
-    from semantic_olap_spark.functions.timeseries import ffill, resample
+    from semantic_olap_spark.functions.timeseries import (
+        ffill,
+        resample,
+        rolling_agg,
+        sessionize,
+    )
     from semantic_olap_spark.functions.quality import (
         quality_report,
         unique_violations,
@@ -455,6 +460,8 @@ def _build_pipeline_ops() -> dict:
         "top_frequent": _pipe(top_frequent, "col"),
         "resample": _pipe(resample, "ts_col"),
         "ffill": _pipe(ffill, "cols", "ts_col"),
+        "rolling_agg": _pipe(rolling_agg, "ts_col", "value_col", "group_by"),
+        "sessionize": _pipe(sessionize, "ts_col", "group_by"),
         "fuzzy_pairs": _pipe(fuzzy_pairs, "col", "id_col"),
         "quality_report": _pipe(quality_report, "rules"),
         "topk_per_group": _pipe(det.topk_per_group, "group_by", "order_col"),

@@ -101,3 +101,88 @@ def test_ffill_on_events_oracle(tables, duck):
         FROM events
         """,
     )
+
+
+def test_rolling_agg_oracle(tables, duck):
+    from semantic_olap_spark.functions.timeseries import rolling_agg
+
+    out = rolling_agg(
+        tables["events"], "ts", "value", "user_id",
+        window="1 days", aggs=("avg", "count"),
+    ).select("event_id", "user_id", "ts", "avg_value_1_days",
+             "count_value_1_days")
+    assert_matches(
+        out,
+        duck,
+        """
+        SELECT event_id, user_id, ts,
+               avg(value) OVER w AS avg_value_1_days,
+               count(*) OVER w AS count_value_1_days
+        FROM events
+        WINDOW w AS (
+          PARTITION BY user_id
+          ORDER BY epoch(ts::TIMESTAMP)::BIGINT
+          RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW
+        )
+        """,
+        float_tol=1e-6,
+    )
+
+
+def test_rolling_agg_validations(tables):
+    from semantic_olap_spark.functions.timeseries import rolling_agg
+
+    with pytest.raises(ValueError, match="group_by"):
+        rolling_agg(tables["events"], "ts", "value", [])
+    with pytest.raises(ValueError, match="window must"):
+        rolling_agg(tables["events"], "ts", "value", "user_id", window="weekly")
+    with pytest.raises(ValueError, match="unknown agg"):
+        rolling_agg(tables["events"], "ts", "value", "user_id", aggs=("median",))
+
+
+def test_sessionize_oracle(tables, duck):
+    from semantic_olap_spark.functions.timeseries import sessionize
+
+    out = sessionize(
+        tables["events"], "ts", "user_id", gap="30 minutes"
+    ).select("event_id", "user_id", "ts", "session_id")
+    assert_matches(
+        out,
+        duck,
+        """
+        SELECT event_id, user_id, ts,
+               sum(new_sess) OVER (
+                 PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING
+               ) AS session_id
+        FROM (
+          SELECT event_id, user_id, ts,
+                 CASE WHEN lag(epoch(ts::TIMESTAMP)::BIGINT) OVER
+                          (PARTITION BY user_id ORDER BY ts) IS NULL
+                       OR epoch(ts::TIMESTAMP)::BIGINT
+                          - lag(epoch(ts::TIMESTAMP)::BIGINT) OVER
+                            (PARTITION BY user_id ORDER BY ts) > 1800
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM events
+        )
+        """,
+    )
+
+
+def test_sessionize_gap_semantics(spark):
+    import datetime as dt
+
+    from semantic_olap_spark.functions.timeseries import sessionize
+
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            ("u", t0), ("u", t0 + dt.timedelta(minutes=10)),
+            ("u", t0 + dt.timedelta(minutes=50)),   # 40m gap → new
+            ("u", t0 + dt.timedelta(minutes=75)),   # 25m gap → same
+        ],
+        "u string, ts timestamp",
+    )
+    got = [r["session_id"] for r in
+           sessionize(df, "ts", "u").orderBy("ts").collect()]
+    assert got == [1, 1, 2, 2]
