@@ -46,8 +46,9 @@ SINGLE_PARTITION_OK = {
     "sem_group_cluster", "sem_map_topic", "sem_reduce_by_region",
     "approx_distinct_merge", "reservoir_sample", "dimension_catalog",
     "topk_dispatch_num",
-    # global scalar-stats aggregates (1-row output)
+    # global scalar-stats aggregates (1-row / #rules / #pairs output)
     "quantile_filter", "profile_columns", "ngram_lm_score",
+    "quality_report_lineitem", "corr_matrix_lineitem",
     # with_olap_id(order_by=...) parity path: dense row_number ids for
     # the oracle compare (SCALE.md known trade-off; the scale path is
     # monotonically_increasing_id)
