@@ -299,3 +299,96 @@ class CubeMemory:
         the reference's merge-on-OLAP_ID (Roll_Up_Agent.py:173,225)."""
         node = self.nodes[node_id]
         return node.df.join(g.df, on=OLAP_ID, how="left")
+
+
+# -- cube persistence ----------------------------------------------------
+
+
+def save_cube(mem: CubeMemory, path: str) -> None:
+    """Persist the lattice: every node's materialized frame + the
+    granularity label maps as parquet, topology/queries/plans as a
+    JSON manifest.
+
+    Cross-session reuse is the point: a nightly session reopens
+    yesterday's cube with :func:`load_cube` and Equal/Subset probes
+    hit disk-backed parquet (scans with pushdown) instead of
+    re-filtering the root.  Frames are written through Spark (any
+    supported filesystem); the manifest uses local file I/O — point
+    ``path`` at a shared filesystem for multi-host reuse.
+    """
+    import json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    manifest: dict = {"root_id": mem.root_id, "nodes": []}
+    for nid, node in mem.nodes.items():
+        node_dir = f"{path}/nodes/{nid}"
+        node.df.write.mode("overwrite").parquet(node_dir)
+        grans = []
+        for col, views in node.col_views.items():
+            for gname, g in views.granularities.items():
+                gdir = f"{path}/grans/{nid}/{col}/{gname}"
+                g.df.write.mode("overwrite").parquet(gdir)
+                grans.append(
+                    {"column": col, "name": gname,
+                     "description": g.description, "plan": g.plan}
+                )
+        manifest["nodes"].append(
+            {"id": nid, "query": node.query, "plan": node.plan,
+             "parents": node.parents, "children": node.children,
+             "granularities": grans}
+        )
+    with open(f"{path}/cube.json", "w") as f:
+        json.dump(manifest, f, indent=1)
+
+
+def load_cube(
+    spark,
+    path: str,
+    classify: Callable[[str, str], Relation] | None = None,
+    max_cached_nodes: int | None = None,
+) -> CubeMemory:
+    """Reopen a :func:`save_cube` directory as a live lattice.
+
+    Node frames come back as plain parquet scans (disk-backed — no
+    eager cache; predicate pushdown applies on every reuse).  Node
+    ids are re-assigned but topology, queries, plans, and
+    granularity catalogs are preserved.
+    """
+    import json
+
+    with open(f"{path}/cube.json") as f:
+        manifest = json.load(f)
+    by_old = {int(n["id"]): n for n in manifest["nodes"]}
+    root_old = int(manifest["root_id"])
+
+    root_df = spark.read.parquet(f"{path}/nodes/{root_old}")
+    mem = CubeMemory(
+        root_df, classify=classify, max_cached_nodes=max_cached_nodes
+    )
+    # the CubeMemory constructor cached the root; swap to the
+    # disk-backed scan (already has OLAP_ID)
+    mem.nodes[mem.root_id].release()
+    mem.nodes[mem.root_id].df = root_df
+    mem.nodes[mem.root_id].query = by_old[root_old]["query"]
+    id_map = {root_old: mem.root_id}
+
+    for old_id, spec in by_old.items():
+        if old_id == root_old:
+            continue
+        df = spark.read.parquet(f"{path}/nodes/{old_id}")
+        node = CubeNode(spec["query"], df, plan=spec["plan"], cache=False)
+        mem.nodes[node.id] = node
+        id_map[old_id] = node.id
+    for old_id, spec in by_old.items():
+        for p in spec["parents"]:
+            mem.add_edge(id_map[int(p)], id_map[old_id])
+        for g in spec["granularities"]:
+            gdf = spark.read.parquet(
+                f"{path}/grans/{old_id}/{g['column']}/{g['name']}"
+            )
+            mem.register_granularity(
+                id_map[old_id], g["column"], g["name"], gdf,
+                g.get("description", ""), g.get("plan"),
+            )
+    return mem
