@@ -61,13 +61,17 @@ def _rule_cond(df: DataFrame, rule: Mapping) -> Column:
 
 
 def _rule_name(rule: Mapping) -> str:
+    # names become column aliases AND stack() literals — sanitize to
+    # identifier characters so neither side needs quoting gymnastics
     if "name" in rule:
-        return str(rule["name"])
-    kind, spec = next(iter(
-        (k, v) for k, v in rule.items() if k != "name"
-    ))
-    head = spec if isinstance(spec, str) else spec[0]
-    return f"{kind}_{str(head).replace(' ', '_')[:40]}"
+        raw = str(rule["name"])
+    else:
+        kind, spec = next(iter(
+            (k, v) for k, v in rule.items() if k != "name"
+        ))
+        head = spec if isinstance(spec, str) else spec[0]
+        raw = f"{kind}_{str(head)[:40]}"
+    return "".join(ch if ch.isalnum() else "_" for ch in raw)
 
 
 def quality_report(df: DataFrame, rules: Sequence[Mapping]) -> DataFrame:
@@ -90,7 +94,7 @@ def quality_report(df: DataFrame, rules: Sequence[Mapping]) -> DataFrame:
         )
     wide = df.groupBy().agg(*aggs)
     stack_args = ", ".join(
-        f"'{n}', _v_{n}" for n in names
+        f"'{n}', `_v_{n}`" for n in names
     )
     return wide.selectExpr(
         f"stack({len(names)}, {stack_args}) AS (rule, violations)",
@@ -115,7 +119,7 @@ def unique_violations(
         .agg(F.count(F.lit(1)).alias("n_dup"))
         .filter(F.col("n_dup") > 1)
     )
-    return out.limit(int(limit)) if limit else out
+    return out.limit(int(limit)) if limit is not None else out
 
 
 def referential_violations(
@@ -157,12 +161,13 @@ def snapshot_diff(
         F.lit(True).alias("_in_new"),
     )
     j = o.join(n, keys, "full_outer")
-    changed = None
+    # no compare columns = pure membership diff: nothing can be
+    # "changed", only added/removed
+    changed: Column = F.lit(False)
     for c in cols:
-        ne = ~(
+        changed = changed | ~(
             F.col(f"{c}_old").eqNullSafe(F.col(f"{c}_new"))
         )
-        changed = ne if changed is None else (changed | ne)
     status = (
         F.when(F.col("_in_old").isNull(), F.lit("added"))
         .when(F.col("_in_new").isNull(), F.lit("removed"))

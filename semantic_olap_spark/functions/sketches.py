@@ -102,22 +102,30 @@ def top_frequent(
         F.count(F.lit(1)).alias("freq")
     )
     if support > 0:
-        # lazy scalar total from the counts frame itself — the
-        # duplicated aggregation shares its Exchange (ReuseExchange),
-        # so the raw input is still scanned once and no driver-side
-        # count() action runs at build time
-        total = counts.groupBy().agg(F.sum("freq").alias("_total"))
-        counts = (
-            counts.join(F.broadcast(total))
-            .filter(
-                F.col("freq")
-                >= F.greatest(
-                    F.lit(1),
-                    (F.lit(float(support)) * F.col("_total")).cast("long"),
-                )
+        # support is relative to the GROUP's row count (a small group
+        # must not be judged against the global total), computed
+        # lazily from the counts frame itself: a per-group window sum
+        # (same partitioning as the groupBy — no extra shuffle), or a
+        # scalar broadcast join when ungrouped.  Either way the raw
+        # input is scanned once and no driver-side count() action
+        # runs at build time.
+        if keys:
+            from pyspark.sql import Window as _W
+
+            total_c = F.sum("freq").over(
+                _W.partitionBy(*[F.col(k) for k in keys])
             )
-            .drop("_total")
-        )
+            counts = counts.withColumn("_total", total_c)
+        else:
+            total = counts.groupBy().agg(F.sum("freq").alias("_total"))
+            counts = counts.join(F.broadcast(total))
+        counts = counts.filter(
+            F.col("freq")
+            >= F.greatest(
+                F.lit(1),
+                (F.lit(float(support)) * F.col("_total")).cast("long"),
+            )
+        ).drop("_total")
     from pyspark.sql import Window
 
     part = Window.partitionBy(*[F.col(c) for c in keys]) if keys else Window.partitionBy()

@@ -46,7 +46,7 @@ def histogram(
         row = df.agg(F.min(v).alias("lo"), F.max(v).alias("hi")).first()
         lo = row["lo"] if lo is None else lo
         hi = row["hi"] if hi is None else hi
-        if lo is None:
+        if lo is None or hi is None:
             raise ValueError(f"column {col!r} has no numeric values")
     lo, hi = float(lo), float(hi)
     if hi <= lo:

@@ -39,6 +39,21 @@ _STEPS = {
     "week": "interval 7 days",
 }
 
+_UNIT_SECONDS = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
+
+
+def _parse_duration(spec: str, what: str) -> int:
+    """'7 days' / '30 minutes' → seconds (shared by rolling_agg and
+    sessionize)."""
+    parts = spec.split()
+    if len(parts) != 2 or not parts[0].isdigit():
+        raise ValueError(f"{what} must look like '7 days', got {spec!r}")
+    amount, unit = int(parts[0]), parts[1].rstrip("s")
+    seconds = _UNIT_SECONDS.get(unit)
+    if seconds is None:
+        raise ValueError(f"unsupported {what} unit {unit!r}")
+    return amount * seconds
+
 
 def resample(
     df: DataFrame,
@@ -59,7 +74,7 @@ def resample(
     if step not in _STEPS:
         raise ValueError(f"step must be one of {sorted(_STEPS)}")
     keys = [group_by] if isinstance(group_by, str) else list(group_by or [])
-    bucket = F.date_trunc(step if step != "week" else "week", F.col(ts_col))
+    bucket = F.date_trunc(step, F.col(ts_col))
     aggs = [F.count(F.lit(1)).alias("n_events")]
     if value_col is not None:
         if agg not in AGGS:
@@ -121,16 +136,7 @@ def rolling_agg(
             "rolling_agg needs group_by: an ungrouped time window is "
             "a single global sort task"
         )
-    parts = window.split()
-    if len(parts) != 2 or not parts[0].isdigit():
-        raise ValueError(f"window must look like '7 days', got {window!r}")
-    amount, unit = int(parts[0]), parts[1].rstrip("s")
-    seconds = {
-        "second": 1, "minute": 60, "hour": 3600, "day": 86400,
-    }.get(unit)
-    if seconds is None:
-        raise ValueError(f"unsupported window unit {unit!r}")
-    span = amount * seconds
+    span = _parse_duration(window, "window")
     w = (
         Window.partitionBy(*keys)
         .orderBy(F.col(ts_col).cast("timestamp").cast("long"))
@@ -180,20 +186,12 @@ def sessionize(
     keys = [group_by] if isinstance(group_by, str) else list(group_by)
     if not keys:
         raise ValueError("sessionize needs group_by")
-    parts = gap.split()
-    if len(parts) != 2 or not parts[0].isdigit():
-        raise ValueError(f"gap must look like '30 minutes', got {gap!r}")
-    amount, unit = int(parts[0]), parts[1].rstrip("s")
-    seconds = {
-        "second": 1, "minute": 60, "hour": 3600, "day": 86400,
-    }.get(unit)
-    if seconds is None:
-        raise ValueError(f"unsupported gap unit {unit!r}")
+    gap_s = _parse_duration(gap, "gap")
     w = Window.partitionBy(*keys).orderBy(F.col(ts_col).asc())
     ts_long = F.col(ts_col).cast("timestamp").cast("long")
     prev = F.lag(ts_long).over(w)
     new_sess = F.when(
-        prev.isNull() | ((ts_long - prev) > amount * seconds), 1
+        prev.isNull() | ((ts_long - prev) > gap_s), 1
     ).otherwise(0)
     return df.withColumn(
         session_col,

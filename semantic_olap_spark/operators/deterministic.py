@@ -239,14 +239,32 @@ def topk_per_group(
     break on ``tiebreak`` columns (then arbitrarily — pass enough
     tiebreaks for determinism).  ``rank_col`` keeps the 1-based rank
     in the output when set.
+
+    Ordering is type-aware: numeric columns order numerically,
+    dates/timestamps chronologically, anything else (strings)
+    lexicographically — a blanket double-cast would reject DATE at
+    analysis time and silently NULL every string.
     """
+    from pyspark.sql.types import DateType, NumericType, TimestampType
     from pyspark.sql.window import Window
 
     keys = [group_by] if isinstance(group_by, str) else list(group_by)
-    c = F.col(order_col).try_cast("double")
+    dtype = df.schema[order_col].dataType
+    extras: list = []
+    if isinstance(dtype, (NumericType, DateType, TimestampType)):
+        c = F.col(order_col)
+    else:
+        # numeric-on-demand for stringly-typed numbers (the engine-
+        # wide rule, SURVEY §1.2); the raw column follows as a
+        # secondary key so genuinely textual columns (cast → all
+        # NULL) still get a deterministic lexicographic top-k
+        # instead of k arbitrary rows
+        c = F.col(order_col).try_cast("double")
+        raw = F.col(order_col).cast("string")
+        extras = [raw.desc() if order == "desc" else raw.asc()]
     key = c.desc_nulls_last() if order == "desc" else c.asc_nulls_last()
     w = Window.partitionBy(*keys).orderBy(
-        key, *[F.col(t).asc() for t in tiebreak]
+        key, *extras, *[F.col(t).asc() for t in tiebreak]
     )
     out = df.withColumn("_rn", F.row_number().over(w)).filter(
         F.col("_rn") <= int(k)

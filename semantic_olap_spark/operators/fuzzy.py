@@ -67,10 +67,11 @@ def fuzzy_join(
     if how not in ("inner", "left"):
         raise ValueError(f"how must be inner or left, got {how!r}")
     lc, rc = F.col(left_col), F.col(right_col)
+    d = _dist(lc, rc, max_dist)  # bound once: the DP dominates per-pair cost
     cond = (
         (F.abs(F.length(lc) - F.length(rc)) <= max_dist)
-        & (_dist(lc, rc, max_dist) <= max_dist)
-        & (_dist(lc, rc, max_dist) >= 0)  # thresholded form yields -1 over bound
+        & (d <= max_dist)
+        & (d >= 0)  # thresholded form yields -1 over the bound
     )
     if block_col is not None:
         right = right.withColumnRenamed(block_col, f"_rb_{block_col}")
@@ -78,7 +79,7 @@ def fuzzy_join(
     out = left.join(right, cond, how)
     out = out.withColumn(
         dist_col,
-        F.when(rc.isNotNull(), _dist(lc, rc, max_dist)),
+        F.when(rc.isNotNull(), d),
     )
     if block_col is not None:
         out = out.drop(f"_rb_{block_col}")

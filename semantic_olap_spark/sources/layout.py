@@ -39,14 +39,25 @@ from pyspark.sql import functions as F
 __all__ = ["write_zordered", "zorder_key"]
 
 
-def _rank_expr(col: str, boundaries: Sequence[float]) -> Column:
+def _numeric(df: DataFrame, col: str) -> Column:
+    """Column as double: dates/timestamps via epoch (try_cast from
+    DATE to DOUBLE is an analysis error), everything else through
+    the engine-wide numeric-on-demand cast."""
+    from pyspark.sql.types import DateType, TimestampType
+
+    dtype = df.schema[col].dataType
+    if isinstance(dtype, (DateType, TimestampType)):
+        return F.col(col).cast("timestamp").cast("long").cast("double")
+    return F.col(col).try_cast("double")
+
+
+def _rank_expr(v: Column, boundaries: Sequence[float]) -> Column:
     """# of boundaries ≤ value — the value's equal-frequency bucket.
 
     A ≤64-element literal-array scan per row (vectorized JVM); nulls
     rank 0 so they cluster at the key-space origin.
     """
     arr = F.array(*[F.lit(float(b)) for b in boundaries])
-    v = F.col(col).try_cast("double")
     return F.coalesce(
         F.size(F.filter(arr, lambda x: x <= v)), F.lit(0)
     ).cast("long")
@@ -79,7 +90,7 @@ def zorder_key(
     stats = df.select(
         *[
             F.percentile_approx(
-                F.col(c).try_cast("double"), F.lit(qs), F.lit(10_000)
+                _numeric(df, c), F.lit(qs), F.lit(10_000)
             ).alias(c)
             for c in cols
         ]
@@ -87,7 +98,11 @@ def zorder_key(
     ranks = []
     for c in cols:
         bounds = [b for b in (stats[c] or []) if b is not None]
-        ranks.append(_rank_expr(c, bounds) if bounds else F.lit(0).cast("long"))
+        ranks.append(
+            _rank_expr(_numeric(df, c), bounds)
+            if bounds
+            else F.lit(0).cast("long")
+        )
     # interleave MSB-first: high key bits alternate between columns,
     # which is what makes key-contiguous files rectangles in value
     # space

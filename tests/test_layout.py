@@ -77,3 +77,15 @@ def test_zorder_write_no_single_partition_stage(tables, tmp_path):
     )
     assert "SinglePartition" not in plan
     assert "Window" not in plan
+
+
+def test_zorder_key_on_date_column(tables):
+    # dates z-order chronologically (review finding: try_cast DATE →
+    # DOUBLE is an analysis error)
+    li = tables["lineitem"]
+    keyed = li.withColumn(
+        "_z", zorder_key(li, ["l_shipdate", "l_extendedprice"], bits=4)
+    )
+    rows = keyed.select("l_shipdate", "_z").collect()
+    assert all(r["_z"] is not None for r in rows)
+    assert len({r["_z"] for r in rows}) > 8

@@ -194,3 +194,29 @@ def test_quality_report_on_stream(spark, sf_dir):
         ).collect()
     }
     assert got == want
+
+
+def test_quality_report_nonidentifier_names(tables):
+    # unnamed expr rules and dashed names must not break the stack()
+    # reshape (review finding: unquoted selectExpr interpolation)
+    out = quality_report(
+        tables["orders"],
+        [
+            {"expr": "o_totalprice > 0"},
+            {"name": "price-not-null", "not_null": "o_totalprice"},
+        ],
+    ).collect()
+    assert len(out) == 2
+    assert all(r["violations"] == 0 for r in out)
+
+
+def test_unique_violations_limit_zero(spark):
+    df = spark.createDataFrame([(1, "a"), (1, "b")], "k int, v string")
+    assert unique_violations(df, ["k"], limit=0).count() == 0
+
+
+def test_snapshot_diff_key_only_membership(spark):
+    old = spark.createDataFrame([(1,), (2,)], "k int")
+    new = spark.createDataFrame([(2,), (3,)], "k int")
+    got = {r["k"]: r["change"] for r in snapshot_diff(old, new, "k").collect()}
+    assert got == {1: "removed", 3: "added"}

@@ -118,3 +118,16 @@ def test_freq_sketch_binary_mergeable(tables):
     est = cms.estimateCount("1-URGENT")
     assert est >= true_count  # CMS never underestimates
     assert est <= true_count * 1.2 + 10
+
+
+def test_top_frequent_support_is_per_group(spark):
+    # a small group must be judged against ITS OWN total, not the
+    # global one (review finding: global total starved small groups)
+    df = spark.createDataFrame(
+        [("big", "a")] * 1000 + [("small", "y")] * 2 + [("small", "z")],
+        "g string, v string",
+    )
+    out = top_frequent(df, "v", k=2, group_by="g", support=0.001)
+    got = {(r["g"], r["value"]) for r in out.collect()}
+    assert ("small", "y") in got and ("small", "z") in got
+    assert ("big", "a") in got

@@ -88,3 +88,9 @@ def test_corr_matrix_self_correlation(spark):
     assert got[("a", "b")] == 1.0
     assert got[("a", "c")] == -1.0
     assert len(got) == 3
+
+
+def test_histogram_explicit_lo_no_numeric(spark):
+    allnull = spark.createDataFrame([("x",), ("y",)], "v string")
+    with pytest.raises(ValueError, match="no numeric"):
+        histogram(allnull, "v", bins=3, lo=0.0)

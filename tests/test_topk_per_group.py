@@ -47,3 +47,31 @@ def test_topk_per_group_asc_nulls_last(spark):
     )
     out = topk_per_group(df, "grp", "v", k=2, order="asc").collect()
     assert sorted(r["v"] for r in out) == ["1", "3"]  # unparseable last
+
+
+def test_topk_per_group_date_column(tables):
+    # "latest order per customer" — DATE order columns must work
+    out = topk_per_group(
+        tables["orders"], "o_custkey", "o_orderdate", k=1,
+        tiebreak=["o_orderkey"],
+    )
+    from pyspark.sql import functions as F
+
+    direct = (
+        tables["orders"]
+        .groupBy("o_custkey")
+        .agg(F.max("o_orderdate").alias("latest"))
+    )
+    j = out.join(direct, "o_custkey")
+    assert j.filter("o_orderdate != latest").count() == 0
+
+
+def test_topk_per_group_text_column_lexicographic(spark):
+    df = spark.createDataFrame(
+        [("g", "banana"), ("g", "apple"), ("g", "cherry")],
+        "grp string, v string",
+    )
+    top = topk_per_group(df, "grp", "v", k=1, order="desc").collect()
+    assert top[0]["v"] == "cherry"
+    bot = topk_per_group(df, "grp", "v", k=1, order="asc").collect()
+    assert bot[0]["v"] == "apple"
