@@ -93,19 +93,29 @@ def fuzzy_pairs(
     max_dist: int = 2,
     block_col: str | None = None,
     allow_unblocked: bool = False,
+    broadcast: bool = True,
 ) -> DataFrame:
     """Self-join near-match pairs: ``(id_a, id_b, edit_distance)``
-    with ``id_a < id_b`` — the fuzzy-dedup candidate generator."""
+    with ``id_a < id_b`` — the fuzzy-dedup candidate generator.
+
+    ``broadcast=True`` broadcasts the (id, value, block) probe side
+    and spreads the left over ``2×defaultParallelism`` partitions — a
+    blocked self-join otherwise has only #blocks join keys, capping
+    parallelism at #blocks tasks (same rationale and regime caveat as
+    ``jaccard_pairs``: valid while the id/value frame fits executor
+    memory; set ``False`` for the shuffle join at larger scale).
+    """
     if block_col is None and not allow_unblocked:
         raise ValueError(
             "fuzzy_pairs without block_col compares all pairs "
             "(quadratic); pass block_col= or opt in with "
             "allow_unblocked=True on bounded inputs"
         )
+    nparts = 2 * df.sparkSession.sparkContext.defaultParallelism
     a = df.select(
         F.col(id_col).alias("id_a"), F.col(col).alias("_va"),
         *([F.col(block_col).alias("_ba")] if block_col else []),
-    )
+    ).repartition(nparts)
     b = df.select(
         F.col(id_col).alias("id_b"), F.col(col).alias("_vb"),
         *([F.col(block_col).alias("_bb")] if block_col else []),
@@ -118,7 +128,5 @@ def fuzzy_pairs(
     )
     if block_col is not None:
         cond = (F.col("_ba") == F.col("_bb")) & cond
-    return (
-        a.join(b, cond)
-        .select("id_a", "id_b", d.alias("edit_distance"))
-    )
+    pairs = a.join(F.broadcast(b) if broadcast else b, cond)
+    return pairs.select("id_a", "id_b", d.alias("edit_distance"))
