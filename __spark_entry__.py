@@ -1211,6 +1211,18 @@ def _q_corr_matrix_lineitem(spark, sf_dir):
     )
 
 
+def _q_k_anonymity_customers(spark, sf_dir):
+    # privacy release gate: quasi-identifier groups smaller than k
+    # (one map-side-combined groupBy; functions/quality.py)
+    from semantic_olap_spark.functions.quality import (
+        k_anonymity_violations,
+    )
+
+    return k_anonymity_violations(
+        _t(spark, sf_dir, "customer"), ["c_nationkey", "c_mktsegment"], k=8
+    )
+
+
 def _q_quality_report_lineitem(spark, sf_dir):
     # expectation gate: every rule is a conditional-sum aggregate in
     # ONE scan (functions/quality.py); output rows = #rules
@@ -1822,6 +1834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_user_value": _q_rolling_user_value,
         "sessionize_events": _q_sessionize_events,
         "quality_report_lineitem": _q_quality_report_lineitem,
+        "k_anonymity_customers": _q_k_anonymity_customers,
         "histogram_totalprice": _q_histogram_totalprice,
         "corr_matrix_lineitem": _q_corr_matrix_lineitem,
         "referential_orphans": _q_referential_orphans,
@@ -3366,6 +3379,10 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT 'l_discount', 'l_tax',
                      round(corr(l_discount, l_tax), 4) FROM lineitem
             )
+        """,
+        "k_anonymity_customers": """
+            SELECT c_nationkey, c_mktsegment, count(*) AS group_size
+            FROM customer GROUP BY 1, 2 HAVING count(*) < 8
         """,
         "quality_report_lineitem": """
             WITH wide AS (

@@ -82,6 +82,39 @@ class OlapEngine:
             max_cached_nodes=max_cached_nodes,
         )
 
+    def save(self, path: str) -> None:
+        """Persist the cube lattice for a later session
+        (plans/memory.py:save_cube)."""
+        from semantic_olap_spark.plans.memory import save_cube
+
+        save_cube(self.memory, path)
+
+    @classmethod
+    def load(
+        cls,
+        spark,
+        path: str,
+        llm_factory: LLMFactory = default_llm_factory,
+        max_cached_nodes: int | None = 16,
+    ) -> "OlapEngine":
+        """Reopen a saved cube as a live engine: materialized nodes
+        come back as disk-backed scans, Equal/Subset probes reuse
+        them instead of re-filtering the root."""
+        from semantic_olap_spark.plans.memory import (
+            llm_relation_classifier,
+            load_cube,
+        )
+
+        eng = cls.__new__(cls)
+        eng.cost_stats = None
+        eng.llm_factory = llm_factory
+        eng.memory = load_cube(
+            spark, path,
+            classify=llm_relation_classifier(llm_factory),
+            max_cached_nodes=max_cached_nodes,
+        )
+        return eng
+
     # -- lifecycle pieces -------------------------------------------------
 
     def decompose(self, query: str) -> tuple[str, str]:

@@ -93,6 +93,7 @@ from semantic_olap_spark.functions.timeseries import (  # noqa: F401
     sessionize,
 )
 from semantic_olap_spark.functions.quality import (  # noqa: F401
+    k_anonymity_violations,
     quality_report,
     referential_violations,
     snapshot_diff,

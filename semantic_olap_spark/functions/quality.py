@@ -29,6 +29,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "k_anonymity_violations",
     "quality_report",
     "referential_violations",
     "snapshot_diff",
@@ -120,6 +121,26 @@ def unique_violations(
         .filter(F.col("n_dup") > 1)
     )
     return out.limit(int(limit)) if limit is not None else out
+
+
+def k_anonymity_violations(
+    df: DataFrame, quasi_cols: Sequence[str], k: int = 5
+) -> DataFrame:
+    """Quasi-identifier combinations shared by fewer than ``k`` rows.
+
+    The release-gate check for de-identified data: any
+    (quasi-identifier…) tuple with under ``k`` members re-identifies
+    its few carriers.  Output ``(*quasi_cols, group_size)`` — empty
+    means the table is k-anonymous on those columns.  One map-side-
+    combined groupBy; output bounded by violating groups.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .filter(F.col("group_size") < int(k))
+    )
 
 
 def referential_violations(

@@ -66,3 +66,18 @@ def test_loaded_frames_are_disk_backed(tables, spark, tmp_path):
     filtered = hit.df.filter(F.col("doc_id") > 100)
     fplan = filtered._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(doc_id), GreaterThan(doc_id,100)]" in fplan
+
+
+def test_engine_save_load(tables, spark, tmp_path):
+    from semantic_olap_spark.engine import OlapEngine
+
+    eng = OlapEngine(tables["documents"], order_by=["doc_id"])
+    n = eng.run("mentions spark in text").count()
+    d = str(tmp_path / "engine_cube")
+    eng.save(d)
+
+    eng2 = OlapEngine.load(spark, d)
+    # Equal probe reuses the reloaded node — same rows, no recompute
+    out = eng2.run("mentions spark in text")
+    assert out.count() == n
+    assert len(eng2.memory.nodes) == len(eng.memory.nodes)

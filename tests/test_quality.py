@@ -220,3 +220,25 @@ def test_snapshot_diff_key_only_membership(spark):
     new = spark.createDataFrame([(2,), (3,)], "k int")
     got = {r["k"]: r["change"] for r in snapshot_diff(old, new, "k").collect()}
     assert got == {1: "removed", 3: "added"}
+
+
+def test_k_anonymity_violations(tables, duck):
+    from semantic_olap_spark.functions.quality import (
+        k_anonymity_violations,
+    )
+
+    out = k_anonymity_violations(
+        tables["customer"], ["c_nationkey", "c_mktsegment"], k=3
+    )
+    assert_matches(
+        out,
+        duck,
+        """
+        SELECT c_nationkey, c_mktsegment, count(*) AS group_size
+        FROM customer GROUP BY 1, 2 HAVING count(*) < 3
+        """,
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k must"):
+        k_anonymity_violations(tables["customer"], ["c_nationkey"], k=0)
