@@ -9,11 +9,13 @@ Catalyst expression, no Python in the loop.
 
 ``with_olap_id`` reproduces the reference's synthetic row id
 (Semantic-OLAP/Agents/Components/OLAP_Memory.py:110-111 assigns
-``range(len(df))``).  Distributed dense ids require a total order;
-that is a global sort, so at 100 TB prefer:
+``range(len(df))``).  Distributed dense ids require a total order:
 
-- ``order_by`` given  → ``row_number() - 1`` over that order
-  (deterministic, used by tests and anywhere parity matters);
+- ``order_by`` given  → dense 0..n-1 ids by that order via
+  :func:`dense_ranks` — the parallel zipWithIndex construction
+  (range-partition + broadcast prefix-sum offsets), NOT an
+  unpartitioned window (deterministic, used by tests and anywhere
+  parity matters);
 - ``order_by=None``   → ``monotonically_increasing_id()`` (no
   shuffle, unique but sparse — fine whenever only identity is
   needed, which is every internal join in this engine).
@@ -298,16 +300,69 @@ def load_text(
     return reader.text(path).select(F.col("value").alias("text"))
 
 
+def dense_ranks(
+    df: DataFrame, order_by: list[str], rank_col: str
+) -> DataFrame:
+    """Dense 0..n-1 ranks by ``order_by`` without a global window.
+
+    The ``zipWithIndex`` construction (same technique as
+    ``sem_topk``'s tournament ranks): range-partition by the order
+    columns so partition p's keys all sort below partition p+1's,
+    count rows per partition (one small job), then global rank =
+    per-partition ``row_number`` + the broadcast prefix-sum offset of
+    the partition.  Every stage is parallel — no single-partition
+    exchange — so this survives a 1000-executor total order where
+    ``Window.orderBy`` (unpartitioned) would funnel the table through
+    one task.
+
+    The frame is persisted for the duration of the count pass because
+    ``repartitionByRange`` samples boundaries with a per-execution
+    seed; pinning one layout keeps the counted partitions and the
+    ranked partitions identical.  Caller owns the returned lineage
+    (the persist is released once the ranks are materialized
+    downstream; LRU eviction covers pressure).
+    """
+    cols = [F.col(c) for c in order_by]
+    nparts = max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    ranged = (
+        df.repartitionByRange(nparts, *cols)
+        .withColumn("_dr_pid", F.spark_partition_id())
+        .persist()
+    )
+    part_counts = sorted(
+        (r["_dr_pid"], r["cnt"])
+        for r in ranged.groupBy("_dr_pid")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid, cnt in part_counts:
+        offsets[pid] = acc
+        acc += cnt
+    off_map = F.create_map(
+        *[F.lit(x) for pair in offsets.items() for x in pair]
+    ) if offsets else F.create_map()
+    local_w = Window.partitionBy("_dr_pid").orderBy(*cols)
+    return ranged.withColumn(
+        rank_col,
+        (
+            F.row_number().over(local_w) - F.lit(1) + off_map[F.col("_dr_pid")]
+        ).cast("long"),
+    ).drop("_dr_pid")
+
+
 def with_olap_id(df: DataFrame, order_by: list[str] | None = None) -> DataFrame:
     """Attach the synthetic row id (reference: OLAP_Memory.py:110-111).
 
-    With ``order_by``: dense 0..n-1 ids via ``row_number`` (global
-    sort — deterministic, test/parity path).  Without: sparse unique
-    ids via ``monotonically_increasing_id`` (scale path, no shuffle).
+    With ``order_by``: dense 0..n-1 ids by that order via
+    :func:`dense_ranks` — deterministic (parity with the oracle's
+    ``row_number() over (order by ...) - 1``) yet fully parallel; no
+    unpartitioned window.  Without: sparse unique ids via
+    ``monotonically_increasing_id`` (scale path, no shuffle, no job).
     """
     if OLAP_ID in df.columns:
         return df
     if order_by:
-        w = Window.orderBy(*[F.col(c) for c in order_by])
-        return df.withColumn(OLAP_ID, F.row_number().over(w) - F.lit(1))
+        return dense_ranks(df, order_by, OLAP_ID)
     return df.withColumn(OLAP_ID, F.monotonically_increasing_id())

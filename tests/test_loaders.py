@@ -39,6 +39,33 @@ def test_with_olap_id_dense_and_stable(spark):
     assert again is out
 
 
+def test_dense_ranks_parallel_no_global_window(spark):
+    # the order-by path must produce exact dense 0..n-1 ranks WITHOUT
+    # an unpartitioned window (the single-partition exchange is the
+    # scale-killer dense_ranks exists to avoid)
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    df = spark.range(5000).select(
+        ((F.col("id") * 13 + 7) % 5000).alias("k"),
+        (F.col("id") % 3).alias("v"),
+    )
+    out = with_olap_id(df, order_by=["k"])
+    rows = sorted(
+        (r["k"], r["OLAP_ID"]) for r in out.select("k", "OLAP_ID").collect()
+    )
+    assert rows == [(i, i) for i in range(5000)]
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    # the only window is partitioned by the range-partition id
+    assert "_dr_pid" in plan
+    assert "SinglePartition" not in plan
+
+
 def test_with_olap_id_sparse_unique(spark):
     df = spark.createDataFrame([(i,) for i in range(100)], ["v"])
     out = with_olap_id(df)
