@@ -1485,6 +1485,29 @@ def _q_percentile_quantity(spark, sf_dir):
     )
 
 
+def _q_incremental_orders_agg(spark, sf_dir):
+    # incremental view maintenance (functions/incremental.py): fold
+    # two per-batch aggregate STATES (count / exact decimal sum /
+    # min / max) with a pure state merge, then finalize.  The oracle
+    # is the single global aggregate — the contract is that batchwise
+    # maintenance is bit-identical to full recompute.  Batches split
+    # by order date, the ingest-partition shape; the merge shuffles
+    # only state rows (|groups|), never the base table.
+    from semantic_olap_spark.functions.incremental import (
+        agg_state,
+        finalize_agg,
+        merge_agg_states,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    split = F.col("o_orderdate") < F.lit("1995-01-01")
+    metrics = ["o_totalprice"]
+    s1 = agg_state(orders.filter(split), metrics, group_by="o_orderstatus")
+    s2 = agg_state(orders.filter(~split), metrics, group_by="o_orderstatus")
+    merged = merge_agg_states([s1, s2], metrics, group_by="o_orderstatus")
+    return finalize_agg(merged, metrics)
+
+
 def _q_monthly_revenue(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
     revenue = F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
@@ -1845,6 +1868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops_custkeys": _q_set_ops_custkeys,
         "unpivot_lineitem_metrics": _q_unpivot_lineitem_metrics,
         "percentile_quantity": _q_percentile_quantity,
+        "incremental_orders_agg": _q_incremental_orders_agg,
         "monthly_revenue": _q_monthly_revenue,
         "embedding_dedup": _q_embedding_dedup,
         "embedding_dedup_lsh": _q_embedding_dedup_lsh,
@@ -3544,6 +3568,21 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(l_quantity, 0.5), 6) AS p50,
                    round(quantile_cont(l_quantity, 0.9), 6) AS p90
             FROM lineitem GROUP BY l_returnflag
+        """,
+        # incremental_orders_agg: the oracle is the SINGLE global
+        # aggregate — proving batchwise state maintenance == full
+        # recompute, bit-exact (decimal sums, deterministic division)
+        "incremental_orders_agg": """
+            SELECT o_orderstatus,
+                   count(*) AS n,
+                   count(o_totalprice) AS o_totalprice_count,
+                   round(sum(CAST(o_totalprice AS DECIMAL(38,6))), 2)::DOUBLE
+                       AS o_totalprice_sum,
+                   round(sum(CAST(o_totalprice AS DECIMAL(38,6)))::DOUBLE
+                         / count(o_totalprice), 6) AS o_totalprice_avg,
+                   min(o_totalprice) AS o_totalprice_min,
+                   max(o_totalprice) AS o_totalprice_max
+            FROM orders GROUP BY o_orderstatus
         """,
         "monthly_revenue": """
             SELECT date_trunc('month', o_orderdate)::DATE AS month,

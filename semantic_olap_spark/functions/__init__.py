@@ -103,3 +103,8 @@ from semantic_olap_spark.functions.stats import (  # noqa: F401
     corr_matrix,
     histogram,
 )
+from semantic_olap_spark.functions.incremental import (  # noqa: F401
+    agg_state,
+    finalize_agg,
+    merge_agg_states,
+)
