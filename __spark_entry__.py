@@ -1378,6 +1378,23 @@ def _q_approx_distinct_merge(spark, sf_dir):
     )
 
 
+def _q_bpe_tokenize_docs(spark, sf_dir):
+    # distributed BPE (functions/bpe.py): ONE corpus pass aggregates
+    # word counts (map-side combine, bounded top-vocab collect), the
+    # sequential merge loop runs on that bounded table driver-side,
+    # the encode is an Arrow-batched UDF with broadcast merge ranks.
+    # The iterative merge loop has no SQL oracle (rows-only);
+    # tests/test_bpe.py pins hand-computed merges, encode/decode
+    # roundtrip, and determinism under repartitioning.
+    from semantic_olap_spark.functions.bpe import bpe_token_count, learn_bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = learn_bpe(docs, "text", num_merges=100, max_vocab=20_000)
+    return bpe_token_count(docs, merges, "text").select(
+        "doc_id", "bpe_n_tokens"
+    )
+
+
 def _q_grouping_sets_qty(spark, sf_dir):
     # explicit grouping sets via the package operator: only the
     # marginals + grand total — Expand emits 3 rows per input row
@@ -1865,6 +1882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_daily_events": _q_resample_daily_events,
         "ffill_user_values": _q_ffill_user_values,
         "approx_distinct_merge": _q_approx_distinct_merge,
+        "bpe_tokenize_docs": _q_bpe_tokenize_docs,
         "set_ops_custkeys": _q_set_ops_custkeys,
         "unpivot_lineitem_metrics": _q_unpivot_lineitem_metrics,
         "percentile_quantity": _q_percentile_quantity,

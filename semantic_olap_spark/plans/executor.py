@@ -503,7 +503,30 @@ def _build_pipeline_ops() -> dict:
         "quantile_filter": _pipe(quantile_filter, "col", "q"),
         "pack_documents": _pipe(pack_documents, "budget"),
         "profile_columns": _pipe(profile_columns),
+        "bpe_encode": _bpe_step(False),
+        "bpe_token_count": _bpe_step(True),
     }
+
+
+def _bpe_step(count_only: bool):
+    # merges arrive from plan JSON as [[a,b], ...]; normalize to the
+    # tuple pairs the encoder ranks on
+    def step(df: DataFrame, p: Mapping) -> DataFrame:
+        from semantic_olap_spark.functions.bpe import (
+            bpe_encode,
+            bpe_token_count,
+        )
+
+        merges = [tuple(m) for m in p["merges"]]
+        fn = bpe_token_count if count_only else bpe_encode
+        kwargs = {
+            k: p[k]
+            for k in ("text_col", "out_col", "lowercase")
+            if k in p
+        }
+        return fn(df, merges, **kwargs)
+
+    return step
 
 
 _PIPELINE_OPS = _build_pipeline_ops()

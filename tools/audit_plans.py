@@ -49,10 +49,6 @@ SINGLE_PARTITION_OK = {
     # global scalar-stats aggregates (1-row / #rules / #pairs output)
     "quantile_filter", "profile_columns", "ngram_lm_score",
     "quality_report_lineitem", "corr_matrix_lineitem",
-    # with_olap_id(order_by=...) parity path: dense row_number ids for
-    # the oracle compare (SCALE.md known trade-off; the scale path is
-    # monotonically_increasing_id)
-    "roll_up_events", "drill_down_topic",
 }
 # declared pair generators: NLJ/cartesian within blocks or against a
 # broadcast side is their documented (capped) strategy
