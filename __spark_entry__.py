@@ -1378,6 +1378,29 @@ def _q_approx_distinct_merge(spark, sf_dir):
     )
 
 
+def _q_pagerank_suppliers(spark, sf_dir):
+    # fixed-point PageRank (functions/graph.py) over the
+    # supplier→customer service graph (distinct lineitem⋈orders
+    # pairs; customer keys offset to keep the bipartite key spaces
+    # apart).  Integer arithmetic makes the 3-iteration result
+    # bit-exact, so the oracle replays the iterations as unrolled
+    # CTEs and hash-matches — a full-value oracle for an ITERATIVE
+    # graph algorithm.
+    from semantic_olap_spark.functions.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.col("l_suppkey").alias("src"),
+            (F.lit(10_000_000) + F.col("o_custkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    return pagerank(edges, iterations=3)
+
+
 def _q_bpe_tokenize_docs(spark, sf_dir):
     # distributed BPE (functions/bpe.py): ONE corpus pass aggregates
     # word counts (map-side combine, bounded top-vocab collect), the
@@ -1883,6 +1906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ffill_user_values": _q_ffill_user_values,
         "approx_distinct_merge": _q_approx_distinct_merge,
         "bpe_tokenize_docs": _q_bpe_tokenize_docs,
+        "pagerank_suppliers": _q_pagerank_suppliers,
         "set_ops_custkeys": _q_set_ops_custkeys,
         "unpivot_lineitem_metrics": _q_unpivot_lineitem_metrics,
         "percentile_quantity": _q_percentile_quantity,
@@ -3586,6 +3610,49 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(l_quantity, 0.5), 6) AS p50,
                    round(quantile_cont(l_quantity, 0.9), 6) AS p90
             FROM lineitem GROUP BY l_returnflag
+        """,
+        # pagerank_suppliers: the 3 fixed-point iterations unrolled
+        # as CTEs — integer multiply / truncating divide is
+        # bit-exact in both engines, which is what makes an
+        # iterative algorithm hash-matchable at all
+        "pagerank_suppliers": """
+            WITH e AS (
+              SELECT DISTINCT l_suppkey AS src,
+                     10000000 + o_custkey AS dst
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            ),
+            v AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+            p AS (SELECT count(*) AS n FROM v),
+            d AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+            r0 AS (SELECT node, 1000000000000 // n AS r FROM v, p),
+            c1 AS (SELECT e.dst AS node, sum(r0.r // d.deg) AS s
+                   FROM e JOIN r0 ON e.src = r0.node
+                        JOIN d ON e.src = d.src
+                   GROUP BY e.dst),
+            r1 AS (SELECT v.node,
+                          (15000000000000 // (100 * p.n))
+                          + (85 * COALESCE(c1.s, 0)) // 100 AS r
+                   FROM v CROSS JOIN p
+                   LEFT JOIN c1 ON v.node = c1.node),
+            c2 AS (SELECT e.dst AS node, sum(r1.r // d.deg) AS s
+                   FROM e JOIN r1 ON e.src = r1.node
+                        JOIN d ON e.src = d.src
+                   GROUP BY e.dst),
+            r2 AS (SELECT v.node,
+                          (15000000000000 // (100 * p.n))
+                          + (85 * COALESCE(c2.s, 0)) // 100 AS r
+                   FROM v CROSS JOIN p
+                   LEFT JOIN c2 ON v.node = c2.node),
+            c3 AS (SELECT e.dst AS node, sum(r2.r // d.deg) AS s
+                   FROM e JOIN r2 ON e.src = r2.node
+                        JOIN d ON e.src = d.src
+                   GROUP BY e.dst),
+            r3 AS (SELECT v.node,
+                          (15000000000000 // (100 * p.n))
+                          + (85 * COALESCE(c3.s, 0)) // 100 AS r
+                   FROM v CROSS JOIN p
+                   LEFT JOIN c3 ON v.node = c3.node)
+            SELECT node, r AS rank_scaled FROM r3
         """,
         # incremental_orders_agg: the oracle is the SINGLE global
         # aggregate — proving batchwise state maintenance == full

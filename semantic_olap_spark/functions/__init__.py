@@ -108,6 +108,9 @@ from semantic_olap_spark.functions.incremental import (  # noqa: F401
     finalize_agg,
     merge_agg_states,
 )
+from semantic_olap_spark.functions.graph import (  # noqa: F401
+    pagerank,
+)
 from semantic_olap_spark.functions.bpe import (  # noqa: F401
     bpe_encode,
     bpe_token_count,

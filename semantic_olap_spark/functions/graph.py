@@ -1,0 +1,94 @@
+"""Graph analytics over edge frames: fixed-point PageRank.
+
+The near-dup machinery already does one graph computation
+(connected components, functions/dedup.py ``dedup_clusters``); this
+module adds importance ranking for entity graphs a pipeline derives
+from relational data (supplier→customer, doc→doc similarity, user
+co-occurrence).
+
+Design choice worth the docstring: ranks are **scaled integers**
+(``rank × 10^12`` as BIGINT) and every update uses only integer
+multiply / truncating divide.  Floating-point PageRank is not
+reproducible across engines — reduction order changes the last ulps
+— but fixed-point arithmetic is associative, so the whole iteration
+is bit-exact everywhere: the driver oracle replays it in DuckDB CTE
+form and hash-matches.  With SCALE=10^12 the quantization error per
+update is ~10^-12 — far below anything that changes a ranking.
+
+Update rule (simplified PageRank, dangling mass dropped — the
+standard formulation when teleport handles sinks):
+
+    r'(v) = (15·SCALE) div (100·N)  +  (85 · Σ_{u→v} (r(u) div out(u))) div 100
+
+Scale shape: per iteration one join of edges⋈ranks (shuffle on src,
+broadcastable out-degree side) and one ``groupBy(dst).sum`` — the
+textbook distributed PageRank step.  Iterations are bounded and
+lineage is cut per round (``localCheckpoint``, same rationale as
+``dedup_clusters``: iterative self-joins otherwise stack
+exponentially-growing plans).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 1_000_000_000_000  # 10^12: fixed-point denominator
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    rank_col: str = "rank_scaled",
+) -> DataFrame:
+    """Fixed-point PageRank over a directed edge frame.
+
+    Returns ``(node, rank_scaled)`` for every node appearing as
+    source or destination; ``rank_scaled`` is the PageRank value
+    times ``SCALE``, an exact BIGINT.  Damping is fixed at the
+    conventional 0.85 (as integer 85/100 — part of the exactness
+    contract).  Duplicate edges count with multiplicity; pre-
+    ``distinct()`` the frame for simple-graph semantics.
+    """
+    e = edges.select(
+        F.col(src).alias("_src"), F.col(dst).alias("_dst")
+    ).persist()
+    nodes = (
+        e.select(F.col("_src").alias("node"))
+        .union(e.select(F.col("_dst")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    out_deg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg"))
+    base = (15 * SCALE) // (100 * n)
+    ranks = nodes.withColumn(
+        "_r", F.lit(SCALE // n).cast("long")
+    ).localCheckpoint()
+    for _ in range(int(iterations)):
+        contrib = (
+            e.join(ranks, e["_src"] == ranks["node"])
+            .join(out_deg, "_src")
+            .select(
+                F.col("_dst").alias("node"),
+                F.expr("_r div _deg").alias("_c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_s"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr("(85 * coalesce(_s, 0L)) div 100")
+                ).cast("long").alias("_r"),
+            )
+            .localCheckpoint()
+        )
+    e.unpersist()
+    nodes.unpersist()
+    return ranks.select("node", F.col("_r").alias(rank_col))

@@ -505,7 +505,19 @@ def _build_pipeline_ops() -> dict:
         "profile_columns": _pipe(profile_columns),
         "bpe_encode": _bpe_step(False),
         "bpe_token_count": _bpe_step(True),
+        "pagerank": _pagerank_step,
     }
+
+
+def _pagerank_step(df: DataFrame, p: Mapping) -> DataFrame:
+    from semantic_olap_spark.functions.graph import pagerank
+
+    kwargs = {
+        k: p[k]
+        for k in ("src", "dst", "iterations", "rank_col")
+        if k in p
+    }
+    return pagerank(df, **kwargs)
 
 
 def _bpe_step(count_only: bool):

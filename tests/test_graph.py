@@ -1,0 +1,87 @@
+"""Fixed-point PageRank: exact parity with a reference implementation.
+
+Because every update is integer arithmetic, the distributed result
+must EQUAL (not approximate) a sequential reference — that equality
+is the whole point of the fixed-point design (it is what lets the
+driver oracle hash-match an iterative algorithm).
+"""
+
+from __future__ import annotations
+
+from collections import Counter, defaultdict
+
+import pytest
+
+from semantic_olap_spark.functions.graph import SCALE, pagerank
+
+
+def ref_pagerank(edges: list[tuple[int, int]], iters: int) -> dict[int, int]:
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    n = len(nodes)
+    out = Counter(a for a, _ in edges)
+    r = {v: SCALE // n for v in nodes}
+    base = (15 * SCALE) // (100 * n)
+    for _ in range(iters):
+        s: dict[int, int] = defaultdict(int)
+        for a, b in edges:
+            s[b] += r[a] // out[a]
+        r = {v: base + (85 * s.get(v, 0)) // 100 for v in nodes}
+    return r
+
+
+def _run(spark, edges, iters):
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r["node"]: r["rank_scaled"]
+        for r in pagerank(df, iterations=iters).collect()
+    }
+    assert got == ref_pagerank(edges, iters)
+    return got
+
+
+def test_ring_is_uniform(spark):
+    # a 3-ring is rank-symmetric: every node keeps the same value
+    got = _run(spark, [(1, 2), (2, 3), (3, 1)], iters=4)
+    assert len(set(got.values())) == 1
+
+
+def test_star_hub_dominates(spark):
+    edges = [(i, 99) for i in range(1, 8)]
+    got = _run(spark, edges, iters=3)
+    assert got[99] == max(got.values())
+    # spokes have no in-edges: exactly the teleport base
+    assert got[1] == (15 * SCALE) // (100 * 8)
+
+
+def test_random_graph_exact_parity(spark):
+    edges = sorted(
+        {((i * 7 + 3) % 23, (i * 13 + 5) % 23) for i in range(60)}
+    )
+    edges = [(a, b) for a, b in edges if a != b]
+    _run(spark, edges, iters=3)
+
+
+def test_multiplicity_counts(spark):
+    # duplicate edge doubles the contribution weight
+    uniq = _run(spark, [(1, 2), (1, 3)], iters=1)
+    dup = _run(spark, [(1, 2), (1, 2), (1, 3)], iters=1)
+    assert dup[2] > uniq[2]
+
+
+def test_deterministic_under_repartition(spark):
+    edges = [((i * 3) % 11, (i * 5 + 1) % 11) for i in range(30)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    a = {r["node"]: r["rank_scaled"] for r in pagerank(df).collect()}
+    b = {
+        r["node"]: r["rank_scaled"]
+        for r in pagerank(df.repartition(13)).collect()
+    }
+    assert a == b
+
+
+def test_rank_mass_bounded(spark):
+    # dropped dangling mass means total <= SCALE (never above)
+    edges = [(1, 2), (2, 3), (3, 4)]  # 4 is dangling
+    got = _run(spark, edges, iters=5)
+    assert sum(got.values()) <= SCALE
