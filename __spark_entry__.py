@@ -1378,6 +1378,43 @@ def _q_approx_distinct_merge(spark, sf_dir):
     )
 
 
+def _q_large_volume_orders(spark, sf_dir):
+    # the TPC-H Q18 shape: aggregate-then-semi-join.  The heavy
+    # groupBy runs FIRST (map-side combined, one shuffle on
+    # l_orderkey); the HAVING filter collapses it to a tiny frame
+    # that is then the broadcast side of BOTH enrichment joins — at
+    # 100 TB orders/customer are never shuffled for this query.
+    # Decimal quantity sums keep the threshold compare and output
+    # bit-exact.  No LIMIT: all qualifying rows, so no cross-engine
+    # tie-ordering hazard.
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("_sq")
+        )
+        .filter(F.col("_sq") > 300)
+    )
+    joined = orders.join(
+        F.broadcast(big), orders["o_orderkey"] == big["l_orderkey"]
+    )
+    return (
+        cust.join(
+            F.broadcast(joined), cust["c_custkey"] == joined["o_custkey"]
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_totalprice"),
+            F.col("_sq").cast("double").alias("sum_qty"),
+        )
+    )
+
+
 def _q_pagerank_suppliers(spark, sf_dir):
     # fixed-point PageRank (functions/graph.py) over the
     # supplier→customer service graph (distinct lineitem⋈orders
@@ -1907,6 +1944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct_merge": _q_approx_distinct_merge,
         "bpe_tokenize_docs": _q_bpe_tokenize_docs,
         "pagerank_suppliers": _q_pagerank_suppliers,
+        "large_volume_orders": _q_large_volume_orders,
         "set_ops_custkeys": _q_set_ops_custkeys,
         "unpivot_lineitem_metrics": _q_unpivot_lineitem_metrics,
         "percentile_quantity": _q_percentile_quantity,
@@ -3610,6 +3648,19 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(l_quantity, 0.5), 6) AS p50,
                    round(quantile_cont(l_quantity, 0.9), 6) AS p90
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "large_volume_orders": """
+            SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+                   o_totalprice,
+                   sum_qty::DOUBLE AS sum_qty
+            FROM (
+              SELECT l_orderkey,
+                     sum(CAST(l_quantity AS DECIMAL(18,6))) AS sum_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING sum(CAST(l_quantity AS DECIMAL(18,6))) > 300
+            ) big
+            JOIN orders ON o_orderkey = big.l_orderkey
+            JOIN customer ON c_custkey = o_custkey
         """,
         # pagerank_suppliers: the 3 fixed-point iterations unrolled
         # as CTEs — integer multiply / truncating divide is
