@@ -2,6 +2,11 @@ from semantic_olap_spark.streaming.stateful import (  # noqa: F401
     running_user_stats,
     streaming_funnel,
 )
+from semantic_olap_spark.streaming.materialized import (  # noqa: F401
+    fold_batch,
+    maintain_agg_state,
+    read_agg_state,
+)
 from semantic_olap_spark.streaming.windows import (  # noqa: F401
     read_events_stream,
     session_agg,

@@ -1,0 +1,115 @@
+"""Continuous materialized views: stream-maintained aggregate state.
+
+Composes Structured Streaming with the exact mergeable states of
+functions/incremental.py: each micro-batch's ``agg_state`` folds
+into a persisted state table via ``foreachBatch``, giving an
+always-current aggregate over an unbounded stream at per-batch cost
+|groups|, not |history|.
+
+Exactly-once story (the part that usually goes wrong): a failed
+micro-batch can be REPLAYED, and a naive read-modify-write would
+double-count it.  State generations are therefore written to
+``<path>/epoch=<id>`` keyed by the foreachBatch epoch: a replay of
+epoch N rebuilds from the newest generation *strictly below* N and
+overwrites ``epoch=N`` — idempotent by construction (the standard
+idempotent-foreachBatch discipline, keyed on the engine's batch id).
+Old generations are pruned past ``keep_generations``.
+
+Reads never block writes: ``read_agg_state`` loads the newest
+complete generation; ``finalize_agg`` turns it into user-facing
+aggregates.  On a real cluster the same layout works on object
+storage — each generation is a plain parquet directory and the
+epoch marker is the directory name (listing + rename-free).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from semantic_olap_spark.functions.incremental import (
+    agg_state,
+    merge_agg_states,
+)
+
+_EPOCH_RE = re.compile(r"^epoch=(\d+)$")
+
+
+def _generations(path: str) -> list[int]:
+    if not os.path.isdir(path):
+        return []
+    out = []
+    for name in os.listdir(path):
+        m = _EPOCH_RE.match(name)
+        if m and os.path.exists(os.path.join(path, name, "_SUCCESS")):
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def fold_batch(
+    batch: DataFrame,
+    epoch_id: int,
+    path: str,
+    metrics: Sequence[str],
+    group_by: str | Sequence[str] | None = None,
+    keep_generations: int = 2,
+) -> None:
+    """One idempotent state fold (the foreachBatch body).
+
+    Rebuilds from the newest generation strictly below ``epoch_id``
+    and overwrites ``epoch=<epoch_id>`` — replaying an epoch
+    reproduces, never double-counts.
+    """
+    spark = batch.sparkSession
+    new = agg_state(batch, metrics, group_by)
+    prior = [g for g in _generations(path) if g < epoch_id]
+    if prior:
+        prev = spark.read.parquet(os.path.join(path, f"epoch={prior[-1]}"))
+        new = merge_agg_states([prev, new], metrics, group_by)
+    new.write.mode("overwrite").parquet(
+        os.path.join(path, f"epoch={epoch_id}")
+    )
+    # prune: keep the newest `keep_generations` strictly-older
+    # generations for readers in flight, drop the rest
+    done = [g for g in _generations(path) if g < epoch_id]
+    for g in done[:-keep_generations] if keep_generations else done:
+        shutil.rmtree(os.path.join(path, f"epoch={g}"), ignore_errors=True)
+
+
+def maintain_agg_state(
+    stream: DataFrame,
+    path: str,
+    metrics: Sequence[str],
+    group_by: str | Sequence[str] | None = None,
+    checkpoint: str | None = None,
+    keep_generations: int = 2,
+    trigger_available_now: bool = True,
+):
+    """Start a stream that maintains a merged aggregate state at ``path``.
+
+    Returns the ``StreamingQuery``; call ``awaitTermination()`` for
+    availableNow runs.  The state at any time is readable with
+    :func:`read_agg_state`.
+    """
+
+    def fold(batch: DataFrame, epoch_id: int) -> None:
+        fold_batch(batch, epoch_id, path, metrics, group_by, keep_generations)
+
+    writer = stream.writeStream.foreachBatch(fold).outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_agg_state(spark: SparkSession, path: str) -> DataFrame:
+    """Newest complete state generation (raise if none exists yet)."""
+    gens = _generations(path)
+    if not gens:
+        raise FileNotFoundError(f"no state generations under {path}")
+    return spark.read.parquet(os.path.join(path, f"epoch={gens[-1]}"))

@@ -1,0 +1,102 @@
+"""Stream-maintained aggregate state: parity with batch, replay safety.
+
+Contract: after the stream drains, the finalized state equals the
+one-shot batch aggregate over all data — and replaying any epoch
+(the failure-recovery path) changes nothing.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from semantic_olap_spark.functions.incremental import agg_state, finalize_agg
+from semantic_olap_spark.streaming.materialized import (
+    fold_batch,
+    maintain_agg_state,
+    read_agg_state,
+)
+
+METRICS = ["value"]
+
+
+def _events_dir(spark, tables, tmp_path, n_files=3):
+    # split events across n files so the file stream yields n epochs
+    src = str(tmp_path / "ev_src")
+    (
+        tables["events"]
+        .select("event_id", "user_id", "event_type", "value")
+        .repartition(n_files)
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+    return src
+
+
+def _norm(df) -> pd.DataFrame:
+    pdf = df.toPandas().sort_values("event_type").reset_index(drop=True)
+    return pdf.reindex(sorted(pdf.columns), axis=1)
+
+
+def test_stream_state_equals_batch_aggregate(spark, tables, tmp_path):
+    src = _events_dir(spark, tables, tmp_path)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    state_path = str(tmp_path / "state")
+    q = maintain_agg_state(
+        stream,
+        state_path,
+        METRICS,
+        group_by="event_type",
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    got = _norm(finalize_agg(read_agg_state(spark, state_path), METRICS))
+    want = _norm(
+        finalize_agg(
+            agg_state(
+                spark.read.parquet(src), METRICS, group_by="event_type"
+            ),
+            METRICS,
+        )
+    )
+    assert got.equals(want), f"\n{got}\nvs\n{want}"
+
+
+def test_epoch_replay_is_idempotent(spark, tables, tmp_path):
+    src = _events_dir(spark, tables, tmp_path, n_files=1)
+    batch = spark.read.parquet(src)
+    state_path = str(tmp_path / "state2")
+    half = batch.filter(F.col("event_id") % 2 == 0)
+    rest = batch.filter(F.col("event_id") % 2 == 1)
+    fold_batch(half, 0, state_path, METRICS, "event_type")
+    fold_batch(rest, 1, state_path, METRICS, "event_type")
+    once = _norm(finalize_agg(read_agg_state(spark, state_path), METRICS))
+    # replay epoch 1 (failure recovery): must rebuild, not add again
+    fold_batch(rest, 1, state_path, METRICS, "event_type")
+    twice = _norm(finalize_agg(read_agg_state(spark, state_path), METRICS))
+    assert once.equals(twice)
+    # and the totals match the unsplit aggregate
+    n_total = batch.count()
+    assert int(twice["n"].sum()) == n_total
+
+
+def test_generation_pruning(spark, tables, tmp_path):
+    import os
+
+    src = _events_dir(spark, tables, tmp_path, n_files=1)
+    batch = spark.read.parquet(src).limit(50)
+    state_path = str(tmp_path / "state3")
+    for e in range(5):
+        fold_batch(batch, e, state_path, METRICS, "event_type", keep_generations=2)
+    gens = sorted(
+        int(d.split("=")[1])
+        for d in os.listdir(state_path)
+        if d.startswith("epoch=")
+    )
+    # newest + 2 older kept
+    assert gens == [2, 3, 4]
