@@ -1378,6 +1378,45 @@ def _q_approx_distinct_merge(spark, sf_dir):
     )
 
 
+def _q_cdc_upsert_customers(spark, sf_dir):
+    # SCD-1 upsert (functions/cdc.py): reconcile the customer
+    # snapshot with a deterministic synthetic change log (updates on
+    # custkey%7, deletes on custkey%13; a later delete beats an
+    # earlier update).  One shuffle on the business key; the oracle
+    # states the post-image directly.
+    from semantic_olap_spark.functions.cdc import apply_cdc
+
+    cust = _t(spark, sf_dir, "customer")
+    upd = (
+        cust.filter(F.col("c_custkey") % 7 == 0)
+        .withColumn("c_acctbal", F.col("c_acctbal") + 1000)
+        .withColumn("seq", F.lit(1))
+        .withColumn("op", F.lit("U"))
+    )
+    dele = (
+        cust.filter(F.col("c_custkey") % 13 == 0)
+        .withColumn("seq", F.lit(2))
+        .withColumn("op", F.lit("D"))
+    )
+    return apply_cdc(cust, upd.unionByName(dele), "c_custkey", "seq")
+
+
+def _q_scd2_order_history(spark, sf_dir):
+    # SCD-2 history (functions/cdc.py): per-customer order versions
+    # with validity intervals from one lead window — the slowly-
+    # changing-dimension build every warehouse needs.
+    from semantic_olap_spark.functions.cdc import scd2_history
+
+    orders = _t(spark, sf_dir, "orders")
+    changes = orders.select(
+        "o_custkey",
+        "o_totalprice",
+        F.col("o_orderkey").alias("seq"),
+        F.lit("U").alias("op"),
+    )
+    return scd2_history(changes, "o_custkey", "seq")
+
+
 def _q_large_volume_orders(spark, sf_dir):
     # the TPC-H Q18 shape: aggregate-then-semi-join.  The heavy
     # groupBy runs FIRST (map-side combined, one shuffle on
@@ -1945,6 +1984,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokenize_docs": _q_bpe_tokenize_docs,
         "pagerank_suppliers": _q_pagerank_suppliers,
         "large_volume_orders": _q_large_volume_orders,
+        "cdc_upsert_customers": _q_cdc_upsert_customers,
+        "scd2_order_history": _q_scd2_order_history,
         "set_ops_custkeys": _q_set_ops_custkeys,
         "unpivot_lineitem_metrics": _q_unpivot_lineitem_metrics,
         "percentile_quantity": _q_percentile_quantity,
@@ -3648,6 +3689,23 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(l_quantity, 0.5), 6) AS p50,
                    round(quantile_cont(l_quantity, 0.9), 6) AS p90
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "cdc_upsert_customers": """
+            SELECT c_custkey, c_name, c_nationkey,
+                   CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 1000
+                        ELSE c_acctbal END AS c_acctbal,
+                   c_mktsegment
+            FROM customer WHERE c_custkey % 13 <> 0
+        """,
+        "scd2_order_history": """
+            SELECT o_custkey, o_totalprice, seq,
+                   seq AS valid_from,
+                   lead(seq) OVER (PARTITION BY o_custkey ORDER BY seq)
+                       AS valid_to,
+                   lead(seq) OVER (PARTITION BY o_custkey ORDER BY seq)
+                       IS NULL AS is_current
+            FROM (SELECT o_custkey, o_totalprice,
+                         o_orderkey AS seq FROM orders)
         """,
         "large_volume_orders": """
             SELECT c_custkey, c_name, o_orderkey, o_orderdate,

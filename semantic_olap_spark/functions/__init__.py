@@ -111,6 +111,10 @@ from semantic_olap_spark.functions.incremental import (  # noqa: F401
 from semantic_olap_spark.functions.graph import (  # noqa: F401
     pagerank,
 )
+from semantic_olap_spark.functions.cdc import (  # noqa: F401
+    apply_cdc,
+    scd2_history,
+)
 from semantic_olap_spark.functions.bpe import (  # noqa: F401
     bpe_encode,
     bpe_token_count,

@@ -1,0 +1,107 @@
+"""Change-data-capture application: SCD-1 upsert and SCD-2 history.
+
+A 100 TB corpus is never static: upstream rows are inserted, updated
+and deleted, and the pipeline must reconcile a base snapshot with a
+change log without a transactional table format underneath.  Both
+operators here are pure DataFrame algebra — one shuffle on the
+business key, no driver loops, no external dependency:
+
+- :func:`apply_cdc` (SCD type 1): latest-change-wins upsert of an
+  ``I``/``U``/``D`` change log onto a snapshot.  Implemented as
+  union → ``row_number`` over (key, recency) → keep rank 1 → drop
+  deletes.  Recency orders by (is_change, seq): every change beats
+  the base row, later sequence beats earlier — so the base snapshot
+  needs no sequence column of its own.
+- :func:`scd2_history` (SCD type 2): turn a change log into validity
+  intervals — ``valid_from`` = the change's sequence, ``valid_to`` =
+  the next change's (NULL = still open), ``is_current`` marking the
+  open non-deleted version.  One ``lead`` window per key.
+
+Ties on (key, seq) break by preferring deletes (a delete and an
+upsert sharing a sequence number resolve to the delete — the
+conservative reading for data-removal compliance) and are otherwise
+deterministic.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def apply_cdc(
+    base: DataFrame,
+    changes: DataFrame,
+    keys: str | Sequence[str],
+    seq_col: str,
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Apply an I/U/D change log onto a snapshot (latest wins).
+
+    ``base`` carries the data columns; ``changes`` carries the same
+    data columns plus ``seq_col`` (orderable recency) and ``op_col``.
+    Output schema equals ``base``'s.
+    """
+    ks = [keys] if isinstance(keys, str) else list(keys)
+    data_cols = base.columns
+    b = base.select(
+        *data_cols,
+        F.lit(0).alias("_is_chg"),
+        F.lit(None).cast(changes.schema[seq_col].dataType).alias("_seq"),
+        F.lit(None).cast("string").alias("_op"),
+    )
+    c = changes.select(
+        *data_cols,
+        F.lit(1).alias("_is_chg"),
+        F.col(seq_col).alias("_seq"),
+        F.col(op_col).cast("string").alias("_op"),
+    )
+    w = Window.partitionBy(*ks).orderBy(
+        F.col("_is_chg").desc(),
+        F.col("_seq").desc_nulls_last(),
+        # same-seq tie: delete wins (conservative for removals)
+        (F.col("_op") == F.lit(delete_op)).desc(),
+    )
+    return (
+        b.unionByName(c)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(
+            (F.col("_rn") == 1)
+            & (
+                F.col("_op").isNull()
+                | (F.col("_op") != F.lit(delete_op))
+            )
+        )
+        .select(*data_cols)
+    )
+
+
+def scd2_history(
+    changes: DataFrame,
+    keys: str | Sequence[str],
+    seq_col: str,
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Validity intervals from a change log (SCD type 2).
+
+    Every non-delete change becomes a version row with
+    ``valid_from`` (its sequence), ``valid_to`` (the next change's
+    sequence for that key, NULL while open) and ``is_current``.
+    Delete rows emit no version but still CLOSE the previous one —
+    which falls out of ``lead`` naturally since the lead is computed
+    before deletes are dropped.
+    """
+    ks = [keys] if isinstance(keys, str) else list(keys)
+    w = Window.partitionBy(*ks).orderBy(F.col(seq_col).asc())
+    out = changes.withColumn(
+        "valid_from", F.col(seq_col)
+    ).withColumn("valid_to", F.lead(seq_col).over(w))
+    return (
+        out.filter(F.col(op_col) != F.lit(delete_op))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .drop(op_col)
+    )

@@ -1,0 +1,101 @@
+"""CDC operators: upsert semantics, delete precedence, SCD-2 intervals."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from semantic_olap_spark.functions.cdc import apply_cdc, scd2_history
+from tests.conftest import assert_matches
+
+
+def _base(spark):
+    return spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        ["id", "name", "bal"],
+    )
+
+
+def _chg(spark, rows):
+    return spark.createDataFrame(rows, ["id", "name", "bal", "seq", "op"])
+
+
+def test_insert_update_delete(spark):
+    base = _base(spark)
+    changes = _chg(
+        spark,
+        [
+            (2, "b2", 25.0, 1, "U"),   # update
+            (3, "c", 30.0, 1, "D"),    # delete
+            (4, "d", 40.0, 2, "I"),    # insert
+            (2, "b3", 27.0, 3, "U"),   # later update wins
+        ],
+    )
+    got = {
+        r["id"]: (r["name"], r["bal"])
+        for r in apply_cdc(base, changes, "id", "seq").collect()
+    }
+    assert got == {1: ("a", 10.0), 2: ("b3", 27.0), 4: ("d", 40.0)}
+
+
+def test_same_seq_delete_wins(spark):
+    base = _base(spark)
+    changes = _chg(spark, [(1, "a2", 11.0, 5, "U"), (1, "a", 10.0, 5, "D")])
+    ids = [r["id"] for r in apply_cdc(base, changes, "id", "seq").collect()]
+    assert 1 not in ids
+
+
+def test_reinsert_after_delete(spark):
+    base = _base(spark)
+    changes = _chg(spark, [(1, "a", 10.0, 1, "D"), (1, "a9", 99.0, 2, "I")])
+    got = {r["id"]: r["bal"] for r in apply_cdc(base, changes, "id", "seq").collect()}
+    assert got[1] == 99.0
+
+
+def test_scd2_intervals_and_delete_closure(spark):
+    changes = _chg(
+        spark,
+        [
+            (1, "a1", 1.0, 10, "I"),
+            (1, "a2", 2.0, 20, "U"),
+            (1, "a2", 2.0, 30, "D"),  # closes, emits no row
+            (2, "b1", 5.0, 15, "I"),
+        ],
+    )
+    rows = {
+        (r["id"], r["valid_from"]): (r["valid_to"], r["is_current"])
+        for r in scd2_history(changes, "id", "seq").collect()
+    }
+    assert rows == {
+        (1, 10): (20, False),
+        (1, 20): (30, False),  # closed by the delete, not current
+        (2, 15): (None, True),
+    }
+    assert all(len(k) == 2 for k in rows)
+
+
+def test_apply_cdc_oracle_on_customer(tables, duck):
+    cust = tables["customer"]
+    upd = (
+        cust.filter(F.col("c_custkey") % 7 == 0)
+        .withColumn("c_acctbal", F.col("c_acctbal") + 1000)
+        .withColumn("seq", F.lit(1))
+        .withColumn("op", F.lit("U"))
+    )
+    dele = (
+        cust.filter(F.col("c_custkey") % 13 == 0)
+        .withColumn("seq", F.lit(2))
+        .withColumn("op", F.lit("D"))
+    )
+    out = apply_cdc(cust, upd.unionByName(dele), "c_custkey", "seq")
+    cols = ", ".join(
+        c if c != "c_acctbal" else (
+            "CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 1000 "
+            "ELSE c_acctbal END AS c_acctbal"
+        )
+        for c in cust.columns
+    )
+    assert_matches(
+        out,
+        duck,
+        f"SELECT {cols} FROM customer WHERE c_custkey % 13 <> 0",
+    )
