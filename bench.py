@@ -86,6 +86,18 @@ HEADLINE = [
     "cube_shipping",
     # exact heavy hitters: distinct-value counts + bounded top-k
     "top_frequent_priority",
+    # aggregate-then-broadcast-semi-join (TPC-H Q18 shape)
+    "large_volume_orders",
+    # incremental view maintenance: two batch states + pure merge
+    "incremental_orders_agg",
+    # CDC: one-shuffle SCD-1 upsert and SCD-2 lead-window history
+    "cdc_upsert_customers",
+    "scd2_order_history",
+    # fixed-point PageRank, 3 iterations over the supplier-customer
+    # service graph (per round: edges⋈ranks + groupBy(dst) sum)
+    "pagerank_suppliers",
+    # distributed BPE: one word-count pass + broadcast-rank encode
+    "bpe_tokenize_docs",
     # edit-distance entity resolution (brand-blocked, thresholded DP)
     "fuzzy_pairs_part_names",
     # one-scan expectation gate (5 rules, single FileScan)
