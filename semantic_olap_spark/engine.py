@@ -246,6 +246,55 @@ class OlapEngine:
 
     # -- the lifecycle ----------------------------------------------------
 
+    def estimate(self, query: str, sample_rows: int = 2048,
+                 probe_llm: bool = False) -> dict:
+        """Predict the LLM cost of ``run(query)`` without running it.
+
+        Plans the filter exactly as :meth:`run` would (decompose →
+        lattice probe → dice/slice micro-plans → flatten), then
+        simulates the staged executor on a bounded sample
+        (plans/costmodel.py).  Driver-side planning LLM calls are
+        spent (they are the cheap, O(1) part); per-row judging is
+        only simulated.  Returns the CostEstimate snapshot plus the
+        planned leaf operators.
+        """
+        from semantic_olap_spark.plans.costmodel import estimate_filter_cost
+
+        filter_query, _ = self.decompose(query)
+        equal_node, ancestors = self.memory.get_current_node(filter_query)
+        if equal_node is not None or not filter_query:
+            return {
+                "total_rows": (equal_node.df if equal_node else
+                               self.memory.nodes[self.memory.root_id].df
+                               ).count(),
+                "sample_rows": 0,
+                "probed": False,
+                "per_op": {},
+                "total_llm_calls": 0,
+                "reused_node": equal_node.id if equal_node else
+                self.memory.root_id,
+                "operators": [],
+            }
+        parent = ancestors[0] if ancestors else self.memory.nodes[
+            self.memory.root_id
+        ]
+        plan = self.plan_filter(parent.query, filter_query, parent)
+        injected = inject_sub_plans(plan, parent.df, self.llm_factory)
+        flat = flatten_plan(injected)
+        est = estimate_filter_cost(
+            parent.df, flat["operations"], flat["logic"],
+            sample_rows=sample_rows, probe_llm=probe_llm,
+            llm_factory=self.llm_factory,
+        )
+        out = est.snapshot()
+        out["reused_node"] = None
+        out["operators"] = [
+            {"id": int(op["id"]),
+             "operator_name": op.get("operator_name") or op.get("operator")}
+            for op in flat["operations"]
+        ]
+        return out
+
     def run(self, query: str) -> DataFrame:
         from semantic_olap_spark.plans.executor import run_filter
 

@@ -73,6 +73,71 @@ def test_scd2_intervals_and_delete_closure(spark):
     assert all(len(k) == 2 for k in rows)
 
 
+def test_random_changelogs_match_sequential_reference(spark):
+    # hypothesis: any change log (any key/seq/op mix, including
+    # same-seq collisions) applied distributed == applied one change
+    # at a time in (seq, delete-last? no: delete-first) order
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    ops = st.sampled_from(["I", "U", "D"])
+    change = st.tuples(
+        st.integers(1, 5),          # key
+        st.integers(0, 99),         # payload
+        st.integers(1, 6),          # seq
+        ops,
+    )
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(st.lists(change, min_size=0, max_size=12))
+    def run(changes):
+        # two UPDATES on the same (key, seq) are genuinely ambiguous
+        # (any engine picks arbitrarily) — keep at most one
+        # non-delete and one delete per (key, seq) so the property
+        # is well-defined
+        seen: set[tuple[int, int, bool]] = set()
+        deduped = []
+        for k, v, s, op in changes:
+            sig = (k, s, op == "D")
+            if sig not in seen:
+                seen.add(sig)
+                deduped.append((k, v, s, op))
+        changes = deduped
+        base_rows = [(k, -1) for k in (1, 2, 3)]
+        # sequential reference: order by (seq, non-delete-before-
+        # delete) so a same-seq delete lands last and wins — the
+        # documented tie rule
+        state = dict(base_rows)
+        for k, v, s, op in sorted(
+            changes, key=lambda c: (c[2], c[3] != "D")
+        ):
+            if op == "D":
+                state.pop(k, None)
+            else:
+                state[k] = v
+        base = spark.createDataFrame(base_rows, ["id", "v"])
+        if changes:
+            chg = spark.createDataFrame(
+                [(k, v, s, op) for k, v, s, op in changes],
+                ["id", "v", "seq", "op"],
+            )
+        else:
+            chg = spark.createDataFrame(
+                [], "id INT, v INT, seq INT, op STRING"
+            )
+        got = {
+            r["id"]: r["v"]
+            for r in apply_cdc(base, chg, "id", "seq").collect()
+        }
+        assert got == state, f"{changes}: {got} != {state}"
+
+    run()
+
+
 def test_apply_cdc_oracle_on_customer(tables, duck):
     cust = tables["customer"]
     upd = (
