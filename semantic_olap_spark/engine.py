@@ -246,6 +246,47 @@ class OlapEngine:
 
     # -- the lifecycle ----------------------------------------------------
 
+    def plan_only(self, query: str) -> dict:
+        """Plan a query without executing it (deferred planning).
+
+        The reference ships three plan-only baselines that emit a
+        ten-operator-language plan and stop
+        (baselines/baseline_LLM_direct.py:138-178,
+        baseline_ReAct_OutTool.py:307-317); this is that entry point
+        on the agentic planner: decompose → lattice probe →
+        dice/slice micro-plans → flatten — every driver-side planning
+        step :meth:`run` would take, zero per-row work, no node
+        memoized.  The returned ``operations``/``logic`` replay
+        through ``run_filter`` / :class:`PlanExecutor` (the same
+        language the golden-plan corpus is written in).
+        """
+        filter_query, analysis_query = self.decompose(query)
+        out: dict = {
+            "filter_query": filter_query,
+            "analysis_query": analysis_query,
+            "operations": [],
+            "logic": None,
+            "reused_node": None,
+        }
+        equal_node, ancestors = self.memory.get_current_node(filter_query)
+        if equal_node is not None:
+            out["reused_node"] = equal_node.id
+            return out
+        parent = ancestors[0] if ancestors else self.memory.nodes[
+            self.memory.root_id
+        ]
+        if filter_query:
+            plan = self.plan_filter(parent.query, filter_query, parent)
+            injected = inject_sub_plans(plan, parent.df, self.llm_factory)
+            flat = flatten_plan(injected)
+            out["operations"] = flat["operations"]
+            out["logic"] = flat["logic"]
+        if analysis_query:
+            out["topk"] = understand_topk(
+                analysis_query, parent.df.columns, self.llm_factory
+            )
+        return out
+
     def estimate(self, query: str, sample_rows: int = 2048,
                  probe_llm: bool = False) -> dict:
         """Predict the LLM cost of ``run(query)`` without running it.

@@ -163,6 +163,37 @@ def test_describe_cube_catalog(tables):
     assert "lang_family" in node["dimensions"].get("lang", [])
 
 
+def test_plan_only_replays_to_same_result(tables):
+    from semantic_olap_spark.plans.executor import run_filter
+
+    # plan without executing, then replay the emitted plan — must
+    # equal a fresh engine's run() of the same query
+    planner = _engine(tables)
+    plan = planner.plan_only("n_chars > 200 and mentions spark in text")
+    assert plan["operations"] and plan["logic"] is not None
+    names = {
+        op.get("operator_name") or op.get("operator")
+        for op in plan["operations"]
+    }
+    assert names & {"num_filter", "filter_pattern"}  # dice routed
+    assert len(planner.memory.nodes) == 1  # nothing memoized
+    replayed = run_filter(
+        planner.memory.nodes[planner.memory.root_id].df,
+        plan["operations"],
+        plan["logic"],
+        planner.llm_factory,
+    )
+    runner = _engine(tables)
+    ran = runner.run("n_chars > 200 and mentions spark in text")
+    a = {r["doc_id"] for r in replayed.select("doc_id").collect()}
+    b = {r["doc_id"] for r in ran.select("doc_id").collect()}
+    assert a == b and a
+    # Equal-node probe still short-circuits planning
+    runner2_plan = runner.plan_only("n_chars > 200 and mentions spark in text")
+    assert runner2_plan["reused_node"] is not None
+    assert runner2_plan["operations"] == []
+
+
 def test_topk_after_analysis(tables):
     eng = _engine(tables)
     out = eng.run(
