@@ -1378,6 +1378,19 @@ def _q_approx_distinct_merge(spark, sf_dir):
     )
 
 
+def _q_sem_dedup_pairs(spark, sf_dir):
+    # LLM-verified near-dup cascade: md5 MinHash-LSH blocking (the
+    # oracle-reproducible exact mode) proposes candidates, the stub
+    # judge (token-set Jaccard >= 0.5 — mirrored in SQL) confirms.
+    # The judge sees only blocked candidates, never n²/2 pairs.
+    from semantic_olap_spark.operators.semantic import sem_dedup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return sem_dedup_pairs(
+        docs, threshold=0.5, exact_hash=True, max_bucket_size=None
+    )
+
+
 def _q_cdc_upsert_customers(spark, sf_dir):
     # SCD-1 upsert (functions/cdc.py): reconcile the customer
     # snapshot with a deterministic synthetic change log (updates on
@@ -1985,6 +1998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_suppliers": _q_pagerank_suppliers,
         "large_volume_orders": _q_large_volume_orders,
         "cdc_upsert_customers": _q_cdc_upsert_customers,
+        "sem_dedup_pairs": _q_sem_dedup_pairs,
         "scd2_order_history": _q_scd2_order_history,
         "set_ops_custkeys": _q_set_ops_custkeys,
         "unpivot_lineitem_metrics": _q_unpivot_lineitem_metrics,
@@ -2485,6 +2499,59 @@ def oracle_sql() -> dict[str, str]:
               JOIN sh y ON c.id_b = y.doc_id
             )
             SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.5
+        """,
+        # sem_dedup_pairs: the md5 minhash pipeline above + the stub
+        # judge mirrored in SQL (whitespace-token-set Jaccard of the
+        # full texts >= 0.5)
+        "sem_dedup_pairs": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     str_split_regex(lower(trim(text)), '\s+') AS toks
+              FROM documents
+            ),
+            sh AS (
+              SELECT doc_id, list_distinct([
+                  array_to_string(toks[j + 1 : j + 3], ' ')
+                  for j in generate_series(0, greatest(len(toks) - 3, 0))
+              ]) AS shingles
+              FROM t
+            ),
+            hs AS (
+              SELECT doc_id, i, min(md5(i::VARCHAR || ':' || s)) AS h
+              FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)
+              CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i)
+              GROUP BY doc_id, i
+            ),
+            bands AS (
+              SELECT doc_id, i // 4 AS band,
+                     md5(string_agg(h, '|' ORDER BY i)) AS bh
+              FROM hs GROUP BY doc_id, i // 4
+            ),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.bh = b.bh
+               AND a.doc_id < b.doc_id
+            ),
+            p AS (
+              SELECT c.id_a, c.id_b,
+                     round(len(list_intersect(x.shingles, y.shingles))::DOUBLE
+                           / len(list_distinct(
+                                 list_concat(x.shingles, y.shingles))), 4)
+                         AS jaccard
+              FROM cand c
+              JOIN sh x ON c.id_a = x.doc_id
+              JOIN sh y ON c.id_b = y.doc_id
+            )
+            SELECT p.id_a, p.id_b, p.jaccard
+            FROM p
+            JOIN t a2 ON p.id_a = a2.doc_id
+            JOIN t b2 ON p.id_b = b2.doc_id
+            WHERE p.jaccard >= 0.5
+              AND len(list_intersect(list_distinct(a2.toks),
+                                     list_distinct(b2.toks)))::DOUBLE
+                  / len(list_distinct(list_concat(a2.toks, b2.toks)))
+                  >= 0.5
         """,
         # minhash_dedup_against: the same md5 signature/band pipeline
         # for BOTH sides, candidates = batch band keys hitting corpus

@@ -123,6 +123,17 @@ class StubLLM(BaseLLM):
             toks = P.condition_tokens(" ".join(vals))
             ll = left_sec.lower()
             return "Yes" if toks and all(t in ll for t in toks) else "No"
+        if task == "sem_dedup_pair":
+            # deterministic near-dup judgment: whitespace-token
+            # Jaccard of the two documents >= 0.5 (oracle-mirrorable
+            # in SQL: list_intersect/list_distinct over str_split)
+            a_sec, _, b_sec = content.partition("<<<B>>>\n")
+            a_sec = a_sec.replace("<<<A>>>\n", "")
+            ta = set(a_sec.lower().split())
+            tb = set(b_sec.lower().split())
+            union = ta | tb
+            j = (len(ta & tb) / len(union)) if union else 1.0
+            return "Yes" if j >= 0.5 else "No"
         if task == "sem_map":
             instr = fields.get("instruction", "")
             vocab = P.vocab_of(instr)

@@ -90,6 +90,18 @@ def join_prompt(condition: str, left_content: str, right_content: str) -> str:
     )
 
 
+def dedup_pair_prompt(a_content: str, b_content: str) -> str:
+    return (
+        "### task: sem_dedup_pair\n"
+        "Decide whether document A and document B are near-duplicates "
+        "(same substantive content, allowing paraphrase and "
+        "boilerplate differences). Answer exactly Yes or No.\n"
+        f"{CONTENT_SEP}\n"
+        f"<<<A>>>\n{a_content}\n"
+        f"<<<B>>>\n{b_content}"
+    )
+
+
 def map_prompt(keyword: str, map_description: str, content: str) -> str:
     return (
         "### task: sem_map\n"

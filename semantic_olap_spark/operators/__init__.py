@@ -33,6 +33,7 @@ from semantic_olap_spark.operators.semantic import (  # noqa: F401
     induce_taxonomy,
     sem_filter,
     sem_filter_cond,
+    sem_dedup_pairs,
     sem_join,
     sem_join_cond,
     sem_group,

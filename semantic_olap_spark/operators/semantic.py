@@ -238,6 +238,70 @@ def sem_join(
     )
 
 
+def sem_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    llm_factory: LLMFactory = default_llm_factory,
+    candidates: DataFrame | None = None,
+    **minhash_kwargs,
+) -> DataFrame:
+    """LLM-verified near-duplicate pairs: signature blocking → judge.
+
+    The cascade every semantic-dedup system runs (LOTUS-style
+    sem-dedup on the public pattern): cheap MinHash-LSH banding
+    proposes candidate pairs (cost follows bucket sizes, never n²),
+    and the LLM judges ONLY those candidates — at 100 TB the judge
+    sees thousands of pairs, not quadrillions.  Beyond the signature
+    threshold, the judge catches paraphrase-level duplication exact
+    Jaccard misses (with a real backend; the stub judges by
+    token-set overlap, which the driver oracle mirrors in SQL).
+
+    ``candidates``: pass a precomputed pair frame ``(id_a, id_b,
+    ...)`` to reuse blocking output (e.g. ``minhash_index`` probes);
+    default runs :func:`minhash_lsh_pairs` with ``minhash_kwargs``.
+    Output: the candidate columns for pairs judged duplicates.
+    """
+    from semantic_olap_spark.functions.dedup import minhash_lsh_pairs
+
+    if candidates is None:
+        candidates = minhash_lsh_pairs(
+            df, text_col=text_col, id_col=id_col, **minhash_kwargs
+        )
+    out_cols = candidates.columns
+    texts = df.select(
+        F.col(id_col).alias("_sd_id"), F.col(text_col).alias("_sd_t")
+    )
+    pairs = (
+        candidates.join(
+            texts.withColumnRenamed("_sd_id", "id_a_")
+            .withColumnRenamed("_sd_t", "_ta"),
+            F.col("id_a") == F.col("id_a_"),
+        )
+        .drop("id_a_")
+        .join(
+            texts.withColumnRenamed("_sd_id", "id_b_")
+            .withColumnRenamed("_sd_t", "_tb"),
+            F.col("id_b") == F.col("id_b_"),
+        )
+        .drop("id_b_")
+    )
+    state: dict = {}
+
+    @F.pandas_udf(BooleanType())
+    def same(ta: pd.Series, tb: pd.Series) -> pd.Series:
+        llm = _lazy_llm(state, llm_factory)
+        prompts = [
+            P.dedup_pair_prompt(a or "", b or "") for a, b in zip(ta, tb)
+        ]
+        ans = llm.predict_batch(prompts)
+        return pd.Series(
+            [a.strip().lower().startswith("y") for a in ans]
+        )
+
+    return pairs.filter(same(F.col("_ta"), F.col("_tb"))).select(*out_cols)
+
+
 # ---- sem_map (Operaters.py:318-350; catalog baseline_LLM_direct.py:43-53)
 
 

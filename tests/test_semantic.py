@@ -349,3 +349,54 @@ def test_sem_join_oracle(tables, duck):
           ON contains(lower(d.text), t.topic)
         """,
     )
+
+
+def test_sem_dedup_pairs_planted_near_dups(spark):
+    from semantic_olap_spark.operators.semantic import sem_dedup_pairs
+
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, boiler + " alpha"),
+        (2, boiler + " beta"),           # near-dup of 1 (high overlap)
+        (3, "completely different text about parquet scans and joins"),
+        (4, boiler + " alpha"),          # exact dup of 1
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in sem_dedup_pairs(
+            df, threshold=0.3, shingle_n=2
+        ).collect()
+    }
+    assert (1, 4) in got            # exact dup survives both stages
+    assert (1, 2) in got and (2, 4) in got
+    assert not any(3 in p for p in got)
+
+
+def test_sem_dedup_judge_runs_only_on_candidates(spark):
+    from semantic_olap_spark.llm.client import (
+        default_llm_factory,
+        wrap_cost_tracking,
+    )
+    from semantic_olap_spark.operators.semantic import sem_dedup_pairs
+
+    # 40 documents, two planted dup pairs: the judge must see the
+    # handful of blocked candidates, NOT n*(n-1)/2 = 780 pairs
+    rows = [(i, f"unique document number {i} about topic {i * 7 % 13}")
+            for i in range(36)]
+    rows += [
+        (100, "shared boilerplate text one two three four five"),
+        (101, "shared boilerplate text one two three four five"),
+        (102, "another duplicated body six seven eight nine ten"),
+        (103, "another duplicated body six seven eight nine ten"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    factory, stats = wrap_cost_tracking(df.sparkSession, default_llm_factory)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in sem_dedup_pairs(
+            df, llm_factory=factory, threshold=0.3
+        ).collect()
+    }
+    assert {(100, 101), (102, 103)} <= got
+    assert stats.requests < 100  # candidates only, nowhere near 780
