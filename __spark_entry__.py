@@ -1430,6 +1430,29 @@ def _q_scd2_order_history(spark, sf_dir):
     return scd2_history(changes, "o_custkey", "seq")
 
 
+def _q_temporal_join_events(spark, sf_dir):
+    # point-in-time join (functions/cdc.py temporal_join): each click
+    # meets the purchase "version" (SCD-2 interval per user) active
+    # at its timestamp.  Key equality keeps it a plain equi-join with
+    # the interval predicate as the residual — no nested loop.
+    from semantic_olap_spark.functions.cdc import scd2_history, temporal_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("value").alias("purchase_value"),
+        F.col("ts").alias("pseq"),
+        F.lit("U").alias("op"),
+    )
+    hist = scd2_history(purchases, "user_id", "pseq")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    return temporal_join(clicks, hist, "user_id", "ts").select(
+        "event_id", "purchase_value", "valid_from", "is_current"
+    )
+
+
 def _q_large_volume_orders(spark, sf_dir):
     # the TPC-H Q18 shape: aggregate-then-semi-join.  The heavy
     # groupBy runs FIRST (map-side combined, one shuffle on
@@ -1999,6 +2022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "large_volume_orders": _q_large_volume_orders,
         "cdc_upsert_customers": _q_cdc_upsert_customers,
         "sem_dedup_pairs": _q_sem_dedup_pairs,
+        "temporal_join_events": _q_temporal_join_events,
         "scd2_order_history": _q_scd2_order_history,
         "set_ops_custkeys": _q_set_ops_custkeys,
         "unpivot_lineitem_metrics": _q_unpivot_lineitem_metrics,
@@ -3763,6 +3787,22 @@ def oracle_sql() -> dict[str, str]:
                         ELSE c_acctbal END AS c_acctbal,
                    c_mktsegment
             FROM customer WHERE c_custkey % 13 <> 0
+        """,
+        "temporal_join_events": """
+            WITH hist AS (
+              SELECT user_id, value AS purchase_value, ts AS pseq,
+                     ts AS valid_from,
+                     lead(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         AS valid_to
+              FROM events WHERE event_type = 'purchase'
+            )
+            SELECT c.event_id, h.purchase_value, h.valid_from,
+                   h.valid_to IS NULL AS is_current
+            FROM events c JOIN hist h
+              ON c.user_id = h.user_id
+             AND c.ts >= h.valid_from
+             AND (h.valid_to IS NULL OR c.ts < h.valid_to)
+            WHERE c.event_type = 'click'
         """,
         "scd2_order_history": """
             SELECT o_custkey, o_totalprice, seq,

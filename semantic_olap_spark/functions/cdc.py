@@ -79,6 +79,48 @@ def apply_cdc(
     )
 
 
+def temporal_join(
+    facts: DataFrame,
+    history: DataFrame,
+    keys: str | Sequence[str],
+    fact_time: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-time join: each fact meets the version valid at its time.
+
+    The consumer of :func:`scd2_history`: a fact row with timestamp
+    ``t`` joins the dimension version whose interval contains ``t``
+    (``valid_from <= t < valid_to``; an open interval — NULL
+    ``valid_to`` — matches everything from its start).  Intervals
+    from ``scd2_history`` are disjoint per key, so each fact matches
+    at most one version; ``how='left'`` keeps facts that predate the
+    first version.
+
+    Scale shape: the key equality makes this a plain shuffled
+    equi-join with the interval predicate evaluated as the join
+    residual — never a nested-loop.  Differs from ``asof_join``
+    (operators/relational.py) in contract, not just mechanics:
+    as-of picks the latest earlier event from a raw stream; this
+    consumes *explicit intervals*, where deletes create gaps that
+    must NOT match (an as-of backward fill would bridge them).
+    """
+    ks = [keys] if isinstance(keys, str) else list(keys)
+    h = history
+    for k in ks:
+        h = h.withColumnRenamed(k, f"_tj_{k}")
+    cond = F.lit(True)
+    for k in ks:
+        cond = cond & (facts[k] == h[f"_tj_{k}"])
+    t = facts[fact_time]
+    cond = cond & (t >= h[valid_from]) & (
+        h[valid_to].isNull() | (t < h[valid_to])
+    )
+    out = facts.join(h, cond, how)
+    return out.drop(*[f"_tj_{k}" for k in ks])
+
+
 def scd2_history(
     changes: DataFrame,
     keys: str | Sequence[str],

@@ -108,12 +108,12 @@ def test_random_changelogs_match_sequential_reference(spark):
                 deduped.append((k, v, s, op))
         changes = deduped
         base_rows = [(k, -1) for k in (1, 2, 3)]
-        # sequential reference: order by (seq, non-delete-before-
-        # delete) so a same-seq delete lands last and wins — the
-        # documented tie rule
+        # sequential reference: order by (seq, deletes LAST within a
+        # seq) so a same-seq delete is applied after the upsert and
+        # wins — the documented tie rule
         state = dict(base_rows)
         for k, v, s, op in sorted(
-            changes, key=lambda c: (c[2], c[3] != "D")
+            changes, key=lambda c: (c[2], c[3] == "D")
         ):
             if op == "D":
                 state.pop(k, None)
@@ -164,3 +164,53 @@ def test_apply_cdc_oracle_on_customer(tables, duck):
         duck,
         f"SELECT {cols} FROM customer WHERE c_custkey % 13 <> 0",
     )
+
+
+def test_temporal_join_intervals_and_gaps(spark):
+    from semantic_olap_spark.functions.cdc import scd2_history, temporal_join
+
+    changes = _chg(
+        spark,
+        [
+            (1, "v1", 1.0, 10, "I"),
+            (1, "v2", 2.0, 20, "U"),
+            (1, "v2", 2.0, 30, "D"),   # gap after 30
+            (1, "v3", 3.0, 40, "I"),   # reopens
+        ],
+    )
+    hist = scd2_history(changes, "id", "seq")
+    facts = spark.createDataFrame(
+        [(100, 1, 5), (101, 1, 15), (102, 1, 25), (103, 1, 35),
+         (104, 1, 45), (105, 2, 15)],
+        ["fid", "id", "t"],
+    )
+    got = {
+        r["fid"]: r["name"]
+        for r in temporal_join(facts, hist, "id", "t").collect()
+    }
+    # 5 predates all versions; 35 falls in the delete gap; user 2
+    # has no history — all three drop under inner join
+    assert got == {101: "v1", 102: "v2", 104: "v3"}
+    kept_left = {
+        r["fid"]: r["name"]
+        for r in temporal_join(facts, hist, "id", "t", how="left").collect()
+    }
+    assert kept_left[100] is None and kept_left[103] is None
+    assert kept_left[105] is None and len(kept_left) == 6
+
+
+def test_temporal_join_is_equi_join_not_nlj(spark):
+    import io
+    from contextlib import redirect_stdout
+
+    from semantic_olap_spark.functions.cdc import scd2_history, temporal_join
+
+    changes = _chg(spark, [(i, "x", 1.0, i * 10, "I") for i in range(1, 6)])
+    hist = scd2_history(changes, "id", "seq")
+    facts = spark.createDataFrame([(1, 1, 15)], ["fid", "id", "t"])
+    out = temporal_join(facts, hist, "id", "t")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
