@@ -1378,6 +1378,24 @@ def _q_approx_distinct_merge(spark, sf_dir):
     )
 
 
+def _q_sql_interface(spark, sf_dir):
+    # the SQL-first surface (semantic_olap_spark/sql.py): temp views
+    # + semantic UDFs make the whole engine reachable from
+    # spark.sql; deterministic predicates still push to the scan
+    # below the UDF (plan-pinned in tests/test_sql.py)
+    from semantic_olap_spark.sql import register_tables
+
+    register_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT source, count(*) AS n
+        FROM documents
+        WHERE n_chars > 200 AND sem_filter(text, 'mentions window')
+        GROUP BY source
+        """
+    )
+
+
 def _q_sem_dedup_pairs(spark, sf_dir):
     # LLM-verified near-dup cascade: md5 MinHash-LSH blocking (the
     # oracle-reproducible exact mode) proposes candidates, the stub
@@ -2023,6 +2041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_upsert_customers": _q_cdc_upsert_customers,
         "sem_dedup_pairs": _q_sem_dedup_pairs,
         "temporal_join_events": _q_temporal_join_events,
+        "sql_interface": _q_sql_interface,
         "scd2_order_history": _q_scd2_order_history,
         "set_ops_custkeys": _q_set_ops_custkeys,
         "unpivot_lineitem_metrics": _q_unpivot_lineitem_metrics,
@@ -3787,6 +3806,14 @@ def oracle_sql() -> dict[str, str]:
                         ELSE c_acctbal END AS c_acctbal,
                    c_mktsegment
             FROM customer WHERE c_custkey % 13 <> 0
+        """,
+        "sql_interface": """
+            SELECT source, count(*) AS n
+            FROM documents
+            WHERE n_chars > 200
+              AND (contains(lower(text), 'mentions')
+                   OR contains(lower(text), 'window'))
+            GROUP BY source
         """,
         "temporal_join_events": """
             WITH hist AS (

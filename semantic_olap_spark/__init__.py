@@ -33,3 +33,7 @@ __version__ = "0.2.0"
 
 from semantic_olap_spark.engine import OlapEngine  # noqa: F401
 from semantic_olap_spark.session import get_spark  # noqa: F401
+from semantic_olap_spark.sql import (  # noqa: F401
+    register_semantic_sql,
+    register_tables,
+)
