@@ -1378,6 +1378,18 @@ def _q_approx_distinct_merge(spark, sf_dir):
     )
 
 
+def _q_weighted_sample_docs(spark, sf_dir):
+    # importance sampling ∝ document length: md5 uniform + one IEEE
+    # multiply + compare — every step bit-identical in the oracle.
+    # Scan-side filter, pushdown-safe, stable under corpus growth.
+    from semantic_olap_spark.functions.sampling import weighted_sample
+
+    return weighted_sample(
+        _t(spark, sf_dir, "documents"), "n_chars", "doc_id",
+        rate_scale=1 / 1000.0,
+    )
+
+
 def _q_sql_interface(spark, sf_dir):
     # the SQL-first surface (semantic_olap_spark/sql.py): temp views
     # + semantic UDFs make the whole engine reachable from
@@ -2042,6 +2054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sem_dedup_pairs": _q_sem_dedup_pairs,
         "temporal_join_events": _q_temporal_join_events,
         "sql_interface": _q_sql_interface,
+        "weighted_sample_docs": _q_weighted_sample_docs,
         "scd2_order_history": _q_scd2_order_history,
         "set_ops_custkeys": _q_set_ops_custkeys,
         "unpivot_lineitem_metrics": _q_unpivot_lineitem_metrics,
@@ -2890,6 +2903,12 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample": f"""
             SELECT * FROM documents
             WHERE {_uhash_sql('doc_id')} < 0.3
+        """,
+        # weighted_sample: keep iff u(doc_id) < n_chars * scale — the
+        # multiply and compare are IEEE-exact in both engines
+        "weighted_sample_docs": f"""
+            SELECT * FROM documents
+            WHERE {_uhash_sql('doc_id')} < n_chars * (1.0 / 1000.0)
         """,
         "stratified_sample": f"""
             SELECT * FROM documents

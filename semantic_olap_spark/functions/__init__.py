@@ -53,6 +53,8 @@ from semantic_olap_spark.functions.sampling import (  # noqa: F401
     stratified_sample,
     train_test_split,
     uniform_hash,
+    weighted_sample,
+    weighted_sample_n,
 )
 from semantic_olap_spark.functions.packing import (  # noqa: F401
     assemble_docs,

@@ -90,6 +90,64 @@ def hash_sample(
     return df.filter(uniform_hash(F.col(key_col), seed) < fraction)
 
 
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    key_col: str,
+    rate_scale: float,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic importance sample: keep with P ∝ weight.
+
+    Row kept iff ``u(key) < weight × rate_scale`` (weights ≤ 0 never
+    kept; products ≥ 1 always kept) — Poisson/Bernoulli sampling
+    proportional to a quality or importance score, the standard
+    corpus-downweighting move.  Every operation (md5 uniform, one
+    IEEE multiply, one compare) is bit-identical across engines, so
+    unlike the ``pow``-based fixed-size scheme below this form
+    oracle-replays exactly.  Scan-side filter: pushdown-safe, no
+    shuffle, and stable under corpus growth like :func:`hash_sample`.
+    """
+    w = F.col(weight_col).cast("double")
+    return df.filter(
+        uniform_hash(F.col(key_col), seed) < w * F.lit(float(rate_scale))
+    )
+
+
+def weighted_sample_n(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    key_col: str,
+    seed: int = 42,
+) -> DataFrame:
+    """Fixed-size weighted sample without replacement (A-ES).
+
+    Efraimidis–Spirakis: rank each row by ``u(key)^(1/w)`` and keep
+    the top ``n`` — inclusion probability proportional to weight,
+    deterministic given the data.  ``orderBy().limit(n)`` compiles to
+    TakeOrderedAndProject (per-partition heaps + driver merge of n
+    rows, no global sort).  Rows with ``w <= 0`` or null never
+    qualify.
+
+    Cross-engine caveat (why the driver oracle uses
+    :func:`weighted_sample` instead): ``pow`` is libm-dependent in
+    its last ulp, so two ranks separated by <1e-15 could order
+    differently in another engine.  Within one Spark deployment the
+    result is stable; pytest pins determinism and the
+    weight-monotone inclusion contract.
+    """
+    u = uniform_hash(F.col(key_col), seed)
+    w = F.col(weight_col).cast("double")
+    return (
+        df.filter(w > 0)
+        .withColumn("_aes_rank", F.pow(u, F.lit(1.0) / w))
+        .orderBy(F.col("_aes_rank").desc(), F.col(key_col).asc())
+        .limit(int(n))
+        .drop("_aes_rank")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,
