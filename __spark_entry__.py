@@ -1378,6 +1378,18 @@ def _q_approx_distinct_merge(spark, sf_dir):
     )
 
 
+def _q_quantile_bucket_orders(spark, sf_dir):
+    # exact equal-frequency binning (functions/binning.py): rank via
+    # the parallel dense_ranks construction, bucket = all-integer
+    # floor(rank*n/count) — reproducible anywhere, no single-
+    # partition ntile, no engine-dependent approx edges.
+    from semantic_olap_spark.functions.binning import quantile_bucket
+
+    return quantile_bucket(
+        _t(spark, sf_dir, "orders"), "o_totalprice", 8, "o_orderkey"
+    ).select("o_orderkey", "o_totalprice", "bucket")
+
+
 def _q_weighted_sample_docs(spark, sf_dir):
     # importance sampling ∝ document length: md5 uniform + one IEEE
     # multiply + compare — every step bit-identical in the oracle.
@@ -2055,6 +2067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_join_events": _q_temporal_join_events,
         "sql_interface": _q_sql_interface,
         "weighted_sample_docs": _q_weighted_sample_docs,
+        "quantile_bucket_orders": _q_quantile_bucket_orders,
         "scd2_order_history": _q_scd2_order_history,
         "set_ops_custkeys": _q_set_ops_custkeys,
         "unpivot_lineitem_metrics": _q_unpivot_lineitem_metrics,
@@ -2903,6 +2916,20 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample": f"""
             SELECT * FROM documents
             WHERE {_uhash_sql('doc_id')} < 0.3
+        """,
+        # quantile_bucket: rank-based equal-frequency bins; the
+        # bucket formula is all-integer so it replays exactly
+        "quantile_bucket_orders": """
+            WITH r AS (
+              SELECT o_orderkey, o_totalprice,
+                     row_number() OVER (ORDER BY o_totalprice,
+                                        o_orderkey) - 1 AS rk,
+                     count(*) OVER () AS total
+              FROM orders
+            )
+            SELECT o_orderkey, o_totalprice,
+                   ((rk * 8) // total)::INT AS bucket
+            FROM r
         """,
         # weighted_sample: keep iff u(doc_id) < n_chars * scale — the
         # multiply and compare are IEEE-exact in both engines

@@ -116,6 +116,10 @@ from semantic_olap_spark.functions.graph import (  # noqa: F401
 from semantic_olap_spark.functions.cdc import (  # noqa: F401
     apply_cdc,
     scd2_history,
+    temporal_join,
+)
+from semantic_olap_spark.functions.binning import (  # noqa: F401
+    quantile_bucket,
 )
 from semantic_olap_spark.functions.bpe import (  # noqa: F401
     bpe_encode,
