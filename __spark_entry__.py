@@ -1378,6 +1378,37 @@ def _q_approx_distinct_merge(spark, sf_dir):
     )
 
 
+def _q_stream_materialized_agg(spark, sf_dir):
+    # continuous materialized view (streaming/materialized.py): an
+    # availableNow file stream over events folds per-micro-batch
+    # aggregate states into epoch-keyed generations; the query
+    # returns the finalized newest generation.  Oracle = the one-shot
+    # global aggregate — the stream-maintained state must equal it
+    # bit-exactly (decimal sums).
+    import tempfile
+
+    from semantic_olap_spark.functions.incremental import finalize_agg
+    from semantic_olap_spark.streaming.materialized import (
+        maintain_agg_state,
+        read_agg_state,
+    )
+    from semantic_olap_spark.streaming.windows import read_events_stream
+
+    work = tempfile.mkdtemp(prefix="mvq_")
+    stream = read_events_stream(spark, sf_dir).select(
+        "event_type", "value"
+    )
+    q = maintain_agg_state(
+        stream,
+        f"{work}/state",
+        ["value"],
+        group_by="event_type",
+        checkpoint=f"{work}/ckpt",
+    )
+    q.awaitTermination(300)
+    return finalize_agg(read_agg_state(spark, f"{work}/state"), ["value"])
+
+
 def _q_quantile_bucket_orders(spark, sf_dir):
     # exact equal-frequency binning (functions/binning.py): rank via
     # the parallel dense_ranks construction, bucket = all-integer
@@ -2068,6 +2099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_interface": _q_sql_interface,
         "weighted_sample_docs": _q_weighted_sample_docs,
         "quantile_bucket_orders": _q_quantile_bucket_orders,
+        "stream_materialized_agg": _q_stream_materialized_agg,
         "scd2_order_history": _q_scd2_order_history,
         "set_ops_custkeys": _q_set_ops_custkeys,
         "unpivot_lineitem_metrics": _q_unpivot_lineitem_metrics,
@@ -2916,6 +2948,21 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample": f"""
             SELECT * FROM documents
             WHERE {_uhash_sql('doc_id')} < 0.3
+        """,
+        # stream_materialized_agg: stream-maintained state ==
+        # one-shot aggregate (the incremental-maintenance contract,
+        # through the real Structured Streaming machinery)
+        "stream_materialized_agg": """
+            SELECT event_type,
+                   count(*) AS n,
+                   count(value) AS value_count,
+                   round(sum(CAST(value AS DECIMAL(38,6))), 2)::DOUBLE
+                       AS value_sum,
+                   round(sum(CAST(value AS DECIMAL(38,6)))::DOUBLE
+                         / count(value), 6) AS value_avg,
+                   min(value) AS value_min,
+                   max(value) AS value_max
+            FROM events GROUP BY event_type
         """,
         # quantile_bucket: rank-based equal-frequency bins; the
         # bucket formula is all-integer so it replays exactly
