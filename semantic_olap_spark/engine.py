@@ -254,11 +254,20 @@ class OlapEngine:
         (baselines/baseline_LLM_direct.py:138-178,
         baseline_ReAct_OutTool.py:307-317); this is that entry point
         on the agentic planner: decompose → lattice probe →
-        dice/slice micro-plans → flatten — every driver-side planning
-        step :meth:`run` would take, zero per-row work, no node
+        dice/slice micro-plans → flatten — the driver-side filter
+        planning :meth:`run` would take, zero per-row work, no node
         memoized.  The returned ``operations``/``logic`` replay
         through ``run_filter`` / :class:`PlanExecutor` (the same
         language the golden-plan corpus is written in).
+
+        ``topk`` is a PREVIEW: it is planned against the starting
+        frame's columns, whereas :meth:`run` re-detects top-k intent
+        after the ReAct analysis has added derived columns — a
+        topk whose field only exists post-analysis shows up here
+        with the pre-analysis resolution.  An Equal lattice hit
+        short-circuits filter planning (``reused_node`` set,
+        ``operations`` empty) but the analysis/topk preview is still
+        planned, because run() would still execute that phase.
         """
         filter_query, analysis_query = self.decompose(query)
         out: dict = {
@@ -267,23 +276,25 @@ class OlapEngine:
             "operations": [],
             "logic": None,
             "reused_node": None,
+            "topk": None,
         }
         equal_node, ancestors = self.memory.get_current_node(filter_query)
         if equal_node is not None:
             out["reused_node"] = equal_node.id
-            return out
-        parent = ancestors[0] if ancestors else self.memory.nodes[
-            self.memory.root_id
-        ]
-        if filter_query:
-            plan = self.plan_filter(parent.query, filter_query, parent)
-            injected = inject_sub_plans(plan, parent.df, self.llm_factory)
-            flat = flatten_plan(injected)
-            out["operations"] = flat["operations"]
-            out["logic"] = flat["logic"]
+            base = equal_node
+        else:
+            base = ancestors[0] if ancestors else self.memory.nodes[
+                self.memory.root_id
+            ]
+            if filter_query:
+                plan = self.plan_filter(base.query, filter_query, base)
+                injected = inject_sub_plans(plan, base.df, self.llm_factory)
+                flat = flatten_plan(injected)
+                out["operations"] = flat["operations"]
+                out["logic"] = flat["logic"]
         if analysis_query:
             out["topk"] = understand_topk(
-                analysis_query, parent.df.columns, self.llm_factory
+                analysis_query, base.df.columns, self.llm_factory
             )
         return out
 

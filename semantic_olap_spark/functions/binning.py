@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from semantic_olap_spark.sources.loaders import dense_ranks
+from semantic_olap_spark.sources.loaders import dense_ranks_with_total
 
 
 def quantile_bucket(
@@ -38,18 +38,24 @@ def quantile_bucket(
     values split deterministically by it, which is what makes the
     result a pure function of the data (and lets the driver oracle
     mirror it with ``row_number``).
+
+    The bucket expression uses SQL ``div`` (true integer division),
+    not float divide-and-floor: floor-of-double disagrees with
+    integer division once rank×n approaches 2^53 — exactly the
+    scale this module's bit-identical claim must survive.  The row
+    total falls out of the rank construction's own count pass (no
+    second job).
     """
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
-    ranked = dense_ranks(df, [col, tiebreak], "_qb_rank")
-    total = ranked.count()
+    ranked, total = dense_ranks_with_total(df, [col, tiebreak], "_qb_rank")
     if total == 0:
         return ranked.withColumn(
             out_col, F.lit(None).cast("int")
         ).drop("_qb_rank")
     return ranked.withColumn(
         out_col,
-        F.floor(
-            F.col("_qb_rank") * F.lit(int(n_buckets)) / F.lit(int(total))
+        F.expr(
+            f"(_qb_rank * {int(n_buckets)}) div {int(total)}"
         ).cast("int"),
     ).drop("_qb_rank")

@@ -19,8 +19,11 @@ business key, no driver loops, no external dependency:
 
 Ties on (key, seq) break by preferring deletes (a delete and an
 upsert sharing a sequence number resolve to the delete — the
-conservative reading for data-removal compliance) and are otherwise
-deterministic.
+conservative reading for data-removal compliance).  Two NON-delete
+changes sharing the same (key, seq) are undefined — no further sort
+key exists, so which payload wins is partition-order dependent; a
+change feed with that shape needs its own disambiguating sequence
+(real CDC offsets provide one).
 """
 
 from __future__ import annotations

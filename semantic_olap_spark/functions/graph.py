@@ -62,6 +62,12 @@ def pagerank(
         .persist()
     )
     n = nodes.count()
+    if n == 0:
+        e.unpersist()
+        nodes.unpersist()
+        return nodes.withColumn(rank_col, F.lit(None).cast("long")).select(
+            "node", rank_col
+        )
     out_deg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg"))
     base = (15 * SCALE) // (100 * n)
     ranks = nodes.withColumn(

@@ -300,9 +300,9 @@ def load_text(
     return reader.text(path).select(F.col("value").alias("text"))
 
 
-def dense_ranks(
+def dense_ranks_with_total(
     df: DataFrame, order_by: list[str], rank_col: str
-) -> DataFrame:
+) -> tuple[DataFrame, int]:
     """Dense 0..n-1 ranks by ``order_by`` without a global window.
 
     The ``zipWithIndex`` construction (same technique as
@@ -315,19 +315,21 @@ def dense_ranks(
     ``Window.orderBy`` (unpartitioned) would funnel the table through
     one task.
 
-    The frame is persisted for the duration of the count pass because
-    ``repartitionByRange`` samples boundaries with a per-execution
-    seed; pinning one layout keeps the counted partitions and the
-    ranked partitions identical.  Caller owns the returned lineage
-    (the persist is released once the ranks are materialized
-    downstream; LRU eviction covers pressure).
+    The ranged frame is pinned with ``localCheckpoint`` (eager, cuts
+    lineage) — NOT a plain ``persist``: ``repartitionByRange``
+    samples boundaries with a per-execution seed, so if cached
+    blocks were lost and the frame recomputed, rows could land in
+    different partitions while the collected offsets still described
+    the old layout, silently corrupting ids.  A checkpoint makes
+    that impossible — lost blocks fail the job instead of
+    recomputing differently (correct-or-error, never wrong).
     """
     cols = [F.col(c) for c in order_by]
     nparts = max(df.sparkSession.sparkContext.defaultParallelism, 1)
     ranged = (
         df.repartitionByRange(nparts, *cols)
         .withColumn("_dr_pid", F.spark_partition_id())
-        .persist()
+        .localCheckpoint()
     )
     part_counts = sorted(
         (r["_dr_pid"], r["cnt"])
@@ -344,12 +346,20 @@ def dense_ranks(
         *[F.lit(x) for pair in offsets.items() for x in pair]
     ) if offsets else F.create_map()
     local_w = Window.partitionBy("_dr_pid").orderBy(*cols)
-    return ranged.withColumn(
+    out = ranged.withColumn(
         rank_col,
         (
             F.row_number().over(local_w) - F.lit(1) + off_map[F.col("_dr_pid")]
         ).cast("long"),
     ).drop("_dr_pid")
+    return out, acc
+
+
+def dense_ranks(
+    df: DataFrame, order_by: list[str], rank_col: str
+) -> DataFrame:
+    """:func:`dense_ranks_with_total` without the row count."""
+    return dense_ranks_with_total(df, order_by, rank_col)[0]
 
 
 def with_olap_id(df: DataFrame, order_by: list[str] | None = None) -> DataFrame:

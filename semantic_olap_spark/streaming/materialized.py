@@ -63,10 +63,34 @@ def fold_batch(
     Rebuilds from the newest generation strictly below ``epoch_id``
     and overwrites ``epoch=<epoch_id>`` — replaying an epoch
     reproduces, never double-counts.
+
+    ``keep_generations`` must be ≥ 1: the replayed epoch rebuilds
+    from its predecessor, so pruning everything below the current
+    epoch would make failure recovery drop all pre-crash history.
+
+    Generations NEWER than the folding epoch mean the state dir
+    belongs to a different stream run (a reused path with a fresh
+    checkpoint restarts epochs at 0) — that is refused loudly,
+    because the alternative is ``read_agg_state`` silently serving
+    the previous run's aggregate forever.
     """
+    if keep_generations < 1:
+        raise ValueError(
+            "keep_generations must be >= 1 — a replayed epoch rebuilds "
+            "from its predecessor (the idempotence contract)"
+        )
+    gens = _generations(path)
+    newer = [g for g in gens if g > epoch_id]
+    if newer:
+        raise ValueError(
+            f"state dir {path} already holds generations {newer} newer "
+            f"than epoch {epoch_id}: it belongs to a different stream "
+            f"run (reused path with a fresh checkpoint?). Point the "
+            f"stream at an empty state dir or reuse its checkpoint."
+        )
     spark = batch.sparkSession
     new = agg_state(batch, metrics, group_by)
-    prior = [g for g in _generations(path) if g < epoch_id]
+    prior = [g for g in gens if g < epoch_id]
     if prior:
         prev = spark.read.parquet(os.path.join(path, f"epoch={prior[-1]}"))
         new = merge_agg_states([prev, new], metrics, group_by)
@@ -74,9 +98,9 @@ def fold_batch(
         os.path.join(path, f"epoch={epoch_id}")
     )
     # prune: keep the newest `keep_generations` strictly-older
-    # generations for readers in flight, drop the rest
+    # generations for replay and readers in flight, drop the rest
     done = [g for g in _generations(path) if g < epoch_id]
-    for g in done[:-keep_generations] if keep_generations else done:
+    for g in done[:-keep_generations]:
         shutil.rmtree(os.path.join(path, f"epoch={g}"), ignore_errors=True)
 
 

@@ -85,3 +85,10 @@ def test_rank_mass_bounded(spark):
     edges = [(1, 2), (2, 3), (3, 4)]  # 4 is dangling
     got = _run(spark, edges, iters=5)
     assert sum(got.values()) <= SCALE
+
+
+def test_empty_edge_frame_returns_empty(spark):
+    df = spark.createDataFrame([], "src BIGINT, dst BIGINT")
+    out = pagerank(df, iterations=3)
+    assert out.columns == ["node", "rank_scaled"]
+    assert out.count() == 0

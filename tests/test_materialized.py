@@ -100,3 +100,30 @@ def test_generation_pruning(spark, tables, tmp_path):
     )
     # newest + 2 older kept
     assert gens == [2, 3, 4]
+
+
+def test_reused_state_dir_with_fresh_checkpoint_refused(spark, tables, tmp_path):
+    import pytest
+
+    src = _events_dir(spark, tables, tmp_path, n_files=1)
+    batch = spark.read.parquet(src).limit(20)
+    state_path = str(tmp_path / "state4")
+    fold_batch(batch, 0, state_path, METRICS, "event_type")
+    fold_batch(batch, 1, state_path, METRICS, "event_type")
+    fold_batch(batch, 2, state_path, METRICS, "event_type")
+    # a NEW stream run against the same path restarts epochs at 0:
+    # must refuse, not silently serve the old epoch=2 state
+    with pytest.raises(ValueError, match="different stream run"):
+        fold_batch(batch, 0, state_path, METRICS, "event_type")
+
+
+def test_keep_generations_zero_refused(spark, tables, tmp_path):
+    import pytest
+
+    src = _events_dir(spark, tables, tmp_path, n_files=1)
+    batch = spark.read.parquet(src).limit(5)
+    with pytest.raises(ValueError, match="keep_generations"):
+        fold_batch(
+            batch, 0, str(tmp_path / "s5"), METRICS, "event_type",
+            keep_generations=0,
+        )
