@@ -621,44 +621,21 @@ def sem_topk(
         ],
     )
     cand = df.withColumn("_content", content)
-    # Range-partition by id: partition p holds an id range below
-    # partition p+1, so rank = (rows in partitions < p) + local rank.
-    # The RANGED frame is what gets persisted: repartitionByRange
-    # samples boundaries with a per-execution seed, so collecting the
-    # counts from one execution and ranking a RE-execution could see
-    # different partition membership — persisting pins one layout for
-    # both the count pass and the tournament.
-    nparts = max(cand.sparkSession.sparkContext.defaultParallelism, 1)
-    ranged = (
-        cand.repartitionByRange(nparts, F.col(id_col))
-        .withColumn("_pid", F.spark_partition_id())
-        .persist()
-    )
-    part_counts = sorted(
-        (r["_pid"], r["cnt"])
-        for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
-    )
-    n = sum(c for _, c in part_counts)
+    # Dense tournament ranks + n from the shared zipWithIndex
+    # construction (sources/loaders.py dense_ranks_with_total):
+    # range-partition by id + broadcast prefix-sum offsets, the
+    # layout pinned by localCheckpoint so the count pass and the
+    # tournament see identical partition membership.
+    from semantic_olap_spark.sources.loaders import dense_ranks_with_total
+
+    ranked, n = dense_ranks_with_total(cand, [id_col], "_rank")
     if n <= k:
         # no tournament needed (reference short-circuits at n <= k);
         # keep the output schema identical to the tournament path
-        out = ranged.drop("_content", "_pid").withColumn("wins", F.lit(0))
+        out = ranked.drop("_content", "_rank").withColumn("wins", F.lit(0))
         out = out.orderBy(F.col(id_col).asc()).limit(int(k))
         return out if keep_wins else out.drop("wins")
-    offsets: dict[int, int] = {}
-    acc_rows = 0
-    for pid, cnt in part_counts:
-        offsets[pid] = acc_rows
-        acc_rows += cnt
     m = min(n_opponents, n - 1)
-    off_map = F.create_map(
-        *[F.lit(x) for pair in offsets.items() for x in pair]
-    )
-    local_w = Window.partitionBy("_pid").orderBy(F.col(id_col))
-    ranked = ranged.withColumn(
-        "_rank",
-        F.row_number().over(local_w) - F.lit(1) + off_map[F.col("_pid")],
-    )
     left = ranked.select(
         F.col(id_col).alias("_id_a"),
         F.col("_rank").alias("_rank_a"),
