@@ -1874,6 +1874,22 @@ def _q_engine_lifecycle(spark, sf_dir):
     return eng.run("mentions spark in text").drop("OLAP_ID")
 
 
+def _q_engine_star_lifecycle(spark, sf_dir):
+    # the NL lifecycle over a STAR SCHEMA: OlapEngine.from_star
+    # broadcast-denormalizes orders⋈customer, then the same
+    # decompose → plan → staged-filter path runs over the flat frame.
+    from semantic_olap_spark.engine import OlapEngine
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    eng = OlapEngine.from_star(
+        orders,
+        [(cust, "o_custkey", "c_custkey")],
+        order_by=["o_orderkey"],
+    )
+    return eng.run("mentions BUILDING in c_mktsegment").drop("OLAP_ID")
+
+
 def _q_roll_up_events(spark, sf_dir):
     from semantic_olap_spark.plans.memory import CubeMemory
     from semantic_olap_spark.plans.rollup import roll_up
@@ -2120,6 +2136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nl_filter_pipeline": _q_nl_filter_pipeline,
         "roll_up_events": _q_roll_up_events,
         "engine_lifecycle": _q_engine_lifecycle,
+        "engine_star_lifecycle": _q_engine_star_lifecycle,
         "sem_filter_negated": _q_sem_filter_negated,
         "sem_join_topics": _q_sem_join_topics,
         "drill_down_topic": _q_drill_down_topic,
@@ -4181,6 +4198,17 @@ def oracle_sql() -> dict[str, str]:
             WHERE contains(lower(text), 'mentions')
                OR contains(lower(text), 'spark')
                OR contains(lower(text), 'text')
+        """,
+        # engine_star_lifecycle: the same slice-cascade stub
+        # semantics as engine_lifecycle, over the broadcast-
+        # denormalized orders⋈customer frame (dim join key dropped)
+        "engine_star_lifecycle": """
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                   o_orderdate, o_orderpriority,
+                   c_name, c_nationkey, c_acctbal, c_mktsegment
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            WHERE contains(lower(c_mktsegment), 'mentions')
+               OR contains(lower(c_mktsegment), 'building')
         """,
         "sem_filter_negated":
             "SELECT * FROM documents WHERE NOT contains(lower(text), 'spark')",

@@ -82,6 +82,43 @@ class OlapEngine:
             max_cached_nodes=max_cached_nodes,
         )
 
+    @classmethod
+    def from_star(
+        cls,
+        fact: DataFrame,
+        dims: list[tuple[DataFrame, str, str]],
+        **kwargs,
+    ) -> "OlapEngine":
+        """Engine over a star schema, denormalized on construction.
+
+        The reference operates on ONE flat table (SURVEY §1.1); real
+        deployments have a fact table plus dimensions.  This joins
+        each ``(dim_df, fact_key, dim_key)`` onto the fact with a
+        broadcast left join — dimension tables are the small side by
+        definition, so the fact never shuffles and Catalyst prunes
+        unused dimension columns per query.  The resulting flat
+        frame then gets the full NL lifecycle unchanged.  Dimension
+        column names must not collide with fact columns (the join
+        key column of each dim is dropped after the join).
+        """
+        df = fact
+        for dim_df, fact_key, dim_key in dims:
+            overlap = (set(df.columns) & set(dim_df.columns)) - {dim_key}
+            if overlap:
+                raise ValueError(
+                    f"column collision with dimension joined on "
+                    f"{dim_key!r}: {sorted(overlap)} — rename or "
+                    f"pre-select the dimension"
+                )
+            d = dim_df
+            if dim_key == fact_key:
+                d = d.withColumnRenamed(dim_key, f"_star_{dim_key}")
+                dim_key = f"_star_{dim_key}"
+            df = df.join(
+                F.broadcast(d), df[fact_key] == d[dim_key], "left"
+            ).drop(dim_key)
+        return cls(df, **kwargs)
+
     def save(self, path: str) -> None:
         """Persist the cube lattice for a later session
         (plans/memory.py:save_cube)."""

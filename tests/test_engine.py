@@ -204,3 +204,33 @@ def test_topk_after_analysis(tables):
     # num check: labels aren't numeric → falls back through dispatch;
     # result must be a single row
     assert out.count() == 1
+
+
+def test_from_star_denormalizes_and_runs(tables, duck):
+    eng = OlapEngine.from_star(
+        tables["orders"],
+        [(tables["customer"], "o_custkey", "c_custkey")],
+        order_by=["o_orderkey"],
+    )
+    out = eng.run("mentions BUILDING in c_mktsegment").drop("OLAP_ID")
+    assert_matches(
+        out,
+        duck,
+        """
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               o_orderdate, o_orderpriority,
+               c_name, c_nationkey, c_acctbal, c_mktsegment
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE contains(lower(c_mktsegment), 'mentions')
+           OR contains(lower(c_mktsegment), 'building')
+        """,
+    )
+
+
+def test_from_star_collision_refused(tables):
+    import pytest
+
+    dup = tables["orders"].withColumnRenamed("o_orderdate", "shared")
+    dim = tables["customer"].withColumnRenamed("c_name", "shared")
+    with pytest.raises(ValueError, match="collision"):
+        OlapEngine.from_star(dup, [(dim, "o_custkey", "c_custkey")])
