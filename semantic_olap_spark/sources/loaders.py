@@ -342,15 +342,19 @@ def dense_ranks_with_total(
     for pid, cnt in part_counts:
         offsets[pid] = acc
         acc += cnt
-    off_map = F.create_map(
-        *[F.lit(x) for pair in offsets.items() for x in pair]
-    ) if offsets else F.create_map()
+    # empty input: F.create_map() with no args is map<void,void> and
+    # map()[int] fails analysis — use a zero offset (no rows anyway)
+    offset_expr = (
+        F.create_map(
+            *[F.lit(x) for pair in offsets.items() for x in pair]
+        )[F.col("_dr_pid")]
+        if offsets
+        else F.lit(0)
+    )
     local_w = Window.partitionBy("_dr_pid").orderBy(*cols)
     out = ranged.withColumn(
         rank_col,
-        (
-            F.row_number().over(local_w) - F.lit(1) + off_map[F.col("_dr_pid")]
-        ).cast("long"),
+        (F.row_number().over(local_w) - F.lit(1) + offset_expr).cast("long"),
     ).drop("_dr_pid")
     return out, acc
 

@@ -195,3 +195,12 @@ def test_load_text_line_and_whole_modes(spark, tmp_path):
         r["path"].rsplit("/", 1)[1]: r["text"] for r in whole.collect()
     }
     assert got == {"a.txt": "line one\nline two\n", "b.txt": "solo\n"}
+
+
+def test_dense_ranks_empty_input(spark):
+    from semantic_olap_spark.sources.loaders import dense_ranks_with_total
+
+    df = spark.createDataFrame([], "k BIGINT, v STRING")
+    out, total = dense_ranks_with_total(df, ["k"], "r")
+    assert total == 0 and out.count() == 0
+    assert "r" in out.columns
