@@ -1378,6 +1378,19 @@ def _q_approx_distinct_merge(spark, sf_dir):
     )
 
 
+def _q_target_encode_orders(spark, sf_dir):
+    # leave-one-out target encoding (functions/binning.py): one
+    # map-side-combined category groupBy broadcast back onto the
+    # frame; decimal sums + exact-sum-then-divide make the encoding
+    # hash-exact.  Every priority class has thousands of rows, so
+    # the LOO branch covers all of them.
+    from semantic_olap_spark.functions.binning import target_encode
+
+    return target_encode(
+        _t(spark, sf_dir, "orders"), "o_orderpriority", "o_totalprice"
+    ).select("o_orderkey", "o_orderpriority", "te")
+
+
 def _q_stream_materialized_agg(spark, sf_dir):
     # continuous materialized view (streaming/materialized.py): an
     # availableNow file stream over events folds per-micro-batch
@@ -2116,6 +2129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample_docs": _q_weighted_sample_docs,
         "quantile_bucket_orders": _q_quantile_bucket_orders,
         "stream_materialized_agg": _q_stream_materialized_agg,
+        "target_encode_orders": _q_target_encode_orders,
         "scd2_order_history": _q_scd2_order_history,
         "set_ops_custkeys": _q_set_ops_custkeys,
         "unpivot_lineitem_metrics": _q_unpivot_lineitem_metrics,
@@ -2965,6 +2979,23 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample": f"""
             SELECT * FROM documents
             WHERE {_uhash_sql('doc_id')} < 0.3
+        """,
+        # target_encode: leave-one-out mean via per-category decimal
+        # window sums (every priority class is multi-row at sf>=0.001,
+        # so no global-mean fallback rows appear)
+        "target_encode_orders": """
+            WITH s AS (
+              SELECT o_orderkey, o_orderpriority, o_totalprice,
+                     sum(CAST(o_totalprice AS DECIMAL(38,6)))
+                         OVER (PARTITION BY o_orderpriority) AS sg,
+                     count(o_totalprice)
+                         OVER (PARTITION BY o_orderpriority) AS ng
+              FROM orders
+            )
+            SELECT o_orderkey, o_orderpriority,
+                   round((sg - CAST(o_totalprice AS DECIMAL(38,6)))::DOUBLE
+                         / (ng - 1), 6) AS te
+            FROM s
         """,
         # stream_materialized_agg: stream-maintained state ==
         # one-shot aggregate (the incremental-maintenance contract,

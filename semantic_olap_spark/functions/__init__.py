@@ -120,6 +120,7 @@ from semantic_olap_spark.functions.cdc import (  # noqa: F401
 )
 from semantic_olap_spark.functions.binning import (  # noqa: F401
     quantile_bucket,
+    target_encode,
 )
 from semantic_olap_spark.functions.bpe import (  # noqa: F401
     bpe_encode,

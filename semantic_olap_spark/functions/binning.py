@@ -1,4 +1,4 @@
-"""Feature binning: exact equal-frequency (quantile) buckets.
+"""Feature engineering: exact quantile buckets and target encoding.
 
 Equal-frequency binning is the standard feature-engineering
 discretization (and the rank transform behind calibration curves and
@@ -59,3 +59,59 @@ def quantile_bucket(
             f"(_qb_rank * {int(n_buckets)}) div {int(total)}"
         ).cast("int"),
     ).drop("_qb_rank")
+
+
+def target_encode(
+    df: DataFrame,
+    category_col: str,
+    target_col: str,
+    out_col: str = "te",
+    round_to: int = 6,
+) -> DataFrame:
+    """Leave-one-out target encoding of a categorical column.
+
+    Each row gets the mean of ``target_col`` over the OTHER rows of
+    its category — the standard high-cardinality categorical encoder,
+    leave-one-out so a row never sees its own label (the leakage the
+    naive per-category mean suffers).  Categories with a single row
+    (nothing to leave out) fall back to the global mean.
+
+    Exactness: category sums are decimal (order-independent), the
+    final divide is exact-decimal-sum→double over an integer count —
+    the same determinism recipe as the driver's aggregate oracles,
+    so the whole encoding hash-matches across engines.
+
+    Scale shape: one map-side-combined ``groupBy(category)`` whose
+    output (one row per category) broadcasts back onto the data — the
+    big frame never shuffles.  Null targets contribute nothing and
+    encode to the mean of their category's non-null rows.
+    """
+    dec = F.col(target_col).cast("decimal(38,6)")
+    stats = df.groupBy(category_col).agg(
+        F.sum(dec).alias("_te_sum"),
+        F.count(F.col(target_col)).alias("_te_n"),
+    )
+    glob = df.groupBy().agg(
+        F.sum(dec).alias("_te_gsum"),
+        F.count(F.col(target_col)).alias("_te_gn"),
+    )
+    joined = df.join(F.broadcast(stats), category_col, "left").crossJoin(
+        F.broadcast(glob)
+    )
+    y = F.col(target_col).cast("decimal(38,6)")
+    global_mean = F.col("_te_gsum").cast("double") / F.col("_te_gn")
+    loo = (F.col("_te_sum") - F.coalesce(y, F.lit(0).cast("decimal(38,6)"))).cast(
+        "double"
+    ) / (F.col("_te_n") - F.when(F.col(target_col).isNotNull(), 1).otherwise(0))
+    n_others = F.col("_te_n") - F.when(
+        F.col(target_col).isNotNull(), 1
+    ).otherwise(0)
+    return (
+        joined.withColumn(
+            out_col,
+            F.round(
+                F.when(n_others > 0, loo).otherwise(global_mean), round_to
+            ),
+        )
+        .drop("_te_sum", "_te_n", "_te_gsum", "_te_gn")
+    )

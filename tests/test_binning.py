@@ -73,3 +73,52 @@ def test_oracle_parity_on_orders(tables, duck):
         FROM r
         """,
     )
+
+
+def test_target_encode_loo_hand_computed(spark):
+    from semantic_olap_spark.functions.binning import target_encode
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 10.0), ("c", 5.0),
+         ("a", None)],
+        ["cat", "y"],
+    )
+    got = {
+        (r["cat"], r["y"]): r["te"]
+        for r in target_encode(df, "cat", "y").collect()
+    }
+    # LOO within 'a': each row sees the mean of the other two
+    assert got[("a", 1.0)] == 2.5
+    assert got[("a", 2.0)] == 2.0
+    assert got[("a", 3.0)] == 1.5
+    # null target: mean of the category's non-null rows
+    assert got[("a", None)] == 2.0
+    # singleton categories fall back to the global mean (21/5)
+    assert got[("b", 10.0)] == 4.2
+    assert got[("c", 5.0)] == 4.2
+
+
+def test_target_encode_oracle_on_orders(tables, duck):
+    from semantic_olap_spark.functions.binning import target_encode
+
+    out = target_encode(
+        tables["orders"], "o_orderpriority", "o_totalprice"
+    ).select("o_orderkey", "o_orderpriority", "te")
+    assert_matches(
+        out,
+        duck,
+        """
+        WITH s AS (
+          SELECT o_orderkey, o_orderpriority, o_totalprice,
+                 sum(CAST(o_totalprice AS DECIMAL(38,6)))
+                     OVER (PARTITION BY o_orderpriority) AS sg,
+                 count(o_totalprice)
+                     OVER (PARTITION BY o_orderpriority) AS ng
+          FROM orders
+        )
+        SELECT o_orderkey, o_orderpriority,
+               round((sg - CAST(o_totalprice AS DECIMAL(38,6)))::DOUBLE
+                     / (ng - 1), 6) AS te
+        FROM s
+        """,
+    )
