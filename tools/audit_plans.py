@@ -49,6 +49,7 @@ SINGLE_PARTITION_OK = {
     # global scalar-stats aggregates (1-row / #rules / #pairs output)
     "quantile_filter", "profile_columns", "ngram_lm_score",
     "quality_report_lineitem", "corr_matrix_lineitem",
+    "target_encode_orders",
 }
 # declared pair generators: NLJ/cartesian within blocks or against a
 # broadcast side is their documented (capped) strategy
@@ -63,6 +64,7 @@ NLJ_OK = {
     # totals / query-term stats): build side is one row by
     # construction — verified BroadcastNestedLoopJoin BuildRight
     "quantile_filter", "ngram_lm_score", "bm25_topk", "rrf_fuse_hybrid",
+    "target_encode_orders",
 }
 
 
