@@ -3849,8 +3849,8 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WINDOW w AS (
               PARTITION BY user_id
-              ORDER BY epoch(ts::TIMESTAMP)::BIGINT
-              RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW
+              ORDER BY epoch_us(ts::TIMESTAMP)
+              RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW
             )
         """,
         "sessionize_events": """

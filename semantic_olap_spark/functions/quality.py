@@ -103,11 +103,18 @@ def quality_report(df: DataFrame, rules: Sequence[Mapping]) -> DataFrame:
     ).select(
         "rule",
         "n_rows",
-        "violations",
-        F.round(
-            (F.col("n_rows") - F.col("violations"))
-            / F.col("n_rows"), 6
-        ).alias("pass_rate"),
+        # empty input: sum() is NULL — report 0 violations and a
+        # vacuous 1.0 pass rate so `violations == 0` gates stay
+        # boolean instead of NULL on fully-pruned slices
+        F.coalesce(F.col("violations"), F.lit(0)).alias("violations"),
+        F.when(F.col("n_rows") == 0, F.lit(1.0))
+        .otherwise(
+            F.round(
+                (F.col("n_rows") - F.coalesce(F.col("violations"), F.lit(0)))
+                / F.col("n_rows"), 6
+            )
+        )
+        .alias("pass_rate"),
     )
 
 
@@ -172,7 +179,13 @@ def snapshot_diff(
     bounded by churn, not table size.
     """
     keys = [key] if isinstance(key, str) else list(key)
-    cols = compare or [c for c in new.columns if c not in keys]
+    # compare=[] means an EXPLICIT membership-only diff; only None
+    # defaults to "all non-key columns" (`or` would conflate the two)
+    cols = (
+        list(compare)
+        if compare is not None
+        else [c for c in new.columns if c not in keys]
+    )
     o = old.select(
         *keys, *[F.col(c).alias(f"{c}_old") for c in cols],
         F.lit(True).alias("_in_old"),

@@ -84,18 +84,23 @@ def top_frequent(
     col: str,
     k: int = 10,
     group_by: str | Sequence[str] | None = None,
-    support: float = 1e-4,
+    support: float = 0.0,
 ) -> DataFrame:
     """Heavy hitters: the ≤k most frequent values of ``col`` per group.
 
     Exact two-phase plan — ``groupBy(keys, col).count()`` (map-side
     combine collapses repeats before the shuffle, so the shuffle
     carries one row per distinct value, not per input row) then a
-    per-group top-k window over the counts.  ``support`` prunes the
-    tail between the phases: values seen fewer than
-    ``support × total`` times can never be heavy hitters, and at
-    100 TB the tail of near-unique values is most of the distinct
-    mass — pruning it keeps the window input bounded.
+    per-group top-k window over the counts.
+
+    ``support > 0`` adds a SUPPORT FLOOR between the phases: values
+    seen fewer than ``support × group_total`` times are dropped
+    before ranking.  That bounds the window input at 100 TB (the
+    near-unique tail is most of the distinct mass) but changes the
+    contract — a group whose k-th value falls under the floor
+    returns FEWER than k rows (a uniform group can return zero).
+    Rank-based top-k and a frequency floor are different questions;
+    the default asks only the first.
     """
     keys = [group_by] if isinstance(group_by, str) else list(group_by or [])
     counts = df.groupBy(*keys, F.col(col).alias("value")).agg(

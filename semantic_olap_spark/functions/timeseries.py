@@ -137,10 +137,13 @@ def rolling_agg(
             "a single global sort task"
         )
     span = _parse_duration(window, "window")
+    # microsecond range key: whole-second truncation would make
+    # same-second events frame PEERS, letting a row's "trailing"
+    # window see values up to a second in its future
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col(ts_col).cast("timestamp").cast("long"))
-        .rangeBetween(-span, 0)
+        .orderBy(F.unix_micros(F.col(ts_col).cast("timestamp")))
+        .rangeBetween(-span * 1_000_000, 0)
     )
     tag = window.replace(" ", "_")
     out = df

@@ -66,6 +66,12 @@ def fuzzy_join(
         )
     if how not in ("inner", "left"):
         raise ValueError(f"how must be inner or left, got {how!r}")
+    # same-named join keys (the natural entity-resolution shape:
+    # join two tables both keyed 'name') would make every reference
+    # ambiguous — rename the right key like the block column
+    if right_col == left_col:
+        right = right.withColumnRenamed(right_col, f"_rk_{right_col}")
+        right_col = f"_rk_{right_col}"
     lc, rc = F.col(left_col), F.col(right_col)
     d = _dist(lc, rc, max_dist)  # bound once: the DP dominates per-pair cost
     cond = (
@@ -83,6 +89,8 @@ def fuzzy_join(
     )
     if block_col is not None:
         out = out.drop(f"_rb_{block_col}")
+    if right_col.startswith("_rk_"):
+        out = out.withColumnRenamed(right_col, right_col[4:] + "_right")
     return out
 
 
@@ -111,11 +119,18 @@ def fuzzy_pairs(
             "(quadratic); pass block_col= or opt in with "
             "allow_unblocked=True on bounded inputs"
         )
-    nparts = 2 * df.sparkSession.sparkContext.defaultParallelism
     a = df.select(
         F.col(id_col).alias("id_a"), F.col(col).alias("_va"),
         *([F.col(block_col).alias("_ba")] if block_col else []),
-    ).repartition(nparts)
+    )
+    if broadcast:
+        # only the broadcast path needs the round-robin spread (a
+        # broadcast join inherits the stream side's partitioning,
+        # which a blocked self-join would cap at #blocks); the
+        # shuffle join re-partitions on the block key anyway, so
+        # repartitioning here would just add a full extra shuffle
+        nparts = 2 * df.sparkSession.sparkContext.defaultParallelism
+        a = a.repartition(nparts)
     b = df.select(
         F.col(id_col).alias("id_b"), F.col(col).alias("_vb"),
         *([F.col(block_col).alias("_bb")] if block_col else []),

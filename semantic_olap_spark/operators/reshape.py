@@ -81,6 +81,21 @@ def pivot_agg(
         v: f"{pivot_col}_{''.join(ch if ch.isalnum() else '_' for ch in v)}"
         for v in pivot_values
     }
+    # sanitization is lossy ('a.b' and 'a_b' both → 'a_b'); a silent
+    # duplicate column poisons every later select with
+    # AMBIGUOUS_REFERENCE — refuse here with the colliding values
+    if len(set(safe.values())) != len(safe):
+        from collections import Counter
+
+        dupes = [
+            n for n, c in Counter(safe.values()).items() if c > 1
+        ]
+        raise ValueError(
+            f"pivot values collide after identifier sanitization: "
+            f"{sorted(v for v in safe if safe[v] in dupes)} all map "
+            f"to {dupes} — rename the values or pivot on a cleaned "
+            f"column"
+        )
     for v in pivot_values:
         out = out.withColumnRenamed(v, safe[v])
     return out

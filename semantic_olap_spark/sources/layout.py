@@ -135,13 +135,18 @@ def write_zordered(
     plain parquet write — each output file covers a contiguous key
     range, so per-file min/max stats on every z-column are tight.
     """
-    key = zorder_key(df, cols, bits)
-    with_key = df.withColumn("_zkey", key)
+    # the scratch key must not shadow (and then silently DROP) a
+    # user column — pick the first free name
+    kcol = "_zkey"
+    while kcol in df.columns:
+        kcol += "_"
+    key = zorder_key(df, cols, bits, out_col=kcol)
+    with_key = df.withColumn(kcol, key)
     parts = num_files or df.sparkSession.sparkContext.defaultParallelism
     (
-        with_key.repartitionByRange(parts, F.col("_zkey"))
-        .sortWithinPartitions("_zkey")
-        .drop("_zkey")
+        with_key.repartitionByRange(parts, F.col(kcol))
+        .sortWithinPartitions(kcol)
+        .drop(kcol)
         .write.mode(mode)
         .parquet(path)
     )

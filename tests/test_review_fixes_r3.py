@@ -1,0 +1,117 @@
+"""Regression pins for the round-3 review findings (r2-tail modules)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_top_frequent_default_returns_full_topk_on_uniform(spark):
+    from semantic_olap_spark.functions.sketches import top_frequent
+
+    rows = [(f"v{i % 50}",) for i in range(3000)]  # every value 60×
+    df = spark.createDataFrame(rows, ["val"])
+    assert top_frequent(df, "val", k=5).count() == 5
+    # the opt-in support floor may legitimately return fewer
+    assert top_frequent(df, "val", k=5, support=0.5).count() == 0
+
+
+def test_snapshot_diff_explicit_empty_compare_is_membership_only(spark):
+    from semantic_olap_spark.functions.quality import snapshot_diff
+
+    old = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
+    new = spark.createDataFrame([(1, "CHANGED"), (3, "c")], ["id", "v"])
+    got = {
+        r["id"]: r["change"]
+        for r in snapshot_diff(old, new, "id", compare=[]).collect()
+    }
+    # id=1 differs in v but compare=[] asked for membership only
+    assert got == {2: "removed", 3: "added"}
+
+
+def test_pivot_agg_refuses_colliding_sanitized_names(spark):
+    from semantic_olap_spark.operators.reshape import pivot_agg
+
+    df = spark.createDataFrame(
+        [("g", "a.b", 1.0), ("g", "a_b", 2.0)], ["grp", "cat", "v"]
+    )
+    with pytest.raises(ValueError, match="collide"):
+        pivot_agg(df, ["grp"], "cat", ["a.b", "a_b"], "v")
+
+
+def test_write_zordered_preserves_user_zkey_column(spark, tmp_path):
+    from semantic_olap_spark.sources.layout import write_zordered
+
+    df = spark.createDataFrame(
+        [(i, float(i), "keepme") for i in range(100)],
+        ["x", "y", "_zkey"],
+    )
+    out = str(tmp_path / "z")
+    write_zordered(df, out, ["x", "y"], bits=3, num_files=2)
+    back = spark.read.parquet(out)
+    assert "_zkey" in back.columns
+    assert back.filter(F.col("_zkey") == "keepme").count() == 100
+
+
+def test_fuzzy_join_same_named_key_columns(spark):
+    from semantic_olap_spark.operators.fuzzy import fuzzy_join
+
+    left = spark.createDataFrame(
+        [("acme corp", "b1")], ["name", "blk"]
+    )
+    right = spark.createDataFrame(
+        [("acme corp.", "b1"), ("zzz", "b1")], ["name", "blk"]
+    )
+    got = fuzzy_join(left, right, "name", "name", block_col="blk").collect()
+    assert len(got) == 1
+    assert got[0]["name"] == "acme corp"
+    assert got[0]["name_right"] == "acme corp."
+    assert got[0]["edit_distance"] == 1
+
+
+def test_rolling_agg_subsecond_events_not_peers(spark):
+    from semantic_olap_spark.functions.timeseries import rolling_agg
+
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        (1, base + dt.timedelta(milliseconds=100), 1.0),
+        (1, base + dt.timedelta(milliseconds=900), 10.0),
+    ]
+    df = spark.createDataFrame(rows, ["uid", "ts", "value"])
+    out = {
+        r["ts"].microsecond: r["sum_value_1_hour"]
+        for r in rolling_agg(
+            df, "ts", "value", "uid", window="1 hour", aggs=("sum",)
+        ).collect()
+    }
+    # the .100 row must NOT see the .900 value from its future
+    assert out[100_000] == 1.0
+    assert out[900_000] == 11.0
+
+
+def test_quality_report_empty_input_zero_violations(spark):
+    from semantic_olap_spark.functions.quality import quality_report
+
+    empty = spark.createDataFrame([], "x INT")
+    rows = quality_report(empty, [{"not_null": "x"}]).collect()
+    assert rows[0]["violations"] == 0
+    assert rows[0]["pass_rate"] == 1.0
+
+
+def test_fuzzy_pairs_shuffle_mode_no_extra_repartition(spark):
+    import io
+    from contextlib import redirect_stdout
+
+    from semantic_olap_spark.operators.fuzzy import fuzzy_pairs
+
+    df = spark.createDataFrame(
+        [(i, f"word{i}", i % 3) for i in range(60)], ["id", "w", "blk"]
+    )
+    out = fuzzy_pairs(df, "w", "id", block_col="blk", broadcast=False)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "RoundRobinPartitioning" not in plan
