@@ -36,12 +36,18 @@ repartitioning) — the same evidence class as MinHash/KMeans.
 
 from __future__ import annotations
 
+import re
 from typing import Iterable, Sequence
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, IntegerType, StringType
+
+# Must match word_counts' Java-regex ``\s+`` split (ASCII whitespace
+# only) — training and encoding have to tokenize identically, and
+# Python's bare str.split() would also split on Unicode whitespace.
+_WS = re.compile(r"\s+", re.ASCII)
 
 END = "</w>"  # end-of-word marker: lets merges distinguish suffixes
 
@@ -181,7 +187,9 @@ def bpe_encode(
             if lowercase:
                 t = t.lower()
             out: list[str] = []
-            for w in t.split():
+            for w in _WS.split(t):
+                if not w:
+                    continue
                 hit = cache.get(w)
                 if hit is None:
                     hit = _encode_word(w, ranks)

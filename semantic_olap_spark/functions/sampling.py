@@ -50,6 +50,8 @@ __all__ = [
     "hash_sample",
     "leakage_safe_split",
     "mix_corpus",
+    "weighted_sample",
+    "weighted_sample_n",
     "quantile_filter",
     "reservoir_sample",
     "stratified_sample",
@@ -139,10 +141,16 @@ def weighted_sample_n(
     """
     u = uniform_hash(F.col(key_col), seed)
     w = F.col(weight_col).cast("double")
+    # Duplicate keys carry identical (_aes_rank, key); a full-row
+    # hash tiebreak keeps the limit(n) cut independent of partition
+    # scan order.
+    tiebreak = F.xxhash64(*[F.col(c) for c in df.columns])
     return (
         df.filter(w > 0)
         .withColumn("_aes_rank", F.pow(u, F.lit(1.0) / w))
-        .orderBy(F.col("_aes_rank").desc(), F.col(key_col).asc())
+        .orderBy(
+            F.col("_aes_rank").desc(), F.col(key_col).asc(), tiebreak.asc()
+        )
         .limit(int(n))
         .drop("_aes_rank")
     )
@@ -347,12 +355,14 @@ def reservoir_sample(
     ``(seed, key)``, and ``orderBy(limit)`` compiles to
     TakeOrderedAndProject — each task keeps a size-n heap, only n
     rows per partition reach the driver merge.  Ties (duplicate
-    keys) are broken by the key itself for full determinism.
+    keys with different payloads) are broken by a full-row hash so
+    the cut is independent of partition scan order.
     """
     u = uniform_hash(F.col(key_col), seed)
+    tiebreak = F.xxhash64(*[F.col(c) for c in df.columns])
     return (
         df.withColumn("_u", u)
-        .orderBy(F.col("_u").asc(), F.col(key_col).asc())
+        .orderBy(F.col("_u").asc(), F.col(key_col).asc(), tiebreak.asc())
         .limit(int(n))
         .drop("_u")
     )

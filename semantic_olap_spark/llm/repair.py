@@ -44,7 +44,10 @@ def parse_llm_json(response: str, default: Any = None) -> Any:
     safer for plan consumers).
     """
     text = _FENCE.sub(r"\1", response or "").strip()
-    if text and (text[0] not in "{[" or text[-1] not in "}]"):
+    if text and not (
+        (text[0] == "{" and text[-1] == "}")
+        or (text[0] == "[" and text[-1] == "]")
+    ):
         text = _extract_span(text)
     for candidate in (text, _strip_comments(text)):
         try:

@@ -115,3 +115,62 @@ def test_fuzzy_pairs_shuffle_mode_no_extra_repartition(spark):
         out.explain("formatted")
     plan = buf.getvalue()
     assert "RoundRobinPartitioning" not in plan
+
+
+# ---- second review batch (round-3 modules) ----
+
+
+def test_bpe_encode_ascii_whitespace_matches_training_split(spark):
+    # word_counts splits on the Java regex \s+ (ASCII); encoding must
+    # tokenize identically or learned merges never apply (NBSP case).
+    from semantic_olap_spark.functions.bpe import (
+        bpe_encode,
+        learn_bpe,
+        word_counts,
+    )
+
+    df = spark.createDataFrame([("a b a b cc",)], ["text"])
+    wc = dict(word_counts(df, "text"))
+    assert "a b" in wc and wc["a b"] == 2
+    merges = learn_bpe(df, "text", num_merges=5)
+    toks = bpe_encode(df, merges, "text").select("bpe_tokens").first()[0]
+    # the NBSP word must survive as one word: its pieces reassemble it
+    joined = "".join(toks)
+    assert "a b" in joined.replace("</w>", "")
+
+
+def test_reservoir_sample_duplicate_keys_partition_invariant(spark):
+    from semantic_olap_spark.functions.sampling import reservoir_sample
+
+    rows = [(f"k{i % 4}", f"payload{i}") for i in range(40)]
+    df = spark.createDataFrame(rows, ["key", "payload"])
+    a = sorted(map(tuple, reservoir_sample(df.repartition(1), 7, "key").collect()))
+    b = sorted(map(tuple, reservoir_sample(df.repartition(13), 7, "key").collect()))
+    assert a == b
+
+
+def test_weighted_sample_n_duplicate_keys_partition_invariant(spark):
+    from semantic_olap_spark.functions.sampling import weighted_sample_n
+
+    rows = [(f"k{i % 4}", f"payload{i}", 1.0 + (i % 3)) for i in range(40)]
+    df = spark.createDataFrame(rows, ["key", "payload", "w"])
+    a = sorted(
+        map(tuple, weighted_sample_n(df.repartition(1), 7, "w", "key").collect())
+    )
+    b = sorted(
+        map(tuple, weighted_sample_n(df.repartition(13), 7, "w", "key").collect())
+    )
+    assert a == b
+
+
+def test_parse_llm_json_mismatched_brackets_extracts_embedded_object():
+    from semantic_olap_spark.llm.repair import parse_llm_json
+
+    assert parse_llm_json('[1] See answer: {"x": 2}') == {"x": 2}
+
+
+def test_sampling_all_exports_weighted_ops():
+    from semantic_olap_spark.functions import sampling
+
+    assert "weighted_sample" in sampling.__all__
+    assert "weighted_sample_n" in sampling.__all__
