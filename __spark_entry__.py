@@ -3004,7 +3004,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    count(*) AS n,
                    count(value) AS value_count,
-                   round(sum(CAST(value AS DECIMAL(38,6))), 2)::DOUBLE
+                   round(sum(CAST(value AS DECIMAL(38,6))), 6)::DOUBLE
                        AS value_sum,
                    round(sum(CAST(value AS DECIMAL(38,6)))::DOUBLE
                          / count(value), 6) AS value_avg,
@@ -4045,7 +4045,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderstatus,
                    count(*) AS n,
                    count(o_totalprice) AS o_totalprice_count,
-                   round(sum(CAST(o_totalprice AS DECIMAL(38,6))), 2)::DOUBLE
+                   round(sum(CAST(o_totalprice AS DECIMAL(38,6))), 6)::DOUBLE
                        AS o_totalprice_sum,
                    round(sum(CAST(o_totalprice AS DECIMAL(38,6)))::DOUBLE
                          / count(o_totalprice), 6) AS o_totalprice_avg,

@@ -110,13 +110,16 @@ class OlapEngine:
                     f"{dim_key!r}: {sorted(overlap)} — rename or "
                     f"pre-select the dimension"
                 )
-            d = dim_df
-            if dim_key == fact_key:
-                d = d.withColumnRenamed(dim_key, f"_star_{dim_key}")
-                dim_key = f"_star_{dim_key}"
+            # Always join through a unique scratch name for the dim
+            # key: a plain drop(dim_key) would also remove a fact
+            # column that happens to share the name.
+            scratch = f"_star_{dim_key}"
+            while scratch in df.columns or scratch in dim_df.columns:
+                scratch = "_" + scratch
+            d = dim_df.withColumnRenamed(dim_key, scratch)
             df = df.join(
-                F.broadcast(d), df[fact_key] == d[dim_key], "left"
-            ).drop(dim_key)
+                F.broadcast(d), df[fact_key] == d[scratch], "left"
+            ).drop(scratch)
         return cls(df, **kwargs)
 
     def save(self, path: str) -> None:
@@ -199,13 +202,20 @@ class OlapEngine:
             )
             if not isinstance(step, dict):
                 break
-            if not step or step.get("action") is None:
+            action = step.get("action")
+            # Malformed LLM output ends the loop gracefully, like
+            # every other LLM-output consumer in this file — it must
+            # not crash the whole query.
+            if not isinstance(action, dict):
                 break
-            action = step["action"]
             params = action.get("params", {})
+            if not isinstance(params, dict):
+                params = {}
             thought = step.get("thought", "")
             atype = action.get("type")
             if atype == "roll_up":
+                if not params.get("dimension"):
+                    break
                 observation, df_now = roll_up(
                     self.memory, node.id,
                     params["dimension"],
@@ -215,6 +225,8 @@ class OlapEngine:
                     thought=thought,
                 )
             elif atype == "drill_down":
+                if not params.get("dimension_name"):
+                    break
                 observation, df_now = drill_down(
                     self.memory, node.id,
                     params["dimension_name"],

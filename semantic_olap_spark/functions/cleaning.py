@@ -27,10 +27,11 @@ oracle.  The 100 TB postures:
   explodes its n-grams map-side and hits are a broadcast semi-join —
   no shuffle of the corpus.
 - ``take_token_budget``: an exact global prefix sum — the textbook
-  single-partition-window trap.  Uses the same two-phase
-  range-partition + per-partition-offset construction as
-  ``pack_documents`` (functions/packing.py:68-97): one bounded
-  driver row per partition, full parallelism otherwise.
+  single-partition-window trap.  Delegates to the shared two-phase
+  range-partition + per-partition-offset construction
+  (``sources.loaders.running_totals``, also used by
+  ``pack_documents``): one bounded driver row per partition, full
+  parallelism otherwise.
 """
 
 from __future__ import annotations
@@ -52,7 +53,6 @@ __all__ = [
     "take_token_budget",
 ]
 
-_WS = r"\s+"
 
 # Ordered: URL first so an email/IP *inside* a URL is swallowed by
 # <URL> rather than double-redacted; each later pattern sees the
@@ -190,9 +190,11 @@ def cap_per_group(
 
 
 def _toks(col: Column) -> Column:
-    # empty tokens dropped: robust to leading \t/\n that ASCII-space
-    # trim leaves behind (functions/text.py:_ws_tokens)
-    return F.filter(F.split(F.lower(col), _WS), lambda t: t != "")
+    # the package's canonical lowercase whitespace tokenization —
+    # one definition, shared with every other n-gram producer
+    from semantic_olap_spark.functions.text import _tokens
+
+    return _tokens(col)
 
 
 def repetition_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -435,36 +437,11 @@ def take_token_budget(
     toks = F.coalesce(toks.cast("long"), F.lit(0))
     with_tok = df.withColumn("n_tokens", toks)
 
+    from semantic_olap_spark.sources.loaders import running_totals
+
     order = [F.col(score_col).desc(), F.col(id_col).asc()]
-    nparts = max(df.sparkSession.sparkContext.defaultParallelism, 1)
-    # persist pins ONE partition layout: range boundaries are sampled
-    # per execution, so the count pass and the output pass must see
-    # the same membership (same reasoning as sem_topk / pack_documents)
-    ranged = (
-        with_tok.repartitionByRange(nparts, *order)
-        .withColumn("_pid", F.spark_partition_id())
-        .persist()
-    )
-    part_totals = sorted(
-        (r["_pid"], r["tot"])
-        for r in ranged.groupBy("_pid")
-        .agg(F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("tot"))
-        .collect()
-    )
-    offsets: dict[int, int] = {}
-    acc = 0
-    for pid, tot in part_totals:
-        offsets[pid] = acc
-        acc += int(tot)
-    off_map = F.create_map(*[F.lit(x) for pair in offsets.items() for x in pair])
-    local_w = (
-        Window.partitionBy("_pid")
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    running = F.sum(F.col("n_tokens")).over(local_w) + off_map[F.col("_pid")]
     return (
-        ranged.withColumn("_cum", running.cast("long"))
+        running_totals(with_tok, order, "n_tokens", "_cum", inclusive=True)
         .filter(F.col("_cum") <= int(budget))
-        .drop("_pid", "_cum")
+        .drop("_cum")
     )

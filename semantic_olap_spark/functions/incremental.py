@@ -124,7 +124,7 @@ def finalize_agg(
         cnt = F.col(f"{m}_count")
         out += [
             cnt.alias(f"{m}_count"),
-            F.round(s, 2).cast("double").alias(f"{m}_sum"),
+            F.round(s, round_to).cast("double").alias(f"{m}_sum"),
             F.round(
                 s.cast("double") / F.nullif(cnt, F.lit(0)), round_to
             ).alias(f"{m}_avg"),

@@ -10,13 +10,14 @@ computed without ever materializing the concatenation.
 The core is an EXACT distributed prefix sum over a global order —
 the textbook single-partition-window trap (SURVEY.md scale rule: no
 global ``Window.orderBy``).  Here it is the same two-phase
-construction ``sem_topk`` uses for global ranks
-(operators/semantic.py:560-597): range-partition by the order key
-and persist (pinning one partition layout — range boundaries are
-sampled per execution), collect ONE bounded row per partition (its
-token total), prefix-sum those driver-side, then add each row's
-partition offset to its partition-local running sum (window
-partitioned by partition id — bounded state, full parallelism).
+construction ``sem_topk`` uses for global ranks, shared as
+``sources.loaders.running_totals``: range-partition by the order
+key and pin the layout with ``localCheckpoint`` (range boundaries
+are sampled per execution — recompute under stale offsets must be
+impossible), collect ONE bounded row per partition (its token
+total), prefix-sum those driver-side, then add each row's partition
+offset to its partition-local running sum (window partitioned by
+partition id — bounded state, full parallelism).
 
 Determinism: output is a pure function of ``(data, order_col,
 budget)`` — no sampling, no partition-count dependence — so the
@@ -26,7 +27,7 @@ bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["assemble_docs", "chunk_documents", "pack_documents"]
@@ -66,6 +67,14 @@ def chunk_documents(
     if not 0 <= overlap < size:
         raise ValueError(
             f"overlap must satisfy 0 <= overlap < size, got {overlap}"
+        )
+    clash = {chunk_id_col, chunk_col, "n_chunk_tokens", "_chunks"} & set(
+        df.columns
+    )
+    if clash:
+        raise ValueError(
+            f"chunk_documents output columns {sorted(clash)} already "
+            f"exist on the input — rename or drop them first"
         )
     stride = size - overlap
     toks = F.filter(
@@ -168,43 +177,16 @@ def pack_documents(
     n_tok = f"{out_prefix}n_tokens"
     with_tok = df.withColumn(n_tok, toks)
 
-    nparts = max(df.sparkSession.sparkContext.defaultParallelism, 1)
-    ranged = (
-        with_tok.repartitionByRange(nparts, F.col(order_col))
-        .withColumn("_pid", F.spark_partition_id())
-        .persist()
-    )
-    # one bounded row per partition: (pid, token total)
-    part_totals = sorted(
-        (r["_pid"], r["tot"])
-        for r in ranged.groupBy("_pid")
-        .agg(F.coalesce(F.sum(n_tok), F.lit(0)).alias("tot"))
-        .collect()
-    )
-    offsets: dict[int, int] = {}
-    acc = 0
-    for pid, tot in part_totals:
-        offsets[pid] = acc
-        acc += int(tot)
-    off_map = F.create_map(*[F.lit(x) for pair in offsets.items() for x in pair])
+    from semantic_olap_spark.sources.loaders import running_totals
 
-    local_w = (
-        Window.partitionBy("_pid")
-        .orderBy(F.col(order_col))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    start = (
-        F.sum(F.col(n_tok)).over(local_w)
-        - F.col(n_tok)
-        + off_map[F.col("_pid")]
-    )
     b = int(budget)
-    out = (
-        ranged.withColumn("_start", start.cast("long"))
+    return (
+        running_totals(
+            with_tok, [order_col], n_tok, "_start", inclusive=False
+        )
         # `div` = integer division: token offsets are exact longs;
         # float division would wobble past 2^53 total tokens
         .withColumn(f"{out_prefix}bin", F.expr(f"_start div {b}"))
         .withColumn(f"{out_prefix}offset", F.col("_start") % F.lit(b))
-        .drop("_pid", "_start")
+        .drop("_start")
     )
-    return out

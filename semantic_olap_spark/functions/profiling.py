@@ -37,10 +37,15 @@ def profile_columns(
     engine-wide numeric-on-demand rule, SURVEY §1.2).
     """
     cols = list(cols) if cols is not None else list(df.columns)
+    if not cols:
+        raise ValueError("profile_columns: no columns to profile")
     aggs = [F.count(F.lit(1)).alias("_n")]
     for i, c in enumerate(cols):
-        col = F.col(c)
-        num = F.expr(f"try_cast(`{c}` AS double)")
+        # backtick-quote with doubled inner backticks: resolves by
+        # exact name, so dots/quotes/backticks in legal column names
+        # all survive (bare F.col would parse them)
+        col = F.col(f"`{c.replace('`', '``')}`")
+        num = col.try_cast("double")
         aggs += [
             F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"_null_{i}"),
             (
@@ -53,7 +58,9 @@ def profile_columns(
         ]
     one = df.agg(*aggs)
     stack_args = ", ".join(
-        f"'{c}', _null_{i}, _dst_{i}, _min_{i}, _max_{i}"
+        "'{}', _null_{}, _dst_{}, _min_{}, _max_{}".format(
+            c.replace("\\", "\\\\").replace("'", "\\'"), i, i, i, i
+        )
         for i, c in enumerate(cols)
     )
     return one.selectExpr(

@@ -153,6 +153,13 @@ def range_join(
     then filter) instead.
     """
     by = list(by or [])
+    overlap = (set(left.columns) & set(right.columns)) - set(by)
+    if overlap:
+        raise ValueError(
+            f"range_join: columns {sorted(overlap)} exist on both "
+            f"sides — rename or pre-select so only the 'by' keys "
+            f"are shared (ambiguous references otherwise)"
+        )
     r = right
     for k in by:
         r = r.withColumnRenamed(k, f"_rby_{k}")

@@ -359,6 +359,61 @@ def dense_ranks_with_total(
     return out, acc
 
 
+def running_totals(
+    df: DataFrame,
+    order,
+    value_col: str,
+    out_col: str,
+    inclusive: bool = True,
+) -> DataFrame:
+    """Global running sum of ``value_col`` in ``order`` — parallel.
+
+    The value-summing sibling of :func:`dense_ranks_with_total`:
+    range-partition by the order expressions, sum per partition (one
+    bounded collect), broadcast the prefix offsets, add a
+    partition-local window sum.  No single-partition exchange, and
+    the ranged frame is pinned with ``localCheckpoint`` for the same
+    correct-or-error reason (re-sampled range boundaries under stale
+    offsets would silently corrupt the running totals).  NULL values
+    contribute nothing to the sum (callers wanting NULL→0 coalesce
+    first).  Shared by ``pack_documents`` and ``take_token_budget``.
+    """
+    cols = [F.col(c) if isinstance(c, str) else c for c in order]
+    nparts = max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    ranged = (
+        df.repartitionByRange(nparts, *cols)
+        .withColumn("_rt_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    part_totals = sorted(
+        (r["_rt_pid"], int(r["tot"]))
+        for r in ranged.groupBy("_rt_pid")
+        .agg(F.coalesce(F.sum(value_col), F.lit(0)).alias("tot"))
+        .collect()
+    )
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid, tot in part_totals:
+        offsets[pid] = acc
+        acc += tot
+    offset_expr = (
+        F.create_map(
+            *[F.lit(x) for pair in offsets.items() for x in pair]
+        )[F.col("_rt_pid")]
+        if offsets
+        else F.lit(0)
+    )
+    local_w = (
+        Window.partitionBy("_rt_pid")
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = F.sum(F.col(value_col)).over(local_w) + offset_expr
+    if not inclusive:
+        run = run - F.coalesce(F.col(value_col), F.lit(0))
+    return ranged.withColumn(out_col, run.cast("long")).drop("_rt_pid")
+
+
 def dense_ranks(
     df: DataFrame, order_by: list[str], rank_col: str
 ) -> DataFrame:

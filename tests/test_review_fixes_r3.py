@@ -174,3 +174,87 @@ def test_sampling_all_exports_weighted_ops():
 
     assert "weighted_sample" in sampling.__all__
     assert "weighted_sample_n" in sampling.__all__
+
+
+# ---- third review batch ----
+
+
+def test_from_star_keeps_fact_column_sharing_dim_key_name(spark):
+    from semantic_olap_spark.engine import OlapEngine
+
+    fact = spark.createDataFrame(
+        [(1, 10, 5.0), (2, 20, 7.0)], ["id", "cust_id", "amount"]
+    )
+    dim = spark.createDataFrame([(10, "alice"), (20, "bob")], ["id", "name"])
+    eng = OlapEngine.from_star(fact, [(dim, "cust_id", "id")])
+    root = eng.memory.nodes[eng.memory.root_id]
+    assert "id" in root.df.columns and "name" in root.df.columns
+    got = {r["id"]: r["name"] for r in root.df.select("id", "name").collect()}
+    assert got == {1: "alice", 2: "bob"}
+
+
+def test_react_loop_survives_malformed_actions(spark):
+    from semantic_olap_spark.engine import OlapEngine
+
+    class OneShotLLM:
+        def __init__(self, payload):
+            self.payload = payload
+
+        def predict(self, prompt):
+            p, self.payload = self.payload, "{}"
+            return p
+
+        def predict_batch(self, prompts):
+            return [self.predict(p) for p in prompts]
+
+    for bad in (
+        '{"thought":"t","action":"roll_up"}',
+        '{"thought":"t","action":{"type":"roll_up","params":{}}}',
+        '{"thought":"t","action":{"type":"drill_down","params":{}}}',
+        '{"action":{"type":"roll_up","params":"nope"}}',
+    ):
+        df = spark.createDataFrame([("a", 1.0)], ["grp", "v"])
+        e = OlapEngine(df, llm_factory=lambda b=bad: OneShotLLM(b))
+        node = e.memory.nodes[e.memory.root_id]
+        assert e._run_analysis("analyze grp", node) is not None
+
+
+def test_finalize_agg_round_to_applies_to_sum(spark):
+    from semantic_olap_spark.functions.incremental import agg_state, finalize_agg
+
+    small = spark.createDataFrame(
+        [("g", 0.001234), ("g", 0.002222)], ["g", "rate"]
+    )
+    st = agg_state(small, ["rate"], group_by="g")
+    assert (
+        abs(finalize_agg(st, ["rate"], round_to=6).collect()[0]["rate_sum"]
+            - 0.003456) < 1e-12
+    )
+
+
+def test_range_join_rejects_shared_non_key_columns(spark):
+    from semantic_olap_spark.operators.relational import range_join
+
+    L = spark.createDataFrame([(5, "x")], ["ts", "value"])
+    R = spark.createDataFrame([(0, 10, "y")], ["start", "end", "value"])
+    with pytest.raises(ValueError, match="value"):
+        range_join(L, R, "ts", "start", "end")
+
+
+def test_profile_columns_hostile_names_and_empty(spark):
+    from semantic_olap_spark.functions.profiling import profile_columns
+
+    h = spark.createDataFrame([(1.5, "a")], ["it's", "we`ird"])
+    prof = {r["column"]: r for r in profile_columns(h).collect()}
+    assert prof["it's"]["max_num"] == 1.5
+    assert prof["we`ird"]["n_distinct"] == 1
+    with pytest.raises(ValueError):
+        profile_columns(h, cols=[])
+
+
+def test_chunk_documents_rejects_output_column_collision(spark):
+    from semantic_olap_spark.functions.packing import chunk_documents
+
+    df = spark.createDataFrame([("a b c", "x")], ["text", "chunk"])
+    with pytest.raises(ValueError, match="chunk"):
+        chunk_documents(df, size=2)
