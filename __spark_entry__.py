@@ -3861,11 +3861,12 @@ def oracle_sql() -> dict[str, str]:
                    ) AS session_id
             FROM (
               SELECT event_id, user_id, ts,
-                     CASE WHEN lag(epoch(ts::TIMESTAMP)::BIGINT) OVER
+                     CASE WHEN lag(epoch_us(ts::TIMESTAMP)) OVER
                               (PARTITION BY user_id ORDER BY ts) IS NULL
-                           OR epoch(ts::TIMESTAMP)::BIGINT
-                              - lag(epoch(ts::TIMESTAMP)::BIGINT) OVER
-                                (PARTITION BY user_id ORDER BY ts) > 1800
+                           OR epoch_us(ts::TIMESTAMP)
+                              - lag(epoch_us(ts::TIMESTAMP)) OVER
+                                (PARTITION BY user_id ORDER BY ts)
+                              > 1800000000
                           THEN 1 ELSE 0 END AS new_sess
               FROM events
             )

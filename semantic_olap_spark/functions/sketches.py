@@ -124,12 +124,10 @@ def top_frequent(
         else:
             total = counts.groupBy().agg(F.sum("freq").alias("_total"))
             counts = counts.join(F.broadcast(total))
+        # direct comparison — truncating the threshold to a long
+        # would let values strictly below support*total survive
         counts = counts.filter(
-            F.col("freq")
-            >= F.greatest(
-                F.lit(1),
-                (F.lit(float(support)) * F.col("_total")).cast("long"),
-            )
+            F.col("freq") >= F.lit(float(support)) * F.col("_total")
         ).drop("_total")
     from pyspark.sql import Window
 

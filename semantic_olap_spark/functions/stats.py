@@ -41,6 +41,11 @@ def histogram(
     """
     if bins < 1:
         raise ValueError("bins must be >= 1")
+    if lo is not None and hi is not None and float(hi) <= float(lo):
+        # the +1 widening below is only sound for computed bounds
+        # (all values equal); explicit degenerate bounds would admit
+        # values the caller asked to exclude
+        raise ValueError(f"explicit bounds need hi > lo, got [{lo}, {hi}]")
     v = F.col(col).try_cast("double")
     if lo is None or hi is None:
         row = df.agg(F.min(v).alias("lo"), F.max(v).alias("hi")).first()

@@ -189,12 +189,15 @@ def sessionize(
     keys = [group_by] if isinstance(group_by, str) else list(group_by)
     if not keys:
         raise ValueError("sessionize needs group_by")
-    gap_s = _parse_duration(gap, "gap")
+    gap_us = _parse_duration(gap, "gap") * 1_000_000
     w = Window.partitionBy(*keys).orderBy(F.col(ts_col).asc())
-    ts_long = F.col(ts_col).cast("timestamp").cast("long")
+    # microsecond gap arithmetic: whole-second truncation would make
+    # sub-second phase decide session boundaries (same fix class as
+    # rolling_agg's range key)
+    ts_long = F.unix_micros(F.col(ts_col).cast("timestamp"))
     prev = F.lag(ts_long).over(w)
     new_sess = F.when(
-        prev.isNull() | ((ts_long - prev) > gap_s), 1
+        prev.isNull() | ((ts_long - prev) > gap_us), 1
     ).otherwise(0)
     return df.withColumn(
         session_col,

@@ -221,13 +221,17 @@ def streaming_funnel(
             if reached[i] is None:
                 break
             stage = i + 1
-        yield pd.DataFrame(
-            {
-                "user_id": [key[0]],
-                "stage": [stage],
-                "reached_ts": [reached[stage - 1] if stage else None],
-            }
-        )
+        # stage 0 = the user never entered the funnel (only
+        # out-of-chain events so far): emit nothing, matching the
+        # batch path, which has no row for such users
+        if stage:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "stage": [stage],
+                    "reached_ts": [reached[stage - 1]],
+                }
+            )
 
     return renamed.groupBy("user_id").applyInPandasWithState(
         update,

@@ -56,6 +56,7 @@ def windowed_agg(
     streaming inputs; pass ``watermark`` (e.g. "10 minutes") on
     streams to bound state and admit late data.
     """
+    group_by = [group_by] if isinstance(group_by, str) else list(group_by)
     if watermark is not None and df.isStreaming:
         df = df.withWatermark(ts_col, watermark)
     win = F.window(F.col(ts_col), window, slide or window)
@@ -88,6 +89,7 @@ def session_agg(
     within ``gap``; output one row per (keys, session) with the
     session bounds and event count.
     """
+    group_by = [group_by] if isinstance(group_by, str) else list(group_by)
     if watermark is not None and df.isStreaming:
         df = df.withWatermark(ts_col, watermark)
     sw = F.session_window(F.col(ts_col), gap)
@@ -195,7 +197,8 @@ def read_events_stream(
     # nanosAsLong); the timestamp conversion applies on top, exactly
     # as load_table does for batch.  Set the legacy flag here too so
     # the probe works in any session, not just our factory's.
-    if _nanos_timestamp_cols(path):
+    nanos_cols = _nanos_timestamp_cols(path)
+    if nanos_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(path).schema
     # file streams take a DIRECTORY; pathGlobFilter narrows it to the
@@ -206,7 +209,7 @@ def read_events_stream(
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    for c in _nanos_timestamp_cols(path):
+    for c in nanos_cols:
         if c in stream.columns:
             stream = stream.withColumn(
                 c, F.expr(f"timestamp_micros(`{c}` div 1000)")

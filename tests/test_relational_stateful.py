@@ -273,10 +273,10 @@ def test_streaming_funnel_matches_batch_on_single_batch(spark, sf_dir):
         (r["user_id"], r["stage"], r["reached_ts"])
         for r in batch.collect()
     }
-    # the stream path also emits stage-0 users (seen but not yet at
-    # step 1 after filtering); batch path emits reached users only
-    got_reached = {g for g in got if g[1] > 0}
-    assert got_reached == want and len(want) > 0
+    # stream/batch parity: stage-0 users (only out-of-chain events)
+    # are emitted by neither path
+    assert all(g[1] > 0 for g in got)
+    assert got == want and len(want) > 0
 
 
 def test_streaming_funnel_batch_agrees_with_funnel_counts(spark, sf_dir):

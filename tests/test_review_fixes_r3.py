@@ -258,3 +258,59 @@ def test_chunk_documents_rejects_output_column_collision(spark):
     df = spark.createDataFrame([("a b c", "x")], ["text", "chunk"])
     with pytest.raises(ValueError, match="chunk"):
         chunk_documents(df, size=2)
+
+
+# ---- fourth review batch (streaming / sketches / stats / timeseries) ----
+
+
+def test_sessionize_subsecond_gap_boundary(spark):
+    from semantic_olap_spark.functions.timeseries import sessionize
+
+    rows = [
+        ("u", dt.datetime(2024, 1, 1, 0, 0, 10, 100000)),
+        ("u", dt.datetime(2024, 1, 1, 0, 0, 40, 900000)),  # gap 30.8s
+        ("v", dt.datetime(2024, 1, 1, 0, 0, 10, 900000)),
+        ("v", dt.datetime(2024, 1, 1, 0, 0, 40, 800000)),  # gap 29.9s
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    got = {
+        (r["user_id"], r["ts"]): r["session_id"]
+        for r in sessionize(df, "ts", "user_id", gap="30 seconds").collect()
+    }
+    assert got[("u", rows[1][1])] == 2  # 30.8s > 30s: new session
+    assert got[("v", rows[3][1])] == 1  # 29.9s <= 30s: same session
+
+
+def test_top_frequent_support_floor_not_truncated(spark):
+    from semantic_olap_spark.functions.sketches import top_frequent
+
+    # 250 rows: 'a'×248, 'b'×2 — support 0.01 → floor 2.5; 'b' (2 < 2.5)
+    # must be dropped, not admitted via long-truncation to 2
+    rows = [("a",)] * 248 + [("b",)] * 2
+    df = spark.createDataFrame(rows, ["val"])
+    vals = {r["value"] for r in top_frequent(df, "val", k=5, support=0.01).collect()}
+    assert vals == {"a"}
+
+
+def test_windowed_agg_accepts_string_group_by(spark):
+    from semantic_olap_spark.streaming.windows import session_agg, windowed_agg
+
+    df = spark.createDataFrame(
+        [("u1", dt.datetime(2024, 1, 1, 0, 0, 5), 1.0)],
+        ["user_id", "ts", "value"],
+    )
+    out = windowed_agg(df, group_by="user_id", agg_col="value")
+    assert "user_id" in out.columns and out.count() == 1
+    out2 = session_agg(df, group_by="user_id")
+    assert "user_id" in out2.columns and out2.count() == 1
+
+
+def test_histogram_rejects_explicit_degenerate_bounds(spark):
+    from semantic_olap_spark.functions.stats import histogram
+
+    df = spark.createDataFrame([(5.7,)], ["x"])
+    with pytest.raises(ValueError, match="hi > lo"):
+        histogram(df, "x", bins=1, lo=5.0, hi=5.0)
+    # computed degenerate bounds (all values equal) still widen
+    same = spark.createDataFrame([(5.0,), (5.0,)], ["x"])
+    assert histogram(same, "x", bins=1).collect()[0]["n"] == 2
