@@ -146,8 +146,20 @@ def _token_cover_cond(left_cols: Sequence[str]) -> Column:
     ArrayAggregate is not treated as a pushable predicate source, so
     the conjunct stays above the join where both sides are in scope.
     """
+    # mirror P.row_content's "col: value" rendering exactly — the
+    # stub judge sees column NAMES too, so value-only coverage would
+    # prune pairs the judge accepts (cascade no longer lossless)
     llc = F.lower(
-        F.concat_ws("\n", *[F.col(c).cast("string") for c in left_cols])
+        F.concat_ws(
+            "\n",
+            *[
+                F.concat(
+                    F.lit(f"{c}: "),
+                    F.coalesce(F.col(c).cast("string"), F.lit("")),
+                )
+                for c in left_cols
+            ],
+        )
     )
     toks = F.col(_SJ_TOKS)
     covered = F.aggregate(
@@ -768,11 +780,18 @@ def filter_pattern_cond(
                 default={},
             )
             regex = plan["regex"]
-            re.compile(regex)
+            n_groups = re.compile(regex).groups
             masks = []
             for c in plan.get("conditions", []):
+                g = int(c["group"])
+                if not 1 <= g <= n_groups:
+                    # Spark's regexp_extract raises at EXECUTION time
+                    # for an out-of-range group — validate here so a
+                    # bad plan skips the template instead of failing
+                    # the whole query mid-scan
+                    raise ValueError(f"capture group {g} not in regex")
                 ext = F.regexp_extract(
-                    F.col(column).cast("string"), regex, int(c["group"])
+                    F.col(column).cast("string"), regex, g
                 )
                 num = F.when(ext == "", F.lit(None)).otherwise(ext).try_cast("double")
                 masks.append(_NUM_OPS[c["operator"]](num, F.lit(float(c["threshold"]))))

@@ -168,7 +168,7 @@ def run_filter(
             return F.col(evaluated[oid])
         return null_bool()
 
-    for oid in expensive:
+    for stage_i, oid in enumerate(expensive):
         tree_col = compile_logic(tree, leaf_col)
         accepted.append(undecided.filter(tree_col).select(*orig_cols))
         undecided = undecided.filter(tree_col.isNull())
@@ -181,7 +181,9 @@ def run_filter(
                 F.lit(False),
             ),
         )
-        if len(expensive) > 1:
+        # the LAST stage's frame is consumed exactly once by the
+        # final-union filter below — persisting it gains nothing
+        if len(expensive) > 1 and stage_i < len(expensive) - 1:
             # With ≥2 LLM leaves, each later stage AND the final union
             # re-traverse this lineage; without a persist every branch
             # re-runs the earlier UDF stages (re-paying recompute even
@@ -224,6 +226,13 @@ class PlanExecutor:
         llm_factory: LLMFactory = default_llm_factory,
         tables: Mapping[str, DataFrame] | None = None,
     ):
+        if not callable(llm_factory):
+            # catches e.g. PlanExecutor(spark) early — otherwise the
+            # object rides into a UDF closure and fails much later
+            # with an opaque SPARK-5063 pickling error
+            raise TypeError(
+                f"llm_factory must be callable, got {type(llm_factory).__name__}"
+            )
         self.llm_factory = llm_factory
         self.lineage: list[dict] = []
         self.tables = dict(tables or {})
@@ -265,7 +274,13 @@ class PlanExecutor:
     def execute_step(self, df: DataFrame, step: Mapping) -> DataFrame:
         name = step.get("operator_name") or step.get("operator")
         p = step_params(step)
-        self.lineage.append(copy.deepcopy({"operator_name": name, "parameters": p}))
+        entry = {"operator_name": name, "parameters": p}
+        if name == "filter_group":
+            # the sub-plan may ride at the step's top level — record
+            # the resolved form or the lineage loses the whole filter
+            entry["operations"] = step.get("operations") or p.get("operations")
+            entry["logic"] = step.get("logic") or p.get("logic")
+        self.lineage.append(copy.deepcopy(entry))
         lf = self.llm_factory
         if name in self._custom:
             return self._custom[name](df, p)

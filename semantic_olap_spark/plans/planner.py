@@ -104,27 +104,31 @@ def profile_enumerable(
     nulls (pandas ``len(col)``); coverage is over non-nulls (pandas
     ``value_counts(normalize=True)``), mirroring the reference.
     """
-    n_total = df.count()
-    if n_total == 0:
-        return False
+    # ONE aggregation over the table: group nulls too (their cast is
+    # NULL) so n_total needs no separate full-table count() scan
     vc = (
-        df.filter(F.col(column).isNotNull())
-        .groupBy(F.col(column).cast("string").alias("_v"))
+        df.groupBy(F.col(column).cast("string").alias("_v"))
         .agg(F.count(F.lit(1)).alias("_c"))
         .persist()
     )
     try:
+        nn = F.col("_v").isNotNull()
         stats = vc.agg(
-            F.count(F.lit(1)).alias("n_unique"),
-            F.sum("_c").alias("n_nonnull"),
-            F.sum(F.length("_v") * F.col("_c")).alias("len_sum"),
+            F.count(F.when(nn, 1)).alias("n_unique"),
+            F.sum("_c").alias("n_total"),
+            F.sum(F.when(nn, F.col("_c"))).alias("n_nonnull"),
+            F.sum(F.when(nn, F.length("_v") * F.col("_c"))).alias("len_sum"),
         ).collect()[0]
+        n_total = stats["n_total"] or 0
+        if n_total == 0:
+            return False
         n_unique, n_nonnull = stats["n_unique"], stats["n_nonnull"] or 0
         if n_nonnull == 0:
             return False
         avg_len = (stats["len_sum"] or 0) / n_nonnull
         top_cov = (
-            vc.orderBy(F.col("_c").desc()).limit(top_n).agg(F.sum("_c"))
+            vc.filter(nn)
+            .orderBy(F.col("_c").desc()).limit(top_n).agg(F.sum("_c"))
             .collect()[0][0]
             or 0
         ) / n_nonnull

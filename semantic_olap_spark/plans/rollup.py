@@ -277,7 +277,7 @@ def drill_down(
     new_df = sem_map(node.df, cols, description, dimension_name, llm_factory)
     plan = {
         "operator_name": "sem_map",
-        "parameters": {"columns": [], "map_description": description,
+        "parameters": {"columns": cols, "map_description": description,
                        "keyword": dimension_name},
     }
     # swap the node's frame without stranding the old cached lineage:

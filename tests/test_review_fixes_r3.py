@@ -314,3 +314,105 @@ def test_histogram_rejects_explicit_degenerate_bounds(spark):
     # computed degenerate bounds (all values equal) still widen
     same = spark.createDataFrame([(5.0,), (5.0,)], ["x"])
     assert histogram(same, "x", bins=1).collect()[0]["n"] == 2
+
+
+# ---- fifth review batch (semantic / plans core) ----
+
+
+def test_filter_pattern_cond_skips_out_of_range_group(spark):
+    from semantic_olap_spark.operators.semantic import filter_pattern_cond
+
+    class BadGroupLLM:
+        def predict(self, prompt):
+            # 1 capture group in the regex, but conditions index group 2
+            return (
+                '{"regex": "ERR-([0-9]+)", "logic": "and", "conditions": '
+                '[{"group": 2, "operator": ">", "threshold": 100}]}'
+            )
+
+        def predict_batch(self, prompts):
+            return [self.predict(p) for p in prompts]
+
+    df = spark.createDataFrame([("ERR-500",), ("ERR-50",)], ["code"])
+    out = df.filter(
+        filter_pattern_cond(df, "code", "code > 100", lambda: BadGroupLLM())
+    )
+    # the malformed plan skips the template (no rows) instead of
+    # crashing mid-scan with a regexp_extract group-count error
+    assert out.count() == 0
+
+
+def test_sem_join_prefilter_lossless_when_token_matches_column_name(tables):
+    from semantic_olap_spark.operators.semantic import sem_join
+
+    docs = tables["documents"].limit(50)
+    # the right value 'text' equals the LEFT COLUMN NAME: the judge
+    # sees "text: ..." lines and answers Yes, so the prefilter must
+    # not prune these pairs
+    right = docs.sparkSession.createDataFrame([("text",)], ["topic"])
+    a = {
+        (r["doc_id"], r["topic"])
+        for r in sem_join(docs, right, ["text"], ["topic"], "covers").collect()
+    }
+    b = {
+        (r["doc_id"], r["topic"])
+        for r in sem_join(
+            docs, right, ["text"], ["topic"], "covers", prefilter=False
+        ).collect()
+    }
+    assert a == b and a
+
+
+def test_drill_down_plan_records_real_columns(spark):
+    from semantic_olap_spark.plans.memory import CubeMemory
+    from semantic_olap_spark.plans.rollup import drill_down
+
+    df = spark.createDataFrame(
+        [("scan heavy workload", "db1"), ("join heavy workload", "db2")],
+        ["text", "db"],
+    )
+    mem = CubeMemory(df)
+    _, _ = drill_down(mem, mem.root_id, "topic", "topic of the text")
+    node = mem.nodes[mem.root_id]
+    dim = node.dimension("topic")
+    gv = list(dim.granularities.values())[-1]
+    recorded = gv.plan[0]["parameters"]["columns"]
+    assert "text" in recorded and "db" in recorded
+
+
+def test_executor_lineage_keeps_filter_group_subplan(spark):
+    from semantic_olap_spark.plans.executor import PlanExecutor
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
+    ex = PlanExecutor(spark)
+    step = {
+        "operator_name": "filter_group",
+        "parameters": {},
+        "operations": [
+            {
+                "id": 1,
+                "operator_name": "num_filter",
+                "parameters": {
+                    "conditions": [
+                        {"column": "id", "operator": ">", "threshold": 1}
+                    ]
+                },
+            }
+        ],
+        "logic": [1],
+    }
+    out = ex.execute_step(df, step)
+    assert out.count() == 1
+    assert ex.lineage[-1]["operations"] is not None
+    assert ex.lineage[-1]["logic"] == [1]
+
+
+def test_profile_enumerable_counts_nulls_in_total(spark):
+    from semantic_olap_spark.plans.planner import profile_enumerable
+
+    # 5 distinct values over 100 non-null rows + 900 nulls: with
+    # nulls in n_total the unique ratio is 5/1000 <= 0.05 even if
+    # n_unique > max_unique is forced low
+    rows = [(f"v{i % 5}",) for i in range(100)] + [(None,)] * 900
+    df = spark.createDataFrame(rows, ["c"])
+    assert profile_enumerable(df, "c", max_unique=3, max_ratio=0.05)
