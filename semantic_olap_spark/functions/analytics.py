@@ -60,7 +60,14 @@ def funnel(
             stage = stage.join(prev, user_col).filter(
                 F.col("_ts") > F.col("_prev_ts")
             )
-        reached = stage.groupBy(user_col).agg(F.min("_ts").alias("_prev_ts"))
+        # each stage's frame feeds BOTH its count row and the next
+        # stage's join — without a persist the union's k branches
+        # re-execute the whole prior chain (O(k²) scans of df)
+        reached = (
+            stage.groupBy(user_col)
+            .agg(F.min("_ts").alias("_prev_ts"))
+            .persist()
+        )
         rows.append(
             reached.agg(F.count(F.lit(1)).alias("users")).select(
                 F.lit(i + 1).alias("step"),

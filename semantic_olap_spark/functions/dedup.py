@@ -195,7 +195,12 @@ def dedup_against_embeddings(
         .withColumn("_n", vnorm)
         .select(
             "_probe",
-            F.transform(F.col("_v"), lambda x: x / F.col("_n")).alias("_us"),
+            F.when(
+                F.col("_n") > 0,
+                F.transform(F.col("_v"), lambda x: x / F.col("_n")),
+            )
+            .otherwise(F.transform(F.col("_v"), lambda x: F.lit(0.0)))
+            .alias("_us"),
         )
     )
     b_vec = (
@@ -203,7 +208,12 @@ def dedup_against_embeddings(
         .withColumn("_n", vnorm)
         .select(
             F.col(id_col),
-            F.transform(F.col("_v"), lambda x: x / F.col("_n")).alias("_ub"),
+            F.when(
+                F.col("_n") > 0,
+                F.transform(F.col("_v"), lambda x: x / F.col("_n")),
+            )
+            .otherwise(F.transform(F.col("_v"), lambda x: F.lit(0.0)))
+            .alias("_ub"),
         )
     )
     cos = F.round(

@@ -148,35 +148,21 @@ def quantize_index(
     """
     x = _as_double(vec_col)
     # norm as its own column first: embedding _norm(x) inside the
-    # per-element lambda would re-evaluate the O(d) fold d times
+    # per-element lambda would re-evaluate the O(d) fold d times.
+    # Zero-norm rows (hash_embed of blank text) map to the all-zero
+    # unit vector — ANSI mode would otherwise abort on the division.
     base = df.withColumn("_n", _norm(x)).withColumn(
-        "_u", F.transform(x, lambda v: v / F.col("_n"))
+        "_u",
+        F.when(
+            F.col("_n") > 0, F.transform(x, lambda v: v / F.col("_n"))
+        ).otherwise(F.transform(x, lambda v: F.lit(0.0))),
     )
-    return (
-        base.withColumn(
-            "_qs",
-            F.aggregate(
-                F.col("_u"),
-                F.lit(0.0),
-                lambda acc, v: F.greatest(acc, F.abs(v)),
-            )
-            / F.lit(127.0),
-        )
-        .withColumn(
-            "_qv",
-            F.transform(
-                F.col("_u"),
-                lambda v: F.greatest(
-                    F.lit(-127),
-                    F.least(
-                        F.lit(127),
-                        F.floor(v / F.col("_qs") + F.lit(0.5)).cast("int"),
-                    ),
-                ),
-            ),
-        )
-        .drop("_n", "_u")
-    )
+    # the quantize step is quantize_embeddings applied to the unit
+    # vector — one definition of the max-abs scale + floor(+0.5)
+    # clamp rule (its scale-0 guard covers the zero vector)
+    return quantize_embeddings(
+        base, vec_col="_u", qvec_col="_qv", scale_col="_qs"
+    ).drop("_n", "_u")
 
 
 def quantized_topk(
@@ -327,7 +313,12 @@ def cosine_pairs(
         .select(
             F.col(id_col),
             *([F.col(block_col)] if block_col else []),
-            F.transform(F.col("_a"), lambda x: x / F.col("_n")).alias("_u"),
+            F.when(
+                F.col("_n") > 0,
+                F.transform(F.col("_a"), lambda x: x / F.col("_n")),
+            )
+            .otherwise(F.transform(F.col("_a"), lambda x: F.lit(0.0)))
+            .alias("_u"),
         )
     )
     left = base.select(

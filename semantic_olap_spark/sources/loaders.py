@@ -153,14 +153,24 @@ def load_csv(
     )
     if corrupt_col:
         reader = reader.option("columnNameOfCorruptRecord", corrupt_col)
-        if schema is not None and isinstance(schema, T.StructType):
-            # fresh StructType: .add mutates in place, and silently
-            # growing the CALLER's schema breaks its later use (a
-            # DROPMALFORMED read with a phantom column drops all rows)
-            schema = T.StructType(
-                list(schema.fields)
-                + [T.StructField(corrupt_col, T.StringType())]
+        if schema is None:
+            # Spark only captures corrupt records into a field of a
+            # USER-SUPPLIED schema; with inference the option is
+            # silently ignored and bad rows become plain nulls
+            raise ValueError(
+                "corrupt_col requires an explicit schema= (Spark "
+                "cannot capture corrupt records under schema "
+                "inference)"
             )
+        if isinstance(schema, str):
+            schema = T.StructType.fromDDL(schema)
+        # fresh StructType: .add mutates in place, and silently
+        # growing the CALLER's schema breaks its later use (a
+        # DROPMALFORMED read with a phantom column drops all rows)
+        schema = T.StructType(
+            list(schema.fields)
+            + [T.StructField(corrupt_col, T.StringType())]
+        )
     if schema is not None:
         reader = reader.schema(schema)
     else:
@@ -234,7 +244,14 @@ def flatten_json_col(
         ).collect()[0]["s"]
         schema = inferred
     parsed = df.withColumn("_parsed", F.from_json(F.col(col), schema))
-    field_names = parsed.schema["_parsed"].dataType.fieldNames()
+    parsed_type = parsed.schema["_parsed"].dataType
+    if not isinstance(parsed_type, T.StructType):
+        raise ValueError(
+            f"flatten_json_col needs JSON objects; column {col!r} "
+            f"parses as {parsed_type.simpleString()} — arrays/scalars "
+            f"have no fields to flatten"
+        )
+    field_names = parsed_type.fieldNames()
     out = parsed.select(
         "*",
         *[
@@ -376,8 +393,20 @@ def running_totals(
     correct-or-error reason (re-sampled range boundaries under stale
     offsets would silently corrupt the running totals).  NULL values
     contribute nothing to the sum (callers wanting NULL→0 coalesce
-    first).  Shared by ``pack_documents`` and ``take_token_budget``.
+    first).  ``value_col`` must be an integral type: the construction
+    is EXACT only for integers (the int offsets and long output would
+    silently truncate fractional sums).  Shared by ``pack_documents``
+    and ``take_token_budget``.
     """
+    vtype = df.schema[value_col].dataType
+    if not isinstance(
+        vtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        raise TypeError(
+            f"running_totals needs an integral value_col; "
+            f"{value_col!r} is {vtype.simpleString()} — cast to long "
+            f"(or scale to fixed-point) first"
+        )
     cols = [F.col(c) if isinstance(c, str) else c for c in order]
     nparts = max(df.sparkSession.sparkContext.defaultParallelism, 1)
     ranged = (

@@ -384,7 +384,7 @@ def test_executor_lineage_keeps_filter_group_subplan(spark):
     from semantic_olap_spark.plans.executor import PlanExecutor
 
     df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
-    ex = PlanExecutor(spark)
+    ex = PlanExecutor()
     step = {
         "operator_name": "filter_group",
         "parameters": {},
@@ -416,3 +416,56 @@ def test_profile_enumerable_counts_nulls_in_total(spark):
     rows = [(f"v{i % 5}",) for i in range(100)] + [(None,)] * 900
     df = spark.createDataFrame(rows, ["c"])
     assert profile_enumerable(df, "c", max_unique=3, max_ratio=0.05)
+
+
+# ---- sixth review batch (similarity / loaders / analytics) ----
+
+
+def test_zero_norm_embeddings_do_not_crash_ansi(spark):
+    from semantic_olap_spark.functions.similarity import (
+        cosine_pairs,
+        quantize_index,
+    )
+
+    rows = [
+        ("a", [1.0, 0.0]),
+        ("b", [0.0, 0.0]),  # hash_embed of blank text
+        ("c", [0.8, 0.6]),
+    ]
+    df = spark.createDataFrame(rows, ["id", "embedding"])
+    pairs = cosine_pairs(
+        df, threshold=0.1, id_col="id", allow_unblocked=True
+    ).collect()
+    # zero vector has similarity 0 with everything: never paired
+    assert all("b" not in (r["id_a"], r["id_b"]) for r in pairs)
+    qi = quantize_index(df)
+    row_b = qi.filter(F.col("id") == "b").collect()[0]
+    assert row_b["_qs"] == 0.0 and all(v == 0 for v in row_b["_qv"])
+
+
+def test_load_csv_corrupt_col_with_ddl_schema(spark, tmp_path):
+    from semantic_olap_spark.sources.loaders import load_csv
+
+    p = str(tmp_path / "rows.csv")
+    (tmp_path / "rows.csv").write_text("a,b\n1,x\nnotanint,y\n")
+    out = load_csv(spark, p, schema="a INT, b STRING", corrupt_col="_bad")
+    rows = {r["b"]: r["_bad"] for r in out.collect()}
+    assert rows["x"] is None and rows["y"] is not None
+    with pytest.raises(ValueError, match="explicit schema"):
+        load_csv(spark, p, corrupt_col="_bad")
+
+
+def test_flatten_json_col_rejects_non_object(spark):
+    from semantic_olap_spark.sources.loaders import flatten_json_col
+
+    df = spark.createDataFrame([("[1,2,3]",)], ["props"])
+    with pytest.raises(ValueError, match="objects"):
+        flatten_json_col(df, "props")
+
+
+def test_running_totals_rejects_fractional_values(spark):
+    from semantic_olap_spark.sources.loaders import running_totals
+
+    df = spark.createDataFrame([("a", 1.5)], ["k", "v"])
+    with pytest.raises(TypeError, match="integral"):
+        running_totals(df, ["k"], "v", "_cum")
