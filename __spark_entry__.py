@@ -2972,6 +2972,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_frames": """
             SELECT doc_id, f.frame_idx
             FROM documents, (SELECT unnest([0, 1]) AS frame_idx) f
+            WHERE text IS NOT NULL
         """,
         # deterministic sampling: u(key) = md5-derived U[0,1) — the
         # whole point of hash-based sampling is that this reproduces

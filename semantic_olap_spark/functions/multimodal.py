@@ -207,7 +207,13 @@ def sample_frames(
         for pdf in batches:
             ids, idxs, frames = [], [], []
             for rid, payload in zip(pdf[id_col], pdf[binary_col]):
-                b = bytes(payload) if payload is not None else b""
+                if payload is None:
+                    # a NULL video has no frames — fabricating
+                    # md5(b'') pseudo-frames would collapse every
+                    # NULL-payload row into one fake frame identity
+                    # (same contract as image_features' NULL rule)
+                    continue
+                b = bytes(payload)
                 for i in range(n_frames):
                     ids.append(rid)
                     idxs.append(i)

@@ -51,6 +51,10 @@ def normalize_logic(tree: LogicTree) -> LogicTree:
         # bare id list ⇒ implicit AND (Operaters.py:180-204)
         op = "AND"
         children = [normalize_logic(c) for c in tree]
+    if not children:
+        # ["AND"] / ["OR"] — an op head with no operands; failing
+        # here beats the opaque IndexError compile_logic would hit
+        raise ValueError(f"logic node {head!r} has no children")
     merged: list[LogicTree] = []
     for c in children:
         if isinstance(c, list) and c and c[0] == op:

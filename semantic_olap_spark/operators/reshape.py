@@ -96,9 +96,17 @@ def pivot_agg(
             f"to {dupes} — rename the values or pivot on a cleaned "
             f"column"
         )
-    for v in pivot_values:
-        out = out.withColumnRenamed(v, safe[v])
-    return out
+    # the same poisoning occurs against the group keys (and a raw
+    # pivot value that equals a group column makes the rename itself
+    # ambiguous)
+    clash = (set(safe.values()) | set(pivot_values)) & set(group_cols)
+    if clash:
+        raise ValueError(
+            f"pivot columns {sorted(clash)} collide with group_cols "
+            f"— rename the group columns or the pivot values"
+        )
+    # one projection for all renames, not one plan node per value
+    return out.withColumnsRenamed(safe)
 
 
 def _multi_agg_exprs(

@@ -17,7 +17,11 @@ import os
 
 from pyspark.sql import SparkSession
 
-DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+def _default_shuffle_partitions() -> int:
+    # read at CALL time, like the master below — an import-time
+    # snapshot diverges from local[$SPARK_GRAFT_CPUS] if the env var
+    # is set after import
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
 def get_spark(
@@ -40,7 +44,7 @@ def get_spark(
         .master(master)
         .config(
             "spark.sql.shuffle.partitions",
-            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+            str(shuffle_partitions or _default_shuffle_partitions()),
         )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -469,3 +469,59 @@ def test_running_totals_rejects_fractional_values(spark):
     df = spark.createDataFrame([("a", 1.5)], ["k", "v"])
     with pytest.raises(TypeError, match="integral"):
         running_totals(df, ["k"], "v", "_cum")
+
+
+# ---- seventh review batch (logic / reshape / multimodal / session) ----
+
+
+def test_normalize_logic_rejects_childless_op(spark):
+    from semantic_olap_spark.operators.logic import normalize_logic
+
+    with pytest.raises(ValueError, match="no children"):
+        normalize_logic(["AND"])
+    with pytest.raises(ValueError, match="no children"):
+        normalize_logic(["OR"])
+
+
+def test_pivot_agg_rejects_group_col_collision(spark):
+    from semantic_olap_spark.operators.reshape import pivot_agg
+
+    df = spark.createDataFrame(
+        [("status_a", "a", 1.0)], ["status_a", "status", "v"]
+    )
+    with pytest.raises(ValueError, match="group_cols"):
+        pivot_agg(
+            df,
+            group_cols=["status_a"],
+            pivot_col="status",
+            pivot_values=["a"],
+            value_col="v",
+        )
+
+
+def test_sample_frames_null_payload_yields_no_frames(spark):
+    from semantic_olap_spark.functions.multimodal import sample_frames
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"abc")), (2, None)],
+        "doc_id INT, payload BINARY",
+    )
+    out = sample_frames(df, n_frames=3).collect()
+    assert {r["doc_id"] for r in out} == {1}
+    assert len(out) == 3
+
+
+def test_get_spark_shuffle_partitions_reads_env_at_call_time():
+    import os
+
+    from semantic_olap_spark.session import _default_shuffle_partitions
+
+    old = os.environ.get("SPARK_GRAFT_CPUS")
+    try:
+        os.environ["SPARK_GRAFT_CPUS"] = "7"
+        assert _default_shuffle_partitions() == 7
+    finally:
+        if old is None:
+            os.environ.pop("SPARK_GRAFT_CPUS", None)
+        else:
+            os.environ["SPARK_GRAFT_CPUS"] = old
