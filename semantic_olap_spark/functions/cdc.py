@@ -141,7 +141,14 @@ def scd2_history(
     before deletes are dropped.
     """
     ks = [keys] if isinstance(keys, str) else list(keys)
-    w = Window.partitionBy(*ks).orderBy(F.col(seq_col).asc())
+    # Same-seq tie: delete sorts AFTER the non-delete it shares a
+    # sequence with, so the version row's lead() picks up the delete's
+    # seq — a zero-length, closed, non-current interval.  The delete
+    # wins the final state, matching apply_cdc's tiebreak.
+    w = Window.partitionBy(*ks).orderBy(
+        F.col(seq_col).asc(),
+        (F.col(op_col) == F.lit(delete_op)).asc(),
+    )
     out = changes.withColumn(
         "valid_from", F.col(seq_col)
     ).withColumn("valid_to", F.lead(seq_col).over(w))

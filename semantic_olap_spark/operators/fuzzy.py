@@ -69,9 +69,11 @@ def fuzzy_join(
     # same-named join keys (the natural entity-resolution shape:
     # join two tables both keyed 'name') would make every reference
     # ambiguous — rename the right key like the block column
+    renamed_right_key = False
     if right_col == left_col:
         right = right.withColumnRenamed(right_col, f"_rk_{right_col}")
         right_col = f"_rk_{right_col}"
+        renamed_right_key = True
     lc, rc = F.col(left_col), F.col(right_col)
     d = _dist(lc, rc, max_dist)  # bound once: the DP dominates per-pair cost
     cond = (
@@ -89,7 +91,7 @@ def fuzzy_join(
     )
     if block_col is not None:
         out = out.drop(f"_rb_{block_col}")
-    if right_col.startswith("_rk_"):
+    if renamed_right_key:
         out = out.withColumnRenamed(right_col, right_col[4:] + "_right")
     return out
 

@@ -96,6 +96,18 @@ def pivot_agg(
             f"to {dupes} — rename the values or pivot on a cleaned "
             f"column"
         )
+    # raw↔sanitized crossover: withColumnsRenamed applies the map
+    # sequentially, so renaming 'x'→'p_x' while a raw value 'p_x' also
+    # exists cascades both onto the same final name — refuse
+    crossover = {
+        safe[v] for v in pivot_values if safe[v] != v
+    } & set(pivot_values)
+    if crossover:
+        raise ValueError(
+            f"sanitized pivot column names {sorted(crossover)} equal "
+            f"other raw pivot values — rename the values or pivot on "
+            f"a cleaned column"
+        )
     # the same poisoning occurs against the group keys (and a raw
     # pivot value that equals a group column makes the rename itself
     # ambiguous)

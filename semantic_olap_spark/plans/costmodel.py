@@ -144,20 +144,32 @@ def estimate_filter_cost(
 
     undecided = sample
     scale = total_rows / n_s
-    for oid in expensive:
-        tree_col = compile_logic(tree, leaf_col)
-        undecided = undecided.filter(tree_col.isNull())
-        cnt = undecided.count()
-        est.per_op[oid] = int(round(cnt * scale))
-        p = step_params(ops[oid])
-        if probe_llm:
-            cond = _build_cond(undecided, op_name(oid), p, llm_factory)
-        else:
-            cond = _prior_cond(undecided, oid, p)
-        colname = f"__est_{oid}"
-        undecided = undecided.withColumn(
-            colname, F.coalesce(cond, F.lit(False))
-        )
-        evaluated[oid] = colname
-    sample.unpersist()
+    # When probing, persist after each stage so the next stage's
+    # count() does not recompute every earlier probe UDF column —
+    # keeping total judgments at the documented sample_rows × #leaves
+    # bound even against a non-caching backend.
+    persisted: list[DataFrame] = []
+    try:
+        for oid in expensive:
+            tree_col = compile_logic(tree, leaf_col)
+            undecided = undecided.filter(tree_col.isNull())
+            cnt = undecided.count()
+            est.per_op[oid] = int(round(cnt * scale))
+            p = step_params(ops[oid])
+            if probe_llm:
+                cond = _build_cond(undecided, op_name(oid), p, llm_factory)
+            else:
+                cond = _prior_cond(undecided, oid, p)
+            colname = f"__est_{oid}"
+            undecided = undecided.withColumn(
+                colname, F.coalesce(cond, F.lit(False))
+            )
+            evaluated[oid] = colname
+            if probe_llm:
+                undecided = undecided.persist()
+                persisted.append(undecided)
+    finally:
+        sample.unpersist()
+        for pdf in persisted:
+            pdf.unpersist()
     return est

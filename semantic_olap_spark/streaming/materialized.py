@@ -39,13 +39,26 @@ from semantic_olap_spark.functions.incremental import (
 _EPOCH_RE = re.compile(r"^epoch=(\d+)$")
 
 
+_COMMIT_MARKER = "_STATE_COMMITTED"
+
+
 def _generations(path: str) -> list[int]:
+    # A generation counts only once its explicit commit marker exists
+    # (written by fold_batch AFTER the parquet job returns).  Hadoop's
+    # _SUCCESS is accepted for back-compat with pre-marker state dirs,
+    # but is not relied on: clusters with
+    # mapreduce.fileoutputcommitter.marksuccessfuljobs=false never
+    # write it, which would otherwise make every generation invisible
+    # and silently rebuild state from empty.
     if not os.path.isdir(path):
         return []
     out = []
     for name in os.listdir(path):
         m = _EPOCH_RE.match(name)
-        if m and os.path.exists(os.path.join(path, name, "_SUCCESS")):
+        if m and (
+            os.path.exists(os.path.join(path, name, _COMMIT_MARKER))
+            or os.path.exists(os.path.join(path, name, "_SUCCESS"))
+        ):
             out.append(int(m.group(1)))
     return sorted(out)
 
@@ -94,9 +107,12 @@ def fold_batch(
     if prior:
         prev = spark.read.parquet(os.path.join(path, f"epoch={prior[-1]}"))
         new = merge_agg_states([prev, new], metrics, group_by)
-    new.write.mode("overwrite").parquet(
-        os.path.join(path, f"epoch={epoch_id}")
-    )
+    gen_dir = os.path.join(path, f"epoch={epoch_id}")
+    new.write.mode("overwrite").parquet(gen_dir)
+    # explicit commit marker, independent of Hadoop's configurable
+    # _SUCCESS — a generation without it is treated as incomplete
+    with open(os.path.join(gen_dir, _COMMIT_MARKER), "w"):
+        pass
     # prune: keep the newest `keep_generations` strictly-older
     # generations for replay and readers in flight, drop the rest
     done = [g for g in _generations(path) if g < epoch_id]
