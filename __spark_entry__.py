@@ -205,6 +205,38 @@ def _q_sem_filter(spark, sf_dir):
     return sem_filter(_t(spark, sf_dir, "documents"), ["text"], "rows about spark")
 
 
+_HTTP_MOCK: dict = {}
+
+
+def _q_sem_filter_http(spark, sf_dir):
+    """sem_filter through the production HttpLLM transport.
+
+    Backend-swap parity row: the same stub semantics served over the
+    OpenAI-compatible wire (llm/http_client.py) by an in-process mock
+    endpoint (llm/mock_server.py) — identical results to `sem_filter`,
+    same DuckDB oracle, proving the HTTP path changes transport only.
+    The server leaks intentionally (daemon threads) so the returned
+    lazy DataFrame stays collectable for the driver.
+    """
+    from semantic_olap_spark.llm.http_client import http_llm_factory
+    from semantic_olap_spark.operators.semantic import sem_filter
+
+    if "srv" not in _HTTP_MOCK:
+        from semantic_olap_spark.llm.mock_server import (
+            start_mock_openai_server,
+        )
+
+        _HTTP_MOCK["srv"] = start_mock_openai_server()
+    factory = http_llm_factory(
+        _HTTP_MOCK["srv"].base_url, "mock-model", concurrency=8,
+        max_retries=2, backoff_base=0.05,
+    )
+    return sem_filter(
+        _t(spark, sf_dir, "documents"), ["text"], "rows about spark",
+        llm_factory=factory,
+    )
+
+
 def _q_sem_filter_multi(spark, sf_dir):
     from semantic_olap_spark.operators.semantic import sem_filter
 
@@ -2018,6 +2050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "num_topk_asc": _q_num_topk_asc,
         # §2.1 semantic (StubLLM)
         "sem_filter": _q_sem_filter,
+        "sem_filter_http": _q_sem_filter_http,
         "sem_filter_multi": _q_sem_filter_multi,
         "sem_map_topic": _q_sem_map_topic,
         "sem_group_workload": _q_sem_group_workload,
@@ -2465,6 +2498,8 @@ def oracle_sql() -> dict[str, str]:
         "num_topk_asc":
             "SELECT * FROM orders ORDER BY o_totalprice ASC, o_orderkey LIMIT 7",
         "sem_filter":
+            "SELECT * FROM documents WHERE contains(lower(text), 'spark')",
+        "sem_filter_http":
             "SELECT * FROM documents WHERE contains(lower(text), 'spark')",
         "sem_filter_multi": """
             SELECT * FROM documents

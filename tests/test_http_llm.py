@@ -1,0 +1,271 @@
+"""HttpLLM against an in-process OpenAI-compatible mock server.
+
+The mock answers every prompt by running StubLLM on it and wrapping
+the result in a ``/v1/chat/completions`` response, so a semantic
+operator driven through HTTP must produce results IDENTICAL to the
+stub path — the contract that makes every stub-verified operator a
+one-factory-swap from production.  Scripted fault injection (429s
+with Retry-After, 500 bursts, malformed bodies, connection drops)
+exercises the retry/backoff/rate-limit machinery.
+"""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+from semantic_olap_spark.llm.client import StubLLM, wrap_cost_tracking
+from semantic_olap_spark.llm.http_client import (
+    HttpLLM,
+    LLMTransportError,
+    TokenBucket,
+    http_llm_factory,
+)
+
+# ---------------------------------------------------------------------------
+# mock server (package utility; fault script lives on server.state)
+
+
+@pytest.fixture()
+def mock_server():
+    from semantic_olap_spark.llm.mock_server import start_mock_openai_server
+
+    srv = start_mock_openai_server()
+    yield srv.base_url, srv.state
+    srv.shutdown()
+
+
+def _client(base, **kw):
+    kw.setdefault("backoff_base", 0.01)
+    kw.setdefault("timeout", 5.0)
+    return HttpLLM(base, "mock-model", **kw)
+
+
+from semantic_olap_spark.llm import prompts as P
+
+FILTER_PROMPT = P.filter_prompt(
+    "about spark", "this document discusses spark joins"
+)
+assert StubLLM().predict(FILTER_PROMPT) == "Yes"
+
+
+# ---------------------------------------------------------------------------
+# wire format + basic contract
+
+
+def test_predict_matches_stub_and_wire_shape(mock_server):
+    base, st = mock_server
+    llm = _client(base, api_key="sk-test", seed=7)
+    out = llm.predict(FILTER_PROMPT)
+    assert out == StubLLM().predict(FILTER_PROMPT) == "Yes"
+    body = st.last_body
+    assert body["model"] == "mock-model"
+    assert body["temperature"] == 0.0 and body["seed"] == 7
+    assert body["messages"][-1] == {
+        "role": "user", "content": FILTER_PROMPT,
+    }
+    assert st.auth_headers[-1] == "Bearer sk-test"
+    assert llm.usage["requests"] == 1
+    assert llm.usage["prompt_tokens"] > 0
+
+
+def test_system_prompt_prepended(mock_server):
+    base, st = mock_server
+    llm = _client(base, system_prompt="answer tersely")
+    llm.predict(FILTER_PROMPT)
+    msgs = st.last_body["messages"]
+    assert msgs[0] == {"role": "system", "content": "answer tersely"}
+
+
+# ---------------------------------------------------------------------------
+# retry / backoff / failure taxonomy
+
+
+def test_retries_through_429_and_500(mock_server):
+    base, st = mock_server
+    st.faults = [
+        {"kind": "status", "code": 429,
+         "headers": {"Retry-After": "0.01"}},
+        {"kind": "status", "code": 500},
+        {"kind": "status", "code": 503},
+    ]
+    llm = _client(base, max_retries=4)
+    assert llm.predict(FILTER_PROMPT) == "Yes"
+    assert st.requests == 4  # 3 faults + 1 success
+    assert llm.usage["retries"] == 3
+
+
+def test_malformed_body_retried_then_ok(mock_server):
+    base, st = mock_server
+    st.faults = [
+        {"kind": "garbage"},
+        {"kind": "garbage", "body": b'{"choices": []}'},
+    ]
+    llm = _client(base, max_retries=3)
+    assert llm.predict(FILTER_PROMPT) == "Yes"
+    assert st.requests == 3
+
+
+def test_retry_budget_exhausted_raises(mock_server):
+    base, st = mock_server
+    st.faults = [{"kind": "status", "code": 503}] * 3
+    llm = _client(base, max_retries=2)
+    with pytest.raises(LLMTransportError) as ei:
+        llm.predict(FILTER_PROMPT)
+    assert ei.value.status == 503
+    assert st.requests == 3
+
+
+def test_client_error_fails_fast(mock_server):
+    base, st = mock_server
+    st.faults = [{"kind": "status", "code": 401}] * 5
+    llm = _client(base, max_retries=4)
+    with pytest.raises(LLMTransportError) as ei:
+        llm.predict(FILTER_PROMPT)
+    assert ei.value.status == 401
+    assert st.requests == 1  # no retry on non-retryable 4xx
+
+
+def test_connection_refused_retries_then_raises():
+    # unroutable port: every attempt is a transport error
+    llm = HttpLLM(
+        "http://127.0.0.1:1/v1", "mock", max_retries=1,
+        backoff_base=0.01, timeout=0.5,
+    )
+    with pytest.raises(LLMTransportError) as ei:
+        llm.predict(FILTER_PROMPT)
+    assert ei.value.status is None
+
+
+def test_timeout_is_retried(mock_server):
+    base, st = mock_server
+    st.faults = [{"kind": "slow", "seconds": 1.5}]
+    llm = _client(base, timeout=0.3, max_retries=2)
+    assert llm.predict(FILTER_PROMPT) == "Yes"
+    assert st.requests >= 2
+
+
+# ---------------------------------------------------------------------------
+# rate limiting
+
+
+def test_token_bucket_paces_requests(mock_server):
+    base, st = mock_server
+    bucket = TokenBucket(rate=40.0, capacity=1.0)
+    llm = _client(base, rate_limiter=bucket)
+    t0 = time.monotonic()
+    for _ in range(9):
+        llm.predict(FILTER_PROMPT)
+    elapsed = time.monotonic() - t0
+    # 9 requests, burst 1 → ≥ 8 token refills at 40/s = 0.2 s floor
+    assert elapsed >= 0.18
+    assert st.requests == 9
+
+
+def test_token_bucket_pickles_fresh():
+    import pickle
+
+    b = TokenBucket(rate=5.0, capacity=2.0)
+    b.acquire()
+    b2 = pickle.loads(pickle.dumps(b))
+    assert (b2.rate, b2.capacity) == (5.0, 2.0)
+
+
+def test_http_llm_pickles_without_lock(mock_server):
+    import pickle
+
+    base, _ = mock_server
+    llm = _client(base, rate_limiter=TokenBucket(100.0))
+    llm.predict(FILTER_PROMPT)
+    clone = pickle.loads(pickle.dumps(llm))
+    assert clone.predict(FILTER_PROMPT) == "Yes"
+
+
+# ---------------------------------------------------------------------------
+# operator-level parity: HTTP path ≡ stub path, stats flow through
+
+
+def test_sem_filter_via_http_equals_stub(spark, tables, mock_server):
+    base, st = mock_server
+    from semantic_olap_spark.operators.semantic import sem_filter
+
+    docs = tables["documents"].limit(40)
+    factory, stats = wrap_cost_tracking(
+        spark,
+        http_llm_factory(base, "mock-model", concurrency=4,
+                         backoff_base=0.01),
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in sem_filter(
+            docs, ["text"], "about window functions", llm_factory=factory
+        ).select("doc_id").collect()
+    )
+    want = sorted(
+        r["doc_id"]
+        for r in sem_filter(
+            docs, ["text"], "about window functions"
+        ).select("doc_id").collect()
+    )
+    assert got == want and len(want) > 0
+    assert stats.requests > 0
+    assert stats.backend_calls <= stats.requests  # cache dedups
+    assert st.requests == stats.backend_calls
+
+
+def test_sem_map_via_http_equals_stub(spark, tables, mock_server):
+    base, _ = mock_server
+    from semantic_olap_spark.operators.semantic import sem_map
+
+    docs = tables["documents"].limit(30)
+    factory = http_llm_factory(
+        base, "mock-model", concurrency=4, backoff_base=0.01
+    )
+    instr = "classify the doc topic, one of: join, scan, other"
+    got = {
+        (r["doc_id"], r["label"])
+        for r in sem_map(
+            docs, ["text"], instr, "label", llm_factory=factory
+        ).select("doc_id", "label").collect()
+    }
+    want = {
+        (r["doc_id"], r["label"])
+        for r in sem_map(
+            docs, ["text"], instr, "label"
+        ).select("doc_id", "label").collect()
+    }
+    assert got == want
+
+
+def test_http_with_faults_still_matches_stub(spark, tables, mock_server):
+    """Transient faults sprinkled through a distributed run change
+    latency, never results."""
+    base, st = mock_server
+    from semantic_olap_spark.operators.semantic import sem_filter
+
+    st.faults = (
+        [{"kind": "status", "code": 429,
+          "headers": {"Retry-After": "0.01"}}] * 2
+        + [{"kind": "garbage"}]
+        + [{"kind": "status", "code": 500}]
+    )
+    docs = tables["documents"].limit(25)
+    factory = http_llm_factory(
+        base, "mock-model", concurrency=2, backoff_base=0.01,
+        rate_limit_rps=500.0,
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in sem_filter(
+            docs, ["text"], "about spark", llm_factory=factory
+        ).select("doc_id").collect()
+    )
+    want = sorted(
+        r["doc_id"]
+        for r in sem_filter(
+            docs, ["text"], "about spark"
+        ).select("doc_id").collect()
+    )
+    assert got == want
+    assert not st.faults  # every scripted fault was consumed
