@@ -336,6 +336,34 @@ def _q_filter_group_tree(spark, sf_dir):
     )
 
 
+def _q_filter_group_auto_order(spark, sf_dir):
+    """Boolean tree with TWO LLM leaves under llm_leaf_order="auto".
+
+    The cost model (plans/costmodel.py choose_llm_leaf_order) probes a
+    sample and runs the most-decisive sem_filter first; Kleene staging
+    makes results order-independent, so the oracle is the same flat
+    SQL as plan order — the row proves the selectivity-aware path end
+    to end (reference gap: Exection_Agent.py:54-60 orders classes,
+    not leaves within class 2).
+    """
+    from semantic_olap_spark.plans.executor import run_filter
+
+    return run_filter(
+        _t(spark, sf_dir, "documents"),
+        [
+            {"id": 1, "operator_name": "num_filter",
+             "parameters": {"conditions": [
+                 {"column": "n_chars", "threshold": 120, "operator": ">"}]}},
+            {"id": 2, "operator_name": "sem_filter",
+             "parameters": {"columns": ["text"], "condition": "mentions scan"}},
+            {"id": 3, "operator_name": "sem_filter",
+             "parameters": {"columns": ["text"], "condition": "about vector"}},
+        ],
+        ["AND", 1, 2, 3],
+        llm_leaf_order="auto",
+    )
+
+
 def _q_plan_cascade(spark, sf_dir):
     from semantic_olap_spark.plans.executor import PlanExecutor
 
@@ -2065,6 +2093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_pattern": _q_filter_pattern,
         # §2.4 logic trees + executor
         "filter_group_tree": _q_filter_group_tree,
+        "filter_group_auto_order": _q_filter_group_auto_order,
         "plan_cascade": _q_plan_cascade,
         # pipeline: text analysis
         "text_profile": _q_text_profile,
@@ -2578,6 +2607,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM documents
             WHERE contains(lower(text), 'spark')
               AND (n_chars > 200 OR contains(lower(text), 'window'))
+        """,
+        "filter_group_auto_order": """
+            SELECT * FROM documents
+            WHERE n_chars > 120
+              AND contains(lower(text), 'scan')
+              AND contains(lower(text), 'vector')
         """,
         "plan_cascade": """
             SELECT source, count(*) AS count FROM documents

@@ -173,3 +173,109 @@ def estimate_filter_cost(
         for pdf in persisted:
             pdf.unpersist()
     return est
+
+
+def choose_llm_leaf_order(
+    df: DataFrame,
+    operations: Sequence[Mapping],
+    logic=None,
+    sample_rows: int = 256,
+    probe_llm: bool = True,
+    llm_factory: LLMFactory = default_llm_factory,
+) -> list[int]:
+    """Order class-2 (LLM) leaves to minimize judged rows.
+
+    The reference's PRIORITY_MAP (Exection_Agent.py:54-60) orders the
+    three cost *classes* but leaves ties inside class 2 in plan
+    order — at scale, two LLM leaves of very different selectivity in
+    the wrong order dominate LLM spend.  This chooses the intra-class
+    order from data:
+
+    1. Probe every LLM leaf ONCE on a bounded sample restricted to
+       rows the cheap leaves leave undecided (``probe_llm=True``:
+       real judgments, ≤ ``sample_rows × #llm_leaves`` calls,
+       cache-absorbed; ``False``: the free deterministic 50% prior).
+    2. Greedy simulation on the probed sample — repeatedly pick the
+       leaf whose addition leaves the FEWEST rows undecided under
+       Kleene semantics (every candidate at a given step judges the
+       same undecided set, so shrinkage for later stages is the only
+       differentiator; exact for 2 leaves, standard greedy beyond).
+       Ties break to plan order, keeping the choice deterministic.
+
+    Step 2 is pure Catalyst counting over the persisted probed
+    sample — no further LLM calls.  Returns a permutation of the
+    LLM leaf ids; pass it to ``run_filter(llm_leaf_order=...)``.
+    Result equality under any order is guaranteed by the staged
+    executor's Kleene semantics (property-tested).
+    """
+    ops = {int(op["id"]): op for op in operations}
+    tree = normalize_logic(
+        logic if logic is not None else [int(op["id"]) for op in operations]
+    )
+    leaf_ids = logic_leaves(tree)
+
+    def op_name(oid: int) -> str:
+        o = ops[oid]
+        return o.get("operator_name") or o.get("operator")
+
+    cheap_ids = [
+        oid for oid in leaf_ids if PRIORITY_MAP.get(op_name(oid), 2) < 2
+    ]
+    expensive = [
+        oid for oid in leaf_ids if PRIORITY_MAP.get(op_name(oid), 2) >= 2
+    ]
+    if len(expensive) < 2:
+        return expensive
+
+    sample = df.limit(int(sample_rows))
+    cheap = {
+        oid: _build_cond(
+            sample, op_name(oid), step_params(ops[oid]), llm_factory
+        )
+        for oid in cheap_ids
+    }
+    # only rows the cheap leaves leave undecided matter for ordering
+    pre = compile_logic(tree, lambda o: cheap.get(o, null_bool()))
+    sample = sample.filter(pre.isNull())
+    probe_col = {oid: f"__probe_{oid}" for oid in expensive}
+    for oid in expensive:
+        p = step_params(ops[oid])
+        cond = (
+            _build_cond(sample, op_name(oid), p, llm_factory)
+            if probe_llm
+            else _prior_cond(sample, oid, p)
+        )
+        sample = sample.withColumn(
+            probe_col[oid], F.coalesce(cond, F.lit(False))
+        )
+    sample = sample.persist()
+    try:
+        if sample.count() == 0:
+            return list(expensive)  # nothing to learn from
+
+        def undecided_after(chosen: Sequence[int]) -> int:
+            done = set(chosen)
+
+            def leaf(oid: int):
+                if oid in cheap:
+                    return cheap[oid]
+                if oid in done:
+                    return F.col(probe_col[oid])
+                return null_bool()
+
+            return sample.filter(compile_logic(tree, leaf).isNull()).count()
+
+        order: list[int] = []
+        remaining = list(expensive)
+        while len(remaining) > 1:
+            best = min(
+                remaining,
+                key=lambda c: (undecided_after(order + [c]),
+                               remaining.index(c)),
+            )
+            order.append(best)
+            remaining.remove(best)
+        order.extend(remaining)
+        return order
+    finally:
+        sample.unpersist()

@@ -113,6 +113,7 @@ def run_filter(
     operations: Sequence[Mapping],
     logic=None,
     llm_factory: LLMFactory = default_llm_factory,
+    llm_leaf_order: Sequence[int] | str | None = None,
 ) -> DataFrame:
     """Execute a boolean tree of filter operations, staged by cost.
 
@@ -120,6 +121,18 @@ def run_filter(
     "parameters": {...}}]``; ``logic``: the boolean tree over ids
     (default: AND of all).  Mirrors Execution_Agent.run_filter
     (Exection_Agent.py:301-396).
+
+    ``llm_leaf_order`` picks the order class-2 (LLM) leaves run in —
+    results are order-independent (Kleene staging, property-tested),
+    only the judged-row counts change:
+
+    - ``None``: plan order (the reference's behavior).
+    - ``"auto"``: selectivity-aware order from
+      ``plans.costmodel.choose_llm_leaf_order`` — probes a bounded
+      sample, then runs the most-decisive leaf first.  Worth it when
+      the input is much larger than the probe sample.
+    - explicit id sequence: a permutation of the LLM leaf ids (e.g. a
+      planner's cached choice).
     """
     ops = {int(op["id"]): op for op in operations}
     tree = normalize_logic(
@@ -153,6 +166,25 @@ def run_filter(
             for oid in cheap
         }
         return df.filter(compile_logic(tree, raw))
+
+    if llm_leaf_order is not None and len(expensive) > 1:
+        if llm_leaf_order == "auto":
+            # lazy import: costmodel imports this module
+            from semantic_olap_spark.plans.costmodel import (
+                choose_llm_leaf_order,
+            )
+
+            expensive = choose_llm_leaf_order(
+                df, operations, logic, llm_factory=llm_factory
+            )
+        else:
+            chosen = [int(i) for i in llm_leaf_order]
+            if sorted(chosen) != sorted(expensive):
+                raise ValueError(
+                    f"llm_leaf_order {chosen} is not a permutation of "
+                    f"the LLM leaf ids {sorted(expensive)}"
+                )
+            expensive = chosen
 
     # Staged evaluation: LLM predicates one at a time, each only on
     # rows still undecided under Kleene semantics.
@@ -289,7 +321,8 @@ class PlanExecutor:
         if name == "filter_group":
             ops = step.get("operations") or p.get("operations")
             logic = step.get("logic") or p.get("logic")
-            return run_filter(df, ops, logic, lf)
+            order = step.get("llm_leaf_order") or p.get("llm_leaf_order")
+            return run_filter(df, ops, logic, lf, llm_leaf_order=order)
         if name == "num_filter":
             # DataFrame form = raw predicate = parquet pushdown
             return det.num_filter(df, p["conditions"], p.get("logic", "and"))
