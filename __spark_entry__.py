@@ -1482,6 +1482,27 @@ def _q_stream_materialized_agg(spark, sf_dir):
     return finalize_agg(read_agg_state(spark, f"{work}/state"), ["value"])
 
 
+def _q_stream_sem_filter(spark, sf_dir):
+    """sem_filter inside Structured Streaming (streaming/semantic.py).
+
+    The batch Arrow-UDF column runs unchanged per micro-batch; an
+    availableNow run over the documents parquet must equal the batch
+    operator, so the oracle is the same SQL as `sem_filter`.  Proves
+    the "classify as it arrives" composition the reference never had.
+    """
+    from semantic_olap_spark.streaming.semantic import (
+        read_documents_stream,
+        run_stream_to_table,
+        sem_filter_stream,
+    )
+
+    stream = sem_filter_stream(
+        read_documents_stream(spark, sf_dir, max_files_per_trigger=1),
+        ["text"], "rows about spark",
+    )
+    return run_stream_to_table(stream, spark, "drv_stream_sem_filter")
+
+
 def _q_quantile_bucket_orders(spark, sf_dir):
     # exact equal-frequency binning (functions/binning.py): rank via
     # the parallel dense_ranks construction, bucket = all-integer
@@ -2191,6 +2212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample_docs": _q_weighted_sample_docs,
         "quantile_bucket_orders": _q_quantile_bucket_orders,
         "stream_materialized_agg": _q_stream_materialized_agg,
+        "stream_sem_filter": _q_stream_sem_filter,
         "target_encode_orders": _q_target_encode_orders,
         "scd2_order_history": _q_scd2_order_history,
         "set_ops_custkeys": _q_set_ops_custkeys,
@@ -2529,6 +2551,8 @@ def oracle_sql() -> dict[str, str]:
         "sem_filter":
             "SELECT * FROM documents WHERE contains(lower(text), 'spark')",
         "sem_filter_http":
+            "SELECT * FROM documents WHERE contains(lower(text), 'spark')",
+        "stream_sem_filter":
             "SELECT * FROM documents WHERE contains(lower(text), 'spark')",
         "sem_filter_multi": """
             SELECT * FROM documents

@@ -7,6 +7,12 @@ from semantic_olap_spark.streaming.materialized import (  # noqa: F401
     maintain_agg_state,
     read_agg_state,
 )
+from semantic_olap_spark.streaming.semantic import (  # noqa: F401
+    read_documents_stream,
+    run_stream_to_table,
+    sem_filter_stream,
+    sem_map_stream,
+)
 from semantic_olap_spark.streaming.windows import (  # noqa: F401
     read_events_stream,
     session_agg,
