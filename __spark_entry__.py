@@ -297,6 +297,33 @@ def _q_sem_topk_docs(spark, sf_dir):
     )
 
 
+def _q_sem_topk_prescreen(spark, sf_dir):
+    """sem_topk with the prescreen scale path (operators/semantic.py).
+
+    A cheap relevance score keeps the best 40 candidates and the
+    rotation tournament runs only on that slice — LLM calls drop from
+    ~2m·n to ~2m·40 regardless of table size (the SURVEY §2.1 #10
+    scalable alternative to the reference's full ~5n budget,
+    Operaters.py:465-466).  The driver row uses an integer
+    token-occurrence prescreen score (exactly SQL-expressible, so the
+    whole pipeline hash-matches); the default hash-embedding cosine
+    score is pinned by tests/test_sem_topk_prescreen.py.
+    """
+    from semantic_olap_spark.operators.semantic import sem_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    t = F.lower(F.col("text"))
+
+    def occ(w):
+        return (F.length(t) - F.length(F.replace(t, F.lit(w)))) / len(w)
+
+    score = occ("spark") + occ("join") + occ("performance")
+    return sem_topk(
+        docs, ["text"], "spark join performance", k=10,
+        id_col="doc_id", prescreen_k=40, prescreen_score=score,
+    ).select("doc_id", "wins")
+
+
 # ---- §2.2 physical filter specializations ------------------------------
 
 
@@ -2109,6 +2136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sem_reduce_by_region": _q_sem_reduce_by_region,
         "sem_reduce_global": _q_sem_reduce_global,
         "sem_topk_docs": _q_sem_topk_docs,
+        "sem_topk_prescreen": _q_sem_topk_prescreen,
         # §2.2 physical filters
         "filter_enum": _q_filter_enum,
         "filter_pattern": _q_filter_pattern,
@@ -2617,6 +2645,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, coalesce(w.wins, 0) AS wins
             FROM d LEFT JOIN w USING (doc_id)
             ORDER BY wins DESC, d.doc_id LIMIT 10
+        """,
+        "sem_topk_prescreen": r"""
+            WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
+            score AS (
+              SELECT doc_id, t,
+                     (length(t) - length(replace(t, 'spark', ''))) / 5
+                   + (length(t) - length(replace(t, 'join', ''))) / 4
+                   + (length(t) - length(replace(t, 'performance', ''))) / 11
+                       AS s
+              FROM d
+            ),
+            slice AS (
+              SELECT doc_id, s FROM score ORDER BY s DESC, doc_id LIMIT 40
+            ),
+            r AS (
+              SELECT doc_id, s,
+                     row_number() OVER (ORDER BY doc_id) - 1 AS rnk
+              FROM slice
+            ),
+            tot AS (SELECT count(*) AS n FROM r),
+            pairs AS (
+              SELECT a.doc_id AS ida, b.doc_id AS idb, a.s AS sa, b.s AS sb
+              FROM r a
+              CROSS JOIN (SELECT unnest([1, 2, 3, 4, 5]) AS h) h
+              JOIN r b ON b.rnk = (a.rnk + h.h) % (SELECT n FROM tot)
+            ),
+            wins AS (
+              SELECT CASE WHEN sa >= sb THEN ida ELSE idb END AS wid
+              FROM pairs
+            ),
+            w AS (SELECT wid AS doc_id, count(*) AS wins FROM wins GROUP BY wid)
+            SELECT r.doc_id, coalesce(w.wins, 0) AS wins
+            FROM r LEFT JOIN w USING (doc_id)
+            ORDER BY wins DESC, r.doc_id LIMIT 10
         """,
         "filter_enum":
             "SELECT * FROM orders "

@@ -595,6 +595,52 @@ def sem_reduce(
 # ---- sem_topk (Operaters.py:453-494; catalog baseline_LLM_direct.py:113-123)
 
 
+def _prescreen_topn(
+    cand: DataFrame,
+    query: str,
+    prescreen_k: int,
+    id_col: str,
+    score: Column | None = None,
+) -> DataFrame:
+    """Cheap relevance prescreen: keep the ``prescreen_k`` best rows.
+
+    Default score = cosine between the hash-embedded row content and
+    the hash-embedded query (functions/text.py ``hash_embed`` — the
+    same md5 construction on both sides, so the score is a pure
+    deterministic function of the text; both vectors L2-normalized ⇒
+    dot product = cosine).  ``score`` overrides it with any Column —
+    e.g. a dot product against a real model's query vector when the
+    frame carries model embeddings.
+
+    TakeOrderedAndProject (orderBy+limit) — no full sort, no single
+    partition; ties break by ``id_col`` for determinism.
+    """
+    if score is None:
+        from semantic_olap_spark.functions.text import hash_embed
+
+        spark = cand.sparkSession
+        qvec = hash_embed(
+            spark.createDataFrame([(0, query)], ["_qid", "_qtext"]),
+            text_col="_qtext", id_col="_qid", out_col="_qv",
+        ).collect()[0]["_qv"]
+        cand = hash_embed(
+            cand, text_col="_content", id_col=id_col, out_col="_pv"
+        )
+        qarr = F.array(*[F.lit(float(v)) for v in qvec])
+        score = F.aggregate(
+            F.zip_with(F.col("_pv"), qarr, lambda a, b: a * b),
+            F.lit(0.0), lambda a, x: a + x,
+        )
+        cand = cand.withColumn("_ps", score).drop("_pv")
+    else:
+        cand = cand.withColumn("_ps", score)
+    return (
+        cand.orderBy(F.col("_ps").desc(), F.col(id_col).asc())
+        .limit(int(prescreen_k))
+        .drop("_ps")
+    )
+
+
 def sem_topk(
     df: DataFrame,
     columns: Sequence[str],
@@ -604,6 +650,8 @@ def sem_topk(
     id_col: str = OLAP_ID,
     llm_factory: LLMFactory = default_llm_factory,
     keep_wins: bool = True,
+    prescreen_k: int | None = None,
+    prescreen_score: Column | None = None,
 ) -> DataFrame:
     """Top-k rows by pairwise-LLM tournament win count.
 
@@ -623,7 +671,25 @@ def sem_topk(
     ``zipWithIndex`` construction) — NO single-partition window, and
     ``n`` falls out of the same per-partition count pass, so there is
     no separate eager ``count()`` job over the data.
+
+    ``prescreen_k`` is the SCALE path (SURVEY §2.1 #10): the full
+    tournament is ~2·m LLM judgments per row — the reference's own
+    budget (Operaters.py:465-466) — which at 100 TB is the cost
+    ceiling.  With ``prescreen_k=p`` (must be > k) a cheap
+    deterministic relevance score (hash-embedding cosine vs the
+    query by default; any Column via ``prescreen_score``) keeps only
+    the best ``p`` candidates and the tournament runs on that slice:
+    LLM calls drop from ~2·m·n to ~2·m·p, independent of table size.
+    Win counts are tallied within the slice, so ``wins`` values
+    differ from the full tournament; under a judge consistent with
+    the prescreen score the SELECTED set is preserved (pinned in
+    tests/test_sem_topk_prescreen.py).
     """
+    if prescreen_k is not None and prescreen_k <= k:
+        raise ValueError(
+            f"prescreen_k ({prescreen_k}) must exceed k ({k}) — the "
+            f"tournament needs headroom beyond the final answer"
+        )
     cols = list(columns)
     content = F.concat_ws(
         "\n",
@@ -633,6 +699,10 @@ def sem_topk(
         ],
     )
     cand = df.withColumn("_content", content)
+    if prescreen_k is not None:
+        cand = _prescreen_topn(
+            cand, query, prescreen_k, id_col, prescreen_score
+        )
     # Dense tournament ranks + n from the shared zipWithIndex
     # construction (sources/loaders.py dense_ranks_with_total):
     # range-partition by id + broadcast prefix-sum offsets, the
@@ -679,7 +749,10 @@ def sem_topk(
         F.when(F.col("_a_wins"), F.col("_id_a")).otherwise(F.col("_id_b")).alias("_wid")
     )
     wins = winner_ids.groupBy("_wid").agg(F.count(F.lit(1)).alias("wins"))
-    scored = df.join(wins, df[id_col] == wins["_wid"], "left").drop("_wid")
+    # with a prescreen, rows outside the slice are OUT of the
+    # tournament — tally against the slice, not the full frame
+    base = cand.drop("_content") if prescreen_k is not None else df
+    scored = base.join(wins, base[id_col] == wins["_wid"], "left").drop("_wid")
     scored = scored.withColumn("wins", F.coalesce(F.col("wins"), F.lit(0)))
     out = scored.orderBy(F.col("wins").desc(), F.col(id_col).asc()).limit(int(k))
     return out if keep_wins else out.drop("wins")
