@@ -340,6 +340,126 @@ def save_cube(mem: CubeMemory, path: str) -> None:
         )
     with open(f"{path}/cube.json", "w") as f:
         json.dump(manifest, f, indent=1)
+    # record what's on disk so save_cube_incremental skips it
+    mem._persisted = {nid: nid for nid in mem.nodes}
+    mem._persisted_grans = {
+        nid: {
+            (col, gname)
+            for col, views in node.col_views.items()
+            for gname in views.granularities
+        }
+        for nid, node in mem.nodes.items()
+    }
+
+
+def _merged_manifest(path: str) -> dict:
+    """Base ``cube.json`` + ordered ``delta-*.json`` overlays.
+
+    A delta entry for an id already present merges (union) its
+    granularities and edges onto the base spec; unseen ids append as
+    new nodes.  Query/plan of a known id keep their first (base)
+    spelling — deltas only re-state them for new nodes.
+    """
+    import glob
+    import json
+
+    with open(f"{path}/cube.json") as f:
+        base = json.load(f)
+    nodes: dict[int, dict] = {int(n["id"]): dict(n) for n in base["nodes"]}
+    for dpath in sorted(glob.glob(f"{path}/delta-*.json")):
+        with open(dpath) as f:
+            delta = json.load(f)
+        for n in delta.get("nodes", []):
+            nid = int(n["id"])
+            if nid in nodes:
+                cur = nodes[nid]
+                cur["granularities"] = list(
+                    cur.get("granularities", [])
+                ) + list(n.get("granularities", []))
+                cur["parents"] = sorted(
+                    set(cur.get("parents", [])) | set(n.get("parents", []))
+                )
+                cur["children"] = sorted(
+                    set(cur.get("children", []))
+                    | set(n.get("children", []))
+                )
+            else:
+                nodes[nid] = dict(n)
+    return {"root_id": base["root_id"], "nodes": list(nodes.values())}
+
+
+def save_cube_incremental(mem: CubeMemory, path: str) -> None:
+    """Checkpoint the lattice writing ONLY what's new since the last
+    save to ``path``: frames/label maps of unseen nodes and
+    granularities, plus one append-only ``delta-NNNNNN.json``.
+
+    A long-running session can checkpoint every few queries without
+    rewriting every node frame (the full :func:`save_cube` cost grows
+    with lattice size; this grows with the DELTA).  First call on an
+    empty directory falls back to a full save.  ``load_cube`` merges
+    base + deltas transparently, and a loaded memory checkpoints
+    incrementally right back into the same directory (saved-directory
+    ids survive the load's in-memory id reassignment).
+    """
+    import glob
+    import json
+    import os
+
+    if not os.path.exists(f"{path}/cube.json"):
+        save_cube(mem, path)
+        return
+    persisted: dict[int, int] = getattr(mem, "_persisted", {})
+    persisted_grans: dict[int, set] = getattr(mem, "_persisted_grans", {})
+    merged = _merged_manifest(path)
+    used_dirs = {int(n["id"]) for n in merged["nodes"]} | set(
+        persisted.values()
+    )
+    next_dir = max(used_dirs) + 1 if used_dirs else 0
+    # pass 1: allocate directory ids + write frames for new nodes, so
+    # pass 2 can record edges between new nodes regardless of order
+    new_ids = []
+    for nid, node in mem.nodes.items():
+        if nid in persisted:
+            continue
+        dir_id = next_dir
+        next_dir += 1
+        persisted[nid] = dir_id
+        node.df.write.mode("overwrite").parquet(f"{path}/nodes/{dir_id}")
+        new_ids.append(nid)
+    delta_nodes = []
+    for nid, node in mem.nodes.items():
+        dir_id = persisted[nid]
+        seen = persisted_grans.setdefault(nid, set())
+        grans = []
+        for col, views in node.col_views.items():
+            for gname, g in views.granularities.items():
+                if (col, gname) in seen:
+                    continue
+                g.df.write.mode("overwrite").parquet(
+                    f"{path}/grans/{dir_id}/{col}/{gname}"
+                )
+                seen.add((col, gname))
+                grans.append(
+                    {"column": col, "name": gname,
+                     "description": g.description, "plan": g.plan}
+                )
+        if nid in new_ids or grans:
+            delta_nodes.append(
+                {"id": dir_id, "query": node.query, "plan": node.plan,
+                 "parents": [persisted[p] for p in node.parents
+                             if p in persisted],
+                 "children": [persisted[c] for c in node.children
+                              if c in persisted],
+                 "granularities": grans}
+            )
+    mem._persisted = persisted
+    mem._persisted_grans = persisted_grans
+    if delta_nodes:
+        seq = len(glob.glob(f"{path}/delta-*.json")) + 1
+        tmp = f"{path}/.delta-{seq:06d}.json.tmp"
+        with open(tmp, "w") as f:
+            json.dump({"nodes": delta_nodes}, f, indent=1)
+        os.replace(tmp, f"{path}/delta-{seq:06d}.json")
 
 
 def load_cube(
@@ -353,12 +473,12 @@ def load_cube(
     Node frames come back as plain parquet scans (disk-backed — no
     eager cache; predicate pushdown applies on every reuse).  Node
     ids are re-assigned but topology, queries, plans, and
-    granularity catalogs are preserved.
+    granularity catalogs are preserved.  Incremental checkpoints
+    (``delta-*.json`` from :func:`save_cube_incremental`) merge in
+    transparently, and the returned memory can keep checkpointing
+    incrementally into the same directory.
     """
-    import json
-
-    with open(f"{path}/cube.json") as f:
-        manifest = json.load(f)
+    manifest = _merged_manifest(path)
     by_old = {int(n["id"]): n for n in manifest["nodes"]}
     root_old = int(manifest["root_id"])
 
@@ -391,4 +511,15 @@ def load_cube(
                 id_map[old_id], g["column"], g["name"], gdf,
                 g.get("description", ""), g.get("plan"),
             )
+    # everything just loaded is on disk already: seed the persisted
+    # maps (new in-memory id → saved directory id) so incremental
+    # checkpoints into this directory write only genuinely new work
+    mem._persisted = {new: old for old, new in id_map.items()}
+    mem._persisted_grans = {
+        id_map[old_id]: {
+            (g["column"], g["name"])
+            for g in spec.get("granularities", [])
+        }
+        for old_id, spec in by_old.items()
+    }
     return mem

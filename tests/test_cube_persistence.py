@@ -81,3 +81,106 @@ def test_engine_save_load(tables, spark, tmp_path):
     out = eng2.run("mentions spark in text")
     assert out.count() == n
     assert len(eng2.memory.nodes) == len(eng.memory.nodes)
+
+
+# ---------------------------------------------------------------------------
+# incremental checkpointing (save_cube_incremental + delta manifests)
+
+
+def _frame_mtimes(d):
+    import os
+
+    out = {}
+    nodes_dir = os.path.join(d, "nodes")
+    for nid in os.listdir(nodes_dir):
+        p = os.path.join(nodes_dir, nid)
+        out[nid] = max(
+            os.path.getmtime(os.path.join(p, f)) for f in os.listdir(p)
+        )
+    return out
+
+
+def test_three_incremental_saves_round_trip(tables, spark, tmp_path):
+    import os
+
+    from semantic_olap_spark.plans.memory import save_cube_incremental
+
+    mem, n1 = _build(tables)
+    d = str(tmp_path / "cube_inc")
+
+    # save 1: empty dir → full save
+    save_cube_incremental(mem, d)
+    assert os.path.exists(f"{d}/cube.json")
+    base_mtimes = _frame_mtimes(d)
+
+    # save 2: one new node + one new granularity on the OLD node
+    root = mem.nodes[mem.root_id]
+    join_docs = root.df.filter(F.lower(F.col("text")).contains("join"))
+    n2 = mem.add_node(
+        "mentions join", join_docs,
+        [{"operator_name": "keyword_filter",
+          "parameters": {"columns": ["text"], "keywords": ["join"]}}],
+        [mem.root_id],
+    )
+    labels2 = n1.df.select("OLAP_ID", F.col("source").alias("src_kind"))
+    mem.register_granularity(n1.id, "source", "src_kind", labels2, "src buckets")
+    save_cube_incremental(mem, d)
+
+    # previously saved frames were NOT rewritten
+    after = _frame_mtimes(d)
+    for nid, t in base_mtimes.items():
+        assert after[nid] == t, f"node dir {nid} was rewritten"
+    assert len(after) == len(base_mtimes) + 1  # exactly one new frame
+    deltas = [f for f in os.listdir(d) if f.startswith("delta-")]
+    assert len(deltas) == 1
+
+    # save 3: nothing changed → no frames touched, no delta appended
+    save_cube_incremental(mem, d)
+    assert _frame_mtimes(d) == after
+    assert len([f for f in os.listdir(d) if f.startswith("delta-")]) == 1
+
+    # full reload sees the merged lattice
+    mem2 = load_cube(spark, d)
+    assert len(mem2.nodes) == 3
+    hit, _ = mem2.get_current_node("mentions join")
+    assert hit is not None and hit.df.count() == n2.df.count()
+    hit1, _ = mem2.get_current_node("mentions spark")
+    assert mem2.find_granularity(hit1.id, "lang", "lang_family") is not None
+    assert mem2.find_granularity(hit1.id, "source", "src_kind") is not None
+
+
+def test_incremental_after_load_same_directory(tables, spark, tmp_path):
+    """load_cube → add a node → incremental save back into the SAME
+    directory: only the new node's frame is written, and a fresh load
+    sees everything (saved-dir ids survive id reassignment)."""
+    import os
+
+    from semantic_olap_spark.plans.memory import save_cube_incremental
+
+    mem, _ = _build(tables)
+    d = str(tmp_path / "cube_reload")
+    save_cube_incremental(mem, d)
+
+    mem2 = load_cube(spark, d)
+    before = _frame_mtimes(d)
+    root2 = mem2.nodes[mem2.root_id]
+    big = root2.df.filter(F.col("n_chars") > 300)
+    mem2.add_node(
+        "long docs", big,
+        [{"operator_name": "num_filter",
+          "parameters": {"conditions": [
+              {"column": "n_chars", "threshold": 300, "operator": ">"}]}}],
+        [mem2.root_id],
+    )
+    save_cube_incremental(mem2, d)
+    after = _frame_mtimes(d)
+    for nid, t in before.items():
+        assert after[nid] == t, f"node dir {nid} was rewritten"
+    assert len(after) == len(before) + 1
+
+    mem3 = load_cube(spark, d)
+    assert len(mem3.nodes) == 3
+    hit, _ = mem3.get_current_node("long docs")
+    assert hit is not None
+    assert hit.df.count() == big.count()
+    assert hit.parents == [mem3.root_id]
