@@ -148,7 +148,116 @@ HEADLINE = [
     "minhash_stress_uncapped",
     "simhash_stress_capped",
     "simhash_stress_uncapped",
+    # planted-hot-key stress (VERDICT r3 item 6): one customer owns
+    # ~20% of orders.  The salted forms (operators/skew.py) spread
+    # the hot key over salt_buckets reducers; the plain forms show
+    # what AQE alone does with the same degenerate key.  Joins are
+    # hinted sort-merge — a broadcast join would dodge the skewed
+    # shuffle and measure nothing.
+    "skew_agg_plain",
+    "skew_agg_salted",
+    "skew_join_plain",
+    "skew_join_salted",
 ]
+
+# ---------------------------------------------------------------------------
+# sf0.1 → sf1 scale study (VERDICT r3 item 2)
+
+# the heaviest headline queries spanning join/agg/window/CDC/text/
+# dedup families; each runs at both scale factors and reports the
+# time ratio for 10× data.  Pair-dedup rows are included via the
+# production (xxhash64) posture; the sf1 corpus perturbs replicated
+# doc text so replication does not manufacture quadratic duplicate
+# cliques the sf0.1 corpus lacks.
+SCALE_QUERIES = [
+    "pricing_summary",
+    "join_revenue_by_nation",
+    "local_supplier_volume",
+    "shipping_priority",
+    "large_volume_orders",
+    "window_top_order_per_cust",
+    "above_avg_orders",
+    "cube_shipping",
+    "scd2_order_history",
+    "cdc_upsert_customers",
+    "quality_report_lineitem",
+    "histogram_totalprice",
+    "resample_daily_events",
+    "windowed_agg",
+    "text_profile",
+    "hash_embed",
+    "training_pipeline",
+    "minhash_lsh_pairs",
+]
+
+# threshold for flagging super-linear rows: >15× for 10× data (the
+# shuffle-growth allowance from the round brief)
+SCALE_FLAG_RATIO = 15.0
+
+# every table's FK family shifts by replica stride so joins stay
+# consistent within a replica; nation/region stay shared lookup
+# tables (their keys are referenced unshifted)
+_KEY_SHIFT = {
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+    "nation": [],
+    "region": [],
+}
+
+
+def _ensure_scaled_dir(spark, src_dir: str, dst_dir: str, factor: int) -> None:
+    """Materialize a ``factor``× replica-scaled copy of ``src_dir``.
+
+    Pure Catalyst: explode each row into ``factor`` replicas, shift
+    every key column by ``replica × 2^33`` (far above any base key)
+    so FK joins stay consistent within a replica, and tag replicated
+    document text so near-dup structure matches the base corpus
+    instead of multiplying.  Idempotent via a completion marker.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+    from semantic_olap_spark.sources.loaders import TABLES, load_table
+
+    marker = f"{dst_dir}/_SCALED_OK"
+    if os.path.exists(marker):
+        return
+    stride = 1 << 33
+    os.makedirs(dst_dir, exist_ok=True)
+    for name in TABLES:
+        df = load_table(spark, src_dir, name)
+        keys = _KEY_SHIFT.get(name, [])
+        if keys:
+            out = df.withColumn(
+                "_r",
+                F.explode(F.array(*[F.lit(i) for i in range(factor)])),
+            )
+            for k in keys:
+                out = out.withColumn(
+                    k, F.col(k) + F.col("_r").cast("long") * F.lit(stride)
+                )
+            if name == "documents":
+                out = out.withColumn(
+                    "text",
+                    F.when(F.col("_r") == 0, F.col("text")).otherwise(
+                        F.concat(
+                            F.col("text"), F.lit(" replica"),
+                            F.col("_r").cast("string"),
+                        )
+                    ),
+                )
+            out = out.drop("_r")
+        else:
+            out = df
+        out.write.mode("overwrite").parquet(f"{dst_dir}/{name}.parquet")
+    with open(marker, "w"):
+        pass
 
 
 def _stress_documents(
@@ -292,6 +401,40 @@ def main() -> None:
     qs["simhash_stress_uncapped"] = lambda spark_, sf_: simhash_pairs(
         stress_sh, max_distance=3, max_bucket_size=None
     )
+    # planted-hot-key skew corpus: ~20% of orders re-keyed to one
+    # existing customer, materialized so timed rows measure the
+    # agg/join, not the re-keying
+    from semantic_olap_spark.operators.skew import salted_agg, salted_join
+
+    hot = tables["customer"].agg(F.min("c_custkey")).collect()[0][0]
+    skew_path = tempfile.mkdtemp(prefix="skeworders_") + "/orders"
+    tables["orders"].withColumn(
+        "sk_custkey",
+        F.when(F.rand(seed=7) < 0.2, F.lit(hot)).otherwise(
+            F.col("o_custkey")
+        ),
+    ).write.mode("overwrite").parquet(skew_path)
+    skew_fact = spark.read.parquet(skew_path)
+    skew_dim = tables["customer"].withColumnRenamed("c_custkey", "sk_custkey")
+    qs["skew_agg_plain"] = lambda spark_, sf_: (
+        skew_fact.groupBy("sk_custkey").agg(
+            F.count(F.lit(1)).alias("count"),
+            F.round(F.sum(F.col("o_totalprice").cast("double")), 2).alias(
+                "sum_o_totalprice"
+            ),
+        )
+    )
+    qs["skew_agg_salted"] = lambda spark_, sf_: salted_agg(
+        skew_fact, ["sk_custkey"], sum_cols=["o_totalprice"]
+    )
+    # hint("merge") pins sort-merge: the skewed shuffle AQE/salting
+    # exist to fix (a broadcast join would sidestep it entirely)
+    qs["skew_join_plain"] = lambda spark_, sf_: skew_fact.hint("merge").join(
+        skew_dim, "sk_custkey"
+    )
+    qs["skew_join_salted"] = lambda spark_, sf_: salted_join(
+        skew_fact.hint("merge"), skew_dim, "sk_custkey"
+    )
     timings: dict[str, float] = {}
     for name in HEADLINE:
         # isolate rows: the pair-dedup queries persist intermediate
@@ -315,17 +458,67 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-            }
+
+    # -- sf0.1 → sf1 scale study ------------------------------------
+    # sf1 is generated locally (10× replica scaling of sf_dir) on
+    # first use and cached; each scale query runs once at sf1 (long
+    # enough that single-shot noise is proportionally small) against
+    # the sf0.1 best-of-2 from the headline loop.  Opt out with
+    # SPARK_GRAFT_SCALE_STUDY=0.
+    scale_study = None
+    if os.environ.get("SPARK_GRAFT_SCALE_STUDY", "1") != "0":
+        sf1_dir = os.environ.get(
+            "SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1"
         )
-    )
+        _ensure_scaled_dir(spark, sf_dir, sf1_dir, factor=10)
+        scale_qs = dict(entrymod.queries())
+        # production (xxhash64) posture at BOTH scale factors so the
+        # ratio compares identical code
+        from semantic_olap_spark.functions.dedup import (
+            minhash_lsh_pairs as _mh,
+        )
+        from semantic_olap_spark.sources.loaders import load_table
+
+        scale_qs["minhash_lsh_pairs"] = lambda spark_, sfd: _mh(
+            load_table(spark_, sfd, "documents"),
+            shingle_n=3, threshold=0.5,
+        )
+        sq: dict[str, dict] = {}
+        flagged: list[str] = []
+        for name in SCALE_QUERIES:
+            small = timings.get(name)
+            if small is None or name == "minhash_lsh_pairs":
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                _force(scale_qs[name](spark, sf_dir))
+                small = round(time.perf_counter() - t0, 3)
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            _force(scale_qs[name](spark, sf1_dir))
+            big = round(time.perf_counter() - t0, 3)
+            ratio = round(big / small, 2) if small else None
+            sq[name] = {"small_sec": small, "big_sec": big, "ratio": ratio}
+            if ratio is not None and ratio > SCALE_FLAG_RATIO:
+                flagged.append(name)
+        scale_study = {
+            "sf_small": sf_val,
+            "sf_big": sf_val * 10 if isinstance(sf_val, float) else sf_val,
+            "factor": 10,
+            "flag_ratio": SCALE_FLAG_RATIO,
+            "queries": sq,
+            "flagged": flagged,
+        }
+
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    if scale_study is not None:
+        out["scale_study"] = scale_study
+    print(json.dumps(out))
     spark.stop()
 
 

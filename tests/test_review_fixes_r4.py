@@ -120,3 +120,34 @@ def test_probe_llm_cost_estimate_bounded_calls(spark):
     )
     assert est.probed
     assert 0 < stats.requests <= n * 4
+
+
+def test_salted_agg_plan_shows_two_phase_salt(tables):
+    """The physical plan must show the two-phase shape: a first
+    aggregation keyed on (key, _salt) — spreading the hot key over
+    salt_buckets reducers — then a final aggregation on the key
+    alone.  (Row parity with the plain agg is pinned in
+    test_deterministic.py; this pins the SHAPE the skew bench rows
+    rely on.)"""
+    from semantic_olap_spark.operators.skew import salted_agg, salted_join
+
+    plan = salted_agg(
+        tables["orders"], ["o_custkey"], sum_cols=["o_totalprice"]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in plan
+    assert "hashpartitioning" in plan.lower()
+    agg_lines = [
+        ln for ln in plan.splitlines() if "HashAggregate" in ln
+    ]
+    assert any("_salt" in ln for ln in agg_lines), agg_lines
+    assert any(
+        "_salt" not in ln and "o_custkey" in ln for ln in agg_lines
+    ), agg_lines
+
+    jplan = salted_join(
+        tables["orders"].hint("merge"),
+        tables["customer"].withColumnRenamed("c_custkey", "o_custkey"),
+        "o_custkey",
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in jplan
+    assert "_salt" in jplan  # join key includes the salt
