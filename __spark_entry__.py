@@ -1854,6 +1854,35 @@ def _q_incremental_orders_agg(spark, sf_dir):
     return finalize_agg(merged, metrics)
 
 
+def _q_quantile_state_orders(spark, sf_dir):
+    # mergeable quantile states (functions/incremental.py): the
+    # streaming-maintainable alternative to the exact sort-based
+    # percentile — a fixed-bin histogram state folded batch-by-batch
+    # (elementwise integer adds, bit-exact under any fold order),
+    # finalized with deterministic IEEE-double bin math that the SQL
+    # oracle reproduces bit-for-bit.  Error ≤ one bin width (pinned
+    # by pytest against percentile()); one state row of 64 longs per
+    # group crosses the wire per batch.
+    from semantic_olap_spark.functions.incremental import (
+        finalize_quantiles,
+        merge_quantile_states,
+        quantile_state,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    split = F.col("o_orderkey") % 2 == 0
+    b1 = quantile_state(
+        orders.filter(split), "o_totalprice", 0.0, 600000.0, 64,
+        group_by="o_orderpriority",
+    )
+    b2 = quantile_state(
+        orders.filter(~split), "o_totalprice", 0.0, 600000.0, 64,
+        group_by="o_orderpriority",
+    )
+    merged = merge_quantile_states([b1, b2], group_by="o_orderpriority")
+    return finalize_quantiles(merged, 0.0, 600000.0, qs=[0.5, 0.95])
+
+
 def _q_monthly_revenue(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
     revenue = F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
@@ -2247,6 +2276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_lineitem_metrics": _q_unpivot_lineitem_metrics,
         "percentile_quantity": _q_percentile_quantity,
         "incremental_orders_agg": _q_incremental_orders_agg,
+        "quantile_state_orders": _q_quantile_state_orders,
         "monthly_revenue": _q_monthly_revenue,
         "embedding_dedup": _q_embedding_dedup,
         "embedding_dedup_lsh": _q_embedding_dedup_lsh,
@@ -4210,6 +4240,48 @@ def oracle_sql() -> dict[str, str]:
                    min(o_totalprice) AS o_totalprice_min,
                    max(o_totalprice) AS o_totalprice_max
             FROM orders GROUP BY o_orderstatus
+        """,
+        # fixed-bin histogram quantiles: the oracle recomputes the
+        # global histogram directly — equality with the Spark result
+        # (built as TWO batch states merged) is exactly the
+        # merge-correctness claim.  Bin/edge math uses the identical
+        # operation order as finalize_quantiles, so doubles match
+        # bit-for-bit.
+        "quantile_state_orders": """
+            WITH base AS (
+              SELECT o_orderpriority,
+                     least(greatest(CAST(floor(
+                         (o_totalprice - 0.0) * 64.0 / 600000.0
+                     ) AS BIGINT), 0), 63) AS b,
+                     o_totalprice AS v
+              FROM orders
+            ),
+            grp AS (
+              SELECT o_orderpriority, count(v) AS cnt, max(v) AS mx
+              FROM base GROUP BY 1
+            ),
+            cum AS (
+              SELECT o_orderpriority, b,
+                     sum(count(*)) OVER (
+                       PARTITION BY o_orderpriority ORDER BY b
+                     ) AS cum
+              FROM base GROUP BY 1, 2
+            ),
+            pick AS (
+              SELECT g.o_orderpriority, g.cnt, g.mx,
+                     min(CASE WHEN c.cum >= greatest(ceil(0.5 * g.cnt), 1)
+                              THEN c.b END) AS b50,
+                     min(CASE WHEN c.cum >= greatest(ceil(0.95 * g.cnt), 1)
+                              THEN c.b END) AS b95
+              FROM grp g JOIN cum c USING (o_orderpriority)
+              GROUP BY 1, 2, 3
+            )
+            SELECT o_orderpriority, cnt,
+                   least(0.0 + (CAST(b50 + 1 AS DOUBLE) * 600000.0) / 64.0,
+                         mx) AS q_0_5,
+                   least(0.0 + (CAST(b95 + 1 AS DOUBLE) * 600000.0) / 64.0,
+                         mx) AS q_0_95
+            FROM pick
         """,
         "monthly_revenue": """
             SELECT date_trunc('month', o_orderdate)::DATE AS month,

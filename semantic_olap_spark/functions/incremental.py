@@ -104,6 +104,159 @@ def merge_agg_states(
     return (unioned.groupBy(*keys) if keys else unioned.groupBy()).agg(*aggs)
 
 
+def quantile_state(
+    df: DataFrame,
+    metric: str,
+    lo: float,
+    hi: float,
+    nbins: int = 64,
+    group_by: str | Sequence[str] | None = None,
+) -> DataFrame:
+    """One mergeable quantile-state row per group for this batch.
+
+    The exact-percentile path (``functions/sampling.py``) needs a
+    global sort — fine per query, wrong for a continuously-maintained
+    view at 100 TB.  This state is the mergeable alternative: a
+    fixed-bin histogram (``counts`` array of ``nbins`` BIGINTs over
+    ``[lo, hi]``, values clamped into the edge bins) plus exact
+    ``min``/``max``/``cnt``.  Everything is integer counts —
+    elementwise array addition is the merge, so batch-folded state is
+    bit-identical to a one-shot build, and the finalize error is
+    bounded by one bin width.  All bin math is plain IEEE-double
+    arithmetic with a fixed operation order, so a SQL engine
+    reproduces it bit-for-bit (the driver oracle does).
+
+    Scale shape: one partial-aggregate shuffle per batch; one row of
+    ``nbins`` longs per group crosses the wire.
+    """
+    if nbins < 1:
+        raise ValueError("nbins must be >= 1")
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi}]")
+    keys = [group_by] if isinstance(group_by, str) else list(group_by or [])
+    c = F.col(metric).cast("double")
+    # fixed operation order: (x - lo) * nbins, then / (hi - lo) —
+    # mirrored verbatim in the SQL oracle so floor() agrees exactly
+    raw_bin = F.floor((c - F.lit(float(lo))) * F.lit(float(nbins))
+                      / F.lit(float(hi) - float(lo)))
+    bin_idx = F.least(F.greatest(raw_bin, F.lit(0)), F.lit(nbins - 1))
+    aggs = [
+        F.array(*[
+            F.count(F.when(bin_idx == i, F.lit(1)))
+            for i in range(nbins)
+        ]).alias("counts"),
+        F.count(c).alias("cnt"),
+        F.min(c).alias("min"),
+        F.max(c).alias("max"),
+    ]
+    return (df.groupBy(*keys) if keys else df.groupBy()).agg(*aggs)
+
+
+def merge_quantile_states(
+    states: Sequence[DataFrame],
+    group_by: str | Sequence[str] | None = None,
+) -> DataFrame:
+    """Fold per-batch quantile states: elementwise counts addition.
+
+    Associative/commutative (integer adds + min/max semilattice), so
+    fold order never matters.  Shuffles only state rows.
+    """
+    if not states:
+        raise ValueError("need at least one state frame")
+    keys = [group_by] if isinstance(group_by, str) else list(group_by or [])
+    unioned = states[0]
+    for s in states[1:]:
+        unioned = unioned.unionByName(s)
+    # collect_list of per-batch arrays per group (|batches| rows —
+    # bounded), then elementwise zip_with fold; no per-element explode
+    grouped = (unioned.groupBy(*keys) if keys else unioned.groupBy()).agg(
+        F.collect_list("counts").alias("_cs"),
+        F.sum("cnt").alias("cnt"),
+        F.min("min").alias("min"),
+        F.max("max").alias("max"),
+    )
+    folded = F.aggregate(
+        F.expr("slice(_cs, 2, size(_cs) - 1)"),
+        F.element_at("_cs", 1),
+        lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+    )
+    return grouped.select(
+        *keys, folded.alias("counts"), "cnt", "min", "max"
+    )
+
+
+def finalize_quantiles(
+    state: DataFrame,
+    lo: float,
+    hi: float,
+    qs: Sequence[float] = (0.5,),
+) -> DataFrame:
+    """Decode quantile states to per-group quantile estimates.
+
+    Deterministic rule: for each ``q``, the answer is the upper edge
+    of the first bin whose cumulative count reaches
+    ``ceil(q * cnt)`` (clamped to ``>= 1``), except ``q = 0`` → exact
+    ``min`` and ``q = 1`` → exact ``max``.  Edge math uses the fixed
+    order ``lo + ((i + 1) * (hi - lo)) / nbins`` so SQL mirrors are
+    bit-exact.  Error ≤ one bin width by construction (pytest pins
+    this against the exact sort-based percentile).
+
+    Output: group keys, ``cnt``, and one ``q_<q>`` double per
+    requested quantile (dots become underscores: ``q_0_5``).
+    """
+    for q in qs:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"quantile {q} outside [0, 1]")
+    keys = [c for c in state.columns
+            if c not in ("counts", "cnt", "min", "max")]
+    span = float(hi) - float(lo)
+    nbins = F.size("counts")
+
+    def _edge(i: F.Column) -> F.Column:
+        return F.lit(float(lo)) + (
+            (i + F.lit(1)).cast("double") * F.lit(span)
+        ) / nbins.cast("double")
+
+    out = [F.col(c) for c in keys] + [F.col("cnt")]
+    for q in qs:
+        name = "q_" + str(q).replace(".", "_")
+        if q == 0.0:
+            out.append(F.col("min").alias(name))
+            continue
+        if q == 1.0:
+            out.append(F.col("max").alias(name))
+            continue
+        rank = F.greatest(
+            F.ceil(F.lit(float(q)) * F.col("cnt").cast("double")), F.lit(1)
+        )
+        # running cumulative inside a fold over (index, count) pairs:
+        # acc = (cum, found_idx); found_idx fixes at the first bin
+        # reaching the rank
+        idx = F.aggregate(
+            F.arrays_zip(
+                F.sequence(F.lit(0), nbins - F.lit(1)).alias("i"),
+                F.col("counts").alias("c"),
+            ),
+            F.struct(
+                F.lit(0).cast("bigint").alias("cum"),
+                F.lit(-1).alias("idx"),
+            ),
+            lambda acc, x: F.struct(
+                (acc["cum"] + x["c"]).alias("cum"),
+                F.when(
+                    (acc["idx"] < 0) & (acc["cum"] + x["c"] >= rank),
+                    x["i"],
+                ).otherwise(acc["idx"]).alias("idx"),
+            ),
+            lambda acc: acc["idx"],
+        )
+        est = F.when(F.col("cnt") == 0, F.lit(None).cast("double")).otherwise(
+            F.least(_edge(idx), F.col("max"))
+        )
+        out.append(est.alias(name))
+    return state.select(*out)
+
+
 def finalize_agg(
     state: DataFrame,
     metrics: Sequence[str],
