@@ -1418,6 +1418,26 @@ def _q_resample_daily_events(spark, sf_dir):
     )
 
 
+def _q_anomaly_events(spark, sf_dir):
+    # rolling z-score anomalies (functions/timeseries.py): each value
+    # vs the mean/stddev of its user's trailing 10 observations —
+    # exact decimal rolling sums (no float reassociation) decoded
+    # with one fixed double formula, so the SQL window mirror is
+    # bit-exact.  One shuffle on user_id; sliding frame maintained
+    # incrementally per task.
+    from semantic_olap_spark.functions.timeseries import detect_anomalies
+
+    ev = _t(spark, sf_dir, "events")
+    flagged = detect_anomalies(
+        ev.select("event_id", "ts", "user_id", "value"),
+        "ts", "value", "user_id",
+        n_prev=10, z=2.5, min_prev=5, order_by=["event_id"],
+    )
+    return flagged.filter(F.col("is_anomaly")).select(
+        "user_id", "event_id", "ts", "value", "zscore"
+    )
+
+
 def _q_ffill_user_values(spark, sf_dir):
     # LOCF forward-fill per user: one group-keyed window, running
     # state independent of window length
@@ -2258,6 +2278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff_orders": _q_snapshot_diff_orders,
         "resample_daily_events": _q_resample_daily_events,
         "ffill_user_values": _q_ffill_user_values,
+        "anomaly_events": _q_anomaly_events,
         "approx_distinct_merge": _q_approx_distinct_merge,
         "bpe_tokenize_docs": _q_bpe_tokenize_docs,
         "pagerank_suppliers": _q_pagerank_suppliers,
@@ -4081,6 +4102,40 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(d.n_events, 0) AS n_events,
                    round(d.sum_value, 4) AS sum_value
             FROM spine s LEFT JOIN dense d USING (event_type, period)
+        """,
+        # rolling z-score: the window Σv / Σv² are exact decimal sums
+        # in BOTH engines (evaluation-order-free), decoded with the
+        # identical fixed-order double formula as detect_anomalies —
+        # the doubles match bit-for-bit before the round
+        "anomaly_events": """
+            WITH r AS (
+              SELECT user_id, event_id, ts, value,
+                     count(CAST(value AS DECIMAL(18,6))) OVER w AS n,
+                     CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w
+                          AS DOUBLE) AS s,
+                     CAST(sum(CAST(CAST(value AS DECIMAL(18,6))
+                                   * CAST(value AS DECIMAL(18,6))
+                                   AS DECIMAL(38,12))) OVER w
+                          AS DOUBLE) AS ss
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+            ), zc AS (
+              SELECT user_id, event_id, ts, value,
+                     CASE WHEN n >= 5
+                               AND greatest(ss - s * s / CAST(n AS DOUBLE),
+                                            0.0)
+                                   / (CAST(n AS DOUBLE) - 1.0) > 0
+                          THEN round(
+                            (CAST(value AS DOUBLE) - s / CAST(n AS DOUBLE))
+                            / sqrt(greatest(ss - s * s / CAST(n AS DOUBLE),
+                                            0.0)
+                                   / (CAST(n AS DOUBLE) - 1.0)), 6)
+                     END AS zscore
+              FROM r
+            )
+            SELECT user_id, event_id, ts, value, zscore
+            FROM zc WHERE abs(zscore) > 2.5
         """,
         "ffill_user_values": """
             SELECT event_id, user_id, ts,

@@ -31,7 +31,9 @@ from pyspark.sql.window import Window
 
 from semantic_olap_spark.operators.deterministic import AGGS
 
-__all__ = ["ffill", "resample", "rolling_agg", "sessionize"]
+__all__ = [
+    "detect_anomalies", "ffill", "resample", "rolling_agg", "sessionize",
+]
 
 _STEPS = {
     "hour": "interval 1 hour",
@@ -204,6 +206,83 @@ def sessionize(
         F.sum(new_sess).over(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
+    )
+
+
+def detect_anomalies(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    group_by: str | Sequence[str],
+    n_prev: int = 20,
+    z: float = 3.0,
+    min_prev: int = 5,
+    order_by: Sequence[str] = (),
+    round_to: int = 6,
+) -> DataFrame:
+    """Rolling z-score outlier flags: each value against the mean and
+    sample stddev of its own trailing ``n_prev`` observations.
+
+    The monitoring primitive for a continuously-ingesting pipeline —
+    "this sensor/user/source just jumped".  The frame is the
+    *preceding* rows only (never the current value — a spike must not
+    be allowed to mask itself), per group, ordered by
+    ``(ts_col, *order_by)``; pass an ``order_by`` tiebreak (e.g. an
+    event id) whenever timestamps can collide, or the frame contents
+    are partition-order-dependent.
+
+    Adds ``prev_n`` (trailing observations seen), ``zscore`` (NULL
+    during warm-up ``prev_n < min_prev`` or when the trailing
+    variance is 0), and ``is_anomaly`` (``|zscore| > z``; never NULL
+    — warm-up rows are ``false``).
+
+    Cross-engine determinism: the rolling Σv and Σv² are *exact*
+    decimal sums (decimal(18,6) values / decimal(38,12) squares — no
+    float reassociation, so any window evaluation order gives the
+    same total), cast to double only for the final mean/variance
+    formula, which uses one fixed operation order a SQL oracle
+    mirrors bit-for-bit.
+
+    100 TB posture: one shuffle on the group key; the sliding frame
+    is maintained incrementally per task — O(rows), state independent
+    of ``n_prev``.
+    """
+    keys = [group_by] if isinstance(group_by, str) else list(group_by)
+    if not keys:
+        raise ValueError(
+            "detect_anomalies needs group_by: an ungrouped rolling "
+            "window is a single global sort task"
+        )
+    if n_prev < 2 or min_prev < 2:
+        raise ValueError("n_prev and min_prev must be >= 2 "
+                         "(sample variance needs 2 observations)")
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(ts_col).asc(), *[F.col(c).asc() for c in order_by])
+        .rowsBetween(-n_prev, -1)
+    )
+    vd = F.col(value_col).cast("decimal(18,6)")
+    sq = (vd * vd).cast("decimal(38,12)")
+    n = F.count(vd).over(w)
+    s = F.sum(vd).over(w).cast("double")
+    ss = F.sum(sq).over(w).cast("double")
+    nd = n.cast("double")
+    # fixed order (mirrored in SQL): var = max(ss - s*s/n, 0) / (n-1)
+    var = F.greatest(ss - s * s / nd, F.lit(0.0)) / (nd - F.lit(1.0))
+    zscore = F.when(
+        (n >= min_prev) & (var > 0),
+        F.round(
+            (F.col(value_col).cast("double") - s / nd) / F.sqrt(var),
+            round_to,
+        ),
+    )
+    return df.select(
+        *df.columns,
+        n.alias("prev_n"),
+        zscore.alias("zscore"),
+        F.coalesce(
+            F.abs(zscore) > F.lit(float(z)), F.lit(False)
+        ).alias("is_anomaly"),
     )
 
 
