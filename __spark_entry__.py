@@ -825,6 +825,31 @@ def _q_rrf_fuse_hybrid(spark, sf_dir):
     return rrf_fuse([bm, length], k=10)
 
 
+def _q_llm_rerank_docs(spark, sf_dir):
+    # retrieval cascade stage 2 (functions/retrieval.py llm_rerank):
+    # a cheap one-token prescreen bounds the candidate set to 40, the
+    # LLM judge scores only that slice against the full query — LLM
+    # cost ∝ candidates, never corpus.  Under the stub the judge is
+    # the query-token occurrence count, so the whole cascade
+    # hash-matches the SQL mirror.
+    from semantic_olap_spark.functions.retrieval import llm_rerank
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    t = F.lower(F.col("text"))
+    prescreen_score = (
+        F.length(t) - F.length(F.replace(t, F.lit("spark")))
+    ) / 5
+    cands = (
+        docs.withColumn("_ps", prescreen_score)
+        .orderBy(F.col("_ps").desc(), F.col("doc_id").asc())
+        .limit(40)
+        .drop("_ps")
+    )
+    return llm_rerank(
+        cands, "text", "spark join performance", k=10, id_col="doc_id"
+    ).select("doc_id", "llm_score")
+
+
 def _q_hash_embed(spark, sf_dir):
     # hashing-trick vectorizer (flattened — the compare sorts cells)
     from semantic_olap_spark.functions.text import hash_embed
@@ -2250,6 +2275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cap_per_source": _q_cap_per_source,
         "rrf_fuse_hybrid": _q_rrf_fuse_hybrid,
         "hash_embed": _q_hash_embed,
+        "llm_rerank_docs": _q_llm_rerank_docs,
         "sentiment_docs": _q_sentiment_docs,
         "extract_entities": _q_extract_entities,
         "assemble_docs": _q_assemble_docs,
@@ -3307,6 +3333,28 @@ def oracle_sql() -> dict[str, str]:
         # Spark expression (1-b precomputed to 0.25, fixed term
         # order, parenthesization matching Python's left-assoc) so
         # the round-4 doubles are bit-identical
+        # rerank cascade: the prescreen cut (one-token score, top-40
+        # by (score desc, id asc)) and the stub judge (full-query
+        # token occurrences over the "text: <text>" rendering) are
+        # both integer-exact, so the cascade hash-matches end-to-end
+        "llm_rerank_docs": """
+            WITH pres AS (
+              SELECT doc_id, lower(text) AS t
+              FROM documents
+              ORDER BY (length(lower(text))
+                        - length(replace(lower(text), 'spark', ''))) / 5
+                       DESC, doc_id ASC
+              LIMIT 40
+            )
+            SELECT doc_id,
+                   CAST((length(t) - length(replace(t, 'spark', ''))) / 5
+                      + (length(t) - length(replace(t, 'join', ''))) / 4
+                      + (length(t) - length(replace(t, 'performance', '')))
+                        / 11 AS BIGINT) AS llm_score
+            FROM pres
+            ORDER BY llm_score DESC, doc_id ASC
+            LIMIT 10
+        """,
         "bm25_topk": "WITH " + _BM25_CTES + """
             SELECT doc_id, bm25 FROM sc
             ORDER BY bm25 DESC, doc_id ASC LIMIT 10

@@ -1,4 +1,4 @@
-"""Hybrid retrieval: fuse independent rankings of the same corpus.
+"""Hybrid retrieval: fuse independent rankings; LLM-rerank candidates.
 
 Beyond-reference operator (SURVEY.md §2.5 gap family): production
 retrieval stacks rank the same corpus several ways — sparse lexical
@@ -23,12 +23,87 @@ union + one k-bounded ``groupBy``.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Sequence
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
-__all__ = ["rrf_fuse"]
+__all__ = ["llm_rerank", "rrf_fuse"]
+
+
+def llm_rerank(
+    candidates: DataFrame,
+    text_col: str,
+    query: str,
+    k: int,
+    id_col: str = "doc_id",
+    llm_factory=None,
+    score_col: str = "llm_score",
+    max_candidates: int | None = 1000,
+) -> DataFrame:
+    """Cross-encoder-style rerank: LLM-score each *candidate* against
+    the query, keep the top ``k``.
+
+    The second stage of the standard retrieval cascade: a cheap
+    ranker (BM25 / ANN / token score) bounds the candidate set, then
+    the expensive judge reads only that slice — LLM cost is
+    ``|candidates|``, never corpus size.  Because a whole corpus
+    passed by accident would silently become per-row LLM calls, the
+    input is size-checked against ``max_candidates`` (pass ``None``
+    only when the caller already guarantees boundedness).
+
+    Scoring: one ``sem_score`` prompt per row (Arrow-batched pandas
+    UDF; under the deterministic stub the score is the query-token
+    occurrence count — exactly SQL-expressible, which is what lets
+    the driver oracle check the full cascade).  A reply with no
+    integer scores 0 (never NULL — a backend hiccup must not eject a
+    candidate).  Final order: ``(score desc, id asc)``; the sort is
+    global but k-bounded (TakeOrderedAndProject over an
+    already-bounded input — same justification as :func:`rrf_fuse`).
+
+    Observability note: accumulator-based call counting
+    (``CountingLLM``) under-reports in limit-bearing plans — see the
+    CountingLLM docstring; every candidate IS scored exactly once.
+    """
+    from semantic_olap_spark.llm import prompts as P
+    from semantic_olap_spark.llm.client import default_llm_factory
+    from semantic_olap_spark.operators.semantic import _lazy_llm
+
+    factory = llm_factory or default_llm_factory
+    if max_candidates is not None:
+        n = candidates.limit(max_candidates + 1).count()
+        if n > max_candidates:
+            raise ValueError(
+                f"llm_rerank got > {max_candidates} candidates — this "
+                f"operator is the rerank stage of a cascade, not a "
+                f"corpus scanner; prescreen first (bm25_topk / ANN / "
+                f"a token score) or raise/disable max_candidates"
+            )
+    state: dict = {}
+
+    @F.pandas_udf(LongType())
+    def scorer(texts: pd.Series) -> pd.Series:
+        llm = _lazy_llm(state, factory)
+        prompts = [
+            P.score_prompt(query, P.row_content([text_col], [t]))
+            for t in texts
+        ]
+        out = []
+        for a in llm.predict_batch(prompts):
+            m = re.search(r"-?\d+", a)
+            out.append(int(m.group()) if m else 0)
+        return pd.Series(out, dtype="int64")
+
+    return (
+        candidates.withColumn(
+            score_col, scorer(F.col(text_col).cast("string"))
+        )
+        .orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+        .limit(int(k))
+    )
 
 
 def rrf_fuse(

@@ -73,6 +73,8 @@ class StubLLM(BaseLLM):
     - sem_reduce         → "; "-joined ascending-sorted unique values.
     - sem_topk_pair      → side with more total occurrences of the
                            query's tokens; tie → A.
+    - sem_score          → total occurrences of the query's tokens
+                           in the content, as an integer string.
     - filter_enum        → values containing any condition token.
     - filter_pattern     → regex from the digit-masked template
                            (each <*> → capture group (\\d+)),
@@ -159,6 +161,9 @@ class StubLLM(BaseLLM):
         if task == "sem_reduce":
             vals = json.loads(content)
             return "; ".join(sorted(str(v) for v in vals))
+        if task == "sem_score":
+            toks = P.condition_tokens(fields.get("query", ""))
+            return str(sum(_count_occurrences(lc, t) for t in toks))
         if task == "sem_topk_pair":
             toks = P.condition_tokens(fields.get("query", ""))
             _, _, rest = prompt.partition("<<<A>>>\n")
@@ -476,6 +481,18 @@ class CountingLLM(BaseLLM):
     object would never see them).  Place it *outside* a CachingLLM to
     count requests, *inside* to count actual backend calls (cache
     misses) — the number a semantic-OLAP user tunes against.
+
+    Known limitation (inherent to PySpark, verified empirically on
+    4.1): Python-accumulator updates ride the END of each Python
+    worker's output stream, so a consumer that stops reading early —
+    any plan where a ``limit`` truncates the UDF's output, e.g.
+    ``df.withColumn(sem).limit(n)`` or an upstream ``orderBy().
+    limit()`` feeding the UDF stage — silently drops them (the calls
+    HAPPEN; only the report is lost).  Counts are exact for fully-
+    consumed shapes: filters, aggregations, plain collects, and a
+    single ``orderBy().limit()`` directly over the UDF column.  For
+    authoritative accounting under truncating plans use the backend's
+    own instance counters (``HttpLLM.usage``) aggregated server-side.
     """
 
     def __init__(self, inner: LLM, sink):

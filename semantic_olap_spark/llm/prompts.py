@@ -159,6 +159,16 @@ def topk_pair_prompt(query: str, content_a: str, content_b: str) -> str:
     )
 
 
+def score_prompt(query: str, content: str) -> str:
+    return (
+        "### task: sem_score\n"
+        "Rate how relevant the content is to the query. Reply with a "
+        "single non-negative integer (higher = more relevant).\n"
+        f"Query: {query}\n"
+        f"{CONTENT_SEP}\n{content}"
+    )
+
+
 def enum_prompt(condition: str, values: Sequence[str]) -> str:
     return (
         "### task: filter_enum\n"
