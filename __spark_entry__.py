@@ -1729,6 +1729,208 @@ def _q_large_volume_orders(spark, sf_dir):
     )
 
 
+def _q_late_shipment_priority(spark, sf_dir):
+    # TPC-H Q4 shape (EXISTS decorrelated to a compound-condition
+    # semi join): orders in a window that had any lineitem shipped
+    # after the order date.  The semi join is the one fact-fact
+    # shuffle (on the order key, both sides pruned to 2 columns);
+    # the count never materializes the match multiplicity.
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > orders["o_orderdate"]),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_late_orders")
+    )
+
+
+def _q_returned_item_revenue(spark, sf_dir):
+    # TPC-H Q10 shape: revenue lost to returns per customer over a
+    # quarter window, top 20.  lineitem⋈orders is the fact-fact
+    # shuffle; customer and nation broadcast; the final cut is a
+    # TakeOrderedAndProject on (rounded revenue desc, custkey asc) —
+    # rounding BEFORE the cut keeps the selection deterministic
+    # cross-engine.
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    revenue = F.sum(
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+        .cast("decimal(18,6)")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.round(revenue, 2).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+def _q_supplier_variety(spark, sf_dir):
+    # TPC-H Q16 shape (NOT IN as a broadcast anti join): distinct
+    # suppliers per brand, excluding delinquent suppliers.  The
+    # lineitem pair-distinct is the one big shuffle (2 narrow
+    # columns); the exclusion list and part dimension broadcast.
+    pairs = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey").distinct()
+    )
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    )
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand") != "Brand#1")
+        .select("p_partkey", "p_brand")
+    )
+    return (
+        pairs.join(F.broadcast(bad),
+                   pairs["l_suppkey"] == bad["s_suppkey"], "left_anti")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def _q_volume_shipping(spark, sf_dir):
+    # TPC-H Q7 shape: bilateral trade volume between two nations by
+    # ship year.  Two independent dimension chains (supplier→nation,
+    # orders→customer→nation) hang broadcast off the one
+    # lineitem⋈orders shuffle; the nation-pair disjunction prunes
+    # after both chains resolve.
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_suppkey", "l_shipdate",
+             "l_extendedprice", "l_discount")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n1 = nation.select(F.col("n_nationkey").alias("n1_key"),
+                       F.col("n_name").alias("supp_nation"))
+    n2 = nation.select(F.col("n_nationkey").alias("n2_key"),
+                       F.col("n_name").alias("cust_nation"))
+    revenue = F.sum(
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+        .cast("decimal(18,6)")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1")
+             & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2")
+               & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").alias("l_year"))
+        .agg(F.round(revenue, 2).cast("double").alias("revenue"))
+    )
+
+
+def _q_market_share(spark, sf_dir):
+    # TPC-H Q8 shape: one nation's share of a region's import revenue
+    # per order year — a conditional-sum ratio in one aggregate pass
+    # (never two scans).  Exact decimal numerator/denominator cast to
+    # double for ONE fixed-order division, so the ratio is bit-exact
+    # cross-engine.
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    asia_cust = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(
+            nation.join(
+                F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+                F.col("n_regionkey") == F.col("r_regionkey"),
+            ).select("n_nationkey")
+        ), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey")
+    )
+    supp_nation = nation.select(
+        F.col("n_nationkey").alias("sn_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    vol = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+           ).cast("decimal(18,6)")
+    num = F.sum(F.when(F.col("supp_nation") == "NATION_3", vol)
+                .otherwise(F.lit(0).cast("decimal(18,6)")))
+    den = F.sum(vol)
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(asia_cust),
+              F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(supp_nation),
+              F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(num.cast("double") / den.cast("double"), 6)
+            .alias("mkt_share")
+        )
+    )
+
+
+def _q_idle_customers(spark, sf_dir):
+    # TPC-H Q22 shape: above-average-balance customers with no RECENT
+    # orders (the churn-risk cut) — a scalar subquery (broadcast
+    # 1-row threshold) + an anti join that shuffles on the customer
+    # key (orders is fact-scale; the date filter prunes it at the
+    # scan).  Threshold math is decimal-sum/count in one fixed double
+    # order, bit-exact cross-engine.
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    ).select("o_custkey")
+    thr = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (F.sum(F.col("c_acctbal").cast("decimal(38,6)")).cast("double")
+             / F.count("c_acctbal")).alias("_thr")
+        )
+    )
+    return (
+        cust.join(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("_thr"))
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(38,6)")), 2)
+            .cast("double").alias("total_bal"),
+        )
+    )
+
+
 def _q_pagerank_suppliers(spark, sf_dir):
     # fixed-point PageRank (functions/graph.py) over the
     # supplier→customer service graph (distinct lineitem⋈orders
@@ -2309,6 +2511,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokenize_docs": _q_bpe_tokenize_docs,
         "pagerank_suppliers": _q_pagerank_suppliers,
         "large_volume_orders": _q_large_volume_orders,
+        "late_shipment_priority": _q_late_shipment_priority,
+        "returned_item_revenue": _q_returned_item_revenue,
+        "supplier_variety": _q_supplier_variety,
+        "volume_shipping": _q_volume_shipping,
+        "market_share": _q_market_share,
+        "idle_customers": _q_idle_customers,
         "cdc_upsert_customers": _q_cdc_upsert_customers,
         "sem_dedup_pairs": _q_sem_dedup_pairs,
         "temporal_join_events": _q_temporal_join_events,
@@ -4272,6 +4480,95 @@ def oracle_sql() -> dict[str, str]:
                        IS NULL AS is_current
             FROM (SELECT o_custkey, o_totalprice,
                          o_orderkey AS seq FROM orders)
+        """,
+        "late_shipment_priority": """
+            SELECT o_orderpriority, count(*) AS n_late_orders
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o_orderdate <  TIMESTAMP '1998-01-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_shipdate > o_orderdate)
+            GROUP BY 1
+        """,
+        "returned_item_revenue": """
+            SELECT c_custkey, c_name, c_acctbal, n_name,
+                   round(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                                  AS DECIMAL(18,6))), 2)::DOUBLE AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o_orderdate <  TIMESTAMP '1997-07-01'
+            GROUP BY 1, 2, 3, 4
+            ORDER BY revenue DESC, c_custkey ASC
+            LIMIT 20
+        """,
+        "supplier_variety": """
+            SELECT p_brand,
+                   count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) li
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#1'
+              AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                    WHERE s_acctbal < 0)
+            GROUP BY 1
+        """,
+        "volume_shipping": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   year(l_shipdate) AS l_year,
+                   round(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                                  AS DECIMAL(18,6))), 2)::DOUBLE AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate <  TIMESTAMP '1999-01-01'
+              AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            GROUP BY 1, 2, 3
+        """,
+        "market_share": """
+            SELECT year(o_orderdate) AS o_year,
+                   round(
+                     CAST(sum(CASE WHEN sn.n_name = 'NATION_3'
+                                   THEN CAST(l_extendedprice
+                                             * (1.0 - l_discount)
+                                             AS DECIMAL(18,6))
+                                   ELSE CAST(0 AS DECIMAL(18,6)) END)
+                          AS DOUBLE)
+                     / CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                                     AS DECIMAL(18,6))) AS DOUBLE),
+                     6) AS mkt_share
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey
+            WHERE o_custkey IN (
+              SELECT c_custkey FROM customer
+              JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              WHERE r_name = 'ASIA')
+            GROUP BY 1
+        """,
+        "idle_customers": """
+            SELECT c_mktsegment, count(*) AS n_custs,
+                   round(sum(CAST(c_acctbal AS DECIMAL(38,6))), 2)::DOUBLE
+                       AS total_bal
+            FROM customer
+            WHERE c_acctbal > (
+                    SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(38,6)))
+                                AS DOUBLE) / count(c_acctbal)
+                    FROM customer WHERE c_acctbal > 0)
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderdate >= TIMESTAMP '2000-01-01')
+            GROUP BY 1
         """,
         "large_volume_orders": """
             SELECT c_custkey, c_name, o_orderkey, o_orderdate,

@@ -50,6 +50,10 @@ SINGLE_PARTITION_OK = {
     "quantile_filter", "profile_columns", "ngram_lm_score",
     "quality_report_lineitem", "corr_matrix_lineitem",
     "target_encode_orders",
+    # bounded rerank cascade: global TakeOrdered over <= 40 candidates
+    "llm_rerank_docs",
+    # 1-row global threshold aggregate (Q22 scalar subquery)
+    "idle_customers",
 }
 # declared pair generators: NLJ/cartesian within blocks or against a
 # broadcast side is their documented (capped) strategy
@@ -64,7 +68,7 @@ NLJ_OK = {
     # totals / query-term stats): build side is one row by
     # construction — verified BroadcastNestedLoopJoin BuildRight
     "quantile_filter", "ngram_lm_score", "bm25_topk", "rrf_fuse_hybrid",
-    "target_encode_orders",
+    "target_encode_orders", "idle_customers",
 }
 
 
