@@ -79,7 +79,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in nanos_cols:
-        if c in df.columns:
+        # the LongType check is load-bearing: pyarrow also reports
+        # Spark-written INT96 timestamps as timestamp[ns], but Spark
+        # reads those as proper TimestampType — only a column that
+        # actually surfaced as raw long nanos needs decoding
+        if c in df.columns and isinstance(df.schema[c].dataType, T.LongType):
             # `div` = integer division: epoch-nanos exceed double
             # precision (2^53), so float division would corrupt them
             df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))

@@ -83,6 +83,23 @@ def test_events_timestamp_normalized(spark):
     assert ev.filter(F.col("ts").isNull()).count() == 0
 
 
+def test_load_table_spark_written_int96_roundtrip(spark, tmp_path):
+    # Spark writes TimestampType as INT96 by default, which pyarrow
+    # ALSO reports as timestamp[ns] — the nanos decode must not
+    # misfire on a column Spark already reads as a proper timestamp
+    # (regression: the sf1 scale corpus, Spark-written from loaded
+    # tables, crashed load_table with `l_shipdate div 1000` on a
+    # TIMESTAMP column)
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    dst = str(tmp_path)
+    ev.limit(100).write.mode("overwrite").parquet(f"{dst}/events.parquet")
+    back = load_table(spark, dst, "events")
+    assert isinstance(back.schema["ts"].dataType, T.TimestampType)
+    a = sorted(str(r["ts"]) for r in ev.limit(100).collect())
+    b = sorted(str(r["ts"]) for r in back.collect())
+    assert a == b
+
+
 def test_load_csv_malformed_policies(spark, tmp_path):
     from semantic_olap_spark.sources.loaders import load_csv
 
