@@ -1575,6 +1575,38 @@ def _q_stream_sem_filter(spark, sf_dir):
     return run_stream_to_table(stream, spark, "drv_stream_sem_filter")
 
 
+def _q_stream_anomalies(spark, sf_dir):
+    """Rolling z-score anomalies inside Structured Streaming
+    (streaming/stateful.py streaming_anomalies).
+
+    applyInPandasWithState keeps the trailing n_prev value slots per
+    user across micro-batches; score math reproduces the batch
+    operator bit-for-bit (pytest pins stream==batch across a
+    time-split), so the oracle is the same SQL window mirror as
+    `anomaly_events` minus the timestamp column (the stream state
+    schema carries unix-seconds doubles).
+    """
+    from semantic_olap_spark.streaming.semantic import run_stream_to_table
+    from semantic_olap_spark.streaming.stateful import streaming_anomalies
+
+    ev = _t(spark, sf_dir, "events")
+    src = ev.select("event_id", "ts", "user_id", "value")
+    # events.parquet is TIMESTAMP(NANOS): readStream lacks the batch
+    # loader's nanos handling, so stage the normalized frame once
+    import tempfile
+
+    staged = tempfile.mkdtemp(prefix="stream_anom_") + "/events"
+    src.coalesce(1).write.mode("overwrite").parquet(staged)
+    stream = spark.readStream.schema(src.schema).parquet(staged)
+    out = run_stream_to_table(
+        streaming_anomalies(stream, n_prev=10, z=2.5, min_prev=5),
+        spark, "drv_stream_anomalies", output_mode="update",
+    )
+    return out.filter(F.col("is_anomaly")).select(
+        "user_id", "event_id", "value", "zscore"
+    )
+
+
 def _q_quantile_bucket_orders(spark, sf_dir):
     # exact equal-frequency binning (functions/binning.py): rank via
     # the parallel dense_ranks construction, bucket = all-integer
@@ -2525,6 +2557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_bucket_orders": _q_quantile_bucket_orders,
         "stream_materialized_agg": _q_stream_materialized_agg,
         "stream_sem_filter": _q_stream_sem_filter,
+        "stream_anomalies": _q_stream_anomalies,
         "target_encode_orders": _q_target_encode_orders,
         "scd2_order_history": _q_scd2_order_history,
         "set_ops_custkeys": _q_set_ops_custkeys,
@@ -4363,6 +4396,38 @@ def oracle_sql() -> dict[str, str]:
         # in BOTH engines (evaluation-order-free), decoded with the
         # identical fixed-order double formula as detect_anomalies —
         # the doubles match bit-for-bit before the round
+        # streaming form: identical flags/scores (stream==batch is
+        # the pinned contract), minus the timestamp column
+        "stream_anomalies": """
+            WITH r AS (
+              SELECT user_id, event_id, value,
+                     count(CAST(value AS DECIMAL(18,6))) OVER w AS n,
+                     CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w
+                          AS DOUBLE) AS s,
+                     CAST(sum(CAST(CAST(value AS DECIMAL(18,6))
+                                   * CAST(value AS DECIMAL(18,6))
+                                   AS DECIMAL(38,12))) OVER w
+                          AS DOUBLE) AS ss
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+            ), zc AS (
+              SELECT user_id, event_id, value,
+                     CASE WHEN n >= 5
+                               AND greatest(ss - s * s / CAST(n AS DOUBLE),
+                                            0.0)
+                                   / (CAST(n AS DOUBLE) - 1.0) > 0
+                          THEN round(
+                            (CAST(value AS DOUBLE) - s / CAST(n AS DOUBLE))
+                            / sqrt(greatest(ss - s * s / CAST(n AS DOUBLE),
+                                            0.0)
+                                   / (CAST(n AS DOUBLE) - 1.0)), 6)
+                     END AS zscore
+              FROM r
+            )
+            SELECT user_id, event_id, value, zscore
+            FROM zc WHERE abs(zscore) > 2.5
+        """,
         "anomaly_events": """
             WITH r AS (
               SELECT user_id, event_id, ts, value,

@@ -103,6 +103,7 @@ def sem_map_stream(
 def run_stream_to_table(
     stream: DataFrame, spark: SparkSession, name: str,
     timeout_sec: int = 300,
+    output_mode: str = "append",
 ) -> DataFrame:
     """Drain a (bounded) stream into a memory sink; return the table.
 
@@ -111,13 +112,15 @@ def run_stream_to_table(
     the result on the DRIVER: strictly a test/driver-contract tool,
     never a production sink (write parquet/kafka there).  Appends a
     monotone suffix so repeated calls in one session don't collide.
+    Stateful operators (``applyInPandasWithState``) emit in
+    ``update`` mode — pass ``output_mode="update"`` for those.
     """
     qname = f"{name}_{run_stream_to_table._seq}"
     run_stream_to_table._seq += 1
     q = (
         stream.writeStream.format("memory")
         .queryName(qname)
-        .outputMode("append")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )

@@ -104,6 +104,144 @@ def running_user_stats(
     )
 
 
+# ---- streaming rolling z-score anomalies ------------------------------
+
+
+def _anom_out_schema(key_type) -> StructType:
+    from pyspark.sql.types import BooleanType
+
+    return StructType(
+        [
+            StructField("user_id", key_type),
+            StructField("event_id", LongType()),
+            StructField("ts", DoubleType()),
+            StructField("value", DoubleType()),
+            StructField("prev_n", LongType()),
+            StructField("zscore", DoubleType()),
+            StructField("is_anomaly", BooleanType()),
+        ]
+    )
+
+
+def streaming_anomalies(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+    n_prev: int = 20,
+    z: float = 3.0,
+    min_prev: int = 5,
+) -> DataFrame:
+    """Rolling z-score outliers, stateful across micro-batches.
+
+    The streaming counterpart of
+    :func:`~semantic_olap_spark.functions.timeseries.detect_anomalies`:
+    state is the trailing ``n_prev`` value slots per key (nulls
+    occupy positions but never count, matching the batch row frame)
+    — O(n_prev) per key, independent of stream length — and every event
+    in a micro-batch is scored against the deque as of just before
+    it (the current value never enters its own frame), then pushed.
+
+    Parity contract (the test contract): results equal the batch
+    operator whenever batch boundaries respect event time, because
+    events are sorted by ``(ts, id)`` within each batch and the
+    deque carries across batches.  The score math reproduces the
+    batch operator's bit-for-bit: values quantized to decimal(18,6)
+    exactly as Spark's double→decimal cast (repr-based HALF_UP),
+    exact decimal Σv/Σv², the same fixed double formula, HALF_UP
+    rounding.
+
+    Batch input: delegates to ``detect_anomalies`` and returns the
+    same column shape (``ts`` as unix-seconds double — the streaming
+    state schema's type).
+    """
+    if n_prev < 2 or min_prev < 2:
+        raise ValueError("n_prev and min_prev must be >= 2")
+    renamed = df.select(
+        F.col(user_col).alias("user_id"),
+        F.col(id_col).cast("long").alias("event_id"),
+        F.col(ts_col).cast("timestamp").cast("double").alias("ts"),
+        F.col(value_col).cast("double").alias("value"),
+    )
+    if not df.isStreaming:
+        from semantic_olap_spark.functions.timeseries import detect_anomalies
+
+        return detect_anomalies(
+            renamed, "ts", "value", "user_id",
+            n_prev=n_prev, z=z, min_prev=min_prev, order_by=["event_id"],
+        ).select(
+            "user_id", "event_id", "ts", "value",
+            "prev_n", "zscore", "is_anomaly",
+        )
+
+    import math
+    from decimal import ROUND_HALF_UP, Context, Decimal
+
+    ctx = Context(prec=60)
+    q6 = Decimal("1e-6")
+
+    def _score(slots, v):
+        # slots mirror the batch operator's row frame: nulls occupy
+        # positions but never count
+        values = [x for x in slots if x is not None]
+        n = len(values)
+        if v is None or n < min_prev:
+            return n, None, False
+        s = Decimal(0)
+        ss = Decimal(0)
+        for x in values:
+            xd = Decimal(repr(x)).quantize(q6, rounding=ROUND_HALF_UP)
+            s = ctx.add(s, xd)
+            ss = ctx.add(ss, ctx.multiply(xd, xd))
+        s_d, ss_d, nd = float(s), float(ss), float(n)
+        var = max(ss_d - s_d * s_d / nd, 0.0) / (nd - 1.0)
+        if not var > 0:
+            return n, None, False
+        raw = (v - s_d / nd) / math.sqrt(var)
+        zr = float(
+            Decimal(repr(raw)).quantize(q6, rounding=ROUND_HALF_UP)
+        )
+        return n, zr, abs(zr) > z
+
+    def update(key, pdfs, state: GroupState):
+        deque = list(state.get[0]) if state.exists else []
+        events = []
+        for pdf in pdfs:
+            events.extend(
+                zip(pdf["event_id"], pdf["ts"], pdf["value"])
+            )
+        events.sort(key=lambda e: (e[1], e[0]))
+        out = {"event_id": [], "ts": [], "value": [],
+               "prev_n": [], "zscore": [], "is_anomaly": []}
+        for eid, ts, v in events:
+            v = None if pd.isna(v) else float(v)
+            prev_n, zr, flag = _score(deque, v)
+            out["event_id"].append(int(eid))
+            out["ts"].append(float(ts))
+            out["value"].append(v)
+            out["prev_n"].append(prev_n)
+            out["zscore"].append(zr)
+            out["is_anomaly"].append(flag)
+            deque.append(v)
+            if len(deque) > n_prev:
+                deque.pop(0)
+        state.update((deque,))
+        frame = pd.DataFrame(out)
+        frame.insert(0, "user_id", key[0])
+        yield frame
+
+    return renamed.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_anom_out_schema(df.schema[user_col].dataType),
+        stateStructType=StructType(
+            [StructField("recent", ArrayType(DoubleType()))]
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 # ---- stateful streaming funnel ----------------------------------------
 
 from pyspark.sql.types import ArrayType, IntegerType  # noqa: E402
