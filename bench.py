@@ -90,6 +90,22 @@ HEADLINE = [
     "large_volume_orders",
     # incremental view maintenance: two batch states + pure merge
     "incremental_orders_agg",
+    # mergeable fixed-bin quantile states (two batches merged)
+    "quantile_state_orders",
+    # rolling z-score outliers over 100k events (one window shuffle)
+    "anomaly_events",
+    # retrieval cascade: prescreen cut + LLM judge on 40 candidates
+    "llm_rerank_docs",
+    # TPC-H decision-support shapes: EXISTS semi join (Q4), bilateral
+    # two-chain join (Q7), conditional-ratio share (Q8), returned-item
+    # top-k (Q10), NOT-IN + count-distinct (Q16), scalar-threshold
+    # anti join (Q22)
+    "late_shipment_priority",
+    "volume_shipping",
+    "market_share",
+    "returned_item_revenue",
+    "supplier_variety",
+    "idle_customers",
     # CDC: one-shuffle SCD-1 upsert and SCD-2 lead-window history
     "cdc_upsert_customers",
     "scd2_order_history",
@@ -188,6 +204,12 @@ SCALE_QUERIES = [
     "hash_embed",
     "training_pipeline",
     "minhash_lsh_pairs",
+    # round-4 additions: fact-fact semi join, 7-way conditional-ratio
+    # join, rolling-window outliers, mergeable quantile states
+    "late_shipment_priority",
+    "market_share",
+    "anomaly_events",
+    "quantile_state_orders",
 ]
 
 # threshold for flagging super-linear rows: >15× for 10× data (the

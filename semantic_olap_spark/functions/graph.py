@@ -20,9 +20,11 @@ standard formulation when teleport handles sinks):
 
     r'(v) = (15·SCALE) div (100·N)  +  (85 · Σ_{u→v} (r(u) div out(u))) div 100
 
-Scale shape: per iteration one join of edges⋈ranks (shuffle on src,
-broadcastable out-degree side) and one ``groupBy(dst).sum`` — the
-textbook distributed PageRank step.  Iterations are bounded and
+Scale shape: per iteration one node-sized join (ranks⋈out-degree →
+per-source contribution), one fact-sized join of edges⋈per-source
+(shuffle on src), and one ``groupBy(dst).sum`` — the textbook
+distributed PageRank step with the per-edge division hoisted to
+per-source.  Iterations are bounded and
 lineage is cut per round (``localCheckpoint``, same rationale as
 ``dedup_clusters``: iterative self-joins otherwise stack
 exponentially-growing plans).
@@ -68,20 +70,26 @@ def pagerank(
         return nodes.withColumn(rank_col, F.lit(None).cast("long")).select(
             "node", rank_col
         )
-    out_deg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg"))
+    out_deg = e.groupBy("_src").agg(
+        F.count(F.lit(1)).alias("_deg")
+    ).persist()
     base = (15 * SCALE) // (100 * n)
     ranks = nodes.withColumn(
         "_r", F.lit(SCALE // n).cast("long")
     ).localCheckpoint()
     for _ in range(int(iterations)):
+        # per-SOURCE contribution first (node-sized join of two
+        # node-sized frames), THEN the one fact-sized join against
+        # edges — r div deg is constant per source, so computing it
+        # per edge (the naive join order) would run a second
+        # fact-sized join per iteration for the same integer
+        per_src = (
+            ranks.join(out_deg, ranks["node"] == out_deg["_src"])
+            .select("_src", F.expr("_r div _deg").alias("_c"))
+        )
         contrib = (
-            e.join(ranks, e["_src"] == ranks["node"])
-            .join(out_deg, "_src")
-            .select(
-                F.col("_dst").alias("node"),
-                F.expr("_r div _deg").alias("_c"),
-            )
-            .groupBy("node")
+            e.join(per_src, "_src")
+            .groupBy(F.col("_dst").alias("node"))
             .agg(F.sum("_c").alias("_s"))
         )
         ranks = (
@@ -97,4 +105,5 @@ def pagerank(
         )
     e.unpersist()
     nodes.unpersist()
+    out_deg.unpersist()
     return ranks.select("node", F.col("_r").alias(rank_col))
