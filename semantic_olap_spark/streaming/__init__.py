@@ -5,6 +5,7 @@ from semantic_olap_spark.streaming.stateful import (  # noqa: F401
 from semantic_olap_spark.streaming.materialized import (  # noqa: F401
     fold_batch,
     maintain_agg_state,
+    maintain_quantile_state,
     read_agg_state,
 )
 from semantic_olap_spark.streaming.semantic import (  # noqa: F401

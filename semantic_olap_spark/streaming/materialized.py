@@ -34,6 +34,8 @@ from pyspark.sql import DataFrame, SparkSession
 from semantic_olap_spark.functions.incremental import (
     agg_state,
     merge_agg_states,
+    merge_quantile_states,
+    quantile_state,
 )
 
 _EPOCH_RE = re.compile(r"^epoch=(\d+)$")
@@ -70,8 +72,17 @@ def fold_batch(
     metrics: Sequence[str],
     group_by: str | Sequence[str] | None = None,
     keep_generations: int = 2,
+    state_fn=None,
+    merge_fn=None,
 ) -> None:
     """One idempotent state fold (the foreachBatch body).
+
+    The state algebra is pluggable: ``state_fn(batch) -> state`` and
+    ``merge_fn([prev, new]) -> state`` default to the exact algebraic
+    aggregates (``agg_state``/``merge_agg_states`` over ``metrics``);
+    any mergeable state with the same
+    commutative-monoid contract (quantile histograms, HLL binaries)
+    folds through the identical generation machinery.
 
     Rebuilds from the newest generation strictly below ``epoch_id``
     and overwrites ``epoch=<epoch_id>`` — replaying an epoch
@@ -102,11 +113,17 @@ def fold_batch(
             f"stream at an empty state dir or reuse its checkpoint."
         )
     spark = batch.sparkSession
-    new = agg_state(batch, metrics, group_by)
+    new = (
+        state_fn(batch) if state_fn is not None
+        else agg_state(batch, metrics, group_by)
+    )
     prior = [g for g in gens if g < epoch_id]
     if prior:
         prev = spark.read.parquet(os.path.join(path, f"epoch={prior[-1]}"))
-        new = merge_agg_states([prev, new], metrics, group_by)
+        new = (
+            merge_fn([prev, new]) if merge_fn is not None
+            else merge_agg_states([prev, new], metrics, group_by)
+        )
     gen_dir = os.path.join(path, f"epoch={epoch_id}")
     new.write.mode("overwrite").parquet(gen_dir)
     # explicit commit marker, independent of Hadoop's configurable
@@ -138,6 +155,50 @@ def maintain_agg_state(
 
     def fold(batch: DataFrame, epoch_id: int) -> None:
         fold_batch(batch, epoch_id, path, metrics, group_by, keep_generations)
+
+    writer = stream.writeStream.foreachBatch(fold).outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def maintain_quantile_state(
+    stream: DataFrame,
+    path: str,
+    metric: str,
+    lo: float,
+    hi: float,
+    nbins: int = 64,
+    group_by: str | Sequence[str] | None = None,
+    checkpoint: str | None = None,
+    keep_generations: int = 2,
+    trigger_available_now: bool = True,
+):
+    """Stream-maintained quantile state: the percentile dashboard
+    that never re-sorts history.
+
+    Same generation/replay machinery as :func:`maintain_agg_state`
+    with the fixed-bin histogram algebra
+    (``quantile_state``/``merge_quantile_states``) — per-batch cost
+    is one partial-agg shuffle emitting ``nbins`` longs per group;
+    decode any time with ``finalize_quantiles(read_agg_state(...))``.
+    The folded state is bit-identical to a one-shot build over all
+    history (elementwise integer adds — the test contract).
+    """
+
+    def fold(batch: DataFrame, epoch_id: int) -> None:
+        fold_batch(
+            batch, epoch_id, path, metrics=(), group_by=group_by,
+            keep_generations=keep_generations,
+            state_fn=lambda b: quantile_state(
+                b, metric, lo, hi, nbins, group_by
+            ),
+            merge_fn=lambda frames: merge_quantile_states(
+                frames, group_by
+            ),
+        )
 
     writer = stream.writeStream.foreachBatch(fold).outputMode("update")
     if checkpoint:

@@ -127,3 +127,42 @@ def test_keep_generations_zero_refused(spark, tables, tmp_path):
             batch, 0, str(tmp_path / "s5"), METRICS, "event_type",
             keep_generations=0,
         )
+
+
+def test_stream_quantile_state_equals_batch(spark, tables, tmp_path):
+    # the pluggable state algebra: quantile histograms folded through
+    # the same generation machinery are bit-identical to a one-shot
+    # build over all history
+    from semantic_olap_spark.functions.incremental import (
+        finalize_quantiles,
+        quantile_state,
+    )
+    from semantic_olap_spark.streaming.materialized import (
+        maintain_quantile_state,
+    )
+
+    src = _events_dir(spark, tables, tmp_path)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    state_path = str(tmp_path / "qstate")
+    q = maintain_quantile_state(
+        stream, state_path, "value", 0.0, 1000.0, nbins=32,
+        group_by="event_type", checkpoint=str(tmp_path / "qckpt"),
+    )
+    q.awaitTermination(120)
+    got_state = read_agg_state(spark, state_path)
+    want_state = quantile_state(
+        spark.read.parquet(src), "value", 0.0, 1000.0, 32,
+        group_by="event_type",
+    )
+    key = lambda r: r["event_type"]  # noqa: E731
+    assert sorted(got_state.collect(), key=key) == sorted(
+        want_state.collect(), key=key
+    )  # bit-exact state, counts array included
+    got = _norm(finalize_quantiles(got_state, 0.0, 1000.0, [0.5, 0.9]))
+    want = _norm(finalize_quantiles(want_state, 0.0, 1000.0, [0.5, 0.9]))
+    assert got.equals(want), f"\n{got}\nvs\n{want}"
