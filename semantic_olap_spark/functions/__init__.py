@@ -62,6 +62,7 @@ from semantic_olap_spark.functions.packing import (  # noqa: F401
     pack_documents,
 )
 from semantic_olap_spark.functions.retrieval import (  # noqa: F401
+    llm_rerank,
     rrf_fuse,
 )
 from semantic_olap_spark.functions.analytics import (  # noqa: F401
@@ -89,6 +90,7 @@ from semantic_olap_spark.functions.sketches import (  # noqa: F401
     top_frequent,
 )
 from semantic_olap_spark.functions.timeseries import (  # noqa: F401
+    detect_anomalies,
     ffill,
     resample,
     rolling_agg,
@@ -108,7 +110,10 @@ from semantic_olap_spark.functions.stats import (  # noqa: F401
 from semantic_olap_spark.functions.incremental import (  # noqa: F401
     agg_state,
     finalize_agg,
+    finalize_quantiles,
     merge_agg_states,
+    merge_quantile_states,
+    quantile_state,
 )
 from semantic_olap_spark.functions.graph import (  # noqa: F401
     pagerank,
