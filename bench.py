@@ -326,12 +326,52 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+_UI_PORT = 4050
+
+
+def _shuffle_totals():
+    """Cumulative (read, write) shuffle bytes across completed stages.
+
+    Scraped from the Spark UI REST API; per-query deltas put a
+    MEASURED number behind every "one shuffle, dimension broadcast"
+    claim in SCALE.md.  Returns None (and the bench omits the block)
+    if the UI is unreachable — measurement must never fail the bench.
+    """
+    import json as _json
+    import urllib.request
+
+    try:
+        base = f"http://localhost:{_UI_PORT}/api/v1"
+        with urllib.request.urlopen(f"{base}/applications", timeout=2) as r:
+            apps = _json.load(r)
+        app_id = apps[0]["id"]
+        with urllib.request.urlopen(
+            f"{base}/applications/{app_id}/stages?status=complete",
+            timeout=10,
+        ) as r:
+            stages = _json.load(r)
+        return (
+            sum(s.get("shuffleReadBytes", 0) for s in stages),
+            sum(s.get("shuffleWriteBytes", 0) for s in stages),
+        )
+    except Exception:
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     import __spark_entry__ as entrymod
     from semantic_olap_spark.session import get_spark
 
-    spark = get_spark("semantic-olap-bench")
+    # UI on: the REST API is where per-query shuffle bytes come from;
+    # retainedStages raised so snapshot deltas never go backwards
+    # under stage eviction across ~80 queries
+    spark = get_spark("semantic-olap-bench", extra_conf={
+        "spark.ui.enabled": "true",
+        "spark.ui.port": str(_UI_PORT),
+        "spark.ui.retainedStages": "100000",
+        "spark.ui.retainedJobs": "10000",
+    })
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
     # warmup: touch every table once (parquet footers, file listing,
@@ -458,6 +498,7 @@ def main() -> None:
         skew_fact.hint("merge"), skew_dim, "sk_custkey"
     )
     timings: dict[str, float] = {}
+    shuffle_mb: dict[str, float] = {}
     for name in HEADLINE:
         # isolate rows: the pair-dedup queries persist intermediate
         # frames (signatures, staged undecided sets) that would
@@ -468,11 +509,21 @@ def main() -> None:
         # which would read as phantom per-query regressions.
         fn = qs[name]
         best = float("inf")
-        for _ in range(2):
+        for attempt in range(2):
             spark.catalog.clearCache()
+            before = _shuffle_totals() if attempt == 0 else None
             t0 = time.perf_counter()
             _force(fn(spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
+            if attempt == 0 and before is not None:
+                after = _shuffle_totals()
+                if after is not None:
+                    # shuffle write = data the query put on the wire
+                    # (first execution only: both runs shuffle the
+                    # same bytes — the plan, not the cache, decides)
+                    shuffle_mb[name] = round(
+                        (after[1] - before[1]) / 1e6, 2
+                    )
         timings[name] = round(best, 3)
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -536,6 +587,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        **({"shuffle_mb": shuffle_mb} if shuffle_mb else {}),
         "sf": sf_val,
     }
     if scale_study is not None:
