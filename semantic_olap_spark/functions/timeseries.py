@@ -127,9 +127,12 @@ def rolling_agg(
 
     One window per group ordered by event time with a
     ``rangeBetween(-interval, current)`` frame — a single shuffle on
-    the group key; Spark maintains the sliding frame incrementally
-    (values entering/leaving as the bound moves), so cost is O(rows),
-    not O(rows × window).  Output adds ``{agg}_{value_col}_{window}``
+    the group key.  Honest cost note: Spark's sliding-frame
+    aggregation has no retract path, so whenever rows EXIT the frame
+    the buffered frame is re-aggregated — per-task cost is
+    O(rows × avg-frame-size), not O(rows); keep trailing windows
+    modest relative to event density (the memory side IS bounded by
+    the frame buffer).  Output adds ``{agg}_{value_col}_{window}``
     columns (window spelled with underscores).
     """
     keys = [group_by] if isinstance(group_by, str) else list(group_by)
@@ -243,9 +246,12 @@ def detect_anomalies(
     formula, which uses one fixed operation order a SQL oracle
     mirrors bit-for-bit.
 
-    100 TB posture: one shuffle on the group key; the sliding frame
-    is maintained incrementally per task — O(rows), state independent
-    of ``n_prev``.
+    100 TB posture: one shuffle on the group key.  Honest cost note:
+    Spark re-aggregates a bounded sliding frame whenever rows exit it
+    (no retract path), so per-task cost is O(rows × n_prev) — with
+    the typical n_prev of 10–50 that is a small constant, but it is
+    not the O(rows) of an unbounded-preceding frame; state per task
+    stays one frame buffer.
     """
     keys = [group_by] if isinstance(group_by, str) else list(group_by)
     if not keys:
