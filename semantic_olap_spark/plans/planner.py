@@ -466,12 +466,19 @@ def topk_dispatch(
     topk_params: Mapping,
     llm_factory: LLMFactory = default_llm_factory,
     id_col: str | None = None,
+    sem_prescreen_k: int | None = None,
 ) -> DataFrame:
     """num vs sem top-k with the numeric-column fallback check.
 
     ``topk_type == "num"`` only holds if the column really parses
     numeric (is_column_numeric); otherwise the tournament runs —
     exactly the reference's guard (OLAP_Agent.py:451-466).
+
+    ``sem_prescreen_k`` opts the semantic branch into sem_topk's
+    prescreen scale path (LLM calls ∝ prescreen_k instead of table
+    size).  Opt-IN because the slice can differ from the full
+    tournament on adversarial data — the engine keeps reference
+    semantics by default and the deployment chooses the trade.
     """
     from semantic_olap_spark.operators.deterministic import num_topk
     from semantic_olap_spark.operators.semantic import OLAP_ID, sem_topk
@@ -496,5 +503,5 @@ def topk_dispatch(
     )
     return sem_topk(
         df, [field], query, k, id_col=id_col or OLAP_ID,
-        llm_factory=llm_factory,
+        llm_factory=llm_factory, prescreen_k=sem_prescreen_k,
     )

@@ -410,3 +410,27 @@ def test_plan_only_entry_point_replays_identically(spark, tables):
     assert sorted(r["doc_id"] for r in replayed.collect()) == sorted(
         r["doc_id"] for r in direct.collect()
     )
+
+
+def test_topk_dispatch_sem_prescreen_passthrough(spark):
+    # sem_prescreen_k reaches sem_topk: with a covering slice the
+    # result equals the unprescreened tournament
+    df = with_olap_id(
+        spark.createDataFrame(
+            [("spark spark spark",), ("spark spark",), ("spark",),
+             ("join",), ("none",)],
+            ["note"],
+        ),
+        order_by=["note"],
+    )
+    params = {"topk_type": "sem", "sort_field": "note", "top_k": 2,
+              "sort_order": "desc", "sort_basis": "most about spark"}
+    full = topk_dispatch(df, params)
+    pre = topk_dispatch(df, params, sem_prescreen_k=5)
+    # column order differs between the two modes (prescreen reorders
+    # the projection); the contract is row values
+    a = sorted((r.asDict() for r in full.collect()),
+               key=lambda d: d["OLAP_ID"])
+    b = sorted((r.asDict() for r in pre.collect()),
+               key=lambda d: d["OLAP_ID"])
+    assert a == b
