@@ -86,11 +86,14 @@ def test_hash_embed_unit_norm_or_zero(spark, texts):
         r["doc_id"]: r["embedding"]
         for r in hash_embed(df, dim=8).collect()
     }
-    # "blank" per the engine contract = Java \s (ASCII) whitespace;
-    # Python str.strip() is Unicode-aware and also strips NEL/NBSP/…,
-    # which the JVM tokenizer treats as token characters (hypothesis
-    # found the divergence with '\x85')
-    java_ws = " \t\n\x0b\x0c\r\x1c\x1d\x1e\x1f"
+    # "blank" per the engine contract = Java \s (ASCII) whitespace:
+    # exactly [ \t\n\x0b\f\r].  Python's \s/str.strip() additionally
+    # treats NEL/NBSP ('\x85') and the FS..US separators
+    # ('\x1c'..'\x1f') as whitespace; the JVM tokenizer does NOT —
+    # both divergences were found by hypothesis ('\x85' first,
+    # '\x1f' later when this constant wrongly included the
+    # separator block)
+    java_ws = " \t\n\x0b\x0c\r"
     for i, t in enumerate(texts):
         vec = out[i]
         n2 = sum(x * x for x in vec)
