@@ -777,6 +777,24 @@ def _q_bm25_topk(spark, sf_dir):
     ).select("doc_id", "bm25")
 
 
+def _q_bm25_rerank_cascade(spark, sf_dir):
+    # the full production retrieval cascade, end-to-end with one
+    # oracle: BM25 recall stage (top-40) → LLM precision stage
+    # (rerank to 10).  Stage economics: BM25 is pure Catalyst over
+    # the corpus; the judge reads exactly 40 candidates.  The stub
+    # judge (token occurrences) reorders BM25's list — the oracle
+    # reproduces both stages in SQL.
+    from semantic_olap_spark.functions.retrieval import llm_rerank
+    from semantic_olap_spark.functions.text import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    cands = bm25_topk(docs, "spark join performance", k=40).select("doc_id")
+    with_text = docs.join(F.broadcast(cands), "doc_id")
+    return llm_rerank(
+        with_text, "text", "spark join performance", k=10, id_col="doc_id"
+    ).select("doc_id", "llm_score")
+
+
 def _q_chunk_documents(spark, sf_dir):
     # retrieval/context-window chunker: 32-token windows, stride 24
     from semantic_olap_spark.functions.packing import chunk_documents
@@ -2510,6 +2528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rrf_fuse_hybrid": _q_rrf_fuse_hybrid,
         "hash_embed": _q_hash_embed,
         "llm_rerank_docs": _q_llm_rerank_docs,
+        "bm25_rerank_cascade": _q_bm25_rerank_cascade,
         "sentiment_docs": _q_sentiment_docs,
         "extract_entities": _q_extract_entities,
         "assemble_docs": _q_assemble_docs,
@@ -3599,6 +3618,26 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": "WITH " + _BM25_CTES + """
             SELECT doc_id, bm25 FROM sc
             ORDER BY bm25 DESC, doc_id ASC LIMIT 10
+        """,
+        # both cascade stages in SQL: the bm25 CTEs cut top-40 with
+        # the package-wide (score desc, id asc) tiebreak, then the
+        # stub judge's occurrence count reranks to 10
+        "bm25_rerank_cascade": "WITH " + _BM25_CTES + """,
+            cands AS (
+              SELECT doc_id FROM sc
+              ORDER BY bm25 DESC, doc_id ASC LIMIT 40
+            )
+            SELECT d.doc_id,
+                   CAST((length(lower(d.text))
+                         - length(replace(lower(d.text), 'spark', ''))) / 5
+                      + (length(lower(d.text))
+                         - length(replace(lower(d.text), 'join', ''))) / 4
+                      + (length(lower(d.text))
+                         - length(replace(lower(d.text), 'performance', '')))
+                        / 11 AS BIGINT) AS llm_score
+            FROM documents d JOIN cands USING (doc_id)
+            ORDER BY llm_score DESC, d.doc_id ASC
+            LIMIT 10
         """,
         # rrf_fuse_hybrid: the bm25 scoring CTEs verbatim, a length-
         # prior top-20, 1-based ranks per list, fused 1/(60+r) —

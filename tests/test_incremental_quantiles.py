@@ -131,3 +131,44 @@ def test_quantile_out_of_range(orders):
     st = quantile_state(orders, "o_totalprice", LO, HI, NBINS)
     with pytest.raises(ValueError, match="outside"):
         finalize_quantiles(st, LO, HI, qs=[1.5])
+
+
+# ---- hypothesis: merge parity under arbitrary values and splits -------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_HSETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_VALS = st.lists(
+    st.floats(min_value=-1e6, max_value=1e6,
+              allow_nan=False, allow_infinity=False),
+    min_size=0, max_size=50,
+)
+
+
+@settings(**_HSETTINGS)
+@given(vals=_VALS, nsplit=st.integers(min_value=1, max_value=4))
+def test_merge_parity_random_values_and_splits(spark, vals, nsplit):
+    rows = [(i, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "i long, v double") if rows else (
+        spark.createDataFrame([], "i long, v double")
+    )
+    whole = quantile_state(df, "v", -1e6, 1e6, 16).collect()
+    parts = [
+        quantile_state(df.filter(F.col("i") % nsplit == j), "v",
+                       -1e6, 1e6, 16)
+        for j in range(nsplit)
+    ]
+    merged = merge_quantile_states(parts).collect()
+    assert merged == whole  # bit-exact under any split
+    if vals:
+        got = finalize_quantiles(
+            quantile_state(df, "v", -1e6, 1e6, 16), -1e6, 1e6, [0.5]
+        ).collect()[0]["q_0_5"]
+        exact = sorted(vals)[max(0, -(-len(vals) // 2) - 1)]
+        assert abs(got - exact) <= (2e6 / 16) + 1e-6
