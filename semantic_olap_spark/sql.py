@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import pandas as pd
 from pyspark.sql import SparkSession
-from pyspark.sql.types import BooleanType, StringType
+from pyspark.sql.types import BooleanType, LongType, StringType
 
 from semantic_olap_spark.llm import prompts as P
 from semantic_olap_spark.llm.client import LLMFactory, default_llm_factory
@@ -71,6 +71,20 @@ def register_semantic_sql(
              for ans in llm.predict_batch(prompts)]
         )
 
+    def sem_score_fn(content: pd.Series, query: pd.Series) -> pd.Series:
+        import re as _re
+
+        llm = _llm()
+        prompts = [
+            P.score_prompt(q or "", t or "")
+            for t, q in zip(content, query)
+        ]
+        out = []
+        for a in llm.predict_batch(prompts):
+            m = _re.search(r"-?\d+", a)
+            out.append(int(m.group()) if m else 0)
+        return pd.Series(out, dtype="int64")
+
     from pyspark.sql.functions import pandas_udf
 
     spark.udf.register(
@@ -80,7 +94,10 @@ def register_semantic_sql(
     spark.udf.register(
         "sem_same", pandas_udf(sem_dedup_fn, BooleanType())
     )
-    return ["sem_filter", "sem_map", "sem_same"]
+    spark.udf.register(
+        "sem_score", pandas_udf(sem_score_fn, LongType())
+    )
+    return ["sem_filter", "sem_map", "sem_same", "sem_score"]
 
 
 def register_tables(
