@@ -44,6 +44,7 @@ def pagerank(
     dst: str = "dst",
     iterations: int = 3,
     rank_col: str = "rank_scaled",
+    checkpoint_every: int = 5,
 ) -> DataFrame:
     """Fixed-point PageRank over a directed edge frame.
 
@@ -53,6 +54,14 @@ def pagerank(
     conventional 0.85 (as integer 85/100 — part of the exactness
     contract).  Duplicate edges count with multiplicity; pre-
     ``distinct()`` the frame for simple-graph semantics.
+
+    ``checkpoint_every``: iterations between ``localCheckpoint``
+    lineage cuts.  A short run (≤ ``checkpoint_every`` rounds)
+    executes as ONE job over the whole unrolled DAG — measurably
+    faster than materializing every round (no intermediate rank
+    frames hit storage) — while long runs still bound plan growth.
+    Results are bit-identical either way (integer arithmetic has no
+    evaluation-order freedom to lose).
     """
     e = edges.select(
         F.col(src).alias("_src"), F.col(dst).alias("_dst")
@@ -73,11 +82,11 @@ def pagerank(
     out_deg = e.groupBy("_src").agg(
         F.count(F.lit(1)).alias("_deg")
     ).persist()
+    if checkpoint_every < 1:
+        raise ValueError("checkpoint_every must be >= 1")
     base = (15 * SCALE) // (100 * n)
-    ranks = nodes.withColumn(
-        "_r", F.lit(SCALE // n).cast("long")
-    ).localCheckpoint()
-    for _ in range(int(iterations)):
+    ranks = nodes.withColumn("_r", F.lit(SCALE // n).cast("long"))
+    for i in range(int(iterations)):
         # per-SOURCE contribution first (node-sized join of two
         # node-sized frames), THEN the one fact-sized join against
         # edges — r div deg is constant per source, so computing it
@@ -101,8 +110,14 @@ def pagerank(
                     + F.expr("(85 * coalesce(_s, 0L)) div 100")
                 ).cast("long").alias("_r"),
             )
-            .localCheckpoint()
         )
+        if (i + 1) % checkpoint_every == 0 and (i + 1) < iterations:
+            ranks = ranks.localCheckpoint()
+    # materialize the node-sized result ONCE (running the whole
+    # unrolled DAG while e/nodes/out_deg are still cached), then the
+    # caches can drop — returning the lazy plan instead would
+    # recompute the edge build per reference after the unpersists
+    ranks = ranks.localCheckpoint()
     e.unpersist()
     nodes.unpersist()
     out_deg.unpersist()
