@@ -50,8 +50,8 @@ SINGLE_PARTITION_OK = {
     "quantile_filter", "profile_columns", "ngram_lm_score",
     "quality_report_lineitem", "corr_matrix_lineitem",
     "target_encode_orders",
-    # bounded rerank cascade: global TakeOrdered over <= 40 candidates
-    "llm_rerank_docs",
+    # bounded rerank cascades: global TakeOrdered over <= 40 candidates
+    "llm_rerank_docs", "bm25_rerank_cascade",
     # 1-row global threshold aggregate (Q22 scalar subquery)
     "idle_customers",
 }
@@ -68,7 +68,7 @@ NLJ_OK = {
     # totals / query-term stats): build side is one row by
     # construction — verified BroadcastNestedLoopJoin BuildRight
     "quantile_filter", "ngram_lm_score", "bm25_topk", "rrf_fuse_hybrid",
-    "target_encode_orders", "idle_customers",
+    "target_encode_orders", "idle_customers", "bm25_rerank_cascade",
 }
 
 
