@@ -1,8 +1,10 @@
 from semantic_olap_spark.llm.client import (  # noqa: F401
     LLM,
+    BudgetLLM,
     CachingLLM,
     ConcurrentLLM,
     CountingLLM,
+    LLMBudgetExceeded,
     LLMCostStats,
     StubLLM,
     default_llm_factory,

@@ -426,6 +426,59 @@ class CachingLLM(BaseLLM):
         return [self.cache[p] for p in batch]
 
 
+class LLMBudgetExceeded(RuntimeError):
+    """Raised by :class:`BudgetLLM` when the call cap is hit."""
+
+
+class BudgetLLM(BaseLLM):
+    """Hard per-worker-process cap on backend calls.
+
+    The runaway-cost guard: a semantic operator accidentally pointed
+    at an unblocked corpus should FAIL, not bill.  At the cap every
+    further call raises :class:`LLMBudgetExceeded`, which fails the
+    Spark task and thereby the query — a hard stop, by design.
+
+    Scope semantics (be explicit when sizing): the counter lives in
+    ONE UDF evaluation context — for file-backed scans (the
+    deployment shape) that is one factory per worker process per
+    task, so a query can spend up to ``N_tasks × max_calls`` before
+    every task trips; set ``max_calls ≈ intended_total /
+    expected_tasks``.  (Local-relation test frames arriving as many
+    tiny Arrow chunks re-instantiate the factory per chunk —
+    verified empirically; don't benchmark budget/cache behavior on
+    createDataFrame inputs.)  A cluster-exact global budget would
+    need a coordination point on the hot path (see the rate-limiter
+    note in SCALE.md — same reasoning); the per-context cap bounds
+    the blast radius without one.  Place INSIDE a CachingLLM so
+    cache hits stay free.
+    """
+
+    def __init__(self, inner: LLM, max_calls: int):
+        if max_calls < 1:
+            raise ValueError("max_calls must be >= 1")
+        self.inner = inner
+        self.max_calls = int(max_calls)
+        self.calls = 0
+
+    def _charge(self, n: int) -> None:
+        if self.calls + n > self.max_calls:
+            raise LLMBudgetExceeded(
+                f"LLM call budget exceeded: {self.calls} spent, "
+                f"{n} requested, cap {self.max_calls} (per worker "
+                f"process). Raise max_calls, prescreen/block the "
+                f"input, or add caching."
+            )
+        self.calls += n
+
+    def predict(self, prompt: str) -> str:
+        self._charge(1)
+        return self.inner.predict(prompt)
+
+    def predict_batch(self, batch: list[str]) -> list[str]:
+        self._charge(len(batch))
+        return self.inner.predict_batch(batch)
+
+
 class ConcurrentLLM(BaseLLM):
     """Fan ``predict_batch`` out across a thread pool.
 
