@@ -329,19 +329,27 @@ def _force(df) -> None:
 _UI_PORT = 4050
 
 
-def _shuffle_totals():
+def _shuffle_totals(spark=None):
     """Cumulative (read, write) shuffle bytes across completed stages.
 
     Scraped from the Spark UI REST API; per-query deltas put a
     MEASURED number behind every "one shuffle, dimension broadcast"
     claim in SCALE.md.  Returns None (and the bench omits the block)
     if the UI is unreachable — measurement must never fail the bench.
+    The UI url comes from the live session when available (Spark
+    auto-increments the port when 4050 is taken; a fixed port would
+    then scrape a DIFFERENT application).
     """
     import json as _json
     import urllib.request
 
     try:
-        base = f"http://localhost:{_UI_PORT}/api/v1"
+        ui = (
+            spark.sparkContext.uiWebUrl
+            if spark is not None and spark.sparkContext.uiWebUrl
+            else f"http://localhost:{_UI_PORT}"
+        )
+        base = f"{ui}/api/v1"
         with urllib.request.urlopen(f"{base}/applications", timeout=2) as r:
             apps = _json.load(r)
         app_id = apps[0]["id"]
@@ -511,12 +519,12 @@ def main() -> None:
         best = float("inf")
         for attempt in range(2):
             spark.catalog.clearCache()
-            before = _shuffle_totals() if attempt == 0 else None
+            before = _shuffle_totals(spark) if attempt == 0 else None
             t0 = time.perf_counter()
             _force(fn(spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
             if attempt == 0 and before is not None:
-                after = _shuffle_totals()
+                after = _shuffle_totals(spark)
                 if after is not None:
                     # shuffle write = data the query put on the wire
                     # (first execution only: both runs shuffle the
