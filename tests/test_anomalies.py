@@ -109,3 +109,85 @@ def test_validation(spark):
         detect_anomalies(df, "ts", "value", [])
     with pytest.raises(ValueError, match="n_prev"):
         detect_anomalies(df, "ts", "value", "user_id", n_prev=1)
+
+
+# ---- hypothesis: flags match an independent Python reference ----------
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_HSETTINGS = dict(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_SERIES = st.lists(
+    st.floats(min_value=-1e4, max_value=1e4,
+              allow_nan=False, allow_infinity=False),
+    min_size=0, max_size=40,
+)
+
+
+def _reference(vals, n_prev, z, min_prev):
+    """Independent recompute of the documented contract: values
+    quantized at decimal(18,6) (so sub-1e-6 magnitudes are zero to
+    the engine by design), EXACT decimal Σv/Σv², then the fixed
+    double decode — python Decimal here vs the JVM's BigDecimal in
+    the engine."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q6 = Decimal("1e-6")
+
+    def quant(x):
+        return Decimal(repr(x)).quantize(q6, rounding=ROUND_HALF_UP)
+
+    out = []
+    for i, v in enumerate(vals):
+        frame = [quant(x) for x in vals[max(0, i - n_prev):i]]
+        n = len(frame)
+        if n < min_prev:
+            out.append((n, None, False))
+            continue
+        s, ss, nd = (
+            float(sum(frame)),
+            float(sum(x * x for x in frame)),
+            float(n),
+        )
+        var = max(ss - s * s / nd, 0.0) / (nd - 1.0)
+        if not var > 0:
+            out.append((n, None, False))
+            continue
+        zz = float(
+            Decimal(repr((v - s / nd) / math.sqrt(var))).quantize(
+                q6, rounding=ROUND_HALF_UP
+            )
+        )
+        out.append((n, zz, abs(zz) > z))
+    return out
+
+
+@settings(**_HSETTINGS)
+@given(vals=_SERIES)
+def test_matches_python_reference(spark, vals):
+    n_prev, z, min_prev = 7, 2.0, 3
+    df = _series(spark, vals)
+    got = {
+        r["event_id"]: (r["prev_n"], r["zscore"], r["is_anomaly"])
+        for r in detect_anomalies(
+            df, "ts", "value", "user_id",
+            n_prev=n_prev, z=z, min_prev=min_prev, order_by=["event_id"],
+        ).collect()
+    }
+    want = _reference(vals, n_prev, z, min_prev)
+    assert len(got) == len(want)
+    for i, (wn, wz, wf) in enumerate(want):
+        gn, gz, gf = got[i]
+        assert gn == wn
+        if wz is None:
+            assert gz is None and gf is False
+        else:
+            # same exact-sum construction on both sides → bit-equal
+            assert gz == wz and gf == wf
