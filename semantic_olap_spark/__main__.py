@@ -40,15 +40,25 @@ def _build_engine(args, spark):
         from semantic_olap_spark.llm.client import default_llm_factory
 
         factory = default_llm_factory
+    if args.load_cube:
+        # the cube's persisted root IS the table — don't load (and
+        # then discard) --table, and keep --costs working
+        if args.order_by:
+            print(
+                "warning: --order-by is ignored with --load-cube "
+                "(row identity comes from the persisted lattice)",
+                file=sys.stderr,
+            )
+        return OlapEngine.load(
+            spark, args.load_cube, llm_factory=factory,
+            track_costs=args.costs,
+        )
     df = load_table(spark, args.data, args.table)
     order_by = args.order_by.split(",") if args.order_by else None
-    eng = OlapEngine(
+    return OlapEngine(
         df, llm_factory=factory, order_by=order_by,
         track_costs=args.costs,
     )
-    if args.load_cube:
-        eng = OlapEngine.load(spark, args.load_cube, llm_factory=factory)
-    return eng
 
 
 def _show(df, limit: int) -> None:

@@ -136,10 +136,13 @@ class OlapEngine:
         path: str,
         llm_factory: LLMFactory = default_llm_factory,
         max_cached_nodes: int | None = 16,
+        track_costs: bool = False,
     ) -> "OlapEngine":
         """Reopen a saved cube as a live engine: materialized nodes
         come back as disk-backed scans, Equal/Subset probes reuse
-        them instead of re-filtering the root."""
+        them instead of re-filtering the root.  ``track_costs``
+        wires the same accumulator-backed LLM cost accounting as the
+        constructor."""
         from semantic_olap_spark.plans.memory import (
             llm_relation_classifier,
             load_cube,
@@ -147,6 +150,12 @@ class OlapEngine:
 
         eng = cls.__new__(cls)
         eng.cost_stats = None
+        if track_costs:
+            from semantic_olap_spark.llm.client import wrap_cost_tracking
+
+            llm_factory, eng.cost_stats = wrap_cost_tracking(
+                spark, llm_factory
+            )
         eng.llm_factory = llm_factory
         eng.memory = load_cube(
             spark, path,

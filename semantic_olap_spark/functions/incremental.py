@@ -42,6 +42,9 @@ from pyspark.sql import functions as F
 # across the driver contract (__spark_entry__ pricing_summary)
 _DEC = "decimal(38,6)"
 
+# quantile-state frame columns that are NOT group keys
+_QSTATE_RESERVED = {"counts", "cnt", "min", "max"}
+
 
 def _metric_cols(metrics: Sequence[str]) -> list[str]:
     out = []
@@ -134,6 +137,16 @@ def quantile_state(
     if not hi > lo:
         raise ValueError(f"need hi > lo, got [{lo}, {hi}]")
     keys = [group_by] if isinstance(group_by, str) else list(group_by or [])
+    clash = sorted(set(keys) & _QSTATE_RESERVED)
+    if clash:
+        # finalize_quantiles infers keys as "not a state column"; a
+        # group key named like one would silently vanish from the
+        # decoded output — refuse at build time instead
+        raise ValueError(
+            f"group key(s) {clash} collide with the reserved quantile-"
+            f"state column names {sorted(_QSTATE_RESERVED)}; rename "
+            f"the column (e.g. .withColumnRenamed) before grouping"
+        )
     c = F.col(metric).cast("double")
     # fixed operation order: (x - lo) * nbins, then / (hi - lo) —
     # mirrored verbatim in the SQL oracle so floor() agrees exactly
@@ -190,6 +203,7 @@ def finalize_quantiles(
     lo: float,
     hi: float,
     qs: Sequence[float] = (0.5,),
+    group_by: str | Sequence[str] | None = None,
 ) -> DataFrame:
     """Decode quantile states to per-group quantile estimates.
 
@@ -203,12 +217,23 @@ def finalize_quantiles(
 
     Output: group keys, ``cnt``, and one ``q_<q>`` double per
     requested quantile (dots become underscores: ``q_0_5``).
+
+    ``group_by`` names the key columns explicitly (same spelling as
+    :func:`quantile_state`); when omitted, keys are inferred as every
+    column that is not a reserved state column — safe because
+    ``quantile_state`` refuses keys named like one.
     """
     for q in qs:
         if not 0.0 <= q <= 1.0:
             raise ValueError(f"quantile {q} outside [0, 1]")
-    keys = [c for c in state.columns
-            if c not in ("counts", "cnt", "min", "max")]
+    if group_by is not None:
+        keys = [group_by] if isinstance(group_by, str) else list(group_by)
+        missing = [k for k in keys if k not in state.columns]
+        if missing:
+            raise ValueError(f"group_by columns {missing} not in state "
+                             f"frame {state.columns}")
+    else:
+        keys = [c for c in state.columns if c not in _QSTATE_RESERVED]
     span = float(hi) - float(lo)
     nbins = F.size("counts")
 

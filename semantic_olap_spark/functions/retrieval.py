@@ -67,6 +67,17 @@ def llm_rerank(
     Observability note: accumulator-based call counting
     (``CountingLLM``) under-reports in limit-bearing plans — see the
     CountingLLM docstring; every candidate IS scored exactly once.
+
+    The size guard ``localCheckpoint``s the ``limit(max_candidates
+    + 1)`` slice — at most that many rows materialize, never a whole
+    mistaken corpus — then both the guard's count and the scored run
+    read the checkpoint, so an expensive candidate producer
+    (bm25_topk, a semantic operator with its own LLM UDFs) runs
+    exactly once per invocation, not twice.  (When the guard passes,
+    the slice IS the full candidate set: ``limit(n + 1)`` with ≤ n
+    input rows returns every row.)  Pass ``max_candidates=None`` when
+    the input is already provably bounded to skip both the checkpoint
+    and the count.
     """
     from semantic_olap_spark.llm import prompts as P
     from semantic_olap_spark.llm.client import default_llm_factory
@@ -74,7 +85,10 @@ def llm_rerank(
 
     factory = llm_factory or default_llm_factory
     if max_candidates is not None:
-        n = candidates.limit(max_candidates + 1).count()
+        bounded = candidates.limit(max_candidates + 1).localCheckpoint(
+            eager=True
+        )
+        n = bounded.count()
         if n > max_candidates:
             raise ValueError(
                 f"llm_rerank got > {max_candidates} candidates — this "
@@ -82,6 +96,7 @@ def llm_rerank(
                 f"corpus scanner; prescreen first (bm25_topk / ANN / "
                 f"a token score) or raise/disable max_candidates"
             )
+        candidates = bounded
     state: dict = {}
 
     @F.pandas_udf(LongType())

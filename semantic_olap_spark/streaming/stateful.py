@@ -204,6 +204,20 @@ def streaming_anomalies(
         )
         return n, zr, abs(zr) > z
 
+    def _sort_key(e):
+        # mirror Spark's ASC NULLS FIRST for (ts, event_id): the
+        # batch twin sorts with orderBy(ts.asc(), event_id.asc()), so
+        # a null ts/id must order deterministically FIRST here too —
+        # a raw tuple sort over NaN floats is nondeterministic and
+        # int(NaN) crashes outright
+        eid, ts, _ = e
+        ts_null = pd.isna(ts)
+        eid_null = pd.isna(eid)
+        return (
+            0 if ts_null else 1, 0.0 if ts_null else float(ts),
+            0 if eid_null else 1, 0 if eid_null else int(eid),
+        )
+
     def update(key, pdfs, state: GroupState):
         deque = list(state.get[0]) if state.exists else []
         events = []
@@ -211,14 +225,14 @@ def streaming_anomalies(
             events.extend(
                 zip(pdf["event_id"], pdf["ts"], pdf["value"])
             )
-        events.sort(key=lambda e: (e[1], e[0]))
+        events.sort(key=_sort_key)
         out = {"event_id": [], "ts": [], "value": [],
                "prev_n": [], "zscore": [], "is_anomaly": []}
         for eid, ts, v in events:
             v = None if pd.isna(v) else float(v)
             prev_n, zr, flag = _score(deque, v)
-            out["event_id"].append(int(eid))
-            out["ts"].append(float(ts))
+            out["event_id"].append(None if pd.isna(eid) else int(eid))
+            out["ts"].append(None if pd.isna(ts) else float(ts))
             out["value"].append(v)
             out["prev_n"].append(prev_n)
             out["zscore"].append(zr)
@@ -228,6 +242,7 @@ def streaming_anomalies(
                 deque.pop(0)
         state.update((deque,))
         frame = pd.DataFrame(out)
+        frame["event_id"] = pd.array(out["event_id"], dtype="Int64")
         frame.insert(0, "user_id", key[0])
         yield frame
 
