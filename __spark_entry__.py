@@ -75,6 +75,23 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _lf(llm_factory):
+    """Resolve the optional per-call LLM factory override.
+
+    The driver calls every query as ``fn(spark, sf_dir)`` (stub
+    backend); the bench additionally passes a cost-tracked factory
+    (``llm/client.py wrap_cost_tracking``) so BENCH_LOCAL.json can
+    report backend calls per query alongside seconds and shuffle
+    bytes.  Semantics are identical either way — the wrapper only
+    counts.
+    """
+    if llm_factory is None:
+        from semantic_olap_spark.llm.client import default_llm_factory
+
+        return default_llm_factory
+    return llm_factory
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
@@ -236,10 +253,13 @@ def _q_num_topk_asc(spark, sf_dir):
 # ---- §2.1 semantic operators (deterministic StubLLM) -------------------
 
 
-def _q_sem_filter(spark, sf_dir):
+def _q_sem_filter(spark, sf_dir, llm_factory=None):
     from semantic_olap_spark.operators.semantic import sem_filter
 
-    return sem_filter(_t(spark, sf_dir, "documents"), ["text"], "rows about spark")
+    return sem_filter(
+        _t(spark, sf_dir, "documents"), ["text"], "rows about spark",
+        llm_factory=_lf(llm_factory),
+    )
 
 
 _HTTP_MOCK: dict = {}
@@ -282,29 +302,32 @@ def _q_sem_filter_multi(spark, sf_dir):
     )
 
 
-def _q_sem_map_topic(spark, sf_dir):
+def _q_sem_map_topic(spark, sf_dir, llm_factory=None):
     from semantic_olap_spark.operators.semantic import sem_map
 
     return sem_map(
         _t(spark, sf_dir, "documents"), ["text"],
         "dominant topic, one of: vector, stream, window", "topic",
+        _lf(llm_factory),
     ).select("doc_id", "topic")
 
 
-def _q_sem_group_workload(spark, sf_dir):
+def _q_sem_group_workload(spark, sf_dir, llm_factory=None):
     from semantic_olap_spark.operators.semantic import sem_group
 
     return sem_group(
         _t(spark, sf_dir, "documents"), ["text"],
         "group by workload type, one of: scan, join, sort", "workload",
+        _lf(llm_factory),
     ).select("doc_id", "workload")
 
 
-def _q_sem_reduce_by_region(spark, sf_dir):
+def _q_sem_reduce_by_region(spark, sf_dir, llm_factory=None):
     from semantic_olap_spark.operators.semantic import sem_reduce
 
     return sem_reduce(
-        _t(spark, sf_dir, "nation"), ["n_name"], "n_regionkey", alias="names"
+        _t(spark, sf_dir, "nation"), ["n_name"], "n_regionkey",
+        _lf(llm_factory), alias="names",
     )
 
 
@@ -372,16 +395,18 @@ def _q_filter_enum(spark, sf_dir):
     )
 
 
-def _q_filter_pattern(spark, sf_dir):
+def _q_filter_pattern(spark, sf_dir, llm_factory=None):
     from semantic_olap_spark.operators.semantic import filter_pattern
 
-    return filter_pattern(_t(spark, sf_dir, "events"), "props", "value > 50")
+    return filter_pattern(
+        _t(spark, sf_dir, "events"), "props", "value > 50", _lf(llm_factory)
+    )
 
 
 # ---- §2.4 logic trees + plan executor ----------------------------------
 
 
-def _q_filter_group_tree(spark, sf_dir):
+def _q_filter_group_tree(spark, sf_dir, llm_factory=None):
     from semantic_olap_spark.plans.executor import run_filter
 
     return run_filter(
@@ -397,6 +422,7 @@ def _q_filter_group_tree(spark, sf_dir):
              "parameters": {"columns": ["text"], "condition": "mentions window"}},
         ],
         ["AND", 1, ["OR", 2, 3]],
+        llm_factory=_lf(llm_factory),
     )
 
 
@@ -428,10 +454,10 @@ def _q_filter_group_auto_order(spark, sf_dir):
     )
 
 
-def _q_plan_cascade(spark, sf_dir):
+def _q_plan_cascade(spark, sf_dir, llm_factory=None):
     from semantic_olap_spark.plans.executor import PlanExecutor
 
-    ex = PlanExecutor()
+    ex = PlanExecutor(llm_factory=_lf(llm_factory))
     return ex.execute(
         _t(spark, sf_dir, "documents"),
         [
@@ -814,7 +840,7 @@ def _q_bm25_topk(spark, sf_dir):
     ).select("doc_id", "bm25")
 
 
-def _q_bm25_rerank_cascade(spark, sf_dir):
+def _q_bm25_rerank_cascade(spark, sf_dir, llm_factory=None):
     # the full production retrieval cascade, end-to-end with one
     # oracle: BM25 recall stage (top-40) → LLM precision stage
     # (rerank to 10).  Stage economics: BM25 is pure Catalyst over
@@ -828,7 +854,8 @@ def _q_bm25_rerank_cascade(spark, sf_dir):
     cands = bm25_topk(docs, "spark join performance", k=40).select("doc_id")
     with_text = docs.join(F.broadcast(cands), "doc_id")
     return llm_rerank(
-        with_text, "text", "spark join performance", k=10, id_col="doc_id"
+        with_text, "text", "spark join performance", k=10, id_col="doc_id",
+        llm_factory=llm_factory,
     ).select("doc_id", "llm_score")
 
 
@@ -880,7 +907,7 @@ def _q_rrf_fuse_hybrid(spark, sf_dir):
     return rrf_fuse([bm, length], k=10)
 
 
-def _q_llm_rerank_docs(spark, sf_dir):
+def _q_llm_rerank_docs(spark, sf_dir, llm_factory=None):
     # retrieval cascade stage 2 (functions/retrieval.py llm_rerank):
     # a cheap one-token prescreen bounds the candidate set to 40, the
     # LLM judge scores only that slice against the full query — LLM
@@ -901,7 +928,8 @@ def _q_llm_rerank_docs(spark, sf_dir):
         .drop("_ps")
     )
     return llm_rerank(
-        cands, "text", "spark join performance", k=10, id_col="doc_id"
+        cands, "text", "spark join performance", k=10, id_col="doc_id",
+        llm_factory=llm_factory,
     ).select("doc_id", "llm_score")
 
 
@@ -2399,7 +2427,7 @@ def _q_sem_filter_negated(spark, sf_dir):
     )
 
 
-def _q_sem_join_topics(spark, sf_dir):
+def _q_sem_join_topics(spark, sf_dir, llm_factory=None):
     from semantic_olap_spark.operators.semantic import sem_join
 
     # beyond-reference LOTUS-style semantic join: documents × topic
@@ -2411,7 +2439,8 @@ def _q_sem_join_topics(spark, sf_dir):
         [("spark",), ("scan window",), ("quorum",)], ["topic"]
     )
     return sem_join(
-        docs, topics, ["text"], ["topic"], "document covers the topic"
+        docs, topics, ["text"], ["topic"], "document covers the topic",
+        _lf(llm_factory),
     ).select("doc_id", "topic")
 
 

@@ -122,3 +122,19 @@ def test_engine_track_costs_surfaces_statistics(spark, tables):
     eng.run("mentions spark in text").count()
     after = eng.statistics()["llm_requests"]
     assert after - before < 50
+
+
+def test_bench_cascade_llm_calls_pinned_at_candidates(spark):
+    """BENCH llm_calls contract (VERDICT r4 item 3): the retrieval
+    cascade's backend calls equal |candidates| (the bm25 recall cut),
+    never corpus size — a prompt-shape regression that judged the
+    corpus would move this exact number."""
+    import __spark_entry__ as entry
+
+    sf_dir = "/root/testdata/sf0.01"
+    corpus = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    tracked, stats = wrap_cost_tracking(spark, default_llm_factory)
+    out = entry._q_bm25_rerank_cascade(spark, sf_dir, llm_factory=tracked)
+    assert out.count() == 10
+    assert stats.backend_calls == 40  # == bm25 k, the candidate cut
+    assert stats.backend_calls < corpus
