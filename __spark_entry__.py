@@ -37,12 +37,19 @@ def _coverage_order(names: list[str]) -> list[str]:
 
     The driver hash-checks only the FIRST 50 names of ``queries()``
     in insertion order each round, so a static registry order leaves
-    everything after position 50 permanently unsampled.  This sorts
-    by the last round each name appeared in a committed
-    ``CORRECTNESS_r*.json`` (never-sampled names first, insertion
-    order as the tiebreak), so driver verification rotates across
-    the whole contract round over round.  Deterministic within a
-    round: the correctness files only change between rounds.
+    everything after position 50 permanently unsampled.  Ordering:
+
+    1. names whose LATEST driver record failed (any of rows/schema/
+       hash explicitly False, or a real error) — failures get no
+       recency credit, so a claimed fix is always re-verified the
+       very next round instead of hiding behind the rotation;
+    2. names never driver-sampled;
+    3. everything else, least-recently-sampled first.
+
+    Insertion order breaks ties.  Deterministic within a round: the
+    correctness files only change between rounds.  ``no_oracle``
+    rows-only records count as pass — that is their strongest
+    possible check by construction.
     """
     import glob
     import json
@@ -51,6 +58,7 @@ def _coverage_order(names: list[str]) -> list[str]:
 
     here = os.path.dirname(os.path.abspath(__file__))
     last_round: dict[str, int] = {}
+    last_ok: dict[str, bool] = {}
     for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
         m = re.search(r"_r(\d+)\.json$", path)
         if not m:
@@ -63,10 +71,29 @@ def _coverage_order(names: list[str]) -> list[str]:
             continue
         if not isinstance(data, dict):
             continue
-        for q in data:
-            last_round[q] = max(last_round.get(q, 0), rnd)
+        for q, rec in data.items():
+            if rnd < last_round.get(q, 0):
+                continue
+            last_round[q] = rnd
+            ok = True
+            if isinstance(rec, dict):
+                if any(
+                    rec.get(k) is False
+                    for k in ("rows_match", "schema_match", "hash_match")
+                ):
+                    ok = False
+                if rec.get("err") not in (None, "no_oracle"):
+                    ok = False
+            last_ok[q] = ok
     idx = {n: i for i, n in enumerate(names)}
-    return sorted(names, key=lambda n: (last_round.get(n, 0), idx[n]))
+    return sorted(
+        names,
+        key=lambda n: (
+            0 if not last_ok.get(n, True) else 1,
+            last_round.get(n, 0),
+            idx[n],
+        ),
+    )
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -1362,25 +1389,39 @@ def _q_range_join_events(spark, sf_dir):
 
 
 def _q_rollup_order_revenue(spark, sf_dir):
+    # pre-aggregate to the finest group BEFORE Expand (see
+    # operators/reshape.py): count/decimal-sum merge losslessly, so
+    # the (d+1)-way Expand runs over a handful of rows instead of
+    # the whole fact scan
     orders = _t(spark, sf_dir, "orders")
-    revenue = F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+    partial = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("_n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("_rev"),
+    )
     return (
-        orders.rollup("o_orderstatus", "o_orderpriority")
+        partial.rollup("o_orderstatus", "o_orderpriority")
         .agg(
-            F.count("*").alias("n_orders"),
-            F.round(revenue, 2).cast("double").alias("revenue"),
+            F.sum("_n").alias("n_orders"),
+            F.round(F.sum("_rev"), 2).cast("double").alias("revenue"),
         )
     )
 
 
 def _q_cube_shipping(spark, sf_dir):
+    # same pre-reduce-then-Expand shape as rollup_order_revenue: the
+    # 2^2 Expand multiplies only the ~6 finest groups, not the fact
+    # scan (r05 scale study flagged the direct form at 10.7x per
+    # 10x data; this makes the Expand cost O(groups))
     li = _t(spark, sf_dir, "lineitem")
-    qty = F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+    partial = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("_n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("_q"),
+    )
     return (
-        li.cube("l_returnflag", "l_linestatus")
+        partial.cube("l_returnflag", "l_linestatus")
         .agg(
-            F.count("*").alias("n_items"),
-            F.round(qty, 2).cast("double").alias("sum_qty"),
+            F.sum("_n").alias("n_items"),
+            F.round(F.sum("_q"), 2).cast("double").alias("sum_qty"),
         )
     )
 
@@ -1499,7 +1540,8 @@ def _q_sessionize_events(spark, sf_dir):
     from semantic_olap_spark.functions.timeseries import sessionize
 
     return sessionize(
-        _t(spark, sf_dir, "events"), "ts", "user_id", gap="30 minutes"
+        _t(spark, sf_dir, "events"), "ts", "user_id", gap="30 minutes",
+        tiebreak=("event_id",),
     ).select("event_id", "user_id", "ts", "session_id")
 
 
@@ -4418,7 +4460,7 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT 'key_not_null', key_not_null, n_rows FROM wide
               UNION ALL SELECT 'price_pos', price_pos, n_rows FROM wide
             )
-            SELECT rule, n_rows, violations,
+            SELECT rule, n_rows, violations::BIGINT AS violations,
                    round((n_rows - violations) / n_rows, 6) AS pass_rate
             FROM long
         """,
@@ -4466,19 +4508,26 @@ def oracle_sql() -> dict[str, str]:
               RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW
             )
         """,
+        # session_id: CAST(.. AS BIGINT) is load-bearing — DuckDB
+        # sum(INTEGER) returns HUGEINT, which the driver's pandas
+        # fetch renders as float64 ("3.0" vs Spark's "3") → the r05
+        # hash mismatch.  event_id tiebreak on both sides makes the
+        # window order deterministic even under ts ties.
         "sessionize_events": """
             SELECT event_id, user_id, ts,
-                   sum(new_sess) OVER (
-                     PARTITION BY user_id ORDER BY ts
+                   CAST(sum(new_sess) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
                      ROWS UNBOUNDED PRECEDING
-                   ) AS session_id
+                   ) AS BIGINT) AS session_id
             FROM (
               SELECT event_id, user_id, ts,
                      CASE WHEN lag(epoch_us(ts::TIMESTAMP)) OVER
-                              (PARTITION BY user_id ORDER BY ts) IS NULL
+                              (PARTITION BY user_id ORDER BY ts, event_id)
+                              IS NULL
                            OR epoch_us(ts::TIMESTAMP)
                               - lag(epoch_us(ts::TIMESTAMP)) OVER
-                                (PARTITION BY user_id ORDER BY ts)
+                                (PARTITION BY user_id
+                                 ORDER BY ts, event_id)
                               > 1800000000
                           THEN 1 ELSE 0 END AS new_sess
               FROM events
@@ -4805,7 +4854,7 @@ def oracle_sql() -> dict[str, str]:
                           + (85 * COALESCE(c3.s, 0)) // 100 AS r
                    FROM v CROSS JOIN p
                    LEFT JOIN c3 ON v.node = c3.node)
-            SELECT node, r AS rank_scaled FROM r3
+            SELECT node, r::BIGINT AS rank_scaled FROM r3
         """,
         # incremental_orders_agg: the oracle is the SINGLE global
         # aggregate — proving batchwise state maintenance == full
@@ -4928,7 +4977,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_props_agg": """
             SELECT event_type, count(*) AS n,
-                   sum((props->>'k')::BIGINT) AS sum_k
+                   sum((props->>'k')::BIGINT)::BIGINT AS sum_k
             FROM events GROUP BY event_type
         """,
         # funnel_stages: per-user (stage, reached_ts) — the stage

@@ -179,6 +179,7 @@ def sessionize(
     group_by: str | Sequence[str],
     gap: str = "30 minutes",
     session_col: str = "session_id",
+    tiebreak: Sequence[str] = (),
 ) -> DataFrame:
     """Label each event with its gap-based session ordinal.
 
@@ -195,7 +196,10 @@ def sessionize(
     if not keys:
         raise ValueError("sessionize needs group_by")
     gap_us = _parse_duration(gap, "gap") * 1_000_000
-    w = Window.partitionBy(*keys).orderBy(F.col(ts_col).asc())
+    # tiebreak columns make the session ordinal deterministic when
+    # two events of one group share a timestamp
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in tiebreak]
+    w = Window.partitionBy(*keys).orderBy(*order)
     # microsecond gap arithmetic: whole-second truncation would make
     # sub-second phase decide session boundaries (same fix class as
     # rolling_agg's range key)

@@ -17,12 +17,19 @@ output aliases, ``round_to`` for oracle-safe float compare).
   hash aggregation (one shuffle on ``group_cols``) and the output
   schema is known without touching data.
 - :func:`cube_agg` / :func:`rollup_agg` / :func:`grouping_sets_agg`
-  expand each input row to its grouping combinations *map-side*
-  (Spark's ``Expand`` operator) feeding ONE partial→final
-  aggregation — the shuffle carries one row per (group, gid), never
-  per input row.  A d-dimension cube multiplies map output by 2^d:
-  keep ``dims`` small (≤4) or enumerate only the grouping sets you
-  need via :func:`grouping_sets_agg`.
+  **pre-aggregate to the finest (all-dims) group BEFORE Expand**
+  whenever the aggregate is decomposable (sum/min/max): Expand
+  multiplies its input by 2^d (cube) map-side, so running it over
+  the reduced one-row-per-finest-group set instead of the raw scan
+  removes the 2^d CPU inflation entirely — the raw rows are touched
+  exactly once, by an ordinary partial→final hash aggregation.  The
+  second shuffle this adds carries only |finest groups| × 2^d rows
+  (bytes, not gigabytes, at any scale).  The r05 scale study showed
+  the direct form going 10.7× at 10× data on ``cube_shipping``;
+  this is the fix.  Non-decomposable ``avg`` keeps the direct
+  single-pass plan (re-averaging partial averages is wrong, and
+  decomposing to sum/count changes float association against the
+  pinned oracles).
 """
 
 from __future__ import annotations
@@ -135,6 +142,42 @@ def _multi_agg_exprs(
     return exprs
 
 
+# aggs whose partial-per-finest-group results merge losslessly with
+# the same function (sum of sums, min of mins, max of maxes)
+_SELF_MERGING = frozenset(("sum", "min", "max"))
+
+
+def _prereduce(
+    df: DataFrame, dims: Sequence[str], value_cols: Sequence[str], agg: str
+):
+    """Collapse to one row per finest dims group before Expand.
+
+    Returns ``(reduced_df, final_exprs_builder)`` or ``None`` when
+    the agg is not self-merging.  The reduced frame carries the agg
+    result per value column under its FINAL alias, so the Expand
+    stage just re-aggregates those columns with the same function —
+    output names and dtypes are identical to the direct plan.
+    """
+    if agg not in _SELF_MERGING:
+        return None
+    aliases = [f"{agg}_{c}" for c in value_cols]
+    partial = df.groupBy(*dims).agg(*[
+        AGGS[agg](F.col(c).try_cast("double")).alias(a)
+        for c, a in zip(value_cols, aliases)
+    ])
+
+    def final_exprs(round_to: int | None):
+        exprs = []
+        for a in aliases:
+            e = AGGS[agg](F.col(a))
+            if round_to is not None:
+                e = F.round(e, round_to)
+            exprs.append(e.alias(a))
+        return exprs
+
+    return partial, final_exprs
+
+
 def cube_agg(
     df: DataFrame,
     dims: Sequence[str],
@@ -150,9 +193,14 @@ def cube_agg(
     compares exactly).  It also disambiguates a genuine NULL dim
     value from a rolled-up level, which the bare NULLs cannot.
     """
-    exprs = [F.grouping_id(*[F.col(d) for d in dims]).alias(gid_col)]
-    exprs += _multi_agg_exprs(value_cols, agg, round_to)
-    return df.cube(*dims).agg(*exprs)
+    gid = [F.grouping_id(*[F.col(d) for d in dims]).alias(gid_col)]
+    red = _prereduce(df, dims, value_cols, agg)
+    if red is not None:
+        partial, final_exprs = red
+        return partial.cube(*dims).agg(*gid, *final_exprs(round_to))
+    return df.cube(*dims).agg(
+        *gid, *_multi_agg_exprs(value_cols, agg, round_to)
+    )
 
 
 def rollup_agg(
@@ -168,9 +216,14 @@ def rollup_agg(
     The classic drill-down-ready total: (a,b), (a), () for
     ``dims=[a,b]``.  Same ``gid_col`` contract as :func:`cube_agg`.
     """
-    exprs = [F.grouping_id(*[F.col(d) for d in dims]).alias(gid_col)]
-    exprs += _multi_agg_exprs(value_cols, agg, round_to)
-    return df.rollup(*dims).agg(*exprs)
+    gid = [F.grouping_id(*[F.col(d) for d in dims]).alias(gid_col)]
+    red = _prereduce(df, dims, value_cols, agg)
+    if red is not None:
+        partial, final_exprs = red
+        return partial.rollup(*dims).agg(*gid, *final_exprs(round_to))
+    return df.rollup(*dims).agg(
+        *gid, *_multi_agg_exprs(value_cols, agg, round_to)
+    )
 
 
 def grouping_sets_agg(
@@ -194,6 +247,13 @@ def grouping_sets_agg(
         for c in s:
             if c not in dims:
                 dims.append(c)
-    exprs = [F.grouping_id(*[F.col(d) for d in dims]).alias(gid_col)]
-    exprs += _multi_agg_exprs(value_cols, agg, round_to)
-    return df.groupingSets([list(s) for s in sets], *dims).agg(*exprs)
+    gid = [F.grouping_id(*[F.col(d) for d in dims]).alias(gid_col)]
+    red = _prereduce(df, dims, value_cols, agg)
+    if red is not None:
+        partial, final_exprs = red
+        return partial.groupingSets([list(s) for s in sets], *dims).agg(
+            *gid, *final_exprs(round_to)
+        )
+    return df.groupingSets([list(s) for s in sets], *dims).agg(
+        *gid, *_multi_agg_exprs(value_cols, agg, round_to)
+    )
