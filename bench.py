@@ -612,37 +612,36 @@ def main() -> None:
         except (TypeError, ValueError):
             accepts_lf = False
         best = float("inf")
+        if accepts_lf:
+            # LLM-call accounting (VERDICT r4 item 3): inference,
+            # not seconds, is the scarce resource at 100 TB — a
+            # prompt-shape regression that doubles backend calls
+            # must show up in the bench record.  The tracked pass is
+            # UNTIMED (r5 ADVICE: wrapping attempt 0 only made
+            # best-of-2 an asymmetric single-sample protocol) — both
+            # timed attempts below run the identical untracked path.
+            spark.catalog.clearCache()
+            tracked, stats = wrap_cost_tracking(
+                spark, default_llm_factory
+            )
+            _force(fn(spark, sf_dir, llm_factory=tracked))
+            llm_calls[name] = stats.backend_calls
         for attempt in range(2):
             spark.catalog.clearCache()
             before = _shuffle_totals(spark) if attempt == 0 else None
-            if attempt == 0 and accepts_lf:
-                # LLM-call accounting (VERDICT r4 item 3): inference,
-                # not seconds, is the scarce resource at 100 TB — a
-                # prompt-shape regression that doubles backend calls
-                # must show up in the bench record
-                tracked, stats = wrap_cost_tracking(
-                    spark, default_llm_factory
-                )
-                run = lambda: fn(spark, sf_dir, llm_factory=tracked)  # noqa: E731
-            else:
-                stats = None
-                run = lambda: fn(spark, sf_dir)  # noqa: E731
             t0 = time.perf_counter()
-            _force(run())
+            _force(fn(spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
-            if attempt == 0:
-                if stats is not None:
-                    llm_calls[name] = stats.backend_calls
-                if before is not None:
-                    after = _shuffle_totals(spark)
-                    if after is not None:
-                        # shuffle write = data the query put on the
-                        # wire (first execution only: both runs
-                        # shuffle the same bytes — the plan, not the
-                        # cache, decides)
-                        shuffle_mb[name] = round(
-                            (after[1] - before[1]) / 1e6, 2
-                        )
+            if attempt == 0 and before is not None:
+                after = _shuffle_totals(spark)
+                if after is not None:
+                    # shuffle write = data the query put on the
+                    # wire (first execution only: both runs
+                    # shuffle the same bytes — the plan, not the
+                    # cache, decides)
+                    shuffle_mb[name] = round(
+                        (after[1] - before[1]) / 1e6, 2
+                    )
         timings[name] = round(best, 3)
 
     for name in HEADLINE:
@@ -703,10 +702,28 @@ def main() -> None:
         }
 
     # -- full record → committed repo file ---------------------------
+    # metric is VERSIONED (r5 ADVICE): _v2 = stress rows excluded
+    # from the headline sum AND llm-call tracking moved to an untimed
+    # pre-pass, so _v2 values are not comparable to rounds 1-4's
+    # bare headline_queries_total.
     full = {
-        "metric": "headline_queries_total",
+        "metric": "headline_queries_total_v2",
         "value": total,
         "unit": "sec",
+        "metric_note": (
+            "v2: stress rows excluded from value; llm-call tracking "
+            "runs as a separate untimed pass so both timed attempts "
+            "are identical. Not comparable to rounds<=4 values."
+        ),
+        "noise_notes": {
+            "hash_embed": (
+                "r3 1.16s vs r5 1.74s at sf0.1 was profiled in r6: "
+                "warm runs land 1.3-1.5s across repeats with an "
+                "unchanged plan (explode->groupBy->densify, zero "
+                "Python UDFs) — run-to-run local[32] contention, "
+                "not a plan change."
+            ),
+        },
         "queries": {n: timings[n] for n in HEADLINE},
         "stress": {
             "note": (
@@ -733,7 +750,7 @@ def main() -> None:
     # -- compact final stdout line (must fit the driver's 2000-char
     # tail capture) --------------------------------------------------
     compact = {
-        "metric": "headline_queries_total",
+        "metric": "headline_queries_total_v2",
         "value": total,
         "unit": "sec",
         "sf": sf_val,

@@ -68,16 +68,21 @@ def llm_rerank(
     (``CountingLLM``) under-reports in limit-bearing plans — see the
     CountingLLM docstring; every candidate IS scored exactly once.
 
-    The size guard ``localCheckpoint``s the ``limit(max_candidates
-    + 1)`` slice — at most that many rows materialize, never a whole
-    mistaken corpus — then both the guard's count and the scored run
-    read the checkpoint, so an expensive candidate producer
-    (bm25_topk, a semantic operator with its own LLM UDFs) runs
-    exactly once per invocation, not twice.  (When the guard passes,
-    the slice IS the full candidate set: ``limit(n + 1)`` with ≤ n
-    input rows returns every row.)  Pass ``max_candidates=None`` when
-    the input is already provably bounded to skip both the checkpoint
-    and the count.
+    The size guard ``persist``s (memory-and-disk) the
+    ``limit(max_candidates + 1)`` slice — at most that many rows
+    materialize, never a whole mistaken corpus — then both the
+    guard's count and the scored run read the cached slice, so an
+    expensive candidate producer (bm25_topk, a semantic operator
+    with its own LLM UDFs) runs exactly once per invocation, not
+    twice.  (When the guard passes, the slice IS the full candidate
+    set: ``limit(n + 1)`` with ≤ n input rows returns every row.)
+    ``persist`` rather than ``localCheckpoint``: a checkpoint drops
+    lineage, so losing an executor (or a dynamic-allocation
+    scale-in) mid-query would fail the job; the cached slice just
+    recomputes — the worst case is the producer running twice, the
+    failure case never.  Pass ``max_candidates=None`` when the input
+    is already provably bounded to skip both the cache and the
+    count.
     """
     from semantic_olap_spark.llm import prompts as P
     from semantic_olap_spark.llm.client import default_llm_factory
@@ -85,8 +90,10 @@ def llm_rerank(
 
     factory = llm_factory or default_llm_factory
     if max_candidates is not None:
-        bounded = candidates.limit(max_candidates + 1).localCheckpoint(
-            eager=True
+        from pyspark import StorageLevel
+
+        bounded = candidates.limit(max_candidates + 1).persist(
+            StorageLevel.MEMORY_AND_DISK
         )
         n = bounded.count()
         if n > max_candidates:

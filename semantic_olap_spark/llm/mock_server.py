@@ -44,6 +44,10 @@ class MockState:
         self.requests = 0
         self.last_body: dict | None = None
         self.auth_headers: list[str | None] = []
+        # distinct "model" strings seen — multi-process tests encode
+        # the worker pid in the model name to prove which processes
+        # actually reached the endpoint
+        self.models_seen: set[str] = set()
 
 
 def _make_handler(backend: LLM, state: MockState):
@@ -58,6 +62,7 @@ def _make_handler(backend: LLM, state: MockState):
                 state.requests += 1
                 state.last_body = body
                 state.auth_headers.append(self.headers.get("Authorization"))
+                state.models_seen.add(str(body.get("model", "mock")))
                 fault = state.faults.pop(0) if state.faults else None
             if fault:
                 kind = fault["kind"]

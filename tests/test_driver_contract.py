@@ -47,3 +47,46 @@ def test_rows_only_query_runs(name, spark, tables):
     df = _QUERIES[name](spark, SF_SMOKE)
     assert df.columns
     assert df.count() >= 0
+
+
+def test_registry_rotation_fronts_failures_then_unsampled():
+    """Pin the driver-sampling order contract.
+
+    The driver verifies only the first 50 names of ``queries()``,
+    so the registry must front (a) every query whose LATEST driver
+    record failed — a claimed fix is re-verified the next round,
+    never hidden by recency — then (b) every query the driver has
+    never sampled.  This recomputes both sets from the committed
+    CORRECTNESS files, so the assertion tracks each round's results
+    without edits.
+    """
+    import glob
+    import json
+    import os
+    import re
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    last: dict[str, tuple[int, bool]] = {}
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"_r(\d+)\.json$", path).group(1))
+        data = json.load(open(path))
+        for q, rec in data.items():
+            if rnd < last.get(q, (0, True))[0]:
+                continue
+            ok = not (
+                any(
+                    rec.get(k) is False
+                    for k in ("rows_match", "schema_match", "hash_match")
+                )
+                or rec.get("err") not in (None, "no_oracle")
+            )
+            last[q] = (rnd, ok)
+    names = list(_QUERIES)
+    failed = {q for q, (_, ok) in last.items() if not ok and q in names}
+    never = [n for n in names if n not in last]
+    front = set(names[: len(failed) + len(never)])
+    assert failed <= front, f"failed queries not fronted: {failed - front}"
+    assert set(never) <= front
+    # failures strictly precede everything that last passed
+    n_failed = len(failed)
+    assert set(names[:n_failed]) == failed

@@ -1,8 +1,10 @@
 """Round-5 review fixes (ADVICE r4), each pinned by a regression test.
 
-1. llm_rerank's max_candidates guard localCheckpoints the bounded
-   slice, so the candidate producer executes ONCE per invocation
-   (previously the guard's count re-ran the whole upstream).
+1. llm_rerank's max_candidates guard pins the bounded slice
+   (persist since r6 — lineage survives executor loss; was
+   localCheckpoint in r5), so the candidate producer executes ONCE
+   per invocation (previously the guard's count re-ran the whole
+   upstream).
 2. CLI --load-cube builds the loaded engine directly: --costs works
    (cost_stats threaded through OlapEngine.load) and --order-by
    warns instead of being silently ignored.

@@ -1,0 +1,146 @@
+"""Kill/reload durability: a stream-maintained state AND a saved cube
+lattice both resume after the "session dies" mid-stream.
+
+Scenario (the VERDICT r5 item 7 round-trip):
+
+1. two of four source files exist; an availableNow stream folds them
+   into the state dir and stops — then the session "dies" (query
+   object dropped, nothing finalized);
+2. a cube lattice built in session 1 is checkpointed to disk;
+3. the remaining two files land; a NEW stream with the SAME
+   checkpoint + state path resumes — the checkpoint must skip the
+   already-folded files (epoch ids continue, no double count);
+4. the reloaded lattice accepts a node built from the resumed state,
+   and the final state equals the one-shot batch aggregate over all
+   four files.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from semantic_olap_spark.functions.incremental import agg_state, finalize_agg
+from semantic_olap_spark.plans.memory import (
+    CubeMemory,
+    load_cube,
+    save_cube,
+    save_cube_incremental,
+)
+from semantic_olap_spark.streaming.materialized import (
+    _generations,
+    maintain_agg_state,
+    read_agg_state,
+)
+
+METRICS = ["value"]
+
+
+def _norm(df) -> pd.DataFrame:
+    pdf = df.toPandas().sort_values("event_type").reset_index(drop=True)
+    return pdf.reindex(sorted(pdf.columns), axis=1)
+
+
+def _stage_files(spark, tables, tmp_path, n_files=4):
+    staging = str(tmp_path / "staging")
+    (
+        tables["events"]
+        .select("event_id", "user_id", "event_type", "value")
+        .repartition(n_files)
+        .write.mode("overwrite")
+        .parquet(staging)
+    )
+    parts = sorted(
+        f for f in os.listdir(staging) if f.endswith(".parquet")
+    )
+    assert len(parts) == n_files
+    return staging, parts
+
+
+def test_kill_reload_resumes_state_and_lattice(spark, tables, tmp_path):
+    staging, parts = _stage_files(spark, tables, tmp_path)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    cube_dir = str(tmp_path / "cube")
+    schema = spark.read.parquet(staging).schema
+
+    def run_stream():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = maintain_agg_state(
+            stream, state, METRICS, group_by="event_type",
+            checkpoint=ckpt,
+        )
+        q.awaitTermination(120)
+
+    # ---- session 1: half the files, then die ------------------------
+    for p in parts[:2]:
+        shutil.copy(os.path.join(staging, p), os.path.join(src, p))
+    run_stream()
+    gens_before = _generations(state)
+    assert gens_before, "session 1 folded nothing"
+    # mid-stream state is a genuine partial: fewer rows than the total
+    partial = finalize_agg(read_agg_state(spark, state), METRICS)
+    total_rows_partial = partial.agg(F.sum("value_count")).collect()[0][0]
+
+    # session 1 also checkpoints a lattice before dying
+    mem = CubeMemory(tables["events"], classify=lambda a, b: "unrelated")
+    mem.add_node(
+        "high-value events",
+        tables["events"].filter(F.col("value") > 50),
+        plan=[{"operator": "num_filter"}],
+        parent_ids=[mem.root_id],
+    )
+    save_cube(mem, cube_dir)
+
+    # ---- the rest of the data lands; session 2 resumes ---------------
+    for p in parts[2:]:
+        shutil.copy(os.path.join(staging, p), os.path.join(src, p))
+    run_stream()
+
+    # epoch ids CONTINUED from the checkpoint (resume, not restart):
+    gens_after = _generations(state)
+    assert max(gens_after) > max(gens_before)
+
+    # final state == one-shot batch aggregate over ALL files — the
+    # resumed stream did not re-fold session 1's files
+    got = _norm(finalize_agg(read_agg_state(spark, state), METRICS))
+    want = _norm(
+        finalize_agg(
+            agg_state(
+                spark.read.parquet(src), METRICS, group_by="event_type"
+            ),
+            METRICS,
+        )
+    )
+    assert got.equals(want), f"\n{got}\nvs\n{want}"
+    total_rows = got["value_count"].sum()
+    assert total_rows_partial < total_rows
+
+    # ---- lattice resumes in session 2 and absorbs the live state -----
+    mem2 = load_cube(spark, cube_dir, classify=lambda a, b: "unrelated")
+    queries = {n.query for n in mem2.nodes.values()}
+    assert "high-value events" in queries
+    mem2.add_node(
+        "event-type totals from resumed stream state",
+        finalize_agg(read_agg_state(spark, state), METRICS),
+        plan=[{"operator": "num_reduce"}],
+        parent_ids=[mem2.root_id],
+    )
+    save_cube_incremental(mem2, cube_dir)
+    mem3 = load_cube(spark, cube_dir, classify=lambda a, b: "unrelated")
+    node = next(
+        n for n in mem3.nodes.values()
+        if n.query == "event-type totals from resumed stream state"
+    )
+    # CubeMemory stamps OLAP_ID on stored frames; the payload columns
+    # must equal the batch aggregate
+    assert _norm(node.df.drop("OLAP_ID")).equals(want)

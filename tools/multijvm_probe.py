@@ -1,0 +1,209 @@
+"""Multi-JVM proof for the production LLM backend.
+
+Runs under ``local-cluster[2,2,1024]`` — two REAL worker JVMs, each
+with its own Python worker pool — and verifies the per-process
+claims that ``local[32]`` (one JVM) can never exercise
+(llm/http_client.py: picklable clients, per-process token buckets;
+llm/client.py BudgetLLM: per-process call caps):
+
+1. both executor JVMs actually run tasks (two distinct Python
+   daemon trees);
+2. ``sem_filter`` driven through ``http_llm_factory`` against the
+   driver-hosted mock OpenAI server returns results IDENTICAL to
+   the StubLLM path, with the work spread over both JVMs;
+3. the endpoint receives requests from >=2 distinct worker
+   processes spanning BOTH JVMs (worker pid encoded in the model
+   name; the server records models seen);
+4. each worker process owns its own TokenBucket: after k local
+   calls a worker's bucket has ~capacity-k tokens — a (impossible)
+   globally-shared bucket would show capacity - total_calls;
+5. BudgetLLM counters are per-process copies with a hard local
+   stop: a driver-side instance pre-charged to cap-1 still allows
+   one call in EVERY worker (no global accounting), and a second
+   call trips LLMBudgetExceeded in every worker.
+
+Invoked by tests/test_multijvm_backend.py in a subprocess (the
+pytest session already owns a local[32] SparkSession; two masters
+cannot share one JVM).  Prints one JSON line with the observations;
+the test asserts on it.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+PROMPT_DOC = "this document discusses spark joins"
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    from semantic_olap_spark.llm import prompts as P
+    from semantic_olap_spark.llm.client import (
+        BudgetLLM,
+        LLMBudgetExceeded,
+        StubLLM,
+    )
+    from semantic_olap_spark.llm.http_client import http_llm_factory
+    from semantic_olap_spark.llm.mock_server import (
+        start_mock_openai_server,
+    )
+    from semantic_olap_spark.operators.semantic import sem_filter
+    from semantic_olap_spark.sources.loaders import load_table
+
+    srv = start_mock_openai_server()
+    base = srv.base_url
+
+    spark = (
+        SparkSession.builder.master("local-cluster[2,2,1024]")
+        .appName("multijvm-probe")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.pyspark.python", sys.executable)
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    out: dict = {}
+
+    # -- 1. two executor JVMs participate --------------------------------
+    def pids(it):
+        import os as _os
+
+        import pandas as pd
+
+        for _ in it:
+            pass
+        yield pd.DataFrame(
+            {"pid": [_os.getpid()], "ppid": [_os.getppid()]}
+        )
+
+    info = (
+        spark.range(0, 8, 1, 4)
+        .mapInPandas(pids, "pid long, ppid long")
+        .toPandas()
+    )
+    out["executor_trees"] = int(info["ppid"].nunique())
+
+    # -- 2. sem_filter over HTTP == stub, work on both JVMs --------------
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    docs = docs.repartition(4).cache()
+    docs.count()
+    http_ids = sorted(
+        r.doc_id
+        for r in sem_filter(
+            docs, ["text"], "rows about spark",
+            http_llm_factory(base, "mock-model", backoff_base=0.01),
+        ).select("doc_id").collect()
+    )
+    stub_ids = sorted(
+        r.doc_id
+        for r in sem_filter(docs, ["text"], "rows about spark")
+        .select("doc_id").collect()
+    )
+    out["http_equals_stub"] = http_ids == stub_ids
+    out["http_rows"] = len(http_ids)
+
+    # -- 3 + 4. per-process clients reach the endpoint; local buckets ----
+    prompt = P.filter_prompt("about spark", PROMPT_DOC)
+
+    def per_process_client(it):
+        import os as _os
+
+        import pandas as pd
+
+        from semantic_olap_spark.llm.http_client import HttpLLM, TokenBucket
+
+        bucket = TokenBucket(rate=0.001, capacity=50.0)
+        llm = HttpLLM(
+            base, f"pid-{_os.getpid()}",
+            rate_limiter=bucket, backoff_base=0.01,
+        )
+        answers = [llm.predict(prompt) for _ in range(5)]
+        for _ in it:
+            pass
+        yield pd.DataFrame(
+            {
+                "pid": [_os.getpid()],
+                "ppid": [_os.getppid()],
+                "tokens_left": [bucket._tokens],
+                "all_yes": [all(a == "Yes" for a in answers)],
+            }
+        )
+
+    probe = (
+        spark.range(0, 4, 1, 4)
+        .mapInPandas(
+            per_process_client,
+            "pid long, ppid long, tokens_left double, all_yes boolean",
+        )
+        .toPandas()
+    )
+    pid_models = {m for m in srv.state.models_seen if m.startswith("pid-")}
+    probe_jvms = {
+        int(p): int(pp) for p, pp in zip(probe["pid"], probe["ppid"])
+    }
+    seen_pids = {int(m[4:]) for m in pid_models}
+    out["distinct_worker_clients"] = len(pid_models)
+    out["client_jvms_spanned"] = len(
+        {probe_jvms[p] for p in seen_pids if p in probe_jvms}
+    )
+    out["all_answers_yes"] = bool(probe["all_yes"].all())
+    # 5 local calls from a 50-token local bucket: ~45 left per worker.
+    # A shared bucket would show 50 - (5 * n_workers) on someone.
+    out["bucket_is_local"] = bool(
+        ((probe["tokens_left"] > 44.0) & (probe["tokens_left"] <= 46.0))
+        .all()
+    )
+
+    # -- 5. BudgetLLM: per-process copies, hard local stop ---------------
+    shared = BudgetLLM(StubLLM(), max_calls=3)
+    shared.predict(prompt)
+    shared.predict(prompt)  # driver spends 2 of 3 before shipping
+
+    def budget_calls(n):
+        def fn(it):
+            import pandas as pd
+
+            ok, tripped = 0, False
+            try:
+                for _ in range(n):
+                    shared.predict(prompt)
+                    ok += 1
+            except LLMBudgetExceeded:
+                tripped = True
+            for _ in it:
+                pass
+            yield pd.DataFrame({"ok": [ok], "tripped": [tripped]})
+
+        return fn
+
+    one = (
+        spark.range(0, 4, 1, 4)
+        .mapInPandas(budget_calls(1), "ok long, tripped boolean")
+        .toPandas()
+    )
+    # each task's unpickled copy has 1 remaining call: all succeed even
+    # though 4 extra calls globally would exceed the cap of 3
+    out["budget_per_process_ok"] = bool(
+        (one["ok"] == 1).all() and not one["tripped"].any()
+    )
+    two = (
+        spark.range(0, 4, 1, 4)
+        .mapInPandas(budget_calls(2), "ok long, tripped boolean")
+        .toPandas()
+    )
+    out["budget_hard_stop"] = bool(
+        (two["ok"] == 1).all() and two["tripped"].all()
+    )
+
+    spark.stop()
+    srv.shutdown()
+    print("PROBE_RESULT " + json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
