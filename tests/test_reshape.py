@@ -176,3 +176,31 @@ def test_cube_avg_stays_single_pass(tables):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
     assert "Expand" in plan
+
+
+def test_cube_null_dim_values_survive_prereduce(spark):
+    # a genuine NULL dim value must stay distinct from a rolled-up
+    # level through the pre-reduce (gid disambiguates); duckdb mirror
+    # on the same literal rows
+    import duckdb
+
+    rows = [("a", None, 1.0), ("a", "x", 2.0), (None, "x", 4.0),
+            (None, None, 8.0), ("a", None, 16.0)]
+    df = spark.createDataFrame(rows, "d1 string, d2 string, v double")
+    out = cube_agg(df, ["d1", "d2"], ["v"])
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW t AS SELECT * FROM (VALUES "
+        "('a', NULL, 1.0), ('a', 'x', 2.0), (NULL, 'x', 4.0), "
+        "(NULL, NULL, 8.0), ('a', NULL, 16.0)) AS t(d1, d2, v)"
+    )
+    want = con.execute(
+        "SELECT d1, d2, GROUPING_ID(d1, d2) AS gid, SUM(v) AS sum_v "
+        "FROM t GROUP BY CUBE (d1, d2)"
+    ).fetchall()
+    key = lambda r: tuple(str(x) for x in r)  # noqa: E731
+    got = [
+        (r["d1"], r["d2"], r["gid"], r["sum_v"])
+        for r in (row.asDict() for row in out.collect())
+    ]
+    assert sorted(map(key, got)) == sorted(map(key, want))

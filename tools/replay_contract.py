@@ -127,12 +127,22 @@ def main():
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(p):
-            con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
-            )
+        if not os.path.exists(p):
+            continue
+        # driver testdata is single files; Spark-written dirs (e.g.
+        # the bench's replica-scaled sf1 copy) need a part-file glob
+        pat = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')"
+        )
+    # golden hashes are recorded at the driver's sf0.01 — comparing
+    # them against another sf dir would report meaningless drift
     golden = {}
-    if os.path.exists(GOLDEN_PATH) and not golden_write:
+    if (
+        os.path.exists(GOLDEN_PATH)
+        and not golden_write
+        and os.path.basename(sf_dir.rstrip("/")) == "sf0.01"
+    ):
         with open(GOLDEN_PATH) as fh:
             golden = json.load(fh)
 
