@@ -62,12 +62,20 @@ def read_documents_stream(
     """
     path = f"{sf_dir}/documents.parquet"
     raw_schema = spark.read.parquet(path).schema
-    return (
-        spark.readStream.schema(raw_schema)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
+    # single-file table → stream the parent dir with a glob; a
+    # Spark-written DIRECTORY table streams directly (a glob of the
+    # table name matches zero part files → silent empty stream) —
+    # same layout dispatch as read_events_stream (windows.py)
+    import os
+
+    reader = spark.readStream.schema(raw_schema).option(
+        "maxFilesPerTrigger", max_files_per_trigger
     )
+    if os.path.isdir(path):
+        return reader.parquet(path)
+    return reader.option(
+        "pathGlobFilter", "documents.parquet"
+    ).parquet(sf_dir)
 
 
 def sem_filter_stream(

@@ -201,16 +201,32 @@ def read_events_stream(
     if nanos_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(path).schema
-    # file streams take a DIRECTORY; pathGlobFilter narrows it to the
-    # events file so sibling tables' schemas don't collide
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+    # two on-disk layouts: the driver testdata is a single FILE per
+    # table (stream the parent dir narrowed by pathGlobFilter — file
+    # streams take a directory, and the glob keeps sibling tables'
+    # schemas from colliding), while Spark-written tables are a
+    # DIRECTORY of part files (stream it directly; a glob of the
+    # table name would match zero part files → a silent empty
+    # stream, the r6 sf1-replay failure mode)
+    import os
+
+    reader = spark.readStream.schema(raw_schema).option(
+        "maxFilesPerTrigger", max_files_per_trigger
     )
+    if os.path.isdir(path):
+        stream = reader.parquet(path)
+    else:
+        stream = reader.option(
+            "pathGlobFilter", "events.parquet"
+        ).parquet(sf_dir)
     for c in nanos_cols:
-        if c in stream.columns:
+        # LongType guard mirrors load_table: pyarrow also reports
+        # Spark-written INT96 timestamps as timestamp[ns], but Spark
+        # reads those as TimestampType — decoding applies only when
+        # the column actually surfaced as raw long nanos
+        if c in stream.columns and isinstance(
+            raw_schema[c].dataType, T.LongType
+        ):
             stream = stream.withColumn(
                 c, F.expr(f"timestamp_micros(`{c}` div 1000)")
             )
