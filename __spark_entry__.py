@@ -2932,11 +2932,12 @@ def oracle_sql() -> dict[str, str]:
                n_tok AS n_tokens,
                n_bpe AS n_tokens_bpe,
                {_lang_case()} AS lang_pred,
-               round(0.4 * (CASE WHEN n_tok > 0
-                                 THEN h_en / n_tok::DOUBLE ELSE 0 END)
+               floor((0.4 * (CASE WHEN n_tok > 0
+                                  THEN h_en / n_tok::DOUBLE ELSE 0 END)
                    + 0.3 * least(1.0, n_tok / 50.0)
                    + 0.3 * (CASE WHEN n_chars > 0
-                                 THEN n_alpha / n_chars ELSE 0 END), 4)
+                                 THEN n_alpha / n_chars ELSE 0 END))
+                     * 10000.0) / 10000.0
                    AS quality,
                {_NORM_MD5} AS fingerprint
         FROM t

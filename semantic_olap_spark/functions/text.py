@@ -110,21 +110,30 @@ def lang_id(col: Column) -> Column:
 
 
 def quality_score(col: Column) -> Column:
-    """Composite [0,1] quality heuristic, rounded to 4 decimals.
+    """Composite [0,1] quality heuristic, truncated to 4 decimals.
 
     0.4 · stopword-ratio (EN) + 0.3 · min(1, tokens/50) +
     0.3 · alpha-ratio.  Length-, punctuation- and stopword-based
     scoring — the classic cheap quality gate.
+
+    Truncation (``floor(x·10⁴)/10⁴``), not ``round``: both engines
+    compute the identical IEEE double, but their ROUND tie rules
+    differ at decimal half-boundaries (Spark rounds the shortest
+    decimal repr HALF_UP; DuckDB rounds the binary value), which the
+    r6 sf1 replay hit on real data ("0.3158" vs "0.3157").  floor of
+    the identical double is engine-stable at every value.
     """
     n_tok = token_count(col).cast("double")
     stop_ratio = F.when(n_tok > 0, _stop_hits(col, "en") / n_tok).otherwise(0.0)
     n_chars = F.length(col).cast("double")
     alpha = F.length(F.regexp_replace(col, "[^a-zA-Z]", "")).cast("double")
     alpha_ratio = F.when(n_chars > 0, alpha / n_chars).otherwise(0.0)
-    return F.round(
-        0.4 * stop_ratio + 0.3 * F.least(F.lit(1.0), n_tok / 50.0) + 0.3 * alpha_ratio,
-        4,
+    raw = (
+        0.4 * stop_ratio
+        + 0.3 * F.least(F.lit(1.0), n_tok / 50.0)
+        + 0.3 * alpha_ratio
     )
+    return F.floor(raw * F.lit(10000.0)) / F.lit(10000.0)
 
 
 def doc_fingerprint(col: Column) -> Column:
