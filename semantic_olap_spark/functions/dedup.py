@@ -244,6 +244,7 @@ def jaccard_pairs(
     broadcast: bool = True,
     allow_unblocked: bool = False,
     shingle_n: int | None = None,
+    strategy: str = "prefix",
 ) -> DataFrame:
     """Exact token-set Jaccard similar pairs, optionally blocked.
 
@@ -251,22 +252,38 @@ def jaccard_pairs(
     ``jaccard >= threshold``.  With ``shingle_n`` the comparison
     unit is word n-gram shingles (:func:`word_shingles`) instead of
     single tokens — order-sensitive n-gram Jaccard, the unit MinHash
-    approximates, so this doubles as its exact oracle.  Without
-    ``block_col`` this is an all-pairs self-join — O(n²), the
-    brute-force baseline; give a blocking key (or use
-    :func:`minhash_lsh_pairs`) at scale.
-    Because an accidental unblocked run on a large corpus is a
-    cluster-killer, the O(n²) mode must be requested explicitly
-    with ``allow_unblocked=True``.
+    approximates, so this doubles as its exact oracle.
 
-    ``broadcast=True`` broadcasts the right side and spreads the
-    left over ``2×defaultParallelism`` partitions: a blocked
-    self-join otherwise has only #blocks join keys, capping
-    parallelism at #blocks tasks (3× faster here).  Valid whenever
-    the token frame fits executor memory — which is the same regime
-    where an all-pairs baseline is sane at all; set ``False`` to
-    fall back to the shuffle join.
+    ``strategy`` picks the EXACT candidate-generation plan (both
+    produce identical output — the oracle is strategy-independent):
+
+    - ``"prefix"`` (default): prefix filtering — the public AllPairs
+      / PPJoin principle (Bayardo et al., WWW'07; Xiao et al.,
+      WWW'08).  Tokens get a global rarest-first canonical order;
+      a pair with Jaccard ≥ t MUST share a token inside each side's
+      first ``|s| − ⌈t·|s|⌉ + 1`` tokens of that order, so
+      candidates come from an inverted-index equi-join on prefix
+      tokens (plus a ``t·|a| ≤ |b| ≤ |a|/t`` length band), and only
+      candidates are verified.  The within-block pair count never
+      materializes — the r6 sf1 sweep measured the all-pairs form
+      unable to finish a 10k-docs-per-block corpus that this plan
+      handles with linear-sized shuffles.
+    - ``"allpairs"``: the brute-force theta-join baseline (kept for
+      benchmarking the prefix win and for tiny inputs where the
+      extra aggregations cost more than N² verification).
+
+    Either strategy without ``block_col`` must be opted into with
+    ``allow_unblocked=True``: even prefix filtering degenerates when
+    short documents put globally-hot tokens into prefixes, so an
+    accidental whole-corpus run stays an explicit decision (use
+    :func:`minhash_lsh_pairs` at scale).
+
+    ``broadcast=True`` (allpairs only) broadcasts the right side —
+    valid whenever the token frame fits executor memory, the same
+    regime where the N² baseline is sane at all.
     """
+    if strategy not in ("prefix", "allpairs"):
+        raise ValueError(f"unknown strategy {strategy!r}")
     if block_col is None and not allow_unblocked:
         raise ValueError(
             "jaccard_pairs without block_col is an O(n²) all-pairs "
@@ -289,6 +306,16 @@ def jaccard_pairs(
             ).alias("_toks"),
         )
     )
+    jac = F.round(_jaccard(F.col("_ta"), F.col("_tb")), round_to)
+    if strategy == "prefix":
+        pairs = _prefix_filter_candidates(
+            base, id_col, block_col, threshold
+        )
+        return (
+            pairs.withColumn("jaccard", jac)
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
     a = base.select(
         F.col(id_col).alias("id_a"),
         *([F.col(block_col).alias("_blk_a")] if block_col else []),
@@ -306,12 +333,96 @@ def jaccard_pairs(
         pairs = a.join(F.broadcast(b), cond)
     else:
         pairs = a.join(b, cond)
-    jac = F.round(_jaccard(F.col("_ta"), F.col("_tb")), round_to)
     return (
         pairs.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def _prefix_filter_candidates(
+    base: DataFrame, id_col: str, block_col: str | None, threshold: float
+) -> DataFrame:
+    """Prefix-filtered candidate pairs carrying both token arrays.
+
+    Input ``base``: ``(id, [block], _toks)`` with ``_toks`` a
+    distinct hashed-token array.  Returns ``(id_a, id_b, _ta, _tb)``
+    — a SUPERSET of all pairs with Jaccard ≥ ``threshold`` (no false
+    negatives; the caller verifies exactly).
+
+    Exactness: order every document's tokens by ascending global
+    document frequency (token value as the tie-break — any
+    consistent total order preserves correctness; rarest-first is
+    what makes candidates few).  If two sets r, s share no token in
+    their prefixes of length ``|r| − ⌈t·|r|⌉ + 1``, their overlap is
+    at most ``⌈t·|r|⌉ − 1 < t·|r| ≤ t·|r∪s| ≤ |r∩s|`` required for
+    Jaccard ≥ t — contradiction; so every qualifying pair shares a
+    prefix token and survives the equi-join.
+
+    Scale shape: one explode+groupBy for document frequencies, one
+    groupBy to re-sort each document, an equi-join on (prefix token
+    [, block]) with the ``t·|a| ≤ |b| ≤ |a|/t`` length band, a
+    distinct, and two hash joins to re-attach token arrays — every
+    shuffle is corpus- or candidate-sized, never pair-count-sized.
+    The token frame is persisted (memory-and-disk) because three
+    plan branches read it; lineage is kept, so executor loss
+    recomputes instead of failing.
+    """
+    from pyspark import StorageLevel
+
+    blk_eq = [block_col] if block_col else []
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    sized = base.withColumn("_sz", F.size("_toks")).filter(F.col("_sz") > 0)
+    tok = sized.select(
+        F.col(id_col), *[F.col(c) for c in blk_eq], F.col("_sz"),
+        F.explode("_toks").alias("_tok"),
+    )
+    freq = tok.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
+    ordered = (
+        tok.join(freq, "_tok")
+        .groupBy(F.col(id_col), *[F.col(c) for c in blk_eq], F.col("_sz"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_df"), F.col("_tok")))
+            ).alias("_os")
+        )
+    )
+    plen = (
+        F.col("_sz") - F.ceil(F.col("_sz") * F.lit(float(threshold))) + 1
+    ).cast("int")
+    prefix = F.slice(
+        F.transform(F.col("_os"), lambda s: s["_tok"]), F.lit(1), plen
+    )
+    pe = ordered.select(
+        F.col(id_col), *[F.col(c) for c in blk_eq], F.col("_sz"),
+        F.explode(prefix).alias("_ptok"),
+    )
+    a = pe.select(
+        F.col(id_col).alias("id_a"), *[F.col(c) for c in blk_eq],
+        F.col("_sz").alias("_sza"), F.col("_ptok"),
+    )
+    b = pe.select(
+        F.col(id_col).alias("id_b"), *[F.col(c) for c in blk_eq],
+        F.col("_sz").alias("_szb"), F.col("_ptok"),
+    )
+    t = float(threshold)
+    cands = (
+        a.join(b, ["_ptok", *blk_eq])
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("_szb") >= F.col("_sza") * F.lit(t))
+            & (F.col("_sza") >= F.col("_szb") * F.lit(t))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ta = base.select(
+        F.col(id_col).alias("id_a"), F.col("_toks").alias("_ta")
+    )
+    tb = base.select(
+        F.col(id_col).alias("id_b"), F.col("_toks").alias("_tb")
+    )
+    return cands.join(ta, "id_a").join(tb, "id_b")
 
 
 def word_shingles(col: Column, n: int = 3) -> Column:

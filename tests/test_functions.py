@@ -527,3 +527,49 @@ def test_bm25_ranking_semantics(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="at least one"):
         bm25_topk(df, "   ")
+
+
+def test_jaccard_prefix_strategy_equals_allpairs(spark):
+    # prefix filtering (rarest-first prefixes + length band + verify)
+    # must return EXACTLY the all-pairs result — including edge cases:
+    # empty text, singleton token sets, identical docs, shared-rare
+    # and shared-hot token structures
+    rows = [
+        (1, "a", "red apple pie with cinnamon"),
+        (2, "a", "red apple pie with cinnamon"),        # dup of 1
+        (3, "a", "red apple pie with nutmeg"),          # near-dup
+        (4, "a", "completely different text here"),
+        (5, "a", ""),                                   # empty
+        (6, "a", "red"),                                # singleton
+        (7, "b", "red apple pie with cinnamon"),        # other block
+        (8, "b", "red"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    for kw in (
+        dict(threshold=0.8, block_col="source"),
+        dict(threshold=0.5, block_col="source"),
+        dict(threshold=0.3, allow_unblocked=True),
+        dict(threshold=0.5, block_col="source", shingle_n=2),
+    ):
+        key = lambda d: sorted(  # noqa: E731
+            tuple(map(str, r)) for r in d.collect()
+        )
+        pf = key(jaccard_pairs(df, **kw))
+        ap = key(jaccard_pairs(df, strategy="allpairs", **kw))
+        assert pf == ap, (kw, pf, ap)
+    # the dup pair is found at threshold 1.0 too (prefix length 1)
+    got = {
+        (r.id_a, r.id_b)
+        for r in jaccard_pairs(
+            df, threshold=1.0, block_col="source"
+        ).collect()
+    }
+    assert (1, 2) in got
+
+
+def test_jaccard_unknown_strategy_rejected(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="strategy"):
+        jaccard_pairs(df, allow_unblocked=True, strategy="bogus")
