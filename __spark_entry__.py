@@ -785,6 +785,24 @@ def _q_leakage_safe_split(spark, sf_dir):
     ).select("doc_id", "split")
 
 
+def _q_leakage_safe_split_minhash(spark, sf_dir):
+    # the SCALE path of the leakage-safe split: near-dup pairs come
+    # from the banded MinHash-LSH candidate join (md5 exact mode so
+    # the whole chain reproduces in SQL) instead of the quadratic
+    # jaccard baseline — pairs → connected components → cluster-keyed
+    # hash split, the pipeline a 100 TB corpus actually runs
+    from semantic_olap_spark.functions.dedup import minhash_lsh_pairs
+    from semantic_olap_spark.functions.sampling import leakage_safe_split
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, shingle_n=3, threshold=0.5, exact_hash=True
+    )
+    return leakage_safe_split(
+        docs, pairs, {"train": 0.9, "test": 0.1}, "doc_id"
+    ).select("doc_id", "split")
+
+
 def _q_redact_pii(spark, sf_dir):
     # the synthetic corpus has no PII, so both sides append a
     # deterministic doc_id-derived email/URL/IP/phone to every row;
@@ -2724,6 +2742,9 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drill_down_topic": _q_drill_down_topic,
         "topk_dispatch_num": _q_topk_dispatch_num,
         "dimension_catalog": _q_dimension_catalog,
+        # r6 addition — registered LAST so the rotation keeps the
+        # pre-existing never-sampled names ahead of it
+        "leakage_safe_split_minhash": _q_leakage_safe_split_minhash,
     }
 
 
@@ -3667,6 +3688,70 @@ def oracle_sql() -> dict[str, str]:
         """,
         "leakage_safe_split": f"""
             WITH RECURSIVE {clusters_cte}
+            SELECT d.doc_id,
+                   {_split_case_sql({'train': 0.9, 'test': 0.1},
+                                    'coalesce(cl.cluster_id, d.doc_id)')}
+                       AS split
+            FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
+        """,
+        # leakage_safe_split_minhash: the SCALE-path variant — the
+        # md5 MinHash-LSH pair chain (same CTEs as the
+        # minhash_lsh_pairs oracle, threshold 0.5 / 3-gram shingles)
+        # feeds the SAME connected-components + cluster-keyed hash
+        # split as leakage_safe_split above
+        "leakage_safe_split_minhash": rf"""
+            WITH RECURSIVE t AS (
+              SELECT doc_id,
+                     str_split_regex(lower(trim(text)), '\s+') AS toks
+              FROM documents
+            ),
+            sh AS (
+              SELECT doc_id, list_distinct([
+                  array_to_string(toks[j + 1 : j + 3], ' ')
+                  for j in generate_series(0, greatest(len(toks) - 3, 0))
+              ]) AS shingles
+              FROM t
+            ),
+            hs AS (
+              SELECT doc_id, i, min(md5(i::VARCHAR || ':' || s)) AS h
+              FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)
+              CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i)
+              GROUP BY doc_id, i
+            ),
+            bands AS (
+              SELECT doc_id, i // 4 AS band,
+                     md5(string_agg(h, '|' ORDER BY i)) AS bh
+              FROM hs GROUP BY doc_id, i // 4
+            ),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.bh = b.bh
+               AND a.doc_id < b.doc_id
+            ),
+            p AS (
+              SELECT c.id_a, c.id_b
+              FROM cand c
+              JOIN sh x ON c.id_a = x.doc_id
+              JOIN sh y ON c.id_b = y.doc_id
+              WHERE round(len(list_intersect(x.shingles, y.shingles))::DOUBLE
+                          / len(list_distinct(
+                                list_concat(x.shingles, y.shingles))), 4)
+                    >= 0.5
+            ),
+            edges AS (
+              SELECT id_a AS u, id_b AS v FROM p
+              UNION ALL SELECT id_b, id_a FROM p
+            ),
+            cnodes AS (SELECT DISTINCT u FROM edges),
+            reach(u, r) AS (
+              SELECT u, u FROM cnodes
+              UNION
+              SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.v
+            ),
+            cl AS (
+              SELECT u AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY u
+            )
             SELECT d.doc_id,
                    {_split_case_sql({'train': 0.9, 'test': 0.1},
                                     'coalesce(cl.cluster_id, d.doc_id)')}

@@ -723,6 +723,16 @@ def main() -> None:
                 "Python UDFs) — run-to-run local[32] contention, "
                 "not a plan change."
             ),
+            "jaccard_pairs": (
+                "deliberate r6 algorithm change, not noise: the "
+                "default switched from the all-pairs theta-join to "
+                "prefix filtering (AllPairs/PPJoin). ~1.5-2x slower "
+                "at sf0.1 block sizes (the extra frequency/ordering "
+                "aggregations dominate small blocks) and >18x "
+                "faster at sf1 (83s vs all-pairs not finishing in "
+                "25+ min on ~10k-doc blocks); identical output, "
+                "strategy-equivalence pinned in tests."
+            ),
         },
         "queries": {n: timings[n] for n in HEADLINE},
         "stress": {
