@@ -264,7 +264,11 @@ def jaccard_pairs(
       first ``|s| − ⌈t·|s|⌉ + 1`` tokens of that order, so
       candidates come from an inverted-index equi-join on prefix
       tokens (plus a ``t·|a| ≤ |b| ≤ |a|/t`` length band), and only
-      candidates are verified.  The within-block pair count never
+      candidates are verified.  Because the output filter rounds
+      (``round(j, round_to) >= t``), candidate generation runs at
+      the relaxed ``t − 0.5·10^−round_to`` so rounding-boundary
+      pairs are never prefix false-negatives (strategy equivalence
+      is exact, pinned by tests).  The within-block pair count never
       materializes — the r6 sf1 sweep measured the all-pairs form
       unable to finish a 10k-docs-per-block corpus that this plan
       handles with linear-sized shuffles.
@@ -308,8 +312,20 @@ def jaccard_pairs(
     )
     jac = F.round(_jaccard(F.col("_ta"), F.col("_tb")), round_to)
     if strategy == "prefix":
+        # The emitted filter is round(jaccard, round_to) >= threshold,
+        # which admits RAW jaccard down to threshold - 0.5*10^-round_to
+        # (HALF_UP).  Candidate generation must therefore have recall at
+        # that relaxed threshold, not at `threshold` itself — otherwise
+        # boundary pairs the allpairs strategy and the SQL oracle emit
+        # (e.g. raw 0.75 rounding to 0.8 at round_to=1) are false
+        # negatives of the prefix length / length band.  The extra 1e-12
+        # absorbs float error in the relaxation itself; a smaller t only
+        # widens prefixes/bands, so it is always safe.
+        t_gen = max(
+            float(threshold) - 0.5 * 10.0 ** (-round_to) - 1e-12, 1e-9
+        )
         pairs = _prefix_filter_candidates(
-            base, id_col, block_col, threshold
+            base, id_col, block_col, t_gen
         )
         return (
             pairs.withColumn("jaccard", jac)

@@ -567,6 +567,31 @@ def test_jaccard_prefix_strategy_equals_allpairs(spark):
     assert (1, 2) in got
 
 
+def test_jaccard_prefix_rounding_boundary_pair(spark):
+    # A pair with RAW jaccard just below t that ROUNDS up to t must be
+    # emitted by BOTH strategies: the output filter is
+    # round(j, round_to) >= t, so candidate generation must have recall
+    # at the relaxed t - 0.5*10^-round_to.  Here jaccard = 3/4 = 0.75
+    # and round(0.75, 1) = 0.8 >= 0.8 — but at the unrelaxed t=0.8 the
+    # length band t*|b|=3.2 > |a|=3 would wrongly reject the candidate.
+    rows = [
+        (1, "wolf xylo yarn"),
+        (2, "wolf xylo yarn zeta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for strategy in ("prefix", "allpairs"):
+        got = jaccard_pairs(
+            df,
+            threshold=0.8,
+            round_to=1,
+            allow_unblocked=True,
+            strategy=strategy,
+        ).collect()
+        assert [(r.id_a, r.id_b, float(r.jaccard)) for r in got] == [
+            (1, 2, 0.8)
+        ], strategy
+
+
 def test_jaccard_unknown_strategy_rejected(spark):
     import pytest
 
