@@ -43,13 +43,17 @@ def _coverage_order(names: list[str]) -> list[str]:
        hash explicitly False, or a real error) — failures get no
        recency credit, so a claimed fix is always re-verified the
        very next round instead of hiding behind the rotation;
-    2. names never driver-sampled;
+    2. names never driver-sampled — including names whose only
+       record is ``no_oracle`` rows-only but which NOW have an
+       oracle entry: the rows-only record is no evidence for the
+       new hash check, so an upgraded query re-verifies immediately
+       instead of waiting a full rotation cycle;
     3. everything else, least-recently-sampled first.
 
     Insertion order breaks ties.  Deterministic within a round: the
     correctness files only change between rounds.  ``no_oracle``
     rows-only records count as pass — that is their strongest
-    possible check by construction.
+    possible check by construction (unless upgraded, above).
     """
     import glob
     import json
@@ -59,6 +63,7 @@ def _coverage_order(names: list[str]) -> list[str]:
     here = os.path.dirname(os.path.abspath(__file__))
     last_round: dict[str, int] = {}
     last_ok: dict[str, bool] = {}
+    rows_only_round: dict[str, int] = {}
     for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
         m = re.search(r"_r(\d+)\.json$", path)
         if not m:
@@ -84,7 +89,15 @@ def _coverage_order(names: list[str]) -> list[str]:
                     ok = False
                 if rec.get("err") not in (None, "no_oracle"):
                     ok = False
+                if rec.get("err") == "no_oracle":
+                    rows_only_round[q] = rnd
             last_ok[q] = ok
+    # upgraded queries: latest record is rows-only but an oracle now
+    # exists → the hash check has never run; clear the recency credit
+    oracled = set(oracle_sql())
+    for q, rnd in rows_only_round.items():
+        if last_round.get(q) == rnd and q in oracled:
+            last_round[q] = 0
     idx = {n: i for i, n in enumerate(names)}
     return sorted(
         names,
@@ -2130,18 +2143,26 @@ def _q_pagerank_suppliers(spark, sf_dir):
 
 
 def _q_bpe_tokenize_docs(spark, sf_dir):
-    # distributed BPE (functions/bpe.py): ONE corpus pass aggregates
-    # word counts (map-side combine, bounded top-vocab collect), the
-    # sequential merge loop runs on that bounded table driver-side,
-    # the encode is an Arrow-batched UDF with broadcast merge ranks.
-    # The iterative merge loop has no SQL oracle (rows-only);
-    # tests/test_bpe.py pins hand-computed merges, encode/decode
-    # roundtrip, and determinism under repartitioning.
-    from semantic_olap_spark.functions.bpe import bpe_token_count, learn_bpe
+    # distributed BPE encode (functions/bpe.py) under the PINNED
+    # tokenizer vocabulary — the production shape: the merge table is
+    # learned once (one map-side-combined word-count pass + a bounded
+    # driver merge loop; provenance pinned by tests/test_bpe.py) and
+    # then FROZEN, exactly like a model's shipped tokenizer.  The
+    # encode is an Arrow-batched UDF with broadcast merge ranks and a
+    # per-batch word cache.  Because the merge table is a constant,
+    # the row is a pure function of the input rows and gets a full
+    # hash-match oracle: merges embed as SQL literals, the greedy
+    # lowest-rank-first merge loop is a recursive CTE over distinct
+    # words (the lsh_topk literal-hyperplane trick).  Merge LEARNING
+    # stays pytest-pinned (hand-computed merges, roundtrip,
+    # repartition determinism, sf0.01 provenance re-learn).
+    from semantic_olap_spark.functions.bpe import (
+        PINNED_MERGES,
+        bpe_token_count,
+    )
 
     docs = _t(spark, sf_dir, "documents")
-    merges = learn_bpe(docs, "text", num_merges=100, max_vocab=20_000)
-    return bpe_token_count(docs, merges, "text").select(
+    return bpe_token_count(docs, PINNED_MERGES, "text").select(
         "doc_id", "bpe_n_tokens"
     )
 
@@ -2906,6 +2927,21 @@ def _lsh_bucket_sql(vec_expr: str, nbits: int = 4, seed: int = 42,
             f" THEN {1 << i} ELSE 0 END)"
         )
     return "(" + " + ".join(terms) + ")"
+
+
+def _bpe_merges_sql() -> str:
+    # functions/bpe.py PINNED_MERGES as a VALUES literal table
+    # (ml, mr, rank) — the frozen tokenizer vocabulary both sides
+    # encode with; provenance pinned by tests/test_bpe.py.
+    from semantic_olap_spark.functions.bpe import PINNED_MERGES
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    return ", ".join(
+        f"({q(left)}, {q(right)}, {i})"
+        for i, (left, right) in enumerate(PINNED_MERGES)
+    )
 
 
 def _uhash_sql(key_expr: str, seed: int = 42) -> str:
@@ -4730,6 +4766,63 @@ def oracle_sql() -> dict[str, str]:
         """,
         # approx_distinct_merge: intentionally no oracle — HLL binary
         # state is implementation-specific; see tests/test_sketches.py
+        # and the golden finalized-estimate + DuckDB error-band checks
+        # in tests/test_sketches.py::test_driver_row_golden_estimates.
+        # bpe_tokenize_docs: the PINNED_MERGES table embeds as
+        # literals; per distinct word, a recursive CTE replays the
+        # greedy lowest-rank-first merge loop EXACTLY as
+        # bpe.py::_encode_word does it — each iteration merges the
+        # leftmost occurrence of the lowest-rank adjacent pair
+        # (ORDER BY rank, i LIMIT 1), stopping when no pair is in the
+        # table; per-doc count = sum over words of final symbol count.
+        # The whitespace class [ \t\n\r\f\x0b] matches Python
+        # re.ASCII \s exactly (RE2's \s omits \x0b).
+        "bpe_tokenize_docs": f"""
+            WITH RECURSIVE
+            merges(ml, mr, rank) AS (VALUES {_bpe_merges_sql()}),
+            doc_words AS (
+              SELECT doc_id, w, count(*) AS cnt
+              FROM (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(lower(text),
+                              '[ \\t\\n\\r\\f\\x0b]+')) AS w
+                FROM documents
+              ) WHERE w <> ''
+              GROUP BY doc_id, w
+            ),
+            words AS (SELECT DISTINCT w FROM doc_words),
+            enc(w, it, syms) AS (
+              SELECT w, 0,
+                     list_append(regexp_extract_all(w, '.'), '</w>')
+              FROM words
+              UNION ALL
+              SELECT w, it + 1,
+                     syms[1:bi-1] || [syms[bi] || syms[bi+1]]
+                                  || syms[bi+2:]
+              FROM (
+                SELECT e.w, e.it, e.syms,
+                       (SELECT i
+                        FROM unnest(range(1, len(e.syms))) AS t(i)
+                        JOIN merges m
+                          ON m.ml = e.syms[i] AND m.mr = e.syms[i+1]
+                        ORDER BY m.rank ASC, i ASC LIMIT 1) AS bi
+                FROM enc e
+              ) WHERE bi IS NOT NULL
+            ),
+            final_enc AS (
+              SELECT w, len(syms) AS n_tok
+              FROM enc
+              QUALIFY row_number() OVER (
+                  PARTITION BY w ORDER BY it DESC) = 1
+            )
+            SELECT d.doc_id,
+                   COALESCE(SUM(dw.cnt * fe.n_tok), 0)::INTEGER
+                       AS bpe_n_tokens
+            FROM (SELECT DISTINCT doc_id FROM documents) d
+            LEFT JOIN doc_words dw ON dw.doc_id = d.doc_id
+            LEFT JOIN final_enc fe ON fe.w = dw.w
+            GROUP BY d.doc_id
+        """,
         "grouping_sets_qty": """
             SELECT l_returnflag, l_linestatus,
                    GROUPING_ID(l_returnflag, l_linestatus) AS gid,

@@ -28,10 +28,14 @@ Determinism: ties in pair frequency break lexicographically, so the
 learned merge list is a pure function of the aggregated counts —
 re-runs and resharded corpora learn the identical vocabulary.
 
-No SQL oracle can express the iterative merge loop; correctness
-evidence is the pytest contract suite (hand-computed merges on a
-known corpus, encode/decode roundtrip, determinism under
-repartitioning) — the same evidence class as MinHash/KMeans.
+No SQL oracle can express the iterative merge *learning* loop;
+its correctness evidence is the pytest contract suite
+(hand-computed merges on a known corpus, encode/decode roundtrip,
+determinism under repartitioning) plus the provenance test that
+re-learns ``PINNED_MERGES`` from the sf0.01 corpus.  The *encode*
+with a frozen merge table IS SQL-expressible (greedy
+lowest-rank-first merging as a recursive CTE), which is how the
+``bpe_tokenize_docs`` driver row gets a full hash-match oracle.
 """
 
 from __future__ import annotations
@@ -50,6 +54,45 @@ from pyspark.sql.types import ArrayType, IntegerType, StringType
 _WS = re.compile(r"\s+", re.ASCII)
 
 END = "</w>"  # end-of-word marker: lets merges distinguish suffixes
+
+# A pinned tokenizer vocabulary: the merge table ``learn_bpe`` learns
+# from /root/testdata/sf0.01/documents.parquet with
+# (num_merges=100, max_vocab=20_000) — regenerated and asserted
+# byte-identical by tests/test_bpe.py::test_pinned_merges_provenance.
+# Real pipelines tokenize with a *frozen* pretrained vocabulary (the
+# tokenizer ships with the model, it isn't relearned per query), so
+# the driver-contract row encodes with this constant; that also makes
+# the row a pure deterministic function of the input rows, which is
+# what lets the DuckDB oracle replicate it bit-for-bit (the merge
+# table embeds as SQL literals, the greedy lowest-rank-first encode
+# as a recursive CTE — the lsh_topk literal-hyperplane trick).
+PINNED_MERGES: list[tuple[str, str]] = [
+    ('e', 'r'), ('e', '</w>'), ('n', '</w>'), ('er', '</w>'),
+    ('o', 'w'), ('ow', '</w>'), ('o', 'r'), ('s', 't'),
+    ('h', '</w>'), ('a', 't'), ('l', 'u'), ('i', 'n'),
+    ('a', '</w>'), ('g', '</w>'), ('y', '</w>'), ('a', 'r'),
+    ('p', 'ar'), ('t', '</w>'), ('i', 'n</w>'), ('j', 'o'),
+    ('jo', 'in</w>'), ('a', 's'), ('as', 'h</w>'), ('h', 'ash</w>'),
+    ('r', 'ow</w>'), ('at', 'c'), ('atc', 'h</w>'), ('b', 'atch</w>'),
+    ('a', 'n</w>'), ('c', 'an</w>'), ('s', 'can</w>'), ('c', 'o'),
+    ('c', 'u'), ('co', 'lu'), ('colu', 'm'), ('colum', 'n</w>'),
+    ('cu', 'st'), ('cust', 'o'), ('custo', 'm'), ('custom', 'er</w>'),
+    ('f', 'i'), ('fi', 'l'), ('fil', 't'), ('filt', 'er</w>'),
+    ('a', 'l'), ('al', 'l'), ('all', '</w>'), ('m', 'all</w>'),
+    ('s', 'mall</w>'), ('er', 'g'), ('erg', 'e</w>'), ('l', 'ow</w>'),
+    ('m', 'erge</w>'), ('s', 'low</w>'), ('c', 't'), ('ct', 'or'),
+    ('ctor', '</w>'), ('d', 'er</w>'), ('e', 'ctor</w>'), ('or', 'der</w>'),
+    ('v', 'ector</w>'), ('in', 'e</w>'), ('l', 'ine</w>'), ('a', 'b'),
+    ('ab', 'l'), ('abl', 'e</w>'), ('at', 'a</w>'), ('d', 'ata</w>'),
+    ('t', 'able</w>'), ('p', '</w>'), ('u', 'p</w>'), ('a', 'g'),
+    ('ag', 'g</w>'), ('a', 'lu'), ('alu', 'e</w>'), ('v', 'alue</w>'),
+    ('e', 'y</w>'), ('k', 'ey</w>'), ('a', 'm'), ('am', '</w>'),
+    ('e', 'am</w>'), ('r', 'eam</w>'), ('st', 'ream</w>'), ('d', 'ow</w>'),
+    ('in', 'dow</w>'), ('w', 'indow</w>'), ('k', '</w>'), ('par', 'k</w>'),
+    ('s', 'park</w>'), ('g', 'r'), ('gr', 'o'), ('gro', 'up</w>'),
+    ('par', 't</w>'), ('b', 'i'), ('bi', 'g</w>'), ('or', 't</w>'),
+    ('s', 'ort</w>'), ('er', 'y</w>'), ('q', 'u'), ('qu', 'ery</w>'),
+]
 
 
 def word_counts(

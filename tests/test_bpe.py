@@ -1,7 +1,10 @@
 """BPE contracts: hand-computed merges, roundtrip, determinism.
 
-No SQL oracle can express the iterative merge loop; these contracts
-are the substitute evidence (rows-only class, like MinHash/KMeans).
+No SQL oracle can express the iterative merge LEARNING loop; these
+contracts are its evidence.  The encode under the frozen
+PINNED_MERGES table is SQL-expressible, so the bpe_tokenize_docs
+driver row carries a full recursive-CTE hash oracle; the provenance
+test here ties the frozen table back to the learner.
 """
 
 from __future__ import annotations
@@ -124,3 +127,18 @@ def test_empty_and_null_text(spark):
     df = spark.createDataFrame([("",), (None,)], ["text"])
     rows = bpe_encode(df, merges, "text").collect()
     assert [r["bpe_tokens"] for r in rows] == [[], []]
+
+
+def test_pinned_merges_provenance(spark):
+    # PINNED_MERGES is the frozen tokenizer the bpe_tokenize_docs
+    # driver row (and its recursive-CTE DuckDB oracle) encode with.
+    # Its documented provenance — learn_bpe on the sf0.01 documents
+    # corpus with (num_merges=100, max_vocab=20_000) — must stay
+    # byte-identical, or the constant and its docstring have drifted.
+    from tests.conftest import SF_T2
+
+    from semantic_olap_spark.functions.bpe import PINNED_MERGES
+
+    docs = spark.read.parquet(f"{SF_T2}/documents.parquet")
+    relearned = learn_bpe(docs, "text", num_merges=100, max_vocab=20_000)
+    assert relearned == PINNED_MERGES

@@ -84,9 +84,25 @@ def test_registry_rotation_fronts_failures_then_unsampled():
     names = list(_QUERIES)
     failed = {q for q, (_, ok) in last.items() if not ok and q in names}
     never = [n for n in names if n not in last]
-    front = set(names[: len(failed) + len(never)])
+    # upgraded: latest record was rows-only no_oracle but the query
+    # now carries an oracle — the hash check has never run, so the
+    # rotation must treat it like never-sampled (no recency credit)
+    upgraded = []
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"_r(\d+)\.json$", path).group(1))
+        for q, rec in json.load(open(path)).items():
+            if (
+                q in _ORACLES
+                and rec.get("err") == "no_oracle"
+                and last.get(q, (None,))[0] == rnd
+            ):
+                upgraded.append(q)
+    front = set(names[: len(failed) + len(never) + len(upgraded)])
     assert failed <= front, f"failed queries not fronted: {failed - front}"
     assert set(never) <= front
+    assert set(upgraded) <= front, (
+        f"oracle-upgraded queries not fronted: {set(upgraded) - front}"
+    )
     # failures strictly precede everything that last passed
     n_failed = len(failed)
     assert set(names[:n_failed]) == failed

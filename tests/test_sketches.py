@@ -131,3 +131,33 @@ def test_top_frequent_support_is_per_group(spark):
     got = {(r["g"], r["value"]) for r in out.collect()}
     assert ("small", "y") in got and ("small", "z") in got
     assert ("big", "a") in got
+
+
+def test_driver_row_golden_estimates(spark):
+    """Strongest feasible check for the approx_distinct_merge driver
+    row (its HLL binary state is not DuckDB-expressible, so the
+    driver records rows-only): the FINALIZED estimates are a
+    deterministic pure function of the input value set, so (1) pin
+    them exactly at the driver's sf0.01, and (2) assert each sits
+    inside 3x the lg_k=12 standard error (1.04/sqrt(4096) ~ 1.63%)
+    of the exact per-flag distinct count — the replay tool's golden
+    hash in tools/golden_hashes.json covers the same frame at the
+    pandas protocol.
+    """
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_T2
+
+    df = entrymod.queries()["approx_distinct_merge"](spark, SF_T2)
+    got = {r["l_returnflag"]: r["distinct_est"] for r in df.collect()}
+    assert got == {"A": 11170, "N": 11183, "R": 11215}
+
+    exact = dict(
+        duckdb.sql(
+            "SELECT l_returnflag, count(DISTINCT l_orderkey) "
+            f"FROM read_parquet('{SF_T2}/lineitem.parquet') GROUP BY 1"
+        ).fetchall()
+    )
+    for flag, est in got.items():
+        assert abs(est - exact[flag]) / exact[flag] <= 3 * 1.04 / 64.0
