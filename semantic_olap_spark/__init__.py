@@ -31,6 +31,10 @@ structure — SURVEY.md §7.0):
 
 __version__ = "0.2.0"
 
+from semantic_olap_spark.caching import (  # noqa: F401
+    cache_scope,
+    release_caches,
+)
 from semantic_olap_spark.engine import OlapEngine  # noqa: F401
 from semantic_olap_spark.session import get_spark  # noqa: F401
 from semantic_olap_spark.sql import (  # noqa: F401

@@ -1,0 +1,101 @@
+"""Tracked operator-internal caches + an explicit release hook.
+
+Several operators persist intermediate frames mid-plan because a
+frame feeds two consumers (funnel stage counts + the next stage's
+join; a size guard's count + the guarded scan; the staged executor's
+undecided set per stage; dedup candidate/token frames).  Those
+persists are correct under LRU eviction, but nothing ever released
+them (SCALE.md "Known trade-offs", r6 VERDICT watch item): a
+months-long session accumulates storage blocks until eviction
+pressure — silent cache-thrash, not failure.
+
+This module makes every such persist *tracked* and gives callers two
+release surfaces:
+
+- :func:`release_caches` — drop every tracked frame's storage now.
+  Safe at any time: ``unpersist`` never breaks correctness (a
+  still-referenced lazy plan recomputes), it only costs recompute if
+  called before the consumer materialized.
+- :func:`cache_scope` — a context manager releasing exactly the
+  frames tracked inside it, for the natural "run plan → materialize
+  → release" lifecycle::
+
+      with cache_scope():
+          out = PlanExecutor().execute(df, plan)
+          rows = out.collect()   # materialize INSIDE the scope
+      # operator-internal blocks from this plan are gone here
+
+Why not unpersist inside the operators themselves: they return LAZY
+frames — the persisted intermediates are still upstream of the
+returned plan, so releasing before the caller materializes would
+negate the persist (double execution, the exact thing it prevents).
+Only the caller knows when materialization happened; hence a hook,
+not an automatism.  Tracking holds strong references deliberately —
+a garbage-collected Python DataFrame does NOT drop its JVM storage,
+so a weak registry would leak exactly the blocks it exists to free.
+"""
+
+from __future__ import annotations
+
+import threading
+from contextlib import contextmanager
+
+from pyspark.sql import DataFrame
+from pyspark.storagelevel import StorageLevel
+
+__all__ = ["cache_scope", "release_caches", "tracked_persist"]
+
+_LOCK = threading.Lock()
+_TRACKED: list[DataFrame] = []
+
+
+def tracked_persist(
+    df: DataFrame, level: StorageLevel | None = None
+) -> DataFrame:
+    """``df.persist(level)`` + register for :func:`release_caches`."""
+    df = df.persist(level) if level is not None else df.persist()
+    with _LOCK:
+        _TRACKED.append(df)
+    return df
+
+
+def release_caches(blocking: bool = False) -> int:
+    """Unpersist every tracked frame; returns how many were released.
+
+    Correct-at-any-time: a consumer that still holds a released lazy
+    plan recomputes (slower, never wrong).  Exceptions from frames
+    whose SparkContext already stopped are swallowed — release is a
+    cleanup path, not a computation.
+    """
+    with _LOCK:
+        frames = list(_TRACKED)
+        _TRACKED.clear()
+    n = 0
+    for f in frames:
+        try:
+            f.unpersist(blocking)
+            n += 1
+        except Exception:  # noqa: BLE001 — best-effort cleanup
+            pass
+    return n
+
+
+@contextmanager
+def cache_scope(blocking: bool = False):
+    """Release exactly the frames tracked while the scope was open.
+
+    Frames tracked BEFORE entry are untouched (nesting-safe: an
+    inner scope never releases an outer scope's frames)."""
+    with _LOCK:
+        mark = len(_TRACKED)
+    try:
+        yield
+    finally:
+        with _LOCK:
+            tail = _TRACKED[mark:]
+            del _TRACKED[mark:]
+        for f in tail:
+            try:
+                f.unpersist(blocking)
+            except Exception:  # noqa: BLE001 — best-effort cleanup
+                pass

@@ -386,8 +386,12 @@ def _prefix_filter_candidates(
     """
     from pyspark import StorageLevel
 
+    from semantic_olap_spark.caching import tracked_persist
+
     blk_eq = [block_col] if block_col else []
-    base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    # tracked (r6 ADVICE leak): feeds the lazy pair plan twice, so it
+    # cannot unpersist here — release via caching.release_caches()
+    base = tracked_persist(base, StorageLevel.MEMORY_AND_DISK)
     sized = base.withColumn("_sz", F.size("_toks")).filter(F.col("_sz") > 0)
     tok = sized.select(
         F.col(id_col), *[F.col(c) for c in blk_eq], F.col("_sz"),
@@ -586,8 +590,10 @@ def minhash_lsh_pairs(
         df.select(F.col(id_col).alias("_id"), F.col(text_col))
         .repartition(nparts)
         .select("_id", shingle_set.alias("_sh"))
-        .persist()
     )
+    from semantic_olap_spark.caching import tracked_persist
+
+    docs = tracked_persist(docs)  # released via caching.release_caches()
     if exact_hash:
         sig = docs.withColumn(
             "_sig", _minhash_signature_md5(F.col("_sh"), num_hashes)
@@ -709,9 +715,11 @@ def dedup_against_minhash(
     of scope — compose with :func:`minhash_lsh_pairs` +
     :func:`dedup_keep_best` on the batch first.
     """
-    batch_idx = minhash_index(
+    from semantic_olap_spark.caching import tracked_persist
+
+    batch_idx = tracked_persist(minhash_index(
         df, text_col, id_col, shingle_n, num_hashes, bands, exact_hash
-    ).persist()
+    ))  # released via caching.release_caches()
     # candidate join carries only (id, band, key) — the shingle
     # arrays would otherwise ride the shuffle ``bands`` times each
     b = batch_idx.select(
@@ -882,8 +890,10 @@ def simhash_pairs(
         df.select(F.col(id_col).alias("_id"), F.col(text_col))
         .repartition(nparts)
         .select("_id", _simhash64(F.col(text_col)).alias("_sh"))
-        .persist()
     )
+    from semantic_olap_spark.caching import tracked_persist
+
+    hashed = tracked_persist(hashed)  # released via release_caches()
     chunk_arr = F.array(
         *[
             F.shiftrightunsigned(F.col("_sh"), c * width)

@@ -80,9 +80,17 @@ def llm_rerank(
     lineage, so losing an executor (or a dynamic-allocation
     scale-in) mid-query would fail the job; the cached slice just
     recomputes — the worst case is the producer running twice, the
-    failure case never.  Pass ``max_candidates=None`` when the input
-    is already provably bounded to skip both the cache and the
-    count.
+    failure case never.  Slice-identity caveat of that trade (r6
+    ADVICE): ``limit`` over an unordered producer is
+    non-deterministic, so IF cached blocks are evicted/lost and the
+    slice recomputes, the recomputed ``limit(n + 1)`` rows may
+    differ from the rows the guard counted — the guard's boundedness
+    verdict still holds (row COUNT is stable), but the scored set
+    can silently diverge from the counted set mid-query.  Order the
+    candidate input (or pass an already-deterministic producer) when
+    exact slice identity matters more than surviving executor loss.
+    Pass ``max_candidates=None`` when the input is already provably
+    bounded to skip both the cache and the count.
     """
     from semantic_olap_spark.llm import prompts as P
     from semantic_olap_spark.llm.client import default_llm_factory
@@ -92,8 +100,14 @@ def llm_rerank(
     if max_candidates is not None:
         from pyspark import StorageLevel
 
-        bounded = candidates.limit(max_candidates + 1).persist(
-            StorageLevel.MEMORY_AND_DISK
+        from semantic_olap_spark.caching import tracked_persist
+
+        # tracked (r6 ADVICE leak): the slice feeds the lazy scored
+        # result, so it cannot unpersist here — callers release after
+        # materializing via caching.release_caches()/cache_scope()
+        bounded = tracked_persist(
+            candidates.limit(max_candidates + 1),
+            StorageLevel.MEMORY_AND_DISK,
         )
         n = bounded.count()
         if n > max_candidates:

@@ -43,6 +43,90 @@ _STEPS = {
 
 _UNIT_SECONDS = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
 
+# NTZ epoch anchor for tz-free wall-clock arithmetic (see ts_micros)
+_EPOCH_NTZ = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+
+
+def naive_micros_sql(col_sql: str) -> str:
+    """SQL fragment: micros-since-epoch of an NTZ wall-clock, by pure
+    FIELD EXTRACTION — never by interpretation into an instant.
+
+    ``timestampdiff``/``unix_micros`` silently coerce NTZ operands
+    through the session TimestampType (verified on Spark 4.1: the
+    physical plan shows ``cast(ts as timestamp) ... Some(<session
+    tz>)``), which shifts spring-forward gap wall-clocks by an hour
+    under a DST-observing session zone.  ``unix_date``/``hour``/
+    ``minute``/``extract(SECOND)`` on NTZ read the stored wall-clock
+    fields directly, so this fragment is a pure function of the
+    value.  BIGINT casts keep ANSI multiplication out of int32;
+    extract(SECOND) is DECIMAL(8,6) so sub-second survives exactly.
+    """
+    c = col_sql
+    return (
+        f"(cast(unix_date(cast({c} as date)) as bigint) * 86400000000"
+        f" + cast(hour({c}) * 3600 + minute({c}) * 60 as bigint)"
+        f" * 1000000"
+        f" + cast(extract(SECOND FROM {c}) * 1000000 as bigint))"
+    )
+
+
+def ts_micros(df: DataFrame, ts_col: str):
+    """Microseconds-since-epoch of ``ts_col`` under the column's OWN
+    semantics — the engine-wide epoch key for range windows and gap
+    arithmetic.
+
+    - TIMESTAMP_NTZ (tz-naive, the parquet-source shape): *naive
+      wall-clock* micros via :func:`naive_micros_sql` field
+      extraction — a pure function of the stored value, invariant to
+      the session timezone, and safe across DST transitions (no
+      interpretation into instants ever happens, so the spring-
+      forward gap can't shift values and wall-clock deltas match the
+      naive-SQL oracle).  ``unix_micros(cast(ts))`` — and even
+      ``timestampdiff`` on NTZ operands — would instead interpret
+      the wall-clock in the session zone: under a non-UTC zone,
+      deltas across a transition come out ±1h vs the oracle, and
+      nonexistent gap wall-clocks get silently shifted (proven by
+      tests/test_dst_timestamps.py).
+    - TIMESTAMP (a real instant): absolute micros, unchanged.
+    - anything else (string/date): cast to timestamp first, as
+      before.
+    """
+    from pyspark.sql import types as T
+
+    if isinstance(df.schema[ts_col].dataType, T.TimestampNTZType):
+        return F.expr(naive_micros_sql(f"`{ts_col}`"))
+    return F.unix_micros(F.col(ts_col).cast("timestamp"))
+
+
+def _bucket_expr(df: DataFrame, ts_col: str, step: str):
+    """Truncate ``ts_col`` to ``step`` under the column's own
+    semantics: NTZ columns truncate on the naive wall-clock (pure
+    micros arithmetic — Spark's ``date_trunc`` would coerce NTZ to
+    the session TimestampType, reintroducing the DST sensitivity
+    ``ts_micros`` exists to avoid); instants keep ``date_trunc``.
+    """
+    from pyspark.sql import types as T
+
+    if not isinstance(df.schema[ts_col].dataType, T.TimestampNTZType):
+        return F.date_trunc(step, F.col(ts_col))
+    unit = {
+        "hour": 3_600_000_000,
+        "day": 86_400_000_000,
+        "week": 604_800_000_000,
+    }[step]
+    # week origin 1969-12-29 (a Monday, matching date_trunc's
+    # Monday-start weeks); hour/day align to the epoch itself.
+    # naive micros by field extraction (NOT timestampdiff — it
+    # coerces NTZ through the session zone, see naive_micros_sql);
+    # timestampadd on an NTZ anchor is pure wall-clock arithmetic,
+    # so the rebuild is tz-free too.
+    origin = -259_200_000_000 if step == "week" else 0
+    us = naive_micros_sql(f"`{ts_col}`")
+    return F.expr(
+        f"timestampadd(MICROSECOND, "
+        f"{us} - pmod({us} - {origin}, {unit}), {_EPOCH_NTZ})"
+    )
+
 
 def _parse_duration(spec: str, what: str) -> int:
     """'7 days' / '30 minutes' → seconds (shared by rolling_agg and
@@ -76,7 +160,7 @@ def resample(
     if step not in _STEPS:
         raise ValueError(f"step must be one of {sorted(_STEPS)}")
     keys = [group_by] if isinstance(group_by, str) else list(group_by or [])
-    bucket = F.date_trunc(step, F.col(ts_col))
+    bucket = _bucket_expr(df, ts_col, step)
     aggs = [F.count(F.lit(1)).alias("n_events")]
     if value_col is not None:
         if agg not in AGGS:
@@ -147,7 +231,7 @@ def rolling_agg(
     # window see values up to a second in its future
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.unix_micros(F.col(ts_col).cast("timestamp")))
+        .orderBy(ts_micros(df, ts_col))
         .rangeBetween(-span * 1_000_000, 0)
     )
     tag = window.replace(" ", "_")
@@ -203,7 +287,7 @@ def sessionize(
     # microsecond gap arithmetic: whole-second truncation would make
     # sub-second phase decide session boundaries (same fix class as
     # rolling_agg's range key)
-    ts_long = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    ts_long = ts_micros(df, ts_col)
     prev = F.lag(ts_long).over(w)
     new_sess = F.when(
         prev.isNull() | ((ts_long - prev) > gap_us), 1

@@ -245,13 +245,19 @@ def topk_per_group(
     lexicographically — a blanket double-cast would reject DATE at
     analysis time and silently NULL every string.
     """
-    from pyspark.sql.types import DateType, NumericType, TimestampType
+    from pyspark.sql.types import (
+        DateType,
+        NumericType,
+        TimestampNTZType,
+        TimestampType,
+    )
     from pyspark.sql.window import Window
 
     keys = [group_by] if isinstance(group_by, str) else list(group_by)
     dtype = df.schema[order_col].dataType
     extras: list = []
-    if isinstance(dtype, (NumericType, DateType, TimestampType)):
+    if isinstance(dtype, (NumericType, DateType, TimestampType,
+                          TimestampNTZType)):
         c = F.col(order_col)
     else:
         # numeric-on-demand for stringly-typed numbers (the engine-

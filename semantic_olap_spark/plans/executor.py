@@ -221,7 +221,12 @@ def run_filter(
             # re-runs the earlier UDF stages (re-paying recompute even
             # when the LLM cache absorbs the inference).  MEMORY_AND_
             # DISK so a large undecided set spills instead of OOMing.
-            undecided = undecided.persist()
+            # Tracked: the staged frames feed the LAZY result, so they
+            # cannot unpersist here — callers release after
+            # materializing via caching.release_caches()/cache_scope()
+            from semantic_olap_spark.caching import tracked_persist
+
+            undecided = tracked_persist(undecided)
         evaluated[oid] = colname
 
     final = compile_logic(tree, leaf_col)

@@ -41,11 +41,21 @@ __all__ = ["write_zordered", "zorder_key"]
 
 def _numeric(df: DataFrame, col: str) -> Column:
     """Column as double: dates/timestamps via epoch (try_cast from
-    DATE to DOUBLE is an analysis error), everything else through
-    the engine-wide numeric-on-demand cast."""
-    from pyspark.sql.types import DateType, TimestampType
+    DATE/NTZ to DOUBLE is an analysis error), everything else
+    through the engine-wide numeric-on-demand cast.  NTZ uses the
+    tz-free naive-micros extraction so the z-order layout itself is
+    session-timezone-invariant (same rule as timeseries.ts_micros;
+    the key only orders files, but a tz-dependent key would make the
+    written layout differ by writer session)."""
+    from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
 
     dtype = df.schema[col].dataType
+    if isinstance(dtype, TimestampNTZType):
+        from semantic_olap_spark.functions.timeseries import (
+            naive_micros_sql,
+        )
+
+        return F.expr(naive_micros_sql(f"`{col}`")).cast("double")
     if isinstance(dtype, (DateType, TimestampType)):
         return F.col(col).cast("timestamp").cast("long").cast("double")
     return F.col(col).try_cast("double")

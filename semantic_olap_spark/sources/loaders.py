@@ -78,35 +78,37 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # ANY session, not just ones built by our get_spark factory
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
+    # Timestamp normalization (r7 — supersedes r6's NTZ→TimestampType
+    # cast): tz-naive encodings normalize to TIMESTAMP_NTZ, never to
+    # the session TimestampType.  A naive wall-clock has no instant;
+    # interpreting it in the session zone is lossy exactly where it
+    # matters — across a DST transition of a non-UTC zone, the
+    # spring-forward gap wall-clocks (e.g. 2024-03-10 02:30 under
+    # America/Los_Angeles) shift by an hour and epoch deltas come out
+    # ±1h vs any naive-SQL engine (DuckDB, the driver oracle).  NTZ
+    # end-to-end makes every downstream consumer — ordering, range
+    # windows via ts_micros (functions/timeseries.py), as-of interval
+    # arithmetic, collection/stringification — a pure function of the
+    # stored wall-clock, invariant to the session timezone.  Proven
+    # by tests/test_dst_timestamps.py on a transition-spanning table.
     for c in nanos_cols:
         # the LongType check is load-bearing: pyarrow also reports
         # Spark-written INT96 timestamps as timestamp[ns], but Spark
-        # reads those as proper TimestampType — only a column that
-        # actually surfaced as raw long nanos needs decoding
+        # reads those as proper TimestampType (real instants — left
+        # alone) — only a column that actually surfaced as raw long
+        # nanos needs decoding.  `div` = integer division (epoch-
+        # nanos exceed double precision); timestampadd from an NTZ
+        # epoch anchor builds the NTZ wall-clock without ever
+        # consulting the session zone (timestamp_micros() would
+        # produce a session-rendered instant instead).
         if c in df.columns and isinstance(df.schema[c].dataType, T.LongType):
-            # `div` = integer division: epoch-nanos exceed double
-            # precision (2^53), so float division would corrupt them
-            df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
-    # normalize TIMESTAMP_NTZ (tz-naive parquet micros) to the session
-    # TimestampType so every downstream consumer (window aggs, as-of
-    # joins, the DuckDB oracle comparison) sees ONE timestamp type
-    # regardless of how the file encoded it.  Driver-hash
-    # compatibility statement (r6, after root-causing the r5 hash
-    # mismatches — which were DuckDB HUGEINT rendering, NOT
-    # timestamps): this cast keeps the NTZ *wall-clock* in any
-    # session timezone (cast interprets the wall-clock in the session
-    # zone; collection renders it back in the same zone), so
-    # collected/stringified values match the oracle's naive
-    # timestamps under any driver tz.  The one residual sensitivity
-    # is epoch arithmetic (unix_micros deltas) across a DST
-    # transition of a non-UTC session zone; the testdata spans
-    # 2024-01 only (no transition), and under the UTC pin of
-    # session.py the cast is fully value-preserving.
-    for f in df.schema.fields:
-        if isinstance(f.dataType, T.TimestampNTZType):
-            # df[name] resolves the exact column name (F.col would
-            # parse dots as struct access)
-            df = df.withColumn(f.name, df[f.name].cast("timestamp"))
+            df = df.withColumn(
+                c,
+                F.expr(
+                    f"timestampadd(MICROSECOND, `{c}` div 1000, "
+                    f"TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ),
+            )
     return df
 
 

@@ -30,6 +30,7 @@ from pyspark.sql.types import (
     LongType,
     StructField,
     StructType,
+    TimestampNTZType,
 )
 
 def _out_schema(key_type) -> StructType:
@@ -158,10 +159,25 @@ def streaming_anomalies(
     """
     if n_prev < 2 or min_prev < 2:
         raise ValueError("n_prev and min_prev must be >= 2")
+    # unix-seconds double for the state schema: NTZ inputs use naive
+    # wall-clock micros (session-tz invariant, DST-safe — same rule
+    # as functions/timeseries.py ts_micros); instants keep the
+    # absolute cast.  Both the batch delegate and the streaming state
+    # path read this one expression, so the twins stay bit-identical.
+    if isinstance(df.schema[ts_col].dataType, TimestampNTZType):
+        from semantic_olap_spark.functions.timeseries import (
+            naive_micros_sql,
+        )
+
+        ts_sec = (
+            F.expr(naive_micros_sql(f"`{ts_col}`")) / F.lit(1_000_000.0)
+        ).cast("double")
+    else:
+        ts_sec = F.col(ts_col).cast("timestamp").cast("double")
     renamed = df.select(
         F.col(user_col).alias("user_id"),
         F.col(id_col).cast("long").alias("event_id"),
-        F.col(ts_col).cast("timestamp").cast("double").alias("ts"),
+        ts_sec.alias("ts"),
         F.col(value_col).cast("double").alias("value"),
     )
     if not df.isStreaming:

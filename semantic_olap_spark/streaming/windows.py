@@ -230,9 +230,16 @@ def read_events_stream(
             stream = stream.withColumn(
                 c, F.expr(f"timestamp_micros(`{c}` div 1000)")
             )
-    # TIMESTAMP_NTZ (plain micros, tz-naive) → session TimestampType,
-    # mirroring load_table: watermarks/event-time require TIMESTAMP,
-    # and the session tz is pinned UTC so the cast preserves values
+    # TIMESTAMP_NTZ (plain micros, tz-naive) → session TimestampType.
+    # STREAMING-ONLY deviation from load_table (which keeps NTZ
+    # end-to-end since r7): Spark's event-time machinery hard-requires
+    # TIMESTAMP (withWatermark on NTZ fails analysis with
+    # EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE — verified on 4.1), so
+    # streams must interpret naive wall-clocks in the session zone.
+    # Under the engine's UTC session pin (session.py) the cast is
+    # value-preserving; a non-UTC session zone + a naive source that
+    # spans a DST transition is therefore only fully supported on the
+    # batch path (tests/test_dst_timestamps.py).
     for f in stream.schema.fields:
         if isinstance(f.dataType, T.TimestampNTZType):
             # exact-name resolution (dots in names) — see loaders.py

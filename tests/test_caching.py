@@ -1,0 +1,98 @@
+"""Tracked-cache lifecycle (r6 VERDICT watch item → r7 hook).
+
+Operator-internal persists (funnel stages, staged-executor undecided
+sets, rerank size-guard slices, dedup signature/token frames) feed
+LAZY results, so operators cannot unpersist them — before r7 they
+simply leaked until LRU eviction.  These tests pin the new contract:
+every such persist is tracked, and ``release_caches`` /
+``cache_scope`` return the session's storage-block count to baseline
+once the caller has materialized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from semantic_olap_spark.caching import (
+    cache_scope,
+    release_caches,
+    tracked_persist,
+)
+
+
+def _n_persisted(spark) -> int:
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
+def test_funnel_blocks_released_after_scope(spark, tables):
+    from semantic_olap_spark.functions.analytics import funnel
+
+    release_caches()
+    base = _n_persisted(spark)
+    for _ in range(3):
+        with cache_scope():
+            out = funnel(
+                tables["events"], ["view", "click", "purchase"]
+            )
+            assert out.count() == 3  # materialize INSIDE the scope
+            assert _n_persisted(spark) > base
+        assert _n_persisted(spark) == base
+
+
+def test_staged_executor_blocks_released(spark, tables):
+    # two LLM leaves force the staged path's tracked persist of the
+    # undecided frame (plans/executor.py)
+    from semantic_olap_spark.plans.executor import run_filter
+
+    release_caches()
+    base = _n_persisted(spark)
+    ops = [
+        {"id": 1, "operator_name": "sem_filter",
+         "parameters": {"columns": ["text"], "condition": "about spark"}},
+        {"id": 2, "operator_name": "sem_filter",
+         "parameters": {"columns": ["text"],
+                        "condition": "mentions join"}},
+    ]
+    for _ in range(2):
+        with cache_scope():
+            out = run_filter(tables["documents"], ops, ["AND", 1, 2])
+            out.count()
+        assert _n_persisted(spark) == base
+
+
+def test_release_caches_global(spark):
+    release_caches()
+    base = _n_persisted(spark)
+    df = tracked_persist(spark.range(100).withColumn("x", F.lit(1)))
+    df.count()
+    assert _n_persisted(spark) == base + 1
+    assert release_caches() == 1
+    assert _n_persisted(spark) == base
+
+
+def test_cache_scope_nesting_releases_only_inner(spark):
+    release_caches()
+    base = _n_persisted(spark)
+    outer = tracked_persist(spark.range(10))
+    outer.count()
+    with cache_scope():
+        inner = tracked_persist(spark.range(20))
+        inner.count()
+        assert _n_persisted(spark) == base + 2
+    # inner gone, outer (tracked BEFORE the scope) untouched
+    assert _n_persisted(spark) == base + 1
+    assert release_caches() == 1
+    assert _n_persisted(spark) == base
+
+
+def test_released_result_still_correct(spark, tables):
+    """Correct-at-any-time: releasing before materialization only
+    costs recompute — the result is identical."""
+    from semantic_olap_spark.functions.analytics import funnel
+
+    steps = ["view", "click", "purchase"]
+    expected = [tuple(r) for r in funnel(tables["events"], steps).collect()]
+    release_caches()
+    out = funnel(tables["events"], steps)
+    release_caches()  # drop storage BEFORE materializing
+    assert [tuple(r) for r in out.collect()] == expected

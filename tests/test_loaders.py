@@ -74,27 +74,30 @@ def test_with_olap_id_sparse_unique(spark):
 
 
 def test_events_timestamp_normalized(spark):
-    # regardless of the file's encoding (TIMESTAMP(NANOS) read as
-    # long, or plain micros TIMESTAMP_NTZ), load_table surfaces ONE
-    # session-timezone TimestampType so window aggs / as-of joins /
-    # oracle comparisons never see a mixed-type corpus
+    # r7 contract: tz-naive encodings (TIMESTAMP(NANOS) read as long,
+    # or plain micros TIMESTAMP_NTZ) surface as TIMESTAMP_NTZ — never
+    # interpreted into the session TimestampType, so every downstream
+    # consumer is a pure function of the stored wall-clock and
+    # results are invariant to the session timezone even across DST
+    # transitions (tests/test_dst_timestamps.py)
     ev = load_table(spark, "/root/testdata/sf0.001", "events")
-    assert isinstance(ev.schema["ts"].dataType, T.TimestampType)
+    assert isinstance(ev.schema["ts"].dataType, T.TimestampNTZType)
     assert ev.filter(F.col("ts").isNull()).count() == 0
 
 
-def test_load_table_spark_written_int96_roundtrip(spark, tmp_path):
-    # Spark writes TimestampType as INT96 by default, which pyarrow
-    # ALSO reports as timestamp[ns] — the nanos decode must not
-    # misfire on a column Spark already reads as a proper timestamp
-    # (regression: the sf1 scale corpus, Spark-written from loaded
-    # tables, crashed load_table with `l_shipdate div 1000` on a
-    # TIMESTAMP column)
+def test_load_table_spark_written_roundtrip(spark, tmp_path):
+    # Spark writes NTZ as naive parquet micros; a loaded-then-written
+    # table must round-trip to the same type AND wall-clock values.
+    # Also guards the nanos-decode misfire class: pyarrow reports
+    # several encodings as timestamp[ns] — decode must only apply to
+    # columns that actually surface as raw long nanos (regression:
+    # the sf1 scale corpus crashed load_table with
+    # `l_shipdate div 1000` on a TIMESTAMP column)
     ev = load_table(spark, "/root/testdata/sf0.001", "events")
     dst = str(tmp_path)
     ev.limit(100).write.mode("overwrite").parquet(f"{dst}/events.parquet")
     back = load_table(spark, dst, "events")
-    assert isinstance(back.schema["ts"].dataType, T.TimestampType)
+    assert isinstance(back.schema["ts"].dataType, T.TimestampNTZType)
     a = sorted(str(r["ts"]) for r in ev.limit(100).collect())
     b = sorted(str(r["ts"]) for r in back.collect())
     assert a == b

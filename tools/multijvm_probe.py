@@ -64,6 +64,14 @@ def main() -> None:
         .config("spark.sql.shuffle.partitions", "4")
         .config("spark.pyspark.python", sys.executable)
         .config("spark.ui.enabled", "false")
+        # wait for BOTH executors before scheduling: otherwise a
+        # late-registering second executor lets all 4 short probe
+        # tasks land on one JVM and the executor_trees==2 /
+        # client_jvms_spanned==2 assertions flake (r6 ADVICE)
+        .config("spark.scheduler.minRegisteredResourcesRatio", "1.0")
+        .config(
+            "spark.scheduler.maxRegisteredResourcesWaitingTime", "60s"
+        )
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
