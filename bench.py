@@ -8,7 +8,11 @@ similarity search — at the benchmark scale factor (default sf0.1:
 600k lineitem / 5k documents / 2k embeddings).
 
 Each query is forced with a noop-sink write (full distributed
-compute, no driver-side collect cost).
+compute, no driver-side collect cost) and timed as the MEDIAN of
+three executions (round 7; rounds 5-6 reported best-of-2), with the
+per-query sorted [min, med, max] recorded in BENCH_LOCAL.json's
+``timing_spread`` — a real regression shifts the whole band, noise
+only widens it.
 
 Output contract (round 5): the FULL per-query record — seconds,
 shuffle bytes, LLM backend calls, the tagged stress section, the
@@ -593,6 +597,7 @@ def main() -> None:
     )
 
     timings: dict[str, float] = {}
+    spreads: dict[str, list[float]] = {}
     shuffle_mb: dict[str, float] = {}
     llm_calls: dict[str, int] = {}
 
@@ -600,10 +605,13 @@ def main() -> None:
         # isolate rows: the pair-dedup queries persist intermediate
         # frames (signatures, staged undecided sets) that would
         # otherwise accumulate across rows and turn later timings
-        # into storage-eviction noise.  Each row reports the best of
-        # two executions: single-shot local[32] timings swing up to
-        # 4× under GC/checkpoint-block pressure from earlier rows,
-        # which would read as phantom per-query regressions.
+        # into storage-eviction noise.  Each row reports the MEDIAN
+        # of three executions (r6 VERDICT: best-of-2 left a ~1.1×/
+        # round headline creep and sub-second per-query swings
+        # indistinguishable from contention noise, twice consuming a
+        # diagnose cycle); min/max land in BENCH_LOCAL's
+        # timing_spread so a real regression shows as a shifted
+        # whole [min, max] band, not just a moved point.
         import inspect
 
         fn = qs[name]
@@ -611,14 +619,13 @@ def main() -> None:
             accepts_lf = "llm_factory" in inspect.signature(fn).parameters
         except (TypeError, ValueError):
             accepts_lf = False
-        best = float("inf")
         if accepts_lf:
             # LLM-call accounting (VERDICT r4 item 3): inference,
             # not seconds, is the scarce resource at 100 TB — a
             # prompt-shape regression that doubles backend calls
             # must show up in the bench record.  The tracked pass is
             # UNTIMED (r5 ADVICE: wrapping attempt 0 only made
-            # best-of-2 an asymmetric single-sample protocol) — both
+            # best-of-2 an asymmetric single-sample protocol) — all
             # timed attempts below run the identical untracked path.
             spark.catalog.clearCache()
             tracked, stats = wrap_cost_tracking(
@@ -626,23 +633,26 @@ def main() -> None:
             )
             _force(fn(spark, sf_dir, llm_factory=tracked))
             llm_calls[name] = stats.backend_calls
-        for attempt in range(2):
+        samples: list[float] = []
+        for attempt in range(3):
             spark.catalog.clearCache()
             before = _shuffle_totals(spark) if attempt == 0 else None
             t0 = time.perf_counter()
             _force(fn(spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
+            samples.append(time.perf_counter() - t0)
             if attempt == 0 and before is not None:
                 after = _shuffle_totals(spark)
                 if after is not None:
                     # shuffle write = data the query put on the
-                    # wire (first execution only: both runs
-                    # shuffle the same bytes — the plan, not the
+                    # wire (first execution only: every run
+                    # shuffles the same bytes — the plan, not the
                     # cache, decides)
                     shuffle_mb[name] = round(
                         (after[1] - before[1]) / 1e6, 2
                     )
-        timings[name] = round(best, 3)
+        samples.sort()
+        timings[name] = round(samples[1], 3)
+        spreads[name] = [round(s, 3) for s in samples]
 
     for name in HEADLINE:
         _run_row(name)
@@ -707,14 +717,22 @@ def main() -> None:
     # pre-pass, so _v2 values are not comparable to rounds 1-4's
     # bare headline_queries_total.
     full = {
-        "metric": "headline_queries_total_v2",
+        "metric": "headline_queries_total_v3",
         "value": total,
         "unit": "sec",
         "metric_note": (
-            "v2: stress rows excluded from value; llm-call tracking "
-            "runs as a separate untimed pass so both timed attempts "
-            "are identical. Not comparable to rounds<=4 values."
+            "v3 (r7): per-query value = MEDIAN of 3 executions; "
+            "timing_spread records each query's sorted [min, med, "
+            "max] so a real regression (whole band shifts) is "
+            "distinguishable from contention noise (band widens) in "
+            "the artifact itself. Medians sit above r5/r6's "
+            "best-of-2, so compare v2 rounds against the min sample "
+            "(timing_spread[0]), not value. v2: stress rows excluded "
+            "from value; llm-call tracking runs as a separate "
+            "untimed pass so all timed attempts are identical. Not "
+            "comparable to rounds<=4 values."
         ),
+        "timing_spread": spreads,
         "noise_notes": {
             "hash_embed": (
                 "r3 1.16s vs r5 1.74s at sf0.1 was profiled in r6: "
@@ -760,7 +778,7 @@ def main() -> None:
     # -- compact final stdout line (must fit the driver's 2000-char
     # tail capture) --------------------------------------------------
     compact = {
-        "metric": "headline_queries_total_v2",
+        "metric": "headline_queries_total_v3",
         "value": total,
         "unit": "sec",
         "sf": sf_val,
