@@ -77,15 +77,31 @@ def llm_relation_classifier(llm_factory=None):
 
 
 class GranularityView:
-    """(OLAP_ID → label) mapping at one granularity (OLAP_Memory.py:69-77)."""
+    """(OLAP_ID → label) mapping at one granularity (OLAP_Memory.py:69-77).
 
-    def __init__(self, name: str, df: DataFrame, description: str = "",
-                 plan: list | None = None):
+    ``loader`` (catalog mode) defers the frame to first access: a
+    thousands-of-nodes cube reopened from disk must not issue one
+    parquet read per granularity at open time."""
+
+    def __init__(self, name: str, df: DataFrame | None,
+                 description: str = "", plan: list | None = None,
+                 loader=None):
         self.name = name
-        self.df = df  # columns: OLAP_ID, <name>
+        self._df = df  # columns: OLAP_ID, <name>
+        self._loader = loader
         self.description = description
         self.plan = plan or []
         self.view: DataFrame | None = None  # memoized aggregate (set_view)
+
+    @property
+    def df(self) -> DataFrame:
+        if self._df is None and self._loader is not None:
+            self._df = self._loader()
+        return self._df
+
+    @df.setter
+    def df(self, value: DataFrame) -> None:
+        self._df = value
 
     def set_view(self, view: DataFrame) -> None:
         self.view = view
@@ -111,32 +127,62 @@ class ColViews:
 
 
 class CubeNode:
-    """A materialized filtered subset (Cube_node, OLAP_Memory.py:106-118)."""
+    """A materialized filtered subset (Cube_node, OLAP_Memory.py:106-118).
+
+    Catalog mode: with ``loader`` (and ``df=None``) the node is pure
+    metadata — query text, plan, topology — until ``.df`` is first
+    touched, at which point the loader (a disk scan) resolves it.
+    Opening a saved thousands-of-nodes lattice therefore costs one
+    manifest read, not one parquet-footer job per node; lattice
+    probes (``get_current_node`` classify calls) are metadata-only."""
 
     _ids = itertools.count()
 
-    def __init__(self, query: str, df: DataFrame, plan: list | None = None,
-                 cache: bool = True, persist_path: str | None = None):
+    def __init__(self, query: str, df: DataFrame | None,
+                 plan: list | None = None,
+                 cache: bool = True, persist_path: str | None = None,
+                 loader=None):
         self.id = next(CubeNode._ids)
         self.query = query
         self.plan = plan or []
         self.parents: list[int] = []
         self.children: list[int] = []
+        self._loader = loader
+        self.persist_path = persist_path
+        self.col_views: dict[str, ColViews] = {}
+        if df is None:
+            if loader is None:
+                raise ValueError("CubeNode needs df or loader")
+            self._df = None
+            return
         if OLAP_ID not in df.columns:
             # assigned once per node, carried thereafter
             # (OLAP_Memory.py:110-111; SURVEY.md §7.4 risk 3)
             df = df.withColumn(OLAP_ID, F.monotonically_increasing_id())
-        self.persist_path = persist_path
         if persist_path is not None:
             # disk-backed materialization: at 100 TB executor-memory
             # caching is eviction churn; a written table survives
             # session restarts and later nodes scan it with pushdown
             df.write.mode("overwrite").parquet(persist_path)
             df = df.sparkSession.read.parquet(persist_path)
-            self.df = df
+            self._df = df
         else:
-            self.df = df.cache() if cache else df
-        self.col_views: dict[str, ColViews] = {}
+            self._df = df.cache() if cache else df
+
+    @property
+    def df(self) -> DataFrame:
+        if self._df is None and self._loader is not None:
+            self._df = self._loader()
+        return self._df
+
+    @df.setter
+    def df(self, value: DataFrame) -> None:
+        self._df = value
+
+    @property
+    def is_loaded(self) -> bool:
+        """Catalog mode: whether the frame has been materialized."""
+        return self._df is not None
 
     def dimension(self, column: str) -> ColViews:
         if column not in self.col_views:
@@ -147,10 +193,16 @@ class CubeNode:
         return [c for c in self.df.columns if c != OLAP_ID]
 
     def release(self) -> None:
+        if self._df is None:
+            return  # catalog mode, never materialized — nothing held
         try:
-            self.df.unpersist()
+            self._df.unpersist()
         except Exception:
             pass
+        if self._loader is not None:
+            # loader-backed frame: drop the scan object too, so a
+            # released catalog node returns to pure metadata
+            self._df = None
 
 
 class CubeMemory:
@@ -205,15 +257,20 @@ class CubeMemory:
         if self._lru:
             recent = self._lru[-1]
             protected |= {recent} | self._ancestors(recent)
+        # peek _df directly: touching .df would force-load catalog
+        # nodes just to decide they hold no cache
         cached = [
             nid for nid in self._lru
-            if nid != self.root_id and self.nodes[nid].df.is_cached
+            if nid != self.root_id
+            and self.nodes[nid]._df is not None
+            and self.nodes[nid]._df.is_cached
         ]
         overflow = len(cached) - self.max_cached_nodes
         for nid in list(self._lru):
             if overflow <= 0:
                 break
-            if nid in protected or not self.nodes[nid].df.is_cached:
+            n = self.nodes[nid]
+            if nid in protected or n._df is None or not n._df.is_cached:
                 continue
             self.nodes[nid].release()
             overflow -= 1
@@ -467,6 +524,7 @@ def load_cube(
     path: str,
     classify: Callable[[str, str], Relation] | None = None,
     max_cached_nodes: int | None = None,
+    lazy: bool = False,
 ) -> CubeMemory:
     """Reopen a :func:`save_cube` directory as a live lattice.
 
@@ -477,6 +535,15 @@ def load_cube(
     (``delta-*.json`` from :func:`save_cube_incremental`) merge in
     transparently, and the returned memory can keep checkpointing
     incrementally into the same directory.
+
+    ``lazy=True`` is CATALOG MODE for thousands-of-nodes sessions
+    (r6 VERDICT #8): only the root frame and the manifest load at
+    open; every other node and granularity becomes metadata with a
+    deferred disk-scan loader resolved on first ``.df`` touch.  Open
+    cost is O(manifest), not one parquet-footer job per node, and
+    lattice probes (``get_current_node``'s classify calls, topology
+    walks) never materialize frames.  Pinned by
+    tests/test_cube_persistence.py::test_catalog_mode_scales.
     """
     manifest = _merged_manifest(path)
     by_old = {int(n["id"]): n for n in manifest["nodes"]}
@@ -493,17 +560,41 @@ def load_cube(
     mem.nodes[mem.root_id].query = by_old[root_old]["query"]
     id_map = {root_old: mem.root_id}
 
+    def _node_loader(old_id: int):
+        return lambda: spark.read.parquet(f"{path}/nodes/{old_id}")
+
     for old_id, spec in by_old.items():
         if old_id == root_old:
             continue
-        df = spark.read.parquet(f"{path}/nodes/{old_id}")
-        node = CubeNode(spec["query"], df, plan=spec["plan"], cache=False)
+        if lazy:
+            node = CubeNode(
+                spec["query"], None, plan=spec["plan"],
+                loader=_node_loader(old_id),
+            )
+        else:
+            df = spark.read.parquet(f"{path}/nodes/{old_id}")
+            node = CubeNode(spec["query"], df, plan=spec["plan"],
+                            cache=False)
         mem.nodes[node.id] = node
         id_map[old_id] = node.id
+
+    def _gran_loader(old_id: int, column: str, name: str):
+        return lambda: spark.read.parquet(
+            f"{path}/grans/{old_id}/{column}/{name}"
+        )
+
     for old_id, spec in by_old.items():
         for p in spec["parents"]:
             mem.add_edge(id_map[int(p)], id_map[old_id])
         for g in spec["granularities"]:
+            if lazy:
+                gv = GranularityView(
+                    g["name"], None, g.get("description", ""),
+                    g.get("plan"),
+                    loader=_gran_loader(old_id, g["column"], g["name"]),
+                )
+                mem.nodes[id_map[old_id]].dimension(g["column"]).add(gv)
+                continue
             gdf = spark.read.parquet(
                 f"{path}/grans/{old_id}/{g['column']}/{g['name']}"
             )

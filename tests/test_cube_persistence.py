@@ -184,3 +184,79 @@ def test_incremental_after_load_same_directory(tables, spark, tmp_path):
     assert hit is not None
     assert hit.df.count() == big.count()
     assert hit.parents == [mem3.root_id]
+
+
+def test_lazy_load_defers_frames(tables, spark, tmp_path):
+    # catalog mode: only the root materializes at open; node frames
+    # and granularity maps resolve on first .df touch and release()
+    # returns a catalog node to pure metadata
+    mem, n1 = _build(tables)
+    d = str(tmp_path / "cube_lazy")
+    save_cube(mem, d)
+
+    mem2 = load_cube(spark, d, lazy=True)
+    root2 = mem2.nodes[mem2.root_id]
+    others = [n for n in mem2.nodes.values() if n.id != mem2.root_id]
+    assert root2.is_loaded
+    assert all(not n.is_loaded for n in others)
+
+    node = others[0]
+    want = n1.df.count()
+    assert node.df.count() == want  # first touch loads
+    assert node.is_loaded
+    g = mem2.find_granularity(node.id, "lang", "lang_family")
+    assert g is not None and g.df.count() == want
+
+    node.release()
+    assert not node.is_loaded
+    assert node.df.count() == want  # reloads transparently
+
+
+def test_catalog_mode_scales(tables, spark, tmp_path):
+    """Registry-operations scale test (r6 VERDICT #8): a
+    2000-node manifest opens as metadata — no per-node parquet job —
+    and lattice probes (get_current_node over every node) run
+    without materializing a single frame.  The node dirs are
+    symlinks to one real frame, so the test costs one write."""
+    import json
+    import os
+    import time
+
+    mem, _ = _build(tables)
+    d = str(tmp_path / "cube_big")
+    save_cube(mem, d)
+
+    manifest = json.load(open(f"{d}/cube.json"))
+    base = next(
+        n for n in manifest["nodes"]
+        if int(n["id"]) != int(manifest["root_id"])
+    )
+    real_dir = f"{d}/nodes/{base['id']}"
+    n_extra = 2000
+    next_id = max(int(n["id"]) for n in manifest["nodes"]) + 1
+    for i in range(n_extra):
+        nid = next_id + i
+        os.symlink(real_dir, f"{d}/nodes/{nid}")
+        manifest["nodes"].append(
+            {"id": nid, "query": f"synthetic filter #{i}",
+             "plan": [], "parents": [int(manifest["root_id"])],
+             "granularities": []}
+        )
+    json.dump(manifest, open(f"{d}/cube.json", "w"))
+
+    t0 = time.perf_counter()
+    mem2 = load_cube(spark, d, lazy=True)
+    open_sec = time.perf_counter() - t0
+    assert len(mem2.nodes) == n_extra + 2
+
+    # classify stub that never touches frames — probe the whole
+    # lattice; nothing may materialize
+    mem2.classify = lambda q, nq: "Equal" if q == nq else "Unrelated"
+    hit, _ = mem2.get_current_node("synthetic filter #1777")
+    assert hit is not None and not any(
+        n.is_loaded for n in mem2.nodes.values()
+        if n.id != mem2.root_id
+    )
+    # the structural guarantee is the assertion above (zero loads);
+    # the wall-clock bound is a generous sanity ceiling, not a bench
+    assert open_sec < 10.0
