@@ -330,21 +330,32 @@ def streaming_funnel(
     n_steps = len(steps)
     idx = {name: i for i, name in enumerate(steps)}
 
-    # epoch-of-WALL-CLOCK seconds, session-timezone-proof: a bare
-    # cast(ts as double) shifts with spark.sql.session.timeZone
-    # (the r6 tz replay sweep caught exactly this row), while
-    # from_utc_timestamp(ts, current_timezone()) recovers the wall
-    # clock's UTC epoch under any session zone — matching DuckDB's
-    # epoch(ts) on the same naive data.  (Residual caveat shared by
-    # all epoch arithmetic: offsets vary across a DST transition of
-    # a non-UTC zone; chaining comparisons within one zone are
-    # otherwise shift-invariant.)
-    renamed = df.filter(F.col(type_col).isin(*steps)).select(
-        F.col(user_col).alias("user_id"),
-        F.expr(
+    # epoch-of-WALL-CLOCK seconds, session-timezone-proof.  NTZ input
+    # (the loader shape since r7): pure field extraction via
+    # naive_micros_sql — the r6-era
+    # from_utc_timestamp(cast(ts), current_timezone()) construction
+    # recovered wall-clock epochs under any CONSTANT offset but still
+    # shifted spring-forward gap wall-clocks by an hour, because the
+    # inner cast interprets the naive value in the session zone
+    # before the offset is undone (caught by the r7 DST sweep,
+    # tests/test_dst_timestamps.py::funnel_stages).  Instant input
+    # keeps the from_utc construction (its documented purpose).
+    if isinstance(df.schema[ts_col].dataType, TimestampNTZType):
+        from semantic_olap_spark.functions.timeseries import (
+            naive_micros_sql,
+        )
+
+        ts_expr = (
+            F.expr(naive_micros_sql(f"`{ts_col}`")) / F.lit(1_000_000.0)
+        ).cast("double")
+    else:
+        ts_expr = F.expr(
             f"cast(from_utc_timestamp(cast(`{ts_col}` as timestamp), "
             f"current_timezone()) as double)"
-        ).alias("_ts"),
+        )
+    renamed = df.filter(F.col(type_col).isin(*steps)).select(
+        F.col(user_col).alias("user_id"),
+        ts_expr.alias("_ts"),
         F.col(type_col).alias("_et"),
     )
 

@@ -38,7 +38,8 @@ import pytest
 import __spark_entry__ as entrymod
 
 # every oracle-backed driver query whose inputs are ONLY the events
-# table — the complete ts-emitting surface over the synthetic data
+# table — the complete batch ts-emitting surface over the synthetic
+# data (enumerated by scanning _q_* bodies for `_t(..., "events")`)
 EVENT_QUERIES = [
     "sessionize_events",
     "resample_daily_events",
@@ -48,6 +49,16 @@ EVENT_QUERIES = [
     "asof_join_events",
     "funnel_events",
     "cohort_retention",
+    "filter_pattern",
+    "running_user_stats",
+    "range_join_events",
+    "temporal_join_events",
+    "events_props_agg",
+    "funnel_stages",
+    "windowed_agg",
+    "session_agg",
+    "roll_up_events",
+    "dimension_catalog",
 ]
 
 LA = "America/Los_Angeles"
@@ -82,10 +93,16 @@ def dst_dir(tmp_path_factory):
                 ts = b + pd.Timedelta(
                     minutes=int(rng.integers(0, 10)) + 7 * k
                 )
+                # quarters: binary-exact doubles, so windowed SUM +
+                # round(2) cannot hit the cross-engine half-tie class
+                # (that class is pinned elsewhere — quality_score,
+                # SCALE.md r6 item 3); this module isolates TIMESTAMP
+                # semantics
                 rows.append(
                     (eid, ts, u,
                      types[int(rng.integers(0, len(types)))],
-                     float(np.round(rng.normal(10, 3), 3)), "{}")
+                     float(int(rng.integers(0, 80)) / 4.0),
+                     '{"k": %d}' % int(rng.integers(0, 100)))
                 )
                 eid += 1
     pdf = pd.DataFrame(
