@@ -5,8 +5,14 @@ sets, rerank size-guard slices, dedup signature/token frames) feed
 LAZY results, so operators cannot unpersist them — before r7 they
 simply leaked until LRU eviction.  These tests pin the new contract:
 every such persist is tracked, and ``release_caches`` /
-``cache_scope`` return the session's storage-block count to baseline
-once the caller has materialized.
+``cache_scope`` leave no NEW storage blocks behind once the caller
+has materialized.
+
+The assertions compare persistent-RDD *id sets*, not counts: under
+the full suite Spark's ContextCleaner asynchronously unpersists RDDs
+whose Python references other tests dropped, so a global count can
+shrink between a baseline read and the assertion (observed flake).
+Ids created after the baseline are immune to that.
 """
 
 from __future__ import annotations
@@ -20,23 +26,28 @@ from semantic_olap_spark.caching import (
 )
 
 
-def _n_persisted(spark) -> int:
-    return spark.sparkContext._jsc.getPersistentRDDs().size()
+def _persisted_ids(spark) -> set[int]:
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(k) for k in jmap.keySet().toArray()}
+
+
+def _new_ids(spark, base: set[int]) -> set[int]:
+    return _persisted_ids(spark) - base
 
 
 def test_funnel_blocks_released_after_scope(spark, tables):
     from semantic_olap_spark.functions.analytics import funnel
 
     release_caches()
-    base = _n_persisted(spark)
+    base = _persisted_ids(spark)
     for _ in range(3):
         with cache_scope():
             out = funnel(
                 tables["events"], ["view", "click", "purchase"]
             )
             assert out.count() == 3  # materialize INSIDE the scope
-            assert _n_persisted(spark) > base
-        assert _n_persisted(spark) == base
+            assert _new_ids(spark, base)
+        assert not _new_ids(spark, base)
 
 
 def test_staged_executor_blocks_released(spark, tables):
@@ -45,7 +56,7 @@ def test_staged_executor_blocks_released(spark, tables):
     from semantic_olap_spark.plans.executor import run_filter
 
     release_caches()
-    base = _n_persisted(spark)
+    base = _persisted_ids(spark)
     ops = [
         {"id": 1, "operator_name": "sem_filter",
          "parameters": {"columns": ["text"], "condition": "about spark"}},
@@ -57,32 +68,32 @@ def test_staged_executor_blocks_released(spark, tables):
         with cache_scope():
             out = run_filter(tables["documents"], ops, ["AND", 1, 2])
             out.count()
-        assert _n_persisted(spark) == base
+        assert not _new_ids(spark, base)
 
 
 def test_release_caches_global(spark):
     release_caches()
-    base = _n_persisted(spark)
+    base = _persisted_ids(spark)
     df = tracked_persist(spark.range(100).withColumn("x", F.lit(1)))
     df.count()
-    assert _n_persisted(spark) == base + 1
+    assert len(_new_ids(spark, base)) == 1
     assert release_caches() == 1
-    assert _n_persisted(spark) == base
+    assert not _new_ids(spark, base)
 
 
 def test_cache_scope_nesting_releases_only_inner(spark):
     release_caches()
-    base = _n_persisted(spark)
+    base = _persisted_ids(spark)
     outer = tracked_persist(spark.range(10))
     outer.count()
     with cache_scope():
         inner = tracked_persist(spark.range(20))
         inner.count()
-        assert _n_persisted(spark) == base + 2
+        assert len(_new_ids(spark, base)) == 2
     # inner gone, outer (tracked BEFORE the scope) untouched
-    assert _n_persisted(spark) == base + 1
+    assert len(_new_ids(spark, base)) == 1
     assert release_caches() == 1
-    assert _n_persisted(spark) == base
+    assert not _new_ids(spark, base)
 
 
 def test_released_result_still_correct(spark, tables):
