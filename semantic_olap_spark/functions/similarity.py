@@ -278,6 +278,8 @@ def cosine_pairs(
     round_to: int = 6,
     broadcast: bool = True,
     allow_unblocked: bool = False,
+    strategy: str = "matmul",
+    max_broadcast_mb: int = 256,
 ) -> DataFrame:
     """Pairs with cosine ≥ threshold — embedding near-dup detection.
 
@@ -289,15 +291,51 @@ def cosine_pairs(
     ``allow_unblocked=True`` — an accidental all-pairs join over a
     full embedding corpus is a cluster-killer.
 
-    ``broadcast=True``: broadcast-right + repartitioned-left join —
-    a blocked self-join otherwise caps parallelism at #blocks tasks
-    (see :func:`~semantic_olap_spark.functions.dedup.jaccard_pairs`).
+    Two physical strategies, identical output (equivalence pinned in
+    ``tests/test_similarity.py``):
+
+    - ``"matmul"`` (default) — Arrow-batched BLAS block nested-loop:
+      the corpus (ids + normalized float64 matrix) is collected and
+      broadcast once — the SAME data movement as the expr path's
+      broadcast-hash side — and each left partition computes chunked
+      ``L @ R.T`` in numpy, emitting only candidate pairs above a
+      conservative raw-score margin.  The exact round/threshold step
+      stays in Spark (``F.round`` is decimal-exact HALF_UP via
+      BigDecimal of the shortest-repr double; ``np.round`` is
+      scaled-rint half-even — they disagree on values like 2.675, so
+      numpy only PRE-filters with a half-ulp-of-round_to slack and
+      Catalyst makes the final call, keeping the boundary arithmetic
+      bit-identical to the expr path).  ~50-100× less per-pair cost
+      than interpreted ``zip_with``/``aggregate`` lambdas.
+    - ``"expr"`` — pure-Catalyst broadcast NLJ with per-pair
+      higher-order-function dot products.  The oracle-twin reference
+      path; also the fallback wherever Arrow/pandas is unavailable.
+
+    Both strategies broadcast the full right side, so both share the
+    same scale bound: the corpus matrix must fit per-executor
+    (``max_broadcast_mb`` guard on the matmul path).  Beyond that,
+    block on an LSH/IVF column and bound block sizes — at 100 TB the
+    blocked form's broadcast side is the per-block slice dictionary,
+    still corpus-sized here but partition-prunable once the index is
+    persisted via :func:`write_ann_index`.
+
+    ``broadcast=True`` (expr path): broadcast-right + repartitioned-
+    left join — a blocked self-join otherwise caps parallelism at
+    #blocks tasks (see
+    :func:`~semantic_olap_spark.functions.dedup.jaccard_pairs`).
     """
     if block_col is None and not allow_unblocked:
         raise ValueError(
             "cosine_pairs without block_col is an O(n²) all-pairs "
             "self-join; block on an lsh_assign/ivf_assign column at "
             "scale, or opt in with allow_unblocked=True"
+        )
+    if strategy not in ("matmul", "expr"):
+        raise ValueError(f"unknown cosine_pairs strategy {strategy!r}")
+    if strategy == "matmul":
+        return _cosine_pairs_matmul(
+            df, threshold, id_col, vec_col, block_col, round_to,
+            max_broadcast_mb,
         )
     a = _as_double(vec_col)
     # materialize the norm once per row: embedding the O(d) norm
@@ -343,6 +381,158 @@ def cosine_pairs(
         left.join(right, cond)
         .withColumn("cosine", cos)
         .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def _cosine_pairs_matmul(
+    df: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    block_col: str | None,
+    round_to: int,
+    max_broadcast_mb: int,
+) -> DataFrame:
+    """BLAS block nested-loop behind :func:`cosine_pairs`.
+
+    Left side stays distributed (mapInPandas over the input's
+    partitions); the right side is one driver collect + broadcast of
+    ``(ids, blocks, normalized matrix)`` — the same movement a
+    broadcast-hash join performs.  Per Arrow batch, left rows are
+    normalized and matmul'd against the broadcast matrix in chunks
+    sized to ~4M score cells so peak memory is flat regardless of
+    corpus size.  Blocked mode slices the broadcast matrix per block
+    (dict of contiguous ranges after a block argsort) so cross-block
+    pairs cost nothing, mirroring the expr path's join condition.
+
+    Emits RAW float64 scores filtered at ``threshold - 10^-round_to``
+    (superset of every pair whose HALF_UP-rounded score can reach the
+    threshold); the decimal-exact round + final filter happen in
+    Catalyst so boundary behavior is bit-identical to the expr path.
+    """
+    spark = df.sparkSession
+    id_field = df.schema[id_col]
+    sel = [F.col(id_col), _as_double(vec_col).alias("_v")]
+    if block_col:
+        sel.insert(1, F.col(block_col))
+    base = df.select(*sel).filter(F.col("_v").isNotNull())
+
+    right_pdf = base.toPandas()
+    n = len(right_pdf)
+    out_schema = (
+        f"id_a {id_field.dataType.simpleString()}, "
+        f"id_b {id_field.dataType.simpleString()}, _raw double"
+    )
+    empty = spark.createDataFrame([], out_schema)
+    if n == 0:
+        return empty.select(
+            "id_a", "id_b", F.col("_raw").alias("cosine")
+        )
+    mat = np.array(
+        [np.asarray(v, dtype=np.float64) for v in right_pdf["_v"]]
+    )
+    if mat.ndim != 2:
+        raise ValueError(
+            "cosine_pairs matmul strategy requires fixed-dimension "
+            "vectors; ragged input detected (use strategy='expr')"
+        )
+    est_mb = mat.nbytes / (1 << 20)
+    if est_mb > max_broadcast_mb:
+        raise ValueError(
+            f"corpus matrix is ~{est_mb:.0f} MiB > max_broadcast_mb="
+            f"{max_broadcast_mb}; block on an lsh_assign/ivf_assign "
+            "column with bounded blocks, or raise the guard"
+        )
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    norms[norms == 0] = 1.0  # zero vectors stay zero → cosine 0
+    mat /= norms[:, None]
+    ids_r = right_pdf[id_col].to_numpy()
+    dim = mat.shape[1]
+    if block_col:
+        order = np.argsort(right_pdf[block_col].to_numpy(), kind="stable")
+        mat, ids_r = mat[order], ids_r[order]
+        blk_sorted = right_pdf[block_col].to_numpy()[order]
+        uniq, starts = np.unique(blk_sorted, return_index=True)
+        ends = np.append(starts[1:], n)
+        slices = {
+            b: (int(s), int(e)) for b, s, e in zip(uniq, starts, ends)
+        }
+        bc = spark.sparkContext.broadcast((ids_r, mat, slices))
+    else:
+        bc = spark.sparkContext.broadcast((ids_r, mat, None))
+    # numpy pre-filter margin: HALF_UP round can lift a raw score by
+    # at most 0.5*10^-round_to; a full 10^-round_to of slack also
+    # absorbs any last-ulp summation-order divergence
+    margin = float(threshold) - 10.0 ** (-round_to)
+    chunk_cells = 4_000_000
+
+    def gen(batches):
+        ids_all, mat_all, blk_slices = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            lv = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf["_v"]]
+            )
+            if lv.ndim != 2 or lv.shape[1] != dim:
+                raise ValueError(
+                    "ragged/mismatched vector dimension in "
+                    "cosine_pairs matmul strategy"
+                )
+            ln = np.sqrt((lv * lv).sum(axis=1))
+            ln[ln == 0] = 1.0
+            lv /= ln[:, None]
+            ids_l = pdf[id_col].to_numpy()
+            blk_l = pdf[block_col].to_numpy() if blk_slices else None
+            step = max(1, chunk_cells // max(1, len(ids_all)))
+            for s in range(0, len(ids_l), step):
+                e = min(s + step, len(ids_l))
+                if blk_slices is None:
+                    sims = lv[s:e] @ mat_all.T
+                    mask = (sims >= margin) & (
+                        ids_l[s:e, None] < ids_all[None, :]
+                    )
+                    li, ri = np.nonzero(mask)
+                    if len(li):
+                        yield pd.DataFrame(
+                            {
+                                "id_a": ids_l[s:e][li],
+                                "id_b": ids_all[ri],
+                                "_raw": sims[li, ri],
+                            }
+                        )
+                else:
+                    frames = []
+                    for b in pd.unique(blk_l[s:e]):
+                        rng = blk_slices.get(b)
+                        if rng is None:
+                            continue
+                        bs, be = rng
+                        lsel = np.nonzero(blk_l[s:e] == b)[0]
+                        sims = lv[s:e][lsel] @ mat_all[bs:be].T
+                        mask = (sims >= margin) & (
+                            ids_l[s:e][lsel][:, None]
+                            < ids_all[bs:be][None, :]
+                        )
+                        li, ri = np.nonzero(mask)
+                        if len(li):
+                            frames.append(
+                                pd.DataFrame(
+                                    {
+                                        "id_a": ids_l[s:e][lsel][li],
+                                        "id_b": ids_all[bs:be][ri],
+                                        "_raw": sims[li, ri],
+                                    }
+                                )
+                            )
+                    if frames:
+                        yield pd.concat(frames, ignore_index=True)
+
+    raw = base.mapInPandas(gen, out_schema)
+    return (
+        raw.withColumn("cosine", F.round(F.col("_raw"), round_to))
+        .filter(F.col("cosine") >= float(threshold))
         .select("id_a", "id_b", "cosine")
     )
 

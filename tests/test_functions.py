@@ -402,6 +402,38 @@ def test_unblocked_pair_ops_require_opt_in(tables):
         cosine_pairs(tables["embeddings"], threshold=0.9)
 
 
+def test_cosine_pairs_strategy_equivalence(tables):
+    """matmul (BLAS block-NLJ, r7 default) ≡ expr (Catalyst NLJ).
+
+    Ids AND cosine values must agree: the matmul path pre-filters on
+    raw scores with slack and leaves the decimal round + threshold to
+    Catalyst, so any divergence would be a last-ulp summation-order
+    flip at a rounding boundary — this pins that the slack/round
+    protocol holds on both the blocked and unblocked forms.
+    """
+    for kwargs in (
+        {"threshold": 0.25, "block_col": "label"},
+        {"threshold": 0.3, "allow_unblocked": True},
+    ):
+        e = cosine_pairs(tables["embeddings"], strategy="expr", **kwargs)
+        m = cosine_pairs(tables["embeddings"], strategy="matmul", **kwargs)
+        er = sorted(map(tuple, e.collect()))
+        mr = sorted(map(tuple, m.collect()))
+        assert er == mr and len(er) > 0
+
+
+def test_cosine_pairs_matmul_broadcast_guard(tables):
+    # the matmul path collects the corpus matrix to broadcast it —
+    # bounded, like a broadcast-hash side; oversize must raise
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_broadcast_mb"):
+        cosine_pairs(
+            tables["embeddings"], threshold=0.8, block_col="label",
+            max_broadcast_mb=0,
+        )
+
+
 def test_dedup_against_minhash_sound_and_recalls_planted(tables, spark):
     from semantic_olap_spark.functions.dedup import (
         dedup_against_minhash,
