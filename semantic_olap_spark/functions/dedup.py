@@ -33,7 +33,7 @@ import hashlib
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, StructField, StructType
 
 from semantic_olap_spark.functions.text import doc_fingerprint
 
@@ -934,6 +934,7 @@ def dedup_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 50,
+    driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Connected components of a near-dup pair graph.
 
@@ -963,6 +964,21 @@ def dedup_clusters(
     knob.  Cost per round: two shuffles of the (node, label) frame —
     at 100 TB corpus scale the pair graph is orders of magnitude
     smaller than the corpus itself.
+
+    Size-adaptive physical strategy (r7): the edge frame is counted
+    once (it is persisted for the loop anyway); at or below
+    ``driver_threshold`` edges the components are solved by a driver
+    union-find over ONE Arrow collect of the (src, dst) pairs — the
+    same bounded data movement as a broadcast-join side, the same
+    size-based plan pick Spark itself makes for joins.  Each
+    distributed round costs a fixed multiple of job/shuffle latency
+    that dwarfs the actual work on small pair graphs (a 441-edge
+    graph spent ~3s in round overhead); union-find is O(E α(E))
+    with ~16 bytes/edge, so 10^6 edges is ~16 MB on the driver —
+    comfortably under any broadcast budget.  Above the threshold the
+    distributed label-propagation loop runs unchanged (pass
+    ``driver_threshold=0`` to force it).  Both paths emit identical
+    labels — min node id per component — pinned in tests.
     """
     # both edge directions from ONE evaluation of `pairs` — a union
     # of two selects would run the (possibly expensive: cosine /
@@ -983,6 +999,43 @@ def dedup_clusters(
         .select("_e._src", "_e._dst")
         .persist()
     )
+    n_edges = edges.count()  # also materializes the persist
+    if n_edges <= driver_threshold:
+        spark = pairs.sparkSession
+        id_type = pairs.schema[id_a].dataType
+        epdf = edges.toPandas()
+        edges.unpersist()
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        # .tolist() → plain Python scalars: createDataFrame rejects
+        # numpy int64, and dict/find run faster on native ints
+        for s, d in zip(epdf["_src"].tolist(), epdf["_dst"].tolist()):
+            if s not in parent:
+                parent[s] = s
+            if d not in parent:
+                parent[d] = d
+            rs, rd = find(s), find(d)
+            if rs != rd:
+                # union by label order so every root IS the min id
+                if rd < rs:
+                    rs, rd = rd, rs
+                parent[rd] = rs
+        rows = [(n, find(n)) for n in parent]
+        schema = StructType(
+            [
+                StructField("doc_id", id_type),
+                StructField("cluster_id", id_type),
+            ]
+        )
+        return spark.createDataFrame(rows, schema)
     labels = (
         edges.select(F.col("_src").alias("_node"))
         .distinct()
@@ -1016,7 +1069,10 @@ def dedup_clusters(
                 "_node",
                 F.coalesce(F.col("_hl"), F.col("_lbl")).alias("_lbl"),
             )
-            .localCheckpoint()
+            # eager=False: the convergence agg below is the round's
+            # only action — it materializes the checkpoint AND reads
+            # the sum in ONE job instead of checkpoint-then-agg two
+            .localCheckpoint(eager=False)
         )
         cur_sum = labels.agg(F.sum("_lbl")).collect()[0][0]
         if cur_sum == prev_sum:

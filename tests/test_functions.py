@@ -316,15 +316,35 @@ def test_dedup_clusters_components(spark):
 
 def test_dedup_clusters_chain_converges_logarithmically(spark):
     # a 64-node path is the diameter worst case: plain min-propagation
-    # needs 63 rounds; pointer doubling must finish well inside 20
+    # needs 63 rounds; pointer doubling must finish well inside 20.
+    # driver_threshold=0 forces the DISTRIBUTED loop (the r7
+    # size-adaptive switch would otherwise solve this on the driver)
     from semantic_olap_spark.functions import dedup_clusters
 
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(63)], ["id_a", "id_b"]
     )
-    got = dedup_clusters(pairs, max_iter=20).collect()
+    got = dedup_clusters(pairs, max_iter=20, driver_threshold=0).collect()
     assert len(got) == 64
     assert {r["cluster_id"] for r in got} == {0}
+
+
+def test_dedup_clusters_driver_and_distributed_paths_agree(spark):
+    # the size-adaptive switch must be invisible in the output:
+    # union-find (small graphs) ≡ label propagation (forced), on a
+    # shape with cliques, a chain, and a singleton pair
+    from semantic_olap_spark.functions import dedup_clusters
+
+    edges = (
+        [(1, 2), (2, 3), (10, 11), (11, 12), (10, 12), (20, 21)]
+        + [(100 + i, 101 + i) for i in range(10)]
+    )
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    drv = sorted(map(tuple, dedup_clusters(pairs).collect()))
+    dist = sorted(
+        map(tuple, dedup_clusters(pairs, driver_threshold=0).collect())
+    )
+    assert drv == dist and len(drv) == 19
 
 
 def test_dedup_keep_best(spark):
