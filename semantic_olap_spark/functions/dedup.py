@@ -131,6 +131,9 @@ def dedup_against_embeddings(
     seed: int = 42,
     multiprobe: int = 1,
     bucket_col: str = "_bkt",
+    strategy: str = "auto",
+    max_broadcast_mb: int = 256,
+    round_to: int = 6,
 ) -> DataFrame:
     """Incremental *semantic* dedup: drop batch rows near the corpus.
 
@@ -152,6 +155,24 @@ def dedup_against_embeddings(
     ``nbits`` to trade cost for recall; the probe fan-out is
     Σ_{{d≤multiprobe}} C(nbits, d) rows per batch row, ids + buckets
     only (vectors join in once, per side).
+
+    ``strategy`` picks the candidate-scoring physical plan, the same
+    size rule Spark applies to broadcast-vs-shuffle joins:
+
+    - ``"matmul"`` — the seen side (per-bucket normalized float64
+      matrices) is collected and broadcast once, and each batch
+      partition scores its probe candidates with numpy matmuls —
+      ~50-100× cheaper per candidate than interpreted ``zip_with``
+      dots.  Near-threshold raw scores are emitted and the decimal
+      round + final filter run in Catalyst (exact-parity protocol of
+      :func:`~semantic_olap_spark.functions.similarity.cosine_pairs`).
+    - ``"expr"`` — probe-explode → bucket equi-join → per-candidate
+      Catalyst dot products.  The scale path when the seen corpus
+      exceeds broadcast budget; also the oracle-twin reference.
+    - ``"auto"`` (default) — ``matmul`` iff the seen matrix fits
+      ``max_broadcast_mb`` (one count + one dim probe), else
+      ``expr``.  Both paths emit identical survivors (pinned in
+      tests).
     """
     import itertools
 
@@ -160,6 +181,10 @@ def dedup_against_embeddings(
     if not 0 <= multiprobe <= nbits:
         raise ValueError(
             f"multiprobe must be in [0, nbits={nbits}], got {multiprobe}"
+        )
+    if strategy not in ("auto", "matmul", "expr"):
+        raise ValueError(
+            f"unknown dedup_against_embeddings strategy {strategy!r}"
         )
     if bucket_col not in seen.columns:
         seen = lsh_assign(
@@ -177,6 +202,19 @@ def dedup_against_embeddings(
         for d in range(1, multiprobe + 1)
         for flips in itertools.combinations(range(nbits), d)
     ]
+    if strategy == "auto":
+        n_seen = seen.count()
+        dim_row = seen.select(
+            F.size(F.col(vec_col)).alias("_d")
+        ).head(1)
+        dim = dim_row[0]["_d"] if dim_row else 0
+        fits = n_seen * max(dim, 0) * 8 <= max_broadcast_mb * (1 << 20)
+        strategy = "matmul" if fits else "expr"
+    if strategy == "matmul":
+        return _dedup_against_embeddings_matmul(
+            df, seen, batch, threshold, id_col, vec_col, masks,
+            bucket_col, round_to, max_broadcast_mb,
+        )
     probes = F.array(
         *[F.col(bucket_col).bitwiseXOR(F.lit(m)) for m in masks]
     )
@@ -222,12 +260,136 @@ def dedup_against_embeddings(
             F.lit(0.0),
             lambda acc, x: acc + x,
         ),
-        6,
+        round_to,
     )
     hits = (
         b_slim.join(s_side, "_probe")
         .join(b_vec, id_col)
         .filter(cos >= float(threshold))
+        .select(id_col)
+        .distinct()
+    )
+    return df.join(hits, id_col, "left_anti")
+
+
+def _dedup_against_embeddings_matmul(
+    df: DataFrame,
+    seen: DataFrame,
+    batch: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    masks: list,
+    bucket_col: str,
+    round_to: int,
+    max_broadcast_mb: int,
+) -> DataFrame:
+    """Broadcast-seen matmul scoring behind :func:`dedup_against_embeddings`.
+
+    ``seen`` and ``batch`` arrive bucket-assigned.  The seen side is
+    collected ONCE into per-bucket normalized float64 matrices and
+    broadcast (the movement of a broadcast-hash side, guarded by
+    ``max_broadcast_mb``); each batch Arrow chunk probes its
+    ``bucket XOR mask`` buckets and scores candidates with numpy
+    matmuls.  Raw scores ≥ ``threshold - 10^-round_to`` are emitted
+    (superset slack, same protocol as ``cosine_pairs``'s matmul
+    path) and Catalyst applies the decimal-exact round + threshold +
+    distinct before the final left-anti join, so boundary arithmetic
+    is bit-identical to the expr path.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    seen_pdf = (
+        seen.select(
+            F.col(bucket_col).alias("_b"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        )
+        .filter(F.col("_v").isNotNull())
+        .toPandas()
+    )
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, _raw double"
+    if not len(seen_pdf):
+        return df  # nothing seen → nothing near it
+    smat = np.array(
+        [np.asarray(v, dtype=np.float64) for v in seen_pdf["_v"]]
+    )
+    if smat.ndim != 2:
+        raise ValueError(
+            "dedup_against_embeddings matmul strategy requires "
+            "fixed-dimension vectors (use strategy='expr')"
+        )
+    est_mb = smat.nbytes / (1 << 20)
+    if est_mb > max_broadcast_mb:
+        raise ValueError(
+            f"seen matrix is ~{est_mb:.0f} MiB > max_broadcast_mb="
+            f"{max_broadcast_mb}; use strategy='expr' (bucket "
+            "equi-join) or raise the guard"
+        )
+    norms = np.sqrt((smat * smat).sum(axis=1))
+    norms[norms == 0] = 1.0
+    smat /= norms[:, None]
+    sb = seen_pdf["_b"].to_numpy()
+    order = np.argsort(sb, kind="stable")
+    smat, sb = smat[order], sb[order]
+    uniq, starts = np.unique(sb, return_index=True)
+    ends = np.append(starts[1:], len(sb))
+    slices = {int(b): (int(s), int(e)) for b, s, e in zip(uniq, starts, ends)}
+    bc = spark.sparkContext.broadcast((smat, slices))
+    dim = smat.shape[1]
+    margin = float(threshold) - 10.0 ** (-round_to)
+
+    def gen(batches):
+        mat_all, blk_slices = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            lv = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf["_v"]]
+            )
+            if lv.ndim != 2 or lv.shape[1] != dim:
+                raise ValueError(
+                    "ragged/mismatched vector dimension in "
+                    "dedup_against_embeddings matmul strategy"
+                )
+            ln = np.sqrt((lv * lv).sum(axis=1))
+            ln[ln == 0] = 1.0
+            lv /= ln[:, None]
+            ids_l = pdf[id_col].to_numpy()
+            blk_l = pdf["_b"].to_numpy()
+            frames = []
+            for m in masks:
+                probed = blk_l ^ m
+                for b in pd.unique(probed):
+                    rng = blk_slices.get(int(b))
+                    if rng is None:
+                        continue
+                    bs, be = rng
+                    lsel = np.nonzero(probed == b)[0]
+                    sims = lv[lsel] @ mat_all[bs:be].T
+                    li, ri = np.nonzero(sims >= margin)
+                    if len(li):
+                        frames.append(
+                            pd.DataFrame(
+                                {
+                                    id_col: ids_l[lsel][li],
+                                    "_raw": sims[li, ri],
+                                }
+                            )
+                        )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    base = batch.select(
+        F.col(id_col),
+        F.col(bucket_col).alias("_b"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    ).filter(F.col("_v").isNotNull())
+    hits = (
+        base.mapInPandas(gen, out_schema)
+        .filter(F.round(F.col("_raw"), round_to) >= float(threshold))
         .select(id_col)
         .distinct()
     )

@@ -301,6 +301,30 @@ def test_dedup_against_embeddings_drops_near_corpus_rows(spark):
     assert sorted(r["vec_id"] for r in out.collect()) == [11]
 
 
+def test_dedup_against_embeddings_strategy_equivalence(tables):
+    # matmul (broadcast-seen numpy scoring, r7) ≡ expr (bucket
+    # equi-join + Catalyst dots); auto must pick one of them, with
+    # identical survivors either way
+    from semantic_olap_spark.functions.dedup import dedup_against_embeddings
+
+    emb = tables["embeddings"]
+    seen = emb.filter(F.col("vec_id") % 2 == 0)
+    batch = emb.filter(F.col("vec_id") % 2 == 1)
+    outs = {
+        s: sorted(
+            r["vec_id"]
+            for r in dedup_against_embeddings(
+                batch, seen, threshold=0.3, nbits=4, multiprobe=1,
+                strategy=s,
+            ).collect()
+        )
+        for s in ("expr", "matmul", "auto")
+    }
+    assert outs["expr"] == outs["matmul"] == outs["auto"]
+    # the threshold actually bites: some batch rows were dropped
+    assert 0 < len(outs["expr"]) < batch.count()
+
+
 def test_dedup_against_embeddings_multiprobe_recall(tables):
     from semantic_olap_spark.functions.dedup import dedup_against_embeddings
 
