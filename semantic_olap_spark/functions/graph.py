@@ -45,6 +45,7 @@ def pagerank(
     iterations: int = 3,
     rank_col: str = "rank_scaled",
     checkpoint_every: int = 5,
+    broadcast_nodes: int = 1_000_000,
 ) -> DataFrame:
     """Fixed-point PageRank over a directed edge frame.
 
@@ -62,6 +63,17 @@ def pagerank(
     frames hit storage) — while long runs still bound plan growth.
     Results are bit-identical either way (integer arithmetic has no
     evaluation-order freedom to lose).
+
+    ``broadcast_nodes``: node count at or below which the node-sized
+    frames (per-source contributions, out-degrees, per-node sums)
+    carry ``F.broadcast`` hints — ``n`` is already computed for the
+    teleport term, so the pick costs nothing.  With the hints each
+    iteration's edge-sized join is map-side against the broadcast
+    contribution table and the ONLY wide exchange left per round is
+    the partially-aggregated ``groupBy(dst)`` — the edge frame is
+    never re-shuffled.  Graphs beyond the threshold keep the plain
+    shuffle joins (AQE still localizes what it can); results are
+    identical either way (a join hint never changes semantics).
     """
     e = edges.select(
         F.col(src).alias("_src"), F.col(dst).alias("_dst")
@@ -85,6 +97,9 @@ def pagerank(
     if checkpoint_every < 1:
         raise ValueError("checkpoint_every must be >= 1")
     base = (15 * SCALE) // (100 * n)
+    small = n <= broadcast_nodes
+    hint = F.broadcast if small else (lambda d: d)
+    deg_side = hint(out_deg)
     ranks = nodes.withColumn("_r", F.lit(SCALE // n).cast("long"))
     for i in range(int(iterations)):
         # per-SOURCE contribution first (node-sized join of two
@@ -93,16 +108,16 @@ def pagerank(
         # per edge (the naive join order) would run a second
         # fact-sized join per iteration for the same integer
         per_src = (
-            ranks.join(out_deg, ranks["node"] == out_deg["_src"])
+            ranks.join(deg_side, ranks["node"] == deg_side["_src"])
             .select("_src", F.expr("_r div _deg").alias("_c"))
         )
         contrib = (
-            e.join(per_src, "_src")
+            e.join(hint(per_src), "_src")
             .groupBy(F.col("_dst").alias("node"))
             .agg(F.sum("_c").alias("_s"))
         )
         ranks = (
-            nodes.join(contrib, "node", "left")
+            nodes.join(hint(contrib), "node", "left")
             .select(
                 "node",
                 (

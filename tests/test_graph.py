@@ -92,3 +92,18 @@ def test_empty_edge_frame_returns_empty(spark):
     out = pagerank(df, iterations=3)
     assert out.columns == ["node", "rank_scaled"]
     assert out.count() == 0
+
+
+def test_broadcast_hint_invisible_in_output(spark):
+    # the r7 size-adaptive broadcast hints (node-sized contribution/
+    # degree/sum frames) are a physical plan pick only: forcing the
+    # shuffle-join path (broadcast_nodes=0) must be bit-identical
+    edges = [((i * 3) % 17, (i * 7 + 2) % 17) for i in range(40)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    hinted = {r["node"]: r["rank_scaled"] for r in pagerank(df).collect()}
+    plain = {
+        r["node"]: r["rank_scaled"]
+        for r in pagerank(df, broadcast_nodes=0).collect()
+    }
+    assert hinted == plain and len(hinted) > 0
