@@ -34,6 +34,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
 
 SCALE = 1_000_000_000_000  # 10^12: fixed-point denominator
 
@@ -46,6 +47,7 @@ def pagerank(
     rank_col: str = "rank_scaled",
     checkpoint_every: int = 5,
     broadcast_nodes: int = 1_000_000,
+    driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Fixed-point PageRank over a directed edge frame.
 
@@ -74,29 +76,75 @@ def pagerank(
     never re-shuffled.  Graphs beyond the threshold keep the plain
     shuffle joins (AQE still localizes what it can); results are
     identical either way (a join hint never changes semantics).
+
+    ``driver_threshold``: edge count at or below which the fixed
+    point is computed on the driver in int64 numpy (one Arrow
+    collect of the already-persisted edge frame — the data movement
+    of a broadcast side; ~16 bytes/edge).  Same size-adaptive rule
+    as ``dedup_clusters``: each distributed round costs a fixed
+    multiple of job/shuffle latency that dwarfs the arithmetic on
+    graphs this small.  The integer update (truncating div, exact
+    int64 sums via ``np.add.at``) is bit-identical to the
+    distributed loop — fixed-point arithmetic is associative, which
+    is the module's whole design point — pinned by a
+    driver-vs-distributed test.  ``driver_threshold=0`` forces the
+    distributed loop.
     """
     e = edges.select(
         F.col(src).alias("_src"), F.col(dst).alias("_dst")
     ).persist()
-    nodes = (
+    if checkpoint_every < 1:
+        raise ValueError("checkpoint_every must be >= 1")
+    # schema of the (lazy) node frame — no job, used by both paths
+    nodes_lazy = (
         e.select(F.col("_src").alias("node"))
         .union(e.select(F.col("_dst")))
         .distinct()
-        .persist()
     )
-    n = nodes.count()
-    if n == 0:
+    node_type = nodes_lazy.schema["node"].dataType
+    m = e.count()  # one job: materializes the persist, sizes the pick
+    if m == 0:
         e.unpersist()
-        nodes.unpersist()
-        return nodes.withColumn(rank_col, F.lit(None).cast("long")).select(
-            "node", rank_col
+        return nodes_lazy.withColumn(
+            rank_col, F.lit(None).cast("long")
+        ).select("node", rank_col)
+    if m <= driver_threshold:
+        # node count, degrees, and the whole fixed point come from
+        # the one Arrow collect — the distributed path's nodes
+        # distinct + count jobs never run
+        import numpy as np
+
+        epdf = e.toPandas()
+        e.unpersist()
+        srcv = epdf["_src"].to_numpy()
+        dstv = epdf["_dst"].to_numpy()
+        uniq = np.unique(np.concatenate([srcv, dstv]))
+        si = np.searchsorted(uniq, srcv)
+        di = np.searchsorted(uniq, dstv)
+        nn = len(uniq)
+        base = (15 * SCALE) // (100 * nn)
+        deg = np.bincount(si, minlength=nn).astype(np.int64)
+        safe_deg = np.where(deg > 0, deg, 1)  # sources always have deg>0
+        r = np.full(nn, SCALE // nn, dtype=np.int64)
+        for _ in range(int(iterations)):
+            c = r // safe_deg  # == Spark `div` on nonnegative longs
+            s = np.zeros(nn, dtype=np.int64)
+            np.add.at(s, di, c[si])  # exact int64, unlike float bincount
+            r = base + (85 * s) // 100
+        schema = StructType(
+            [
+                StructField("node", node_type),
+                StructField(rank_col, LongType()),
+            ]
         )
+        rows = list(zip(uniq.tolist(), r.tolist()))
+        return edges.sparkSession.createDataFrame(rows, schema)
+    nodes = nodes_lazy.persist()
+    n = nodes.count()
+    base = (15 * SCALE) // (100 * n)
     out_deg = e.groupBy("_src").agg(
         F.count(F.lit(1)).alias("_deg")
     ).persist()
-    if checkpoint_every < 1:
-        raise ValueError("checkpoint_every must be >= 1")
-    base = (15 * SCALE) // (100 * n)
     small = n <= broadcast_nodes
     hint = F.broadcast if small else (lambda d: d)
     deg_side = hint(out_deg)

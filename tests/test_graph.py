@@ -30,12 +30,22 @@ def ref_pagerank(edges: list[tuple[int, int]], iters: int) -> dict[int, int]:
 
 
 def _run(spark, edges, iters):
+    # exercise BOTH physical paths (r7 size-adaptive driver numpy vs
+    # the distributed loop) against the sequential reference
     df = spark.createDataFrame(edges, ["src", "dst"])
+    want = ref_pagerank(edges, iters)
     got = {
         r["node"]: r["rank_scaled"]
         for r in pagerank(df, iterations=iters).collect()
     }
-    assert got == ref_pagerank(edges, iters)
+    assert got == want
+    dist = {
+        r["node"]: r["rank_scaled"]
+        for r in pagerank(
+            df, iterations=iters, driver_threshold=0
+        ).collect()
+    }
+    assert dist == want
     return got
 
 
@@ -72,10 +82,17 @@ def test_deterministic_under_repartition(spark):
     edges = [((i * 3) % 11, (i * 5 + 1) % 11) for i in range(30)]
     edges = [(a, b) for a, b in edges if a != b]
     df = spark.createDataFrame(edges, ["src", "dst"])
-    a = {r["node"]: r["rank_scaled"] for r in pagerank(df).collect()}
+    # distributed path forced: partitioning-invariance is trivially
+    # true on the driver path, so test the loop that could break it
+    a = {
+        r["node"]: r["rank_scaled"]
+        for r in pagerank(df, driver_threshold=0).collect()
+    }
     b = {
         r["node"]: r["rank_scaled"]
-        for r in pagerank(df.repartition(13)).collect()
+        for r in pagerank(
+            df.repartition(13), driver_threshold=0
+        ).collect()
     }
     assert a == b
 
@@ -101,9 +118,16 @@ def test_broadcast_hint_invisible_in_output(spark):
     edges = [((i * 3) % 17, (i * 7 + 2) % 17) for i in range(40)]
     edges = [(a, b) for a, b in edges if a != b]
     df = spark.createDataFrame(edges, ["src", "dst"])
-    hinted = {r["node"]: r["rank_scaled"] for r in pagerank(df).collect()}
+    # driver_threshold=0 keeps both runs on the DISTRIBUTED loop so
+    # the hint comparison is not vacuous
+    hinted = {
+        r["node"]: r["rank_scaled"]
+        for r in pagerank(df, driver_threshold=0).collect()
+    }
     plain = {
         r["node"]: r["rank_scaled"]
-        for r in pagerank(df, broadcast_nodes=0).collect()
+        for r in pagerank(
+            df, broadcast_nodes=0, driver_threshold=0
+        ).collect()
     }
     assert hinted == plain and len(hinted) > 0
