@@ -606,9 +606,10 @@ def test_jaccard_prefix_strategy_equals_allpairs(spark):
         key = lambda d: sorted(  # noqa: E731
             tuple(map(str, r)) for r in d.collect()
         )
-        pf = key(jaccard_pairs(df, **kw))
+        pf = key(jaccard_pairs(df, strategy="prefix", **kw))
         ap = key(jaccard_pairs(df, strategy="allpairs", **kw))
-        assert pf == ap, (kw, pf, ap)
+        au = key(jaccard_pairs(df, **kw))  # auto must match both
+        assert pf == ap == au, (kw, pf, ap, au)
     # the dup pair is found at threshold 1.0 too (prefix length 1)
     got = {
         (r.id_a, r.id_b)
@@ -650,3 +651,26 @@ def test_jaccard_unknown_strategy_rejected(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError, match="strategy"):
         jaccard_pairs(df, allow_unblocked=True, strategy="bogus")
+
+
+def test_jaccard_auto_budget_flips_strategy(spark):
+    # auto = the cost-based pick: pair estimate from RAW row counts
+    # vs allpairs_budget.  Identical output on both sides of the
+    # budget; the estimate for this frame is 2 blocks x C(3,2) = 6
+    # pairs, so budget 5 forces prefix and budget 6 allows allpairs.
+    rows = [
+        (i, "a" if i < 3 else "b", t)
+        for i, t in enumerate(
+            ["red apple pie", "red apple tart", "green pear pie",
+             "blue fish stew", "blue fish soup", "blue squid stew"]
+        )
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    key = lambda d: sorted(tuple(map(str, r)) for r in d.collect())  # noqa: E731
+    lo = key(jaccard_pairs(df, threshold=0.4, block_col="source",
+                           allpairs_budget=5))
+    hi = key(jaccard_pairs(df, threshold=0.4, block_col="source",
+                           allpairs_budget=6))
+    ref = key(jaccard_pairs(df, threshold=0.4, block_col="source",
+                            strategy="allpairs"))
+    assert lo == hi == ref and len(ref) > 0
