@@ -742,14 +742,21 @@ def main() -> None:
                 "not a plan change."
             ),
             "jaccard_pairs": (
-                "deliberate r6 algorithm change, not noise: the "
-                "default switched from the all-pairs theta-join to "
-                "prefix filtering (AllPairs/PPJoin). ~1.5-2x slower "
-                "at sf0.1 block sizes (the extra frequency/ordering "
-                "aggregations dominate small blocks) and >18x "
-                "faster at sf1 (83s vs all-pairs not finishing in "
-                "25+ min on ~10k-doc blocks); identical output, "
+                "r7: strategy='auto' — a raw-count pair estimate "
+                "picks the theta-join under allpairs_budget (sf0.1 "
+                "lands there, recovering the r6 ~2x prefix overhead "
+                "on small blocks) and prefix filtering above it "
+                "(the form that finishes sf1 in 83s where all-pairs "
+                "DNF 25min). Identical output, three-way "
                 "strategy-equivalence pinned in tests."
+            ),
+            "run_to_run": (
+                "whole-run totals on local[32] swing ~±10% with "
+                "identical code (r7 observed 56.4/60.1/63.0 across "
+                "three same-HEAD runs, idle machine, RAM free); "
+                "per-query medians are steadier than the total — "
+                "judge trends on the per-query min samples "
+                "(timing_spread), not single-run totals."
             ),
         },
         "queries": {n: timings[n] for n in HEADLINE},
