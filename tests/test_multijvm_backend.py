@@ -53,3 +53,6 @@ def test_backend_behaves_per_process_across_two_jvms():
     # hard local stop at the cap
     assert got["budget_per_process_ok"]
     assert got["budget_hard_stop"]
+    # r7 broadcast-matmul cosine scoring: sc.broadcast + mapInPandas
+    # closure behave identically when worker JVMs are real processes
+    assert got["matmul_equals_expr_across_jvms"]

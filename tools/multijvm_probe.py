@@ -208,6 +208,35 @@ def main() -> None:
         (two["ok"] == 1).all() and two["tripped"].all()
     )
 
+    # -- 6. r7 broadcast-matmul strategies across real JVMs --------------
+    # local[32] never crosses a process boundary, so sc.broadcast of
+    # the numpy corpus matrix + the mapInPandas closure were only
+    # proven single-process until here; matmul ≡ expr must hold with
+    # two worker JVMs unpickling the broadcast
+    from semantic_olap_spark.functions.similarity import cosine_pairs
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    emb = emb.repartition(4)
+    mm = sorted(
+        map(
+            tuple,
+            cosine_pairs(
+                emb, threshold=0.3, allow_unblocked=True,
+                strategy="matmul",
+            ).collect(),
+        )
+    )
+    ex = sorted(
+        map(
+            tuple,
+            cosine_pairs(
+                emb, threshold=0.3, allow_unblocked=True,
+                strategy="expr",
+            ).collect(),
+        )
+    )
+    out["matmul_equals_expr_across_jvms"] = mm == ex and len(mm) > 0
+
     spark.stop()
     srv.shutdown()
     print("PROBE_RESULT " + json.dumps(out))
