@@ -557,6 +557,80 @@ def _q_ngram_jaccard_pairs(spark, sf_dir):
     )
 
 
+# ---- r7 strategy twins: the driver verifies EVERY physical path ------
+# The r7 size-adaptive picks mean the default rows exercise the
+# small-input strategies at driver scale (allpairs, matmul, driver
+# union-find / fixed point); these twins pin each operator's SCALE
+# path under the same oracle, so neither side of a pick can rot
+# unverified.  Oracles are strategy-independent by construction.
+
+
+def _q_jaccard_pairs_prefix(spark, sf_dir):
+    # forced prefix filtering — the plan that survives the sf1 blocks
+    from semantic_olap_spark.functions.dedup import jaccard_pairs
+
+    return jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.7,
+        block_col="source", strategy="prefix",
+    )
+
+
+def _q_cosine_pairs_expr(spark, sf_dir):
+    # forced pure-Catalyst pair scoring (the matmul twin's reference)
+    from semantic_olap_spark.functions.similarity import cosine_pairs
+
+    return cosine_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.8,
+        block_col="label", strategy="expr",
+    )
+
+
+def _q_dedup_against_embeddings_expr(spark, sf_dir):
+    # forced bucket equi-join scoring — the beyond-broadcast path
+    from semantic_olap_spark.functions.dedup import dedup_against_embeddings
+
+    emb = _t(spark, sf_dir, "embeddings")
+    seen = emb.filter(F.col("vec_id") % 2 == 0)
+    batch = emb.filter(F.col("vec_id") % 2 == 1)
+    return dedup_against_embeddings(
+        batch, seen, threshold=0.42, nbits=4, seed=42, multiprobe=1,
+        strategy="expr",
+    ).select("vec_id", "label")
+
+
+def _q_dedup_clusters_distributed(spark, sf_dir):
+    # forced label-propagation + pointer-doubling loop
+    from semantic_olap_spark.functions.dedup import (
+        dedup_clusters,
+        jaccard_pairs,
+    )
+
+    return dedup_clusters(
+        jaccard_pairs(
+            _t(spark, sf_dir, "documents"), threshold=0.7,
+            block_col="source",
+        ),
+        driver_threshold=0,
+    )
+
+
+def _q_pagerank_suppliers_distributed(spark, sf_dir):
+    # forced distributed fixed-point loop (broadcast hints active)
+    from semantic_olap_spark.functions.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.col("l_suppkey").alias("src"),
+            (F.lit(10_000_000) + F.col("o_custkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    return pagerank(edges, iterations=3, driver_threshold=0)
+
+
 _BATCH_SRCS = ("src0", "src1", "src2", "src3", "src4")
 
 
@@ -2633,16 +2707,19 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pipeline: dedup
         "dedup_exact": _q_dedup_exact,
         "jaccard_pairs": _q_jaccard_pairs,
+        "jaccard_pairs_prefix": _q_jaccard_pairs_prefix,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "minhash_dedup_against": _q_minhash_dedup_against,
         "simhash_pairs": _q_simhash_pairs,
         "winnow_overlap_pairs": _q_winnow_overlap_pairs,
         "dedup_clusters": _q_dedup_clusters,
+        "dedup_clusters_distributed": _q_dedup_clusters_distributed,
         "dedup_keep_best": _q_dedup_keep_best,
         # pipeline: similarity
         "cosine_topk": _q_cosine_topk,
         "cosine_pairs": _q_cosine_pairs,
+        "cosine_pairs_expr": _q_cosine_pairs_expr,
         "lsh_topk": _q_lsh_topk,
         "ivf_topk": _q_ivf_topk,
         # Spark-native relational breadth
@@ -2696,6 +2773,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "local_supplier_volume": _q_local_supplier_volume,
         "shipping_priority": _q_shipping_priority,
         "dedup_against_embeddings": _q_dedup_against_embeddings,
+        "dedup_against_embeddings_expr": _q_dedup_against_embeddings_expr,
         "training_pipeline": _q_training_pipeline,
         # Spark-native analytics breadth (§2.5 fill-ins)
         "rollup_order_revenue": _q_rollup_order_revenue,
@@ -2719,6 +2797,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct_merge": _q_approx_distinct_merge,
         "bpe_tokenize_docs": _q_bpe_tokenize_docs,
         "pagerank_suppliers": _q_pagerank_suppliers,
+        "pagerank_suppliers_distributed": _q_pagerank_suppliers_distributed,
         "large_volume_orders": _q_large_volume_orders,
         "late_shipment_priority": _q_late_shipment_priority,
         "returned_item_revenue": _q_returned_item_revenue,
@@ -2969,8 +3048,15 @@ def _split_case_sql(weights: dict[str, float], key_expr: str,
     return "CASE " + " ".join(parts) + f" ELSE '{items[-1][0]}' END"
 
 
-def oracle_sql() -> dict[str, str]:
-    """DuckDB-ANSI mirrors for every SQL-expressible query above."""
+def _oracle_sql_literal() -> dict[str, str]:
+    """DuckDB-ANSI mirrors for every SQL-expressible query above.
+
+    The r7 strategy-twin rows (``*_prefix``/``*_expr``/
+    ``*_distributed``) alias their default row's oracle verbatim in
+    :func:`oracle_sql`: the oracles are strategy-independent by
+    construction, and an alias (rather than a copy) keeps that a
+    single source of truth.
+    """
     text_profile_sql = rf"""
         WITH t AS (
           SELECT doc_id, text,
@@ -5319,3 +5405,19 @@ def oracle_sql() -> dict[str, str]:
             ) AS t(dimension, granularities)
         """,
     }
+
+
+def oracle_sql() -> dict[str, str]:
+    o = _oracle_sql_literal()
+    for twin, default in _STRATEGY_TWINS.items():
+        o[twin] = o[default]
+    return o
+
+
+_STRATEGY_TWINS = {
+    "jaccard_pairs_prefix": "jaccard_pairs",
+    "cosine_pairs_expr": "cosine_pairs",
+    "dedup_against_embeddings_expr": "dedup_against_embeddings",
+    "dedup_clusters_distributed": "dedup_clusters",
+    "pagerank_suppliers_distributed": "pagerank_suppliers",
+}
