@@ -325,6 +325,31 @@ def test_dedup_against_embeddings_strategy_equivalence(tables):
     assert 0 < len(outs["expr"]) < batch.count()
 
 
+def test_dedup_against_embeddings_auto_falls_back_to_expr(tables):
+    # auto with a zero broadcast budget must route to the bucket
+    # equi-join (never raise) and still produce identical survivors —
+    # the over-budget corpus case at scale
+    from semantic_olap_spark.functions.dedup import dedup_against_embeddings
+
+    emb = tables["embeddings"]
+    seen = emb.filter(F.col("vec_id") % 2 == 0)
+    batch = emb.filter(F.col("vec_id") % 2 == 1)
+    kw = {"threshold": 0.3, "nbits": 4, "multiprobe": 1}
+    fallback = sorted(
+        r["vec_id"]
+        for r in dedup_against_embeddings(
+            batch, seen, strategy="auto", max_broadcast_mb=0, **kw
+        ).collect()
+    )
+    expr = sorted(
+        r["vec_id"]
+        for r in dedup_against_embeddings(
+            batch, seen, strategy="expr", **kw
+        ).collect()
+    )
+    assert fallback == expr and 0 < len(expr) < batch.count()
+
+
 def test_dedup_against_embeddings_multiprobe_recall(tables):
     from semantic_olap_spark.functions.dedup import dedup_against_embeddings
 
