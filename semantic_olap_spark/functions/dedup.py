@@ -23,7 +23,14 @@ pipelines:
 Scale notes: everything is expressed so the only shuffles are the
 candidate ``groupBy``/joins on band keys; signatures are computed
 scan-side as Catalyst array expressions (MinHash) or one Arrow batch
-pass (SimHash).  No ``collect()`` anywhere.
+pass (SimHash).  Driver-side collects are limited to three
+deliberate, bounded cases: (1) the ``jaccard_pairs`` auto-pick pair
+estimate — a single scalar aggregate row; (2) the
+``dedup_clusters`` driver union-find path — one Arrow collect of an
+edge list already counted ``<= driver_threshold``; (3) the
+``dedup_against_embeddings`` matmul path — the seen-side matrix,
+pre-sized by a count×dim probe against ``max_broadcast_mb`` BEFORE
+the collect (the same movement a broadcast-hash side performs).
 """
 
 from __future__ import annotations
@@ -203,12 +210,22 @@ def dedup_against_embeddings(
         for flips in itertools.combinations(range(nbits), d)
     ]
     if strategy == "auto":
-        n_seen = seen.count()
-        dim_row = seen.select(
-            F.size(F.col(vec_col)).alias("_d")
-        ).head(1)
-        dim = dim_row[0]["_d"] if dim_row else 0
-        fits = n_seen * max(dim, 0) * 8 <= max_broadcast_mb * (1 << 20)
+        # one scalar agg: non-null vector count (what matmul would
+        # actually collect) + max dim over non-null vectors only —
+        # size(NULL) is -1, and a null first row must not make an
+        # arbitrarily large corpus look like it "fits" (advice r7).
+        probe = seen.agg(
+            F.count(F.col(vec_col)).alias("_n"),
+            F.max(F.size(F.col(vec_col))).alias("_d"),
+        ).first()
+        n_seen = probe["_n"] or 0
+        dim = probe["_d"] or 0
+        # unknown/degenerate dim with rows present → treat as
+        # not-fitting rather than trusting a vacuous 0-byte estimate
+        fits = (n_seen == 0) or (
+            dim > 0
+            and n_seen * dim * 8 <= max_broadcast_mb * (1 << 20)
+        )
         strategy = "matmul" if fits else "expr"
     if strategy == "matmul":
         return _dedup_against_embeddings_matmul(
@@ -301,14 +318,28 @@ def _dedup_against_embeddings_matmul(
     import pandas as pd
 
     spark = df.sparkSession
-    seen_pdf = (
-        seen.select(
-            F.col(bucket_col).alias("_b"),
-            F.col(vec_col).cast("array<double>").alias("_v"),
+    seen_slim = seen.select(
+        F.col(bucket_col).alias("_b"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    ).filter(F.col("_v").isNotNull())
+    # size the collect BEFORE performing it: a direct
+    # strategy="matmul" call must trip the guard from a cheap
+    # count×dim probe, not after the driver has already absorbed an
+    # unbounded toPandas() (advice r7).  The nbytes check below
+    # stays as the exact backstop.
+    probe = seen_slim.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.max(F.size(F.col("_v"))).alias("_d"),
+    ).first()
+    est_pre_mb = (probe["_n"] or 0) * (probe["_d"] or 0) * 8 / (1 << 20)
+    if est_pre_mb > max_broadcast_mb:
+        raise ValueError(
+            f"seen matrix estimated ~{est_pre_mb:.0f} MiB > "
+            f"max_broadcast_mb={max_broadcast_mb} (pre-collect "
+            "count×dim probe); use strategy='expr' (bucket "
+            "equi-join) or raise the guard"
         )
-        .filter(F.col("_v").isNotNull())
-        .toPandas()
-    )
+    seen_pdf = seen_slim.toPandas()
     id_type = df.schema[id_col].dataType.simpleString()
     out_schema = f"{id_col} {id_type}, _raw double"
     if not len(seen_pdf):
@@ -468,17 +499,26 @@ def jaccard_pairs(
             "at scale, or opt in with allow_unblocked=True"
         )
     if strategy == "auto":
-        # raw row counts only — the estimate never tokenizes
+        # raw row counts only — the estimate never tokenizes.  The
+        # Σ n·(n−1)/2 folds to ONE scalar server-side so pick cost is
+        # independent of block cardinality (blocking on a hot
+        # high-cardinality column like URL host must not stream a
+        # row per block back to the driver just to choose a plan).
         if block_col:
-            sizes = [
-                r["n"]
-                for r in df.groupBy(block_col)
+            est_row = (
+                df.groupBy(block_col)
                 .agg(F.count(F.lit(1)).alias("n"))
-                .collect()
-            ]
+                .agg(
+                    F.sum(
+                        F.col("n") * (F.col("n") - F.lit(1)) / F.lit(2)
+                    ).alias("p")
+                )
+                .first()
+            )
+            est_pairs = int(est_row["p"] or 0)
         else:
-            sizes = [df.count()]
-        est_pairs = sum(c * (c - 1) // 2 for c in sizes)
+            c = df.count()
+            est_pairs = c * (c - 1) // 2
         strategy = "allpairs" if est_pairs <= allpairs_budget else "prefix"
     nparts = df.sparkSession.sparkContext.defaultParallelism
     base = (

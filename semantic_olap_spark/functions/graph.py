@@ -137,8 +137,13 @@ def pagerank(
                 StructField(rank_col, LongType()),
             ]
         )
-        rows = list(zip(uniq.tolist(), r.tolist()))
-        return edges.sparkSession.createDataFrame(rows, schema)
+        import pandas as pd
+
+        # pandas in → Arrow-serialized to the JVM; a Python tuple
+        # list at the 1M-node threshold costs ~1s of row-by-row
+        # pickling that the Arrow path avoids entirely
+        result_pdf = pd.DataFrame({"node": uniq, rank_col: r})
+        return edges.sparkSession.createDataFrame(result_pdf, schema)
     nodes = nodes_lazy.persist()
     n = nodes.count()
     base = (15 * SCALE) // (100 * n)

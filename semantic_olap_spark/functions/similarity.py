@@ -323,6 +323,11 @@ def cosine_pairs(
     left join — a blocked self-join otherwise caps parallelism at
     #blocks tasks (see
     :func:`~semantic_olap_spark.functions.dedup.jaccard_pairs`).
+    ``broadcast=False`` forces the expr shuffle-join path even under
+    the matmul default — matmul inherently collects+broadcasts the
+    corpus, so a caller opting out of right-side movement gets the
+    plan that actually honors it (behavior change vs r6, where expr
+    was the only strategy).
     """
     if block_col is None and not allow_unblocked:
         raise ValueError(
@@ -332,6 +337,13 @@ def cosine_pairs(
         )
     if strategy not in ("matmul", "expr"):
         raise ValueError(f"unknown cosine_pairs strategy {strategy!r}")
+    if strategy == "matmul" and not broadcast:
+        # broadcast=False is an explicit "do not move the right side
+        # to one place" request that predates the matmul default —
+        # matmul ALWAYS collects+broadcasts the corpus, so honoring
+        # the flag means taking the expr shuffle-join path (where
+        # broadcast=False suppresses the broadcast hint below).
+        strategy = "expr"
     if strategy == "matmul":
         return _cosine_pairs_matmul(
             df, threshold, id_col, vec_col, block_col, round_to,
@@ -418,6 +430,23 @@ def _cosine_pairs_matmul(
         sel.insert(1, F.col(block_col))
     base = df.select(*sel).filter(F.col("_v").isNotNull())
 
+    # size the collect BEFORE performing it: the guard must trip
+    # from a cheap count×dim probe, not after the driver has already
+    # absorbed an unbounded toPandas() (advice r7).  The nbytes
+    # check below stays as the exact backstop.
+    probe = base.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.max(F.size(F.col("_v"))).alias("_d"),
+    ).first()
+    est_pre_mb = (probe["_n"] or 0) * (probe["_d"] or 0) * 8 / (1 << 20)
+    if est_pre_mb > max_broadcast_mb:
+        raise ValueError(
+            f"corpus matrix estimated ~{est_pre_mb:.0f} MiB > "
+            f"max_broadcast_mb={max_broadcast_mb} (pre-collect "
+            "count×dim probe); block on an lsh_assign/ivf_assign "
+            "column with bounded blocks, use strategy='expr', or "
+            "raise the guard"
+        )
     right_pdf = base.toPandas()
     n = len(right_pdf)
     out_schema = (
@@ -561,18 +590,29 @@ def lsh_assign(
     :func:`ivf_assign`: materialize once (``write_ann_index``), then
     every probe is a bucket-pruned scan instead of a fresh UDF pass
     over the whole corpus.
+
+    Null vectors get a NULL bucket (a real corpus has embedding
+    gaps; equi-joins on the bucket never match NULL, so such rows
+    simply never become candidates — they must not crash the
+    assignment pass).
     """
     state: dict = {}
 
     @F.pandas_udf(IntegerType())
     def bucket(vecs: pd.Series) -> pd.Series:
-        mat = np.stack(vecs.to_numpy())  # (batch, dim)
-        planes = state.get("p")
-        if planes is None:
-            planes = state["p"] = _hyperplanes(mat.shape[1], nbits, seed)
-        bits = (mat @ planes.T) > 0  # (batch, nbits)
-        weights = (1 << np.arange(nbits)).astype(np.int64)
-        return pd.Series((bits @ weights).astype("int32"))
+        out = pd.array([None] * len(vecs), dtype="Int32")
+        mask = vecs.notna().to_numpy()
+        if mask.any():
+            mat = np.stack(vecs[mask].to_numpy())  # (batch, dim)
+            planes = state.get("p")
+            if planes is None:
+                planes = state["p"] = _hyperplanes(
+                    mat.shape[1], nbits, seed
+                )
+            bits = (mat @ planes.T) > 0  # (batch, nbits)
+            weights = (1 << np.arange(nbits)).astype(np.int64)
+            out[mask] = (bits @ weights).astype("int32")
+        return pd.Series(out)
 
     return df.withColumn(bucket_col, bucket(_as_double(vec_col)))
 
