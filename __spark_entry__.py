@@ -579,8 +579,12 @@ def _q_cosine_pairs_expr(spark, sf_dir):
     # forced pure-Catalyst pair scoring (the matmul twin's reference)
     from semantic_olap_spark.functions.similarity import cosine_pairs
 
+    # threshold 0.4 (was 0.8, which emitted ZERO pairs on the contract
+    # corpus — a vacuous row pinning sha256("") — advice r7): the
+    # synthetic embeddings top out near cosine 0.5 within a label, so
+    # 0.4 yields real pairs at every sf (5 at sf0.01, 86 at sf0.1)
     return cosine_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.8,
+        _t(spark, sf_dir, "embeddings"), threshold=0.4,
         block_col="label", strategy="expr",
     )
 
@@ -740,7 +744,7 @@ def _q_cosine_pairs(spark, sf_dir):
     from semantic_olap_spark.functions.similarity import cosine_pairs
 
     return cosine_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.8, block_col="label"
+        _t(spark, sf_dir, "embeddings"), threshold=0.4, block_col="label"
     )
 
 
@@ -3610,7 +3614,7 @@ def _oracle_sql_literal() -> dict[str, str]:
               FROM embeddings a JOIN embeddings b
                 ON a.label = b.label AND a.vec_id < b.vec_id
             )
-            SELECT * FROM p WHERE cosine >= 0.8
+            SELECT * FROM p WHERE cosine >= 0.4
         """,
         # lsh_topk: the hyperplanes are a pure function of (seed,
         # dim), so they embed as literals; candidates = corpus rows

@@ -226,9 +226,17 @@ def main():
             drift.append((name, golden[name][:12], s_hash[:12]))
         print(f"{mark} {name}: rows {len(spdf)}/{len(opdf)} {s_hash[:12]}")
 
-    if golden_write and not only:
+    if golden_write:
+        merged = hashes
+        if only and os.path.exists(GOLDEN_PATH):
+            # targeted update: merge the replayed subset into the
+            # existing file so one intentional contract-row change
+            # doesn't require re-running all ~160 queries
+            with open(GOLDEN_PATH) as fh:
+                merged = json.load(fh)
+            merged.update(hashes)
         with open(GOLDEN_PATH, "w") as fh:
-            json.dump(hashes, fh, indent=1, sort_keys=True)
+            json.dump(merged, fh, indent=1, sort_keys=True)
         print(f"\nwrote {len(hashes)} golden hashes -> {GOLDEN_PATH}")
 
     print(f"\n{len(bad)} failures, {len(warns)} dtype warnings, "
