@@ -69,7 +69,15 @@ def _run_one(eng, query: str, args) -> None:
     if args.plan_only:
         print(json.dumps(eng.plan_only(query), indent=2, default=str))
         return
-    _show(eng.run(query), args.limit)
+    from semantic_olap_spark.caching import cache_scope
+
+    # engine.run() already releases ITS operator-internal persists
+    # (engine.py run(materialize=True)); this outer scope is the
+    # REPL-session backstop for anything tracked outside that path,
+    # so an N-query session holds O(lattice) storage blocks.  The
+    # display happens INSIDE the scope (release-after-materialize).
+    with cache_scope():
+        _show(eng.run(query), args.limit)
     if args.costs and eng.cost_stats is not None:
         print(f"-- {eng.cost_stats.snapshot()}", file=sys.stderr)
 

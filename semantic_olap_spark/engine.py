@@ -47,6 +47,15 @@ from semantic_olap_spark.sources.loaders import OLAP_ID, with_olap_id
 MAX_REACT_ROUNDS = 10  # reference bound (OLAP_Agent.py:324-327)
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _null_scope():
+    """No-op scope for ``run(materialize=False)`` (lazy r7 behavior)."""
+    yield
+
+
 class OlapEngine:
     """Session over one table: cube memory + the query lifecycle."""
 
@@ -405,40 +414,72 @@ class OlapEngine:
         ]
         return out
 
-    def run(self, query: str) -> DataFrame:
+    def run(self, query: str, materialize: bool = True) -> DataFrame:
+        """Execute one NL query through the full lifecycle.
+
+        ``materialize=True`` (default) fills the new lattice node's
+        cache inside a :func:`~semantic_olap_spark.caching.cache_scope`
+        and releases the query's operator-internal persists (staged-
+        executor undecided sets, guard slices) on exit — the
+        months-long-session lifecycle the caching module exists for,
+        applied where the caller shouldn't have to know about it.
+        Reference parity: its cube nodes store eager pandas frames
+        (OLAP_Memory.py ``Cube_node``), so eagerly populating the
+        node cache matches the contract, and every later consumer
+        (the returned frame included) reads the node cache instead
+        of the released lineage.  ``materialize=False`` keeps the
+        fully-lazy r7 behavior: nothing runs until the caller acts,
+        and internal persists stay tracked until
+        ``release_caches()``.
+        """
+        from semantic_olap_spark.caching import cache_scope
         from semantic_olap_spark.plans.executor import run_filter
 
         filter_query, analysis_query = self.decompose(query)
 
-        equal_node, ancestors = self.memory.get_current_node(filter_query)
-        if equal_node is not None:
-            node = equal_node
-            show = node.df
-        else:
-            parent = ancestors[0] if ancestors else self.memory.nodes[
-                self.memory.root_id
-            ]
-            if filter_query:
-                plan = self.plan_filter(parent.query, filter_query, parent)
-                injected = inject_sub_plans(plan, parent.df, self.llm_factory)
-                flat = flatten_plan(injected)
-                result = run_filter(
-                    parent.df, flat["operations"], flat["logic"],
-                    self.llm_factory,
-                )
-                node = self.memory.add_node(
-                    filter_query, result,
-                    plan=list(parent.plan) + flat["operations"],
-                    parent_ids=[a.id for a in ancestors] or [parent.id],
-                )
-            else:
-                node = parent
-            show = node.df
-
-        if analysis_query:
-            show = self._run_analysis(analysis_query, node)
-            params = understand_topk(
-                analysis_query, show.columns, self.llm_factory
+        with cache_scope() if materialize else _null_scope():
+            equal_node, ancestors = self.memory.get_current_node(
+                filter_query
             )
-            show = topk_dispatch(show, params, self.llm_factory)
+            if equal_node is not None:
+                node = equal_node
+                show = node.df
+            else:
+                parent = ancestors[0] if ancestors else self.memory.nodes[
+                    self.memory.root_id
+                ]
+                if filter_query:
+                    plan = self.plan_filter(
+                        parent.query, filter_query, parent
+                    )
+                    injected = inject_sub_plans(
+                        plan, parent.df, self.llm_factory
+                    )
+                    flat = flatten_plan(injected)
+                    result = run_filter(
+                        parent.df, flat["operations"], flat["logic"],
+                        self.llm_factory,
+                    )
+                    node = self.memory.add_node(
+                        filter_query, result,
+                        plan=list(parent.plan) + flat["operations"],
+                        parent_ids=[a.id for a in ancestors]
+                        or [parent.id],
+                    )
+                    if materialize:
+                        # one action INSIDE the scope: the node cache
+                        # fills while the staged persists are alive,
+                        # so releasing them at scope exit never
+                        # forces an LLM-stage recompute
+                        node.df.count()
+                else:
+                    node = parent
+                show = node.df
+
+            if analysis_query:
+                show = self._run_analysis(analysis_query, node)
+                params = understand_topk(
+                    analysis_query, show.columns, self.llm_factory
+                )
+                show = topk_dispatch(show, params, self.llm_factory)
         return show

@@ -107,3 +107,49 @@ def test_released_result_still_correct(spark, tables):
     out = funnel(tables["events"], steps)
     release_caches()  # drop storage BEFORE materializing
     assert [tuple(r) for r in out.collect()] == expected
+
+
+def test_engine_run_releases_staged_persists(spark, tables):
+    """engine.run (default) releases its operator-internal persists
+    without the caller knowing the hook exists (r7 VERDICT ask #3).
+
+    The two-sem-leaf query routes through the staged executor's
+    tracked persist; materialize=False must leave it tracked (the
+    lazy r7 contract), the default must leave nothing."""
+    from semantic_olap_spark.engine import OlapEngine
+
+    q = "mentions spark in text and mentions join in text"
+
+    release_caches()
+    lazy_eng = OlapEngine(tables["documents"], order_by=["doc_id"])
+    lazy_out = lazy_eng.run(q, materialize=False)
+    expected = lazy_out.count()
+    # proves the query shape actually exercises the staged persist
+    assert release_caches() >= 1
+
+    eng = OlapEngine(tables["documents"], order_by=["doc_id"])
+    out = eng.run(q)
+    assert release_caches() == 0  # run() already released them
+    assert out.count() == expected
+
+
+def test_engine_session_holds_o_lattice_blocks(spark, tables):
+    """A session of N queries accumulates at most one storage block
+    per lattice node — operator internals never pile up."""
+    from semantic_olap_spark.engine import OlapEngine
+
+    release_caches()
+    base = _persisted_ids(spark)
+    eng = OlapEngine(tables["documents"], order_by=["doc_id"])
+    for q in (
+        "mentions spark in text and mentions join in text",
+        "mentions scan in text",
+        "n_chars > 200 and mentions spark in text",
+    ):
+        eng.run(q).count()  # caller materializes whenever it likes
+    new = _new_ids(spark, base)
+    # one block per lattice node, plus the root's dense_ranks
+    # localCheckpoint (sources/loaders.py — a deliberate engine-
+    # lifetime pin: recomputing a repartitionByRange with a fresh
+    # boundary seed would silently corrupt row ids)
+    assert len(new) <= len(eng.memory.nodes) + 1
