@@ -29,7 +29,37 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from semantic_olap_spark.llm.client import LLM, StubLLM
 
-__all__ = ["MockState", "MockOpenAIServer", "start_mock_openai_server"]
+__all__ = [
+    "LatencyLLM",
+    "MockState",
+    "MockOpenAIServer",
+    "start_mock_openai_server",
+]
+
+
+class LatencyLLM(LLM):
+    """Backend wrapper injecting fixed per-call latency.
+
+    Models a real inference endpoint whose per-prompt cost is
+    network/GPU-bound (~tens of ms), unlike the ~0µs stub: the bench
+    and pytest use it to prove the client stack's thread-pool fan-out
+    actually pipelines calls (wall ≈ calls/concurrency × latency)
+    instead of serializing them (wall ≈ calls × latency — the
+    reference's per-row ``series.apply`` bottleneck,
+    Operaters.py:76).  ``sleep`` releases the GIL, so concurrent
+    handler threads overlap exactly like real network waits.
+    """
+
+    def __init__(self, inner: LLM, seconds: float):
+        self.inner = inner
+        self.seconds = float(seconds)
+
+    def predict(self, prompt: str) -> str:
+        time.sleep(self.seconds)
+        return self.inner.predict(prompt)
+
+    def predict_batch(self, batch: list[str]) -> list[str]:
+        return [self.predict(p) for p in batch]
 
 
 class MockState:

@@ -269,3 +269,39 @@ def test_http_with_faults_still_matches_stub(spark, tables, mock_server):
     )
     assert got == want
     assert not st.faults  # every scripted fault was consumed
+
+
+def test_concurrent_pipelining_under_latency():
+    """Calls pipeline through the production stack under real latency.
+
+    A 50ms-per-call backend (LatencyLLM — sleep releases the GIL like
+    a network wait) serving 64 distinct prompts has a sequential
+    floor of 3.2s; the factory's 16-thread pool must achieve a
+    speedup of at least concurrency/2 over that floor, proving the
+    fan-out actually overlaps wire time (the reference's per-row
+    series.apply would pay the full floor).
+    """
+    from semantic_olap_spark.llm.mock_server import (
+        LatencyLLM,
+        MockOpenAIServer,
+    )
+
+    lat, n, conc = 0.05, 64, 16
+    with MockOpenAIServer(backend=LatencyLLM(StubLLM(), lat)) as srv:
+        llm = http_llm_factory(
+            srv.base_url, model="latency-test", cache=False,
+            concurrency=conc,
+        )()
+        prompts = [
+            P.filter_prompt("about spark", f"doc body {i}")
+            for i in range(n)
+        ]
+        t0 = time.perf_counter()
+        out = llm.predict_batch(prompts)
+        wall = time.perf_counter() - t0
+    assert len(out) == n and srv.state.requests == n
+    sequential_floor = n * lat
+    assert sequential_floor / wall >= conc / 2, (
+        f"pipelining ratio {sequential_floor / wall:.1f} < {conc / 2}"
+        f" (wall {wall:.2f}s for {n} calls at {lat * 1000:.0f}ms)"
+    )
