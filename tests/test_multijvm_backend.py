@@ -56,3 +56,8 @@ def test_backend_behaves_per_process_across_two_jvms():
     # r7 broadcast-matmul cosine scoring: sc.broadcast + mapInPandas
     # closure behave identically when worker JVMs are real processes
     assert got["matmul_equals_expr_across_jvms"]
+    # r8: llm_rerank's size-guard slice recomputes deterministically
+    # after its cached blocks are dropped mid-lifecycle (executor
+    # loss / eviction) — legal calls bound the limit over the WHOLE
+    # producer output, so slice identity survives recompute
+    assert got["rerank_recompute_deterministic"]

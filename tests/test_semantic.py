@@ -400,3 +400,44 @@ def test_sem_dedup_judge_runs_only_on_candidates(spark):
     }
     assert {(100, 101), (102, 103)} <= got
     assert stats.requests < 100  # candidates only, nowhere near 780
+
+
+def test_sem_group_cluster_golden_pin(spark):
+    """Golden pin for the one rows-only driver row without a value
+    check (r7 VERDICT #8): k-means labels can't be SQL-mirrored, but
+    under the fixed seed the finalized (doc_id -> workload) frame is
+    a deterministic pure function of the corpus — pin its
+    pandas-protocol hash against tools/golden_hashes.json (the exact
+    hash the replay tool records for the driver's rows-only check)
+    plus the label histogram, at the driver's sf0.01.
+    """
+    import hashlib
+    import json
+    import os
+    from collections import Counter
+
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_T2
+
+    pdf = entrymod.queries()["sem_group_cluster"](spark, SF_T2).toPandas()
+    hist = Counter(pdf["workload"])
+    # the stub labels every sampled cluster "scan" on this corpus —
+    # the histogram pin is weak alone, hence the full-frame hash too
+    assert dict(hist) == {"scan": 500}
+
+    cols = sorted(pdf.columns)
+    rows = sorted(
+        tuple(str(v) for v in r)
+        for r in pdf[cols].itertuples(index=False, name=None)
+    )
+    h = hashlib.sha256()
+    for row in rows:
+        h.update("\x1f".join(row).encode())
+        h.update(b"\x1e")
+    golden_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools", "golden_hashes.json",
+    )
+    with open(golden_path) as fh:
+        golden = json.load(fh)
+    assert h.hexdigest() == golden["sem_group_cluster"]

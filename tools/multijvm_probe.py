@@ -237,6 +237,30 @@ def main() -> None:
     )
     out["matmul_equals_expr_across_jvms"] = mm == ex and len(mm) > 0
 
+    # -- 7. rerank size-guard slice: executor-loss recompute (r7 #7) ----
+    # llm_rerank persists limit(max_candidates+1) of its candidate
+    # producer for the boundedness count; if those cached blocks are
+    # lost (executor death / eviction) the slice recomputes through
+    # lineage.  In every NON-raising call n <= max_candidates, so the
+    # limit covers the ENTIRE producer output — recompute identity is
+    # set-deterministic by construction.  Prove it with real worker
+    # JVMs: score once, drop the tracked slice storage mid-lifecycle,
+    # collect again off the same lazy frame, results must match.
+    from semantic_olap_spark.caching import release_caches
+    from semantic_olap_spark.functions.retrieval import llm_rerank
+
+    cands = docs.filter("doc_id % 3 = 0")
+    reranked = llm_rerank(
+        cands, "text", "spark join performance", k=20,
+        max_candidates=500,
+    )
+    first = sorted(map(tuple, reranked.select("doc_id").collect()))
+    released = release_caches()  # evict the guard slice's storage
+    second = sorted(map(tuple, reranked.select("doc_id").collect()))
+    out["rerank_recompute_deterministic"] = (
+        released >= 1 and first == second and len(first) > 0
+    )
+
     spark.stop()
     srv.shutdown()
     print("PROBE_RESULT " + json.dumps(out))
