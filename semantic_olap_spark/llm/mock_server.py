@@ -140,14 +140,23 @@ def _make_handler(backend: LLM, state: MockState):
     return Handler
 
 
+class _DeepBacklogServer(ThreadingHTTPServer):
+    # socketserver's default listen backlog is 5; a concurrency-16
+    # client stack (× N executor workers) opens dozens of
+    # simultaneous connections, and a dropped SYN costs a 1s kernel
+    # retransmit that poisons latency measurements.  Real serving
+    # endpoints run deep accept queues; so does the mock.
+    request_queue_size = 512
+    daemon_threads = True
+
+
 class MockOpenAIServer:
     def __init__(self, backend: LLM | None = None, host: str = "127.0.0.1",
                  port: int = 0):
         self.state = MockState()
-        self._srv = ThreadingHTTPServer(
+        self._srv = _DeepBacklogServer(
             (host, port), _make_handler(backend or StubLLM(), self.state)
         )
-        self._srv.daemon_threads = True
         self._thread = threading.Thread(
             target=self._srv.serve_forever, daemon=True
         )
