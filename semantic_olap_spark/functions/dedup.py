@@ -29,8 +29,9 @@ estimate — a single scalar aggregate row; (2) the
 ``dedup_clusters`` driver union-find path — one Arrow collect of an
 edge list already counted ``<= driver_threshold``; (3) the
 ``dedup_against_embeddings`` matmul path — the seen-side matrix,
-pre-sized by a count×dim probe against ``max_broadcast_mb`` BEFORE
-the collect (the same movement a broadcast-hash side performs).
+pre-sized against ``max_broadcast_mb`` BEFORE the collect by a
+metadata count × one-row dim probe (the movement itself is the same
+a broadcast-hash side performs).
 """
 
 from __future__ import annotations
@@ -210,16 +211,20 @@ def dedup_against_embeddings(
         for flips in itertools.combinations(range(nbits), d)
     ]
     if strategy == "auto":
-        # one scalar agg: non-null vector count (what matmul would
-        # actually collect) + max dim over non-null vectors only —
-        # size(NULL) is -1, and a null first row must not make an
-        # arbitrarily large corpus look like it "fits" (advice r7).
-        probe = seen.agg(
-            F.count(F.col(vec_col)).alias("_n"),
-            F.max(F.size(F.col(vec_col))).alias("_d"),
-        ).first()
-        n_seen = probe["_n"] or 0
-        dim = probe["_d"] or 0
+        # plain count (parquet-metadata fast; includes null-vector
+        # rows — a conservative overestimate of what matmul would
+        # collect) + dim probed from the first NON-NULL vector (one
+        # early-terminating single-partition job) — a null first row
+        # must not make an arbitrarily large corpus look like it
+        # "fits" (advice r7), and a count×dim aggregate here would
+        # cost a full vector-column pass per call.
+        n_seen = seen.count()
+        dim_row = (
+            seen.filter(F.col(vec_col).isNotNull())
+            .select(F.size(F.col(vec_col)).alias("_d"))
+            .head(1)
+        )
+        dim = dim_row[0]["_d"] if dim_row else 0
         # unknown/degenerate dim with rows present → treat as
         # not-fitting rather than trusting a vacuous 0-byte estimate
         fits = (n_seen == 0) or (
@@ -322,19 +327,21 @@ def _dedup_against_embeddings_matmul(
         F.col(bucket_col).alias("_b"),
         F.col(vec_col).cast("array<double>").alias("_v"),
     ).filter(F.col("_v").isNotNull())
-    # size the collect BEFORE performing it: a direct
-    # strategy="matmul" call must trip the guard from a cheap
-    # count×dim probe, not after the driver has already absorbed an
-    # unbounded toPandas() (advice r7).  The nbytes check below
-    # stays as the exact backstop.
-    probe = seen_slim.agg(
-        F.count(F.lit(1)).alias("_n"),
-        F.max(F.size(F.col("_v"))).alias("_d"),
-    ).first()
-    est_pre_mb = (probe["_n"] or 0) * (probe["_d"] or 0) * 8 / (1 << 20)
+    # size the collect BEFORE performing it (advice r7): a zero-
+    # column count (conservative upper bound — counts null-vector
+    # rows matmul won't collect; parquet-metadata fast on bare
+    # scans) × dim probed from one non-null row.  Near-zero cost; a
+    # count×dim aggregate probe cost a full extra vector-column pass
+    # per call, and a limit(budget+1) collect serialized the fetch
+    # through CollectLimit.  The nbytes check below stays as the
+    # exact backstop.
+    n_bound = seen.count()
+    dim_row = seen_slim.select(F.size(F.col("_v")).alias("_d")).head(1)
+    probe_dim = dim_row[0]["_d"] if dim_row else 0
+    est_pre_mb = n_bound * max(probe_dim, 0) * 8 / (1 << 20)
     if est_pre_mb > max_broadcast_mb:
         raise ValueError(
-            f"seen matrix estimated ~{est_pre_mb:.0f} MiB > "
+            f"seen matrix bounded at ~{est_pre_mb:.0f} MiB > "
             f"max_broadcast_mb={max_broadcast_mb} (pre-collect "
             "count×dim probe); use strategy='expr' (bucket "
             "equi-join) or raise the guard"

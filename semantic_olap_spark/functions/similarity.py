@@ -430,18 +430,24 @@ def _cosine_pairs_matmul(
         sel.insert(1, F.col(block_col))
     base = df.select(*sel).filter(F.col("_v").isNotNull())
 
-    # size the collect BEFORE performing it: the guard must trip
-    # from a cheap count×dim probe, not after the driver has already
-    # absorbed an unbounded toPandas() (advice r7).  The nbytes
-    # check below stays as the exact backstop.
-    probe = base.agg(
-        F.count(F.lit(1)).alias("_n"),
-        F.max(F.size(F.col("_v"))).alias("_d"),
-    ).first()
-    est_pre_mb = (probe["_n"] or 0) * (probe["_d"] or 0) * 8 / (1 << 20)
+    # size the collect BEFORE performing it (advice r7): a zero-
+    # column count on the input (answered from parquet row-group
+    # metadata on bare scans — a conservative UPPER bound, it counts
+    # null-vector rows matmul won't collect) × dim probed from one
+    # row (early-terminating single-partition job).  Near-zero cost
+    # — a count×dim aggregate probe was tried first and cost a full
+    # extra vector-column pass per call (+0.7s on the sf0.1
+    # embedding_dedup row), and a limit(budget+1) collect serialized
+    # the fetch through CollectLimit's incremental execution.  The
+    # nbytes check below stays as the exact backstop (ragged dims,
+    # null-heavy corpora where the upper bound was loose).
+    n_bound = df.count()
+    dim_row = base.select(F.size(F.col("_v")).alias("_d")).head(1)
+    probe_dim = dim_row[0]["_d"] if dim_row else 0
+    est_pre_mb = n_bound * max(probe_dim, 0) * 8 / (1 << 20)
     if est_pre_mb > max_broadcast_mb:
         raise ValueError(
-            f"corpus matrix estimated ~{est_pre_mb:.0f} MiB > "
+            f"corpus matrix bounded at ~{est_pre_mb:.0f} MiB > "
             f"max_broadcast_mb={max_broadcast_mb} (pre-collect "
             "count×dim probe); block on an lsh_assign/ivf_assign "
             "column with bounded blocks, use strategy='expr', or "
