@@ -232,6 +232,12 @@ def dedup_against_embeddings(
             and n_seen * dim * 8 <= max_broadcast_mb * (1 << 20)
         )
         strategy = "matmul" if fits else "expr"
+        if strategy == "matmul":
+            # the pick IS the size check — don't re-probe inside
+            return _dedup_against_embeddings_matmul(
+                df, seen, batch, threshold, id_col, vec_col, masks,
+                bucket_col, round_to, max_broadcast_mb, presized=True,
+            )
     if strategy == "matmul":
         return _dedup_against_embeddings_matmul(
             df, seen, batch, threshold, id_col, vec_col, masks,
@@ -305,6 +311,7 @@ def _dedup_against_embeddings_matmul(
     bucket_col: str,
     round_to: int,
     max_broadcast_mb: int,
+    presized: bool = False,
 ) -> DataFrame:
     """Broadcast-seen matmul scoring behind :func:`dedup_against_embeddings`.
 
@@ -317,7 +324,9 @@ def _dedup_against_embeddings_matmul(
     (superset slack, same protocol as ``cosine_pairs``'s matmul
     path) and Catalyst applies the decimal-exact round + threshold +
     distinct before the final left-anti join, so boundary arithmetic
-    is bit-identical to the expr path.
+    is bit-identical to the expr path.  ``presized=True`` (set by
+    the auto pick, whose fit check IS the size guard) skips the
+    pre-collect probe so a picked call never pays it twice.
     """
     import numpy as np
     import pandas as pd
@@ -335,17 +344,20 @@ def _dedup_against_embeddings_matmul(
     # per call, and a limit(budget+1) collect serialized the fetch
     # through CollectLimit.  The nbytes check below stays as the
     # exact backstop.
-    n_bound = seen.count()
-    dim_row = seen_slim.select(F.size(F.col("_v")).alias("_d")).head(1)
-    probe_dim = dim_row[0]["_d"] if dim_row else 0
-    est_pre_mb = n_bound * max(probe_dim, 0) * 8 / (1 << 20)
-    if est_pre_mb > max_broadcast_mb:
-        raise ValueError(
-            f"seen matrix bounded at ~{est_pre_mb:.0f} MiB > "
-            f"max_broadcast_mb={max_broadcast_mb} (pre-collect "
-            "count×dim probe); use strategy='expr' (bucket "
-            "equi-join) or raise the guard"
-        )
+    if not presized:
+        n_bound = seen.count()
+        dim_row = seen_slim.select(
+            F.size(F.col("_v")).alias("_d")
+        ).head(1)
+        probe_dim = dim_row[0]["_d"] if dim_row else 0
+        est_pre_mb = n_bound * max(probe_dim, 0) * 8 / (1 << 20)
+        if est_pre_mb > max_broadcast_mb:
+            raise ValueError(
+                f"seen matrix bounded at ~{est_pre_mb:.0f} MiB > "
+                f"max_broadcast_mb={max_broadcast_mb} (pre-collect "
+                "count×dim probe); use strategy='expr' (bucket "
+                "equi-join) or raise the guard"
+            )
     seen_pdf = seen_slim.toPandas()
     id_type = df.schema[id_col].dataType.simpleString()
     out_schema = f"{id_col} {id_type}, _raw double"
