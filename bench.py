@@ -770,6 +770,65 @@ def main() -> None:
         )
         wall = round(time.perf_counter() - t0, 3)
         calls = srv.state.requests
+
+        # -- leaf-ordering payoff under the same latency ----------
+        # The staged-Kleene executor's economic claim: running the
+        # decisive LLM leaf first means later leaves judge only the
+        # undecided remainder.  Under the ~0µs stub that saves
+        # microseconds; under real latency it saves wall-clock
+        # proportional to the calls avoided.  OR(spark@~78%true,
+        # quantum@0%true): decisive-first judges N + 0.22N rows,
+        # decisive-last judges 2N (a never-true OR leaf decides
+        # nothing — Kleene OR(False, unknown) = unknown).  The
+        # choose_llm_leaf_order cost model picks decisive-first
+        # (pinned by tests/test_leaf_ordering.py); this row prices
+        # what that pick is worth in seconds.
+        from semantic_olap_spark.caching import release_caches
+        from semantic_olap_spark.plans.executor import run_filter
+
+        order_ops = [
+            {"id": 1, "operator_name": "sem_filter",
+             "parameters": {"columns": ["text"],
+                            "condition": "rows about spark"}},
+            {"id": 2, "operator_name": "sem_filter",
+             "parameters": {"columns": ["text"],
+                            "condition": "mentions quantum chemistry"}},
+        ]
+        ordering: dict[str, dict] = {}
+        # untimed warm pass so neither tag pays first-run setup
+        # (fresh UDF stacks open new HTTP connections per worker)
+        _force(
+            run_filter(
+                docs, order_ops, ["OR", 1, 2],
+                llm_factory=http_llm_factory(
+                    srv.base_url, model="bench-ordering-warm",
+                    concurrency=conc,
+                ),
+                llm_leaf_order=[1, 2],
+            )
+        )
+        release_caches()
+        for tag, order in (
+            ("decisive_first", [1, 2]), ("decisive_last", [2, 1])
+        ):
+            f2 = http_llm_factory(
+                srv.base_url, model="bench-ordering", concurrency=conc
+            )
+            with srv.state.lock:
+                srv.state.requests = 0
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            _force(
+                run_filter(
+                    docs, order_ops, ["OR", 1, 2],
+                    llm_factory=f2, llm_leaf_order=order,
+                )
+            )
+            ordering[tag] = {
+                "wall_sec": round(time.perf_counter() - t0, 3),
+                "backend_calls": srv.state.requests,
+            }
+            release_caches()  # staged undecided persists
         srv.shutdown()
         seq_floor = round(calls * lat, 1)
         llm_latency = {
@@ -790,6 +849,25 @@ def main() -> None:
                 "floor/wall (>1 proves calls overlap; the pytest pin "
                 "requires >= concurrency/2 on the bare client stack)"
             ),
+            "leaf_ordering": {
+                **ordering,
+                "calls_saved_pct": round(
+                    100.0
+                    * (
+                        ordering["decisive_last"]["backend_calls"]
+                        - ordering["decisive_first"]["backend_calls"]
+                    )
+                    / max(
+                        ordering["decisive_last"]["backend_calls"], 1
+                    ),
+                    1,
+                ),
+                "note": (
+                    "same OR tree, same latency server, only the "
+                    "LLM leaf order differs; choose_llm_leaf_order "
+                    "picks decisive_first"
+                ),
+            },
         }
 
     # -- full record → committed repo file ---------------------------
