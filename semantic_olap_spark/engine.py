@@ -27,6 +27,7 @@ real backend plugs in via ``llm_factory``.
 from __future__ import annotations
 
 import json
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -45,9 +46,6 @@ from semantic_olap_spark.plans.rollup import drill_down, roll_up
 from semantic_olap_spark.sources.loaders import OLAP_ID, with_olap_id
 
 MAX_REACT_ROUNDS = 10  # reference bound (OLAP_Agent.py:324-327)
-
-
-from contextlib import contextmanager
 
 
 @contextmanager
