@@ -808,8 +808,15 @@ def main() -> None:
             )
         )
         release_caches()
+        # "auto" = the production path: the cost model PAYS probe
+        # calls on a bounded sample, then runs its chosen order —
+        # its total (probe + run) must land near decisive_first for
+        # the model to be net-positive under latency, not just
+        # right-in-principle
         for tag, order in (
-            ("decisive_first", [1, 2]), ("decisive_last", [2, 1])
+            ("decisive_first", [1, 2]),
+            ("decisive_last", [2, 1]),
+            ("auto", "auto"),
         ):
             f2 = http_llm_factory(
                 srv.base_url, model="bench-ordering", concurrency=conc
@@ -864,8 +871,9 @@ def main() -> None:
                 ),
                 "note": (
                     "same OR tree, same latency server, only the "
-                    "LLM leaf order differs; choose_llm_leaf_order "
-                    "picks decisive_first"
+                    "LLM leaf order differs; 'auto' is the cost "
+                    "model end-to-end (its backend_calls INCLUDE "
+                    "the sample-probe calls it pays to choose)"
                 ),
             },
         }

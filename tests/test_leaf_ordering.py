@@ -200,3 +200,24 @@ def test_100_random_trees_order_invariant(spark, skewed_docs):
                 ).select("id").collect()
             )
             assert got == base, (trial, tree, perm)
+
+
+def test_probe_calls_bounded_by_sample_rows(spark, skewed_docs):
+    """The probe judges AT MOST sample_rows × #llm_leaves rows (r8).
+
+    Regression: probe UDF columns attached to a lazy ``limit(n)``
+    plan get projection-pushed below the GlobalLimit by Catalyst and
+    judge up to n rows PER PARTITION — measured 1000 calls on a
+    500-row/32-partition corpus at sample_rows=256.  The sample is
+    now materialized (persist barrier) before the probes attach.
+    """
+    factory, stats = wrap_cost_tracking(spark, StubLLM)
+    wide = skewed_docs.repartition(32)  # many partitions, few rows each
+    sample_rows = 64
+    order = choose_llm_leaf_order(
+        wide, PESSIMAL_OPS, PESSIMAL_TREE,
+        sample_rows=sample_rows, llm_factory=factory,
+    )
+    assert sorted(order) == [1, 2]
+    # materialize accumulator flushes by forcing one more action
+    assert stats.requests <= sample_rows * len(PESSIMAL_OPS)
