@@ -43,7 +43,9 @@ from contextlib import contextmanager
 from pyspark.sql import DataFrame
 from pyspark.storagelevel import StorageLevel
 
-__all__ = ["cache_scope", "release_caches", "tracked_persist"]
+__all__ = [
+    "cache_scope", "release_caches", "track", "tracked_persist",
+]
 
 _LOCK = threading.Lock()
 _TRACKED: list[DataFrame] = []
@@ -54,6 +56,20 @@ def tracked_persist(
 ) -> DataFrame:
     """``df.persist(level)`` + register for :func:`release_caches`."""
     df = df.persist(level) if level is not None else df.persist()
+    with _LOCK:
+        _TRACKED.append(df)
+    return df
+
+
+def track(df: DataFrame) -> DataFrame:
+    """Register an ALREADY-persisted frame for :func:`release_caches`.
+
+    For results materialized inside a :func:`cache_scope` that must
+    outlive it (the scope releases everything tracked within it):
+    persist untracked inside the scope, then ``track()`` after exit
+    so the storage still participates in the global release hook
+    instead of leaking until session end.
+    """
     with _LOCK:
         _TRACKED.append(df)
     return df

@@ -474,10 +474,32 @@ class OlapEngine:
                     node = parent
                 show = node.df
 
+            analysis_ran = False
             if analysis_query:
                 show = self._run_analysis(analysis_query, node)
                 params = understand_topk(
                     analysis_query, show.columns, self.llm_factory
                 )
                 show = topk_dispatch(show, params, self.llm_factory)
+                if materialize:
+                    # persist UNTRACKED (so scope exit doesn't drop
+                    # it) and force one action INSIDE the scope: the
+                    # analysis result fills its cache while the
+                    # operator-internal persists (llm_rerank guard
+                    # slices, staged undecided sets) are still alive
+                    # — otherwise the caller's first action would
+                    # recompute the LLM judge stages after release,
+                    # double-spending calls and (with a non-caching
+                    # nondeterministic backend) possibly returning
+                    # rows that differ from what the guard counted
+                    # (advice r8).
+                    show = show.persist()
+                    show.count()
+                    analysis_ran = True
+        if analysis_ran:
+            # re-register with the global release hook so a months-
+            # long session can still free it via release_caches()
+            from semantic_olap_spark.caching import track
+
+            track(show)
         return show

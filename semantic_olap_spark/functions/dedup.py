@@ -352,6 +352,12 @@ def _dedup_against_embeddings_matmul(
         probe_dim = dim_row[0]["_d"] if dim_row else 0
         est_pre_mb = n_bound * max(probe_dim, 0) * 8 / (1 << 20)
         if est_pre_mb > max_broadcast_mb:
+            # upper bound counts null-vector rows the collect skips;
+            # one exact non-null count before refusing (advice r8)
+            est_pre_mb = (
+                seen_slim.count() * max(probe_dim, 0) * 8 / (1 << 20)
+            )
+        if est_pre_mb > max_broadcast_mb:
             raise ValueError(
                 f"seen matrix bounded at ~{est_pre_mb:.0f} MiB > "
                 f"max_broadcast_mb={max_broadcast_mb} (pre-collect "

@@ -446,6 +446,11 @@ def _cosine_pairs_matmul(
     probe_dim = dim_row[0]["_d"] if dim_row else 0
     est_pre_mb = n_bound * max(probe_dim, 0) * 8 / (1 << 20)
     if est_pre_mb > max_broadcast_mb:
+        # the upper bound counts null-vector rows the collect skips;
+        # before rejecting, pay ONE exact non-null count so a null-
+        # heavy corpus that genuinely fits isn't refused (advice r8)
+        est_pre_mb = base.count() * max(probe_dim, 0) * 8 / (1 << 20)
+    if est_pre_mb > max_broadcast_mb:
         raise ValueError(
             f"corpus matrix bounded at ~{est_pre_mb:.0f} MiB > "
             f"max_broadcast_mb={max_broadcast_mb} (pre-collect "

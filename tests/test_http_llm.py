@@ -314,8 +314,14 @@ def test_concurrent_pipelining_under_latency():
     assert len(out) == n and srv.state.requests == n + n_ctrl
     assert per_call >= lat  # sanity: the control really paid latency
     sequential_cost = n * per_call
-    assert sequential_cost / wall >= conc / 2, (
-        f"pipelining ratio {sequential_cost / wall:.1f} < {conc / 2} "
+    # pinned at conc/4 (4×), not conc/2: a 4× wall-clock speedup is
+    # impossible without real concurrency (proves the property), but
+    # survives an oversubscribed CI box serializing part of the
+    # 16-thread pool (advice r8 flake risk).  The HEADLINE ratio
+    # (13.2× at 20ms) lives in bench.py's llm_latency_study, which
+    # records — not asserts — it.
+    assert sequential_cost / wall >= conc / 4, (
+        f"pipelining ratio {sequential_cost / wall:.1f} < {conc / 4} "
         f"(wall {wall:.2f}s for {n} calls, measured sequential "
         f"per-call {per_call * 1000:.0f}ms)"
     )

@@ -107,6 +107,21 @@ def _first_divergence(a: list, b: list) -> tuple[int, str, str]:
     )
 
 
+def merge_golden(
+    existing: dict, new_hashes: dict, registry
+) -> tuple[dict, list[str]]:
+    """Merge a targeted --golden-write subset into an existing file,
+    PRUNING keys no longer in the query registry so a renamed or
+    deleted contract row can't mask drift behind a stale hash
+    (advice r8)."""
+    merged = dict(existing)
+    merged.update(new_hashes)
+    stale = sorted(set(merged) - set(registry))
+    for k in stale:
+        del merged[k]
+    return merged, stale
+
+
 def main():
     argv = list(sys.argv[1:])
     golden_write = False
@@ -233,8 +248,11 @@ def main():
             # existing file so one intentional contract-row change
             # doesn't require re-running all ~160 queries
             with open(GOLDEN_PATH) as fh:
-                merged = json.load(fh)
-            merged.update(hashes)
+                existing = json.load(fh)
+            merged, stale = merge_golden(existing, hashes, qs)
+            if stale:
+                print(f"pruned {len(stale)} stale golden keys: "
+                      f"{', '.join(stale)}")
         with open(GOLDEN_PATH, "w") as fh:
             json.dump(merged, fh, indent=1, sort_keys=True)
         print(f"\nwrote {len(hashes)} golden hashes -> {GOLDEN_PATH}")
