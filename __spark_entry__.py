@@ -17,11 +17,13 @@ rotation pairing + stub judge reproduce exactly in SQL), and so do
 the approximate near-dup / ANN ops: minhash_lsh_pairs and
 winnow_overlap_pairs run in md5 ``exact_hash`` mode for the driver,
 lsh_topk's hyperplanes embed as literals (pure function of seed +
-dim), and ivf_topk uses data-seeded centroids — each whole pipeline
-reproduces bit-for-bit in SQL.  The one genuinely non-SQL-
-expressible op (sem_group_cluster — k-means taxonomy) has no oracle
-entry → driver records the weaker rows-only check; it carries a
-pytest property check instead.
+dim), ivf_topk uses data-seeded centroids, and sem_group_cluster
+applies a FROZEN fitted taxonomy (pinned KMeans centroids as SQL
+literals over vocabulary-occurrence features — the shipped-tokenizer
+pattern bpe_tokenize_docs established) — each whole pipeline
+reproduces bit-for-bit in SQL.  The one remaining oracle-less row
+(approx_distinct_merge — HLL binary state) carries golden-estimate +
+error-band pytest pins instead.
 """
 
 from __future__ import annotations
@@ -378,13 +380,36 @@ def _q_sem_reduce_global(spark, sf_dir):
 
 
 def _q_sem_group_cluster(spark, sf_dir):
-    from semantic_olap_spark.operators.semantic import sem_group_cluster
+    """Frozen cluster-taxonomy grouping (operators/semantic.py).
 
-    return sem_group_cluster(
-        _t(spark, sf_dir, "documents"), ["text"],
-        "group by workload type, one of: scan, join, sort", "workload",
-        n_clusters=6,
-    ).select("doc_id", "workload")
+    The r9 upgrade of the one remaining rows-only §2.1 row to a full
+    hash oracle, by the repo's shipped-tokenizer pattern (bpe.py
+    PINNED_MERGES, lsh_topk literal hyperplanes): the taxonomy is
+    FIT ONCE by fit_cluster_taxonomy (seeded KMeans over vocabulary-
+    occurrence features + one stub call per cluster; provenance
+    re-fit pinned by tests/test_semantic.py) and FROZEN as package
+    constants.  The row applies the frozen centroids — pure Catalyst
+    length-replace counts + literal-centroid argmin, zero LLM calls,
+    exactly mirrored in the DuckDB oracle.  The cluster INDEX is
+    exposed alongside the tag because the stub judge labels every
+    cluster of this corpus "scan" (each bounded sample contains the
+    word) — the index is the discriminative per-row output.  The
+    HashingTF fit-per-call variant stays pytest-pinned
+    (tests/test_semantic.py golden pin) as the non-SQL-expressible
+    ceiling.
+    """
+    from semantic_olap_spark.operators.semantic import (
+        PINNED_WORKLOAD_CENTROIDS,
+        PINNED_WORKLOAD_TAGS,
+        WORKLOAD_VOCAB,
+        sem_group_cluster_apply,
+    )
+
+    return sem_group_cluster_apply(
+        _t(spark, sf_dir, "documents"), ["text"], "workload",
+        WORKLOAD_VOCAB, PINNED_WORKLOAD_CENTROIDS, PINNED_WORKLOAD_TAGS,
+        cluster_col="cluster",
+    ).select("doc_id", "cluster", "workload")
 
 
 def _q_sem_topk_docs(spark, sf_dir):
@@ -3027,6 +3052,51 @@ def _bpe_merges_sql() -> str:
     )
 
 
+def _sgc_oracle_sql() -> str:
+    # frozen cluster-taxonomy mirror: vocabulary-occurrence features
+    # via the same length-replace trick, squared distance to each
+    # pinned centroid as LEFT-ASSOCIATED double sums (the Spark
+    # expression's IEEE evaluation order), first-occurrence argmin
+    # via list_position(dists, list_min(dists)).  ::DOUBLE casts are
+    # load-bearing — DuckDB parses bare decimal literals as DECIMAL,
+    # whose exact arithmetic would diverge from Spark's doubles.
+    from semantic_olap_spark.operators.semantic import (
+        PINNED_WORKLOAD_CENTROIDS,
+        PINNED_WORKLOAD_TAGS,
+        WORKLOAD_VOCAB,
+    )
+
+    feats = ",\n                 ".join(
+        f"length(t) - length(replace(t, '{w}', '')) AS c{d}"
+        for d, w in enumerate(WORKLOAD_VOCAB)
+    )
+    dists = ",\n                 ".join(
+        " + ".join(
+            f"(c{d} - {v!r}::DOUBLE) * (c{d} - {v!r}::DOUBLE)"
+            for d, v in enumerate(cen)
+        )
+        for cen in PINNED_WORKLOAD_CENTROIDS
+    )
+    tags = ", ".join(f"'{t}'" for t in PINNED_WORKLOAD_TAGS)
+    return f"""
+        WITH f AS (
+          SELECT doc_id,
+                 {feats}
+          FROM (SELECT doc_id, lower(text) AS t FROM documents)
+        ), d AS (
+          SELECT doc_id,
+                 [{dists}] AS dists
+          FROM f
+        )
+        SELECT doc_id,
+               (list_position(dists, list_min(dists)) - 1)::INTEGER
+                 AS cluster,
+               ([{tags}])[list_position(dists, list_min(dists))]
+                 AS workload
+        FROM d
+    """
+
+
 def _uhash_sql(key_expr: str, seed: int = 42) -> str:
     # functions/sampling.py uniform_hash: U[0,1) = first 32 md5 bits
     # of 'seed:key' / 2^32 — bit-identical in Spark and DuckDB
@@ -4854,6 +4924,7 @@ def _oracle_sql_literal() -> dict[str, str]:
               FROM orders GROUP BY o_orderstatus, o_orderpriority
             ) WHERE rank <= 3
         """,
+        "sem_group_cluster": _sgc_oracle_sql(),
         # approx_distinct_merge: intentionally no oracle — HLL binary
         # state is implementation-specific; see tests/test_sketches.py
         # and the golden finalized-estimate + DuckDB error-band checks

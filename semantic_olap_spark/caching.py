@@ -44,7 +44,8 @@ from pyspark.sql import DataFrame
 from pyspark.storagelevel import StorageLevel
 
 __all__ = [
-    "cache_scope", "release_caches", "track", "tracked_persist",
+    "cache_scope", "lineage_cut", "release_caches", "track",
+    "tracked_persist",
 ]
 
 _LOCK = threading.Lock()
@@ -59,6 +60,31 @@ def tracked_persist(
     with _LOCK:
         _TRACKED.append(df)
     return df
+
+
+def lineage_cut(
+    df: DataFrame, checkpoint_dir: str | None, eager: bool = True
+) -> DataFrame:
+    """Cut a growing iterative lineage: reliable or local checkpoint.
+
+    Iterative loops (dedup_clusters' label propagation, pagerank)
+    must truncate lineage every few rounds or Catalyst's plan grows
+    exponentially.  ``checkpoint_dir=None`` (the local[*] default)
+    uses ``localCheckpoint`` — zero-config, but blocks live only in
+    executor storage, so on a REAL cluster an executor loss makes
+    the truncated lineage unrecoverable mid-loop.  Passing a
+    ``checkpoint_dir`` (HDFS/S3 path on a cluster) switches to
+    reliable ``checkpoint()``: blocks are written to the fault-
+    tolerant store and the job survives executor loss.  Results are
+    identical either way — only durability changes.
+    """
+    if checkpoint_dir:
+        sc = df.sparkSession.sparkContext
+        # setCheckpointDir is idempotent for the same path; callers
+        # pass one dir per loop, so repeated sets are cheap
+        sc.setCheckpointDir(checkpoint_dir)
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
 
 
 def track(df: DataFrame) -> DataFrame:

@@ -1186,6 +1186,7 @@ def dedup_clusters(
     id_b: str = "id_b",
     max_iter: int = 50,
     driver_threshold: int = 1_000_000,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components of a near-dup pair graph.
 
@@ -1204,11 +1205,14 @@ def dedup_clusters(
     rounds instead of O(diameter).  Labels only decrease and are
     bounded below, so the sum of labels is a monotone convergence
     witness; iteration stops the first round it is unchanged.  Every
-    round ends in ``localCheckpoint`` — iterative self-joins
-    otherwise stack exponentially-growing lineage onto Catalyst.  (On
-    a real cluster with a checkpoint dir, reliable ``checkpoint()``
-    is the fault-tolerant variant; localCheckpoint trades
-    re-computability for zero-config, which is right for local[*].)
+    round ends in a lineage cut (caching.lineage_cut) — iterative
+    self-joins otherwise stack exponentially-growing lineage onto
+    Catalyst.  Default ``checkpoint_dir=None`` uses
+    ``localCheckpoint`` (zero-config, right for local[*]); pass a
+    fault-tolerant path (HDFS/S3) on a real cluster to switch the
+    cuts to reliable ``checkpoint()`` so an executor loss mid-loop
+    no longer kills the job.  Labels are identical either way
+    (pinned in tests).
 
     Near-dup graphs are clique-heavy (diameter ~1-2), so the typical
     round count is 2-3; ``max_iter`` is a safety bound, not a tuning
@@ -1287,11 +1291,13 @@ def dedup_clusters(
             ]
         )
         return spark.createDataFrame(rows, schema)
-    labels = (
+    from semantic_olap_spark.caching import lineage_cut
+
+    labels = lineage_cut(
         edges.select(F.col("_src").alias("_node"))
         .distinct()
-        .withColumn("_lbl", F.col("_node"))
-        .localCheckpoint()
+        .withColumn("_lbl", F.col("_node")),
+        checkpoint_dir,
     )
     prev_sum = None
     for _ in range(max_iter):
@@ -1314,16 +1320,17 @@ def dedup_clusters(
         hop = stepped.select(
             F.col("_node").alias("_hn"), F.col("_lbl").alias("_hl")
         )
-        labels = (
+        labels = lineage_cut(
             stepped.join(hop, stepped["_lbl"] == hop["_hn"], "left")
             .select(
                 "_node",
                 F.coalesce(F.col("_hl"), F.col("_lbl")).alias("_lbl"),
-            )
+            ),
+            checkpoint_dir,
             # eager=False: the convergence agg below is the round's
             # only action — it materializes the checkpoint AND reads
             # the sum in ONE job instead of checkpoint-then-agg two
-            .localCheckpoint(eager=False)
+            eager=False,
         )
         cur_sum = labels.agg(F.sum("_lbl")).collect()[0][0]
         if cur_sum == prev_sum:

@@ -36,6 +36,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
+from semantic_olap_spark.caching import lineage_cut
+
 SCALE = 1_000_000_000_000  # 10^12: fixed-point denominator
 
 
@@ -48,6 +50,7 @@ def pagerank(
     checkpoint_every: int = 5,
     broadcast_nodes: int = 1_000_000,
     driver_threshold: int = 1_000_000,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Fixed-point PageRank over a directed edge frame.
 
@@ -58,8 +61,13 @@ def pagerank(
     contract).  Duplicate edges count with multiplicity; pre-
     ``distinct()`` the frame for simple-graph semantics.
 
-    ``checkpoint_every``: iterations between ``localCheckpoint``
-    lineage cuts.  A short run (≤ ``checkpoint_every`` rounds)
+    ``checkpoint_every``: iterations between lineage cuts
+    (caching.lineage_cut — ``localCheckpoint`` by default;
+    ``checkpoint_dir`` switches the cuts AND the final result pin to
+    reliable ``checkpoint()`` on a fault-tolerant store, the
+    cluster-deployment mode where an executor loss mid-loop must not
+    kill the job; ranks are bit-identical either way).  A short run
+    (≤ ``checkpoint_every`` rounds)
     executes as ONE job over the whole unrolled DAG — measurably
     faster than materializing every round (no intermediate rank
     frames hit storage) — while long runs still bound plan growth.
@@ -180,12 +188,12 @@ def pagerank(
             )
         )
         if (i + 1) % checkpoint_every == 0 and (i + 1) < iterations:
-            ranks = ranks.localCheckpoint()
+            ranks = lineage_cut(ranks, checkpoint_dir)
     # materialize the node-sized result ONCE (running the whole
     # unrolled DAG while e/nodes/out_deg are still cached), then the
     # caches can drop — returning the lazy plan instead would
     # recompute the edge build per reference after the unpersists
-    ranks = ranks.localCheckpoint()
+    ranks = lineage_cut(ranks, checkpoint_dir)
     e.unpersist()
     nodes.unpersist()
     out_deg.unpersist()

@@ -5,6 +5,7 @@ operator has an exact SQL equivalent the DuckDB oracle can check —
 the same shape the driver's t2 gate uses.
 """
 
+import pytest
 from pyspark.sql import functions as F
 
 from semantic_olap_spark.operators.semantic import (
@@ -403,13 +404,13 @@ def test_sem_dedup_judge_runs_only_on_candidates(spark):
 
 
 def test_sem_group_cluster_golden_pin(spark):
-    """Golden pin for the one rows-only driver row without a value
-    check (r7 VERDICT #8): k-means labels can't be SQL-mirrored, but
-    under the fixed seed the finalized (doc_id -> workload) frame is
-    a deterministic pure function of the corpus — pin its
-    pandas-protocol hash against tools/golden_hashes.json (the exact
-    hash the replay tool records for the driver's rows-only check)
-    plus the label histogram, at the driver's sf0.01.
+    """Replay-parity pin for the driver row (now the FROZEN-taxonomy
+    apply path, r9: full DuckDB hash oracle via pinned centroid
+    literals — see _q_sem_group_cluster).  The pandas-protocol hash
+    must match tools/golden_hashes.json so pytest catches cross-round
+    drift without the driver; the label histogram pins the (honest,
+    degenerate) stub labeling while the cluster column carries the
+    per-row discrimination.
     """
     import hashlib
     import json
@@ -441,3 +442,66 @@ def test_sem_group_cluster_golden_pin(spark):
     with open(golden_path) as fh:
         golden = json.load(fh)
     assert h.hexdigest() == golden["sem_group_cluster"]
+
+
+def test_fit_cluster_taxonomy_provenance(spark):
+    """The PINNED_WORKLOAD_* constants are exactly what
+    fit_cluster_taxonomy produces at the driver's sf0.01 (seed 42,
+    k=6) — the bpe.py PINNED_MERGES provenance discipline: the frozen
+    artifact stays re-derivable, never a magic number.  Centroids are
+    compared with a small tolerance (KMeans means sum doubles across
+    partitions; low-order bits may vary with partitioning) and the
+    pinned literals themselves must round-trip the apply path to the
+    SAME assignment as the fresh fit.
+    """
+    from semantic_olap_spark.operators.semantic import (
+        PINNED_WORKLOAD_CENTROIDS,
+        PINNED_WORKLOAD_TAGS,
+        WORKLOAD_VOCAB,
+        fit_cluster_taxonomy,
+        sem_group_cluster_apply,
+    )
+    from tests.conftest import SF_T2
+
+    docs = spark.read.parquet(f"{SF_T2}/documents.parquet")
+    cents, tags = fit_cluster_taxonomy(
+        docs, ["text"],
+        "group by workload type, one of: scan, join, sort",
+        "workload", WORKLOAD_VOCAB, n_clusters=6, seed=42,
+    )
+    assert tuple(tags) == PINNED_WORKLOAD_TAGS
+    assert len(cents) == len(PINNED_WORKLOAD_CENTROIDS)
+    for got, pinned in zip(cents, PINNED_WORKLOAD_CENTROIDS):
+        for g, p in zip(got, pinned):
+            assert abs(g - p) < 1e-4, (got, pinned)
+    # fresh fit and pinned literals induce the SAME assignment
+    fresh = sem_group_cluster_apply(
+        docs, ["text"], "workload", WORKLOAD_VOCAB, cents, tags,
+        cluster_col="cluster",
+    )
+    pinned_out = sem_group_cluster_apply(
+        docs, ["text"], "workload", WORKLOAD_VOCAB,
+        PINNED_WORKLOAD_CENTROIDS, PINNED_WORKLOAD_TAGS,
+        cluster_col="cluster",
+    )
+    a = {r["doc_id"]: (r["cluster"], r["workload"])
+         for r in fresh.collect()}
+    b = {r["doc_id"]: (r["cluster"], r["workload"])
+         for r in pinned_out.collect()}
+    assert a == b and len(a) == 500
+
+
+def test_sem_group_cluster_apply_validation(spark):
+    from semantic_olap_spark.operators.semantic import (
+        sem_group_cluster_apply,
+    )
+
+    df = spark.createDataFrame([(1, "scan scan")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="centroids vs"):
+        sem_group_cluster_apply(
+            df, ["text"], "w", ("scan",), [[1.0]], ["a", "b"]
+        )
+    with pytest.raises(ValueError, match="dim"):
+        sem_group_cluster_apply(
+            df, ["text"], "w", ("scan", "join"), [[1.0]], ["a"]
+        )

@@ -1,0 +1,126 @@
+"""Full-registry cross-JVM replay: every __spark_entry__ query on a
+REAL 2-worker standalone cluster, hashed against the local-JVM
+golden record.
+
+``local[32]`` is one JVM: closures never cross a process boundary,
+broadcasts never pickle numpy state over a wire, and Python workers
+all inherit one daemon tree.  ``local-cluster[2,2,2048]`` spawns two
+separate worker JVMs with their own Python worker pools — the
+cheapest honest rehearsal of a 1000-executor deployment.  This tool
+replays the WHOLE contract registry there and compares each query's
+pandas-protocol hash (tools/replay_contract.py's exact protocol, the
+driver's evident compare) against tools/golden_hashes.json, which is
+recorded from the local[32] session.  159/159 identical = no query's
+result depends on single-JVM accidents (closure capture, broadcast
+pickling, task-order float accumulation the plans were built to
+avoid).
+
+Usage:
+    python tools/multijvm_replay.py [only_query ...]
+
+Env knobs:
+    MULTIJVM_MASTER   default local-cluster[2,2,2048]
+    REPLAY_SF_DIR     default /root/testdata/sf0.01 (the sf the
+                      golden hashes are recorded at)
+
+Prints per-query pass/FAIL lines and ONE final JSON summary line.
+Run from a fresh process — a pytest-owned local[32] session and a
+local-cluster master cannot share one JVM.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+from tools.replay_contract import GOLDEN_PATH, _frame_rows, _hash_rows
+
+
+def main() -> None:
+    only = set(sys.argv[1:])
+    sf_dir = os.environ.get("REPLAY_SF_DIR", "/root/testdata/sf0.01")
+    master = os.environ.get("MULTIJVM_MASTER", "local-cluster[2,2,2048]")
+
+    import __spark_entry__ as entry
+    from semantic_olap_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="multijvm-replay",
+        master=master,
+        shuffle_partitions=8,
+        extra_conf={
+            "spark.pyspark.python": sys.executable,
+            # wait for BOTH executors so every query really spans two
+            # JVMs (same rationale as tools/multijvm_probe.py)
+            "spark.scheduler.minRegisteredResourcesRatio": "1.0",
+            "spark.scheduler.maxRegisteredResourcesWaitingTime": "60s",
+            # the first full replay found exactly what this harness
+            # exists to find: worker JVMs spawn their own Python
+            # workers, which do NOT inherit the driver's sys.path —
+            # 29 semantic/LLM rows died with ModuleNotFoundError
+            # while all 129 pure-Catalyst rows passed (zero executor
+            # Python).  Shipping the package is the deployment
+            # requirement (a real cluster uses --py-files / an
+            # installed wheel); executorEnv.PYTHONPATH is the
+            # same-host local-cluster analogue.
+            "spark.executorEnv.PYTHONPATH": os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__))
+            ),
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    # sanity: the session really runs on two executor JVMs
+    execs = {
+        spark.sparkContext.parallelize(range(16), 16)
+        .map(lambda _: __import__("os").getppid())
+        .collect()[i]
+        for i in range(16)
+    }
+    n_jvms = len(execs)
+
+    with open(GOLDEN_PATH) as fh:
+        golden = json.load(fh)
+
+    qs = entry.queries()
+    ok, bad, errs = [], [], []
+    t0 = time.time()
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            h = _hash_rows(_frame_rows(fn(spark, sf_dir).toPandas()))
+        except Exception as e:  # noqa: BLE001 — report, don't die
+            errs.append((name, f"{type(e).__name__}: {e}"))
+            print(f"ERR  {name}: {type(e).__name__}: {e}")
+            continue
+        want = golden.get(name)
+        if want is None:
+            errs.append((name, "no golden hash recorded"))
+            print(f"ERR  {name}: no golden hash recorded")
+        elif h == want:
+            ok.append(name)
+            print(f"pass {name}: {h[:12]}")
+        else:
+            bad.append((name, want[:12], h[:12]))
+            print(f"FAIL {name}: golden {want[:12]} != cluster {h[:12]}")
+    summary = {
+        "master": master,
+        "executor_jvms": n_jvms,
+        "sf_dir": sf_dir,
+        "pass": len(ok),
+        "fail": [list(b) for b in bad],
+        "errors": [list(e) for e in errs],
+        "wall_sec": round(time.time() - t0, 1),
+    }
+    print(json.dumps(summary))
+    spark.stop()
+    sys.exit(1 if (bad or errs) else 0)
+
+
+if __name__ == "__main__":
+    main()
