@@ -612,6 +612,32 @@ def main() -> None:
     spreads: dict[str, list[float]] = {}
     shuffle_mb: dict[str, float] = {}
     llm_calls: dict[str, int] = {}
+    row_load: dict[str, float] = {}
+    reran_rows: list[str] = []
+
+    def _timed_samples(fn, n=3, first_shuffle_to=None) -> list[float]:
+        out: list[float] = []
+        for attempt in range(n):
+            spark.catalog.clearCache()
+            before = (
+                _shuffle_totals(spark)
+                if attempt == 0 and first_shuffle_to is not None
+                else None
+            )
+            t0 = time.perf_counter()
+            _force(fn(spark, sf_dir))
+            out.append(time.perf_counter() - t0)
+            if before is not None:
+                after = _shuffle_totals(spark)
+                if after is not None:
+                    # shuffle write = data the query put on the
+                    # wire (first execution only: every run
+                    # shuffles the same bytes — the plan, not the
+                    # cache, decides)
+                    first_shuffle_to.append(
+                        round((after[1] - before[1]) / 1e6, 2)
+                    )
+        return sorted(out)
 
     def _run_row(name: str) -> None:
         # isolate rows: the pair-dedup queries persist intermediate
@@ -645,24 +671,26 @@ def main() -> None:
             )
             _force(fn(spark, sf_dir, llm_factory=tracked))
             llm_calls[name] = stats.backend_calls
-        samples: list[float] = []
-        for attempt in range(3):
-            spark.catalog.clearCache()
-            before = _shuffle_totals(spark) if attempt == 0 else None
-            t0 = time.perf_counter()
-            _force(fn(spark, sf_dir))
-            samples.append(time.perf_counter() - t0)
-            if attempt == 0 and before is not None:
-                after = _shuffle_totals(spark)
-                if after is not None:
-                    # shuffle write = data the query put on the
-                    # wire (first execution only: every run
-                    # shuffles the same bytes — the plan, not the
-                    # cache, decides)
-                    shuffle_mb[name] = round(
-                        (after[1] - before[1]) / 1e6, 2
-                    )
-        samples.sort()
+        try:
+            row_load[name] = round(os.getloadavg()[0], 1)
+        except OSError:  # pragma: no cover — non-POSIX
+            pass
+        sh: list[float] = []
+        samples = _timed_samples(fn, first_shuffle_to=sh)
+        if sh:
+            shuffle_mb[name] = sh[0]
+        # environment guard (r8 VERDICT #4: a 51.9↔76.9s episode made
+        # round-over-round deltas unreadable): a row whose max/min
+        # spread exceeds 2× — beyond anything plan-driven, since
+        # every attempt runs the identical cleared-cache plan — hit a
+        # contention window.  Re-run the three attempts ONCE and keep
+        # whichever triple is tighter; the absolute floor skips
+        # sub-50ms rows where scheduler jitter alone spans 2×.
+        if samples[0] > 0.05 and samples[-1] > 2.0 * samples[0]:
+            retry = _timed_samples(fn)
+            reran_rows.append(name)
+            if retry[-1] - retry[0] < samples[-1] - samples[0]:
+                samples = retry
         timings[name] = round(samples[1], 3)
         spreads[name] = [round(s, 3) for s in samples]
 
@@ -836,6 +864,79 @@ def main() -> None:
                 "backend_calls": srv.state.requests,
             }
             release_caches()  # staged undecided persists
+
+        # -- tournament + rerank cascade under the same latency ----
+        # (r8 VERDICT #5) sem_filter proves the CLIENT pipelines;
+        # these prove the two heaviest CALL PATTERNS do too: the
+        # pairwise rotation tournament (the reference's ~5n budget,
+        # Operaters.py:465-466, here bounded by prescreen) and the
+        # two-stage bm25→judge cascade (stage boundary must not
+        # serialize the judge calls).  Candidate counts are scaled
+        # up from the driver rows so the call budget dwarfs fixed
+        # job overhead and the ratio measures the stack, not Spark
+        # startup.
+        from semantic_olap_spark.functions.retrieval import (
+            llm_rerank as _rr,
+        )
+        from semantic_olap_spark.functions.text import bm25_topk as _bm
+        from semantic_olap_spark.operators.semantic import (
+            sem_topk as _stk,
+        )
+        from pyspark.sql import functions as _F
+
+        _txt = _F.lower(_F.col("text"))
+
+        def _occ(w):
+            return (
+                _F.length(_txt)
+                - _F.length(_F.replace(_txt, _F.lit(w)))
+            ) / len(w)
+
+        _score = _occ("spark") + _occ("join") + _occ("performance")
+
+        def _run_tournament(f):
+            return _stk(
+                docs, ["text"], "spark join performance", k=10,
+                id_col="doc_id", prescreen_k=400,
+                prescreen_score=_score, llm_factory=f,
+            )
+
+        def _run_cascade(f):
+            slim = docs.select("doc_id", "text")
+            cands = _bm(
+                slim, "spark join performance", k=1000
+            ).select("doc_id")
+            wt = slim.join(_F.broadcast(cands), "doc_id")
+            return _rr(
+                wt, "text", "spark join performance", k=10,
+                id_col="doc_id", llm_factory=f,
+            )
+
+        op_latency: dict[str, dict] = {}
+        for tag, runner in (
+            ("sem_topk_tournament_p400", _run_tournament),
+            ("bm25_rerank_cascade_c1000", _run_cascade),
+        ):
+            f3 = http_llm_factory(
+                srv.base_url, model=f"bench-{tag}", concurrency=conc
+            )
+            with srv.state.lock:
+                srv.state.requests = 0
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            _force(runner(f3))
+            w = time.perf_counter() - t0
+            c = srv.state.requests
+            op_latency[tag] = {
+                "wall_sec": round(w, 3),
+                "backend_calls": c,
+                "sequential_floor_sec": round(c * lat, 1),
+                "pipelining_ratio": (
+                    round(c * lat / w, 1) if w else None
+                ),
+                "calls_per_sec": round(c / w, 1) if w else None,
+            }
+            release_caches()
         srv.shutdown()
         seq_floor = round(calls * lat, 1)
         llm_latency = {
@@ -856,6 +957,7 @@ def main() -> None:
                 "floor/wall (>1 proves calls overlap; the pytest pin "
                 "requires >= concurrency/2 on the bare client stack)"
             ),
+            "operator_families": op_latency,
             "leaf_ordering": {
                 **ordering,
                 "calls_saved_pct": round(
@@ -900,6 +1002,12 @@ def main() -> None:
             "comparable to rounds<=4 values."
         ),
         "timing_spread": spreads,
+        # environment guard (r9): 1-min loadavg sampled at each row's
+        # start, plus which rows tripped the spread>2× re-run — a
+        # reader can now attribute a wide band to machine load
+        # instead of burning a diagnose cycle on it
+        "row_loadavg": row_load,
+        "spread_reruns": reran_rows,
         "noise_notes": {
             "hash_embed": (
                 "r3 1.16s vs r5 1.74s at sf0.1 was profiled in r6: "

@@ -325,3 +325,93 @@ def test_concurrent_pipelining_under_latency():
         f"(wall {wall:.2f}s for {n} calls, measured sequential "
         f"per-call {per_call * 1000:.0f}ms)"
     )
+
+
+def _latency_ratio(spark, runner, lat: float, conc: int = 16):
+    """Run an operator through the production stack against a
+    latency-injecting mock server; return (ratio, calls, wall) where
+    ratio = sequential-floor / wall.  The floor here is the
+    theoretical calls × latency (no same-machine control: operator
+    rows carry Spark job overhead on BOTH protocols, so the
+    conservative floor plus the conc/4 pin absorbs suite load)."""
+    from semantic_olap_spark.llm.mock_server import (
+        LatencyLLM,
+        MockOpenAIServer,
+    )
+
+    with MockOpenAIServer(backend=LatencyLLM(StubLLM(), lat)) as srv:
+        # untimed warm pass (the bench's protocol): fresh UDF stacks
+        # pay Python-worker startup + HTTP connection setup; without
+        # it the ratio measures Spark cold-start, not the client
+        runner(
+            http_llm_factory(
+                srv.base_url, model="latency-warm", cache=False,
+                concurrency=conc,
+            )
+        ).collect()
+        with srv.state.lock:
+            srv.state.requests = 0
+        factory = http_llm_factory(
+            srv.base_url, model="latency-op", cache=False,
+            concurrency=conc,
+        )
+        t0 = time.perf_counter()
+        runner(factory).collect()
+        wall = time.perf_counter() - t0
+        calls = srv.state.requests
+    return (calls * lat) / wall, calls, wall
+
+
+def test_tournament_pipelines_under_latency(spark):
+    """The pairwise sem_topk tournament — the reference's heaviest
+    call pattern (~5n judgments, Operaters.py:465-466) — must
+    pipeline its judge calls like the filter judge does (r8 VERDICT
+    #5): 64 candidates × 2·5 judgments ≈ 640 calls at 50ms is a 32s
+    sequential floor; the pin requires ≥ conc/4 (4×) wall speedup,
+    impossible without concurrent calls."""
+    from semantic_olap_spark.operators.semantic import sem_topk
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} spark join " + "perf " * (i % 7))
+         for i in range(64)],
+        "doc_id long, text string",
+    ).repartition(8)
+    ratio, calls, wall = _latency_ratio(
+        spark,
+        lambda f: sem_topk(
+            docs, ["text"], "spark join performance", k=8,
+            id_col="doc_id", llm_factory=f,
+        ),
+        lat=0.05,
+    )
+    assert calls >= 500  # really the tournament budget, not a slice
+    assert ratio >= 4, (
+        f"tournament pipelining {ratio:.1f}x < 4x "
+        f"({calls} calls, wall {wall:.2f}s)"
+    )
+
+
+def test_rerank_cascade_pipelines_under_latency(spark):
+    """The bm25→llm_rerank cascade's judge stage must not serialize
+    at the stage boundary: 192 candidates at 50ms = 9.6s floor; the
+    conc/4 pin again requires genuine concurrency."""
+    from semantic_olap_spark.functions.retrieval import llm_rerank
+
+    docs = spark.createDataFrame(
+        [(i, f"candidate {i} spark join performance notes")
+         for i in range(192)],
+        "doc_id long, text string",
+    ).repartition(8)
+    ratio, calls, wall = _latency_ratio(
+        spark,
+        lambda f: llm_rerank(
+            docs, "text", "spark join performance", k=10,
+            id_col="doc_id", llm_factory=f,
+        ),
+        lat=0.05,
+    )
+    assert calls == 192  # one judgment per candidate, never more
+    assert ratio >= 4, (
+        f"cascade pipelining {ratio:.1f}x < 4x "
+        f"({calls} calls, wall {wall:.2f}s)"
+    )
