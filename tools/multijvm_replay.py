@@ -22,6 +22,10 @@ Env knobs:
     MULTIJVM_MASTER   default local-cluster[2,2,2048]
     REPLAY_SF_DIR     default /root/testdata/sf0.01 (the sf the
                       golden hashes are recorded at)
+    REPLAY_SHUFFLE_PARTITIONS / REPLAY_SESSION_TZ — same divergent-
+                      session sweep knobs as tools/replay_contract.py
+                      (cross-JVM × divergent-conf compounds the two
+                      strongest determinism probes)
 
 Prints per-query pass/FAIL lines and ONE final JSON summary line.
 Run from a fresh process — a pytest-owned local[32] session and a
@@ -49,11 +53,16 @@ def main() -> None:
     import __spark_entry__ as entry
     from semantic_olap_spark.session import get_spark
 
+    sp = os.environ.get("REPLAY_SHUFFLE_PARTITIONS")
+    tz = os.environ.get("REPLAY_SESSION_TZ")
     spark = get_spark(
         app_name="multijvm-replay",
         master=master,
-        shuffle_partitions=8,
+        shuffle_partitions=int(sp) if sp else 8,
         extra_conf={
+            **(
+                {"spark.sql.session.timeZone": tz} if tz else {}
+            ),
             "spark.pyspark.python": sys.executable,
             # wait for BOTH executors so every query really spans two
             # JVMs (same rationale as tools/multijvm_probe.py)
