@@ -297,6 +297,10 @@ SCALE_QUERIES = [
     "sem_topk_prescreen",
     "filter_pattern",
     "llm_rerank_docs",
+    # round-9: the frozen-taxonomy cluster grouping — pure scan-side
+    # Catalyst (0 exchanges, 0 Python); the row documents that the
+    # r9 oracle upgrade also made the operator data-linear
+    "sem_group_cluster",
 ]
 
 # threshold for flagging super-linear rows: >15× for 10× data (the
