@@ -30,6 +30,7 @@ from semantic_olap_spark.operators.reshape import (  # noqa: F401
 from semantic_olap_spark.operators.semantic import (  # noqa: F401
     filter_enum_llm,
     filter_pattern,
+    fit_cluster_taxonomy,
     induce_taxonomy,
     sem_filter,
     sem_filter_cond,
@@ -38,6 +39,7 @@ from semantic_olap_spark.operators.semantic import (  # noqa: F401
     sem_join_cond,
     sem_group,
     sem_group_cluster,
+    sem_group_cluster_apply,
     sem_group_sequential,
     sem_map,
     sem_reduce,

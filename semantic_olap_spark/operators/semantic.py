@@ -632,6 +632,46 @@ def sem_group_cluster_apply(
     return out
 
 
+def save_taxonomy(
+    path: str,
+    vocab: Sequence[str],
+    centroids: Sequence[Sequence[float]],
+    tags: Sequence[str],
+) -> None:
+    """Persist a fitted cluster taxonomy as a tiny JSON artifact.
+
+    The production lifecycle: :func:`fit_cluster_taxonomy` once,
+    ``save_taxonomy`` next to the model artifacts, and every later
+    job (any cluster, any scale) ``load_taxonomy`` +
+    :func:`sem_group_cluster_apply` — no refit, no LLM calls, no
+    drift between runs.  The artifact is O(k × |vocab|) floats —
+    driver-side JSON is the right tool, same as a tokenizer file.
+    """
+    if len(centroids) != len(tags):
+        raise ValueError(
+            f"{len(centroids)} centroids vs {len(tags)} tags"
+        )
+    obj = {
+        "version": 1,
+        "vocab": [str(w) for w in vocab],
+        "centroids": [[float(v) for v in c] for c in centroids],
+        "tags": [str(t) for t in tags],
+    }
+    with open(path, "w") as fh:
+        json.dump(obj, fh, indent=1)
+
+
+def load_taxonomy(
+    path: str,
+) -> tuple[list[str], list[list[float]], list[str]]:
+    """Load a :func:`save_taxonomy` artifact → (vocab, centroids, tags)."""
+    with open(path) as fh:
+        obj = json.load(fh)
+    if obj.get("version") != 1:
+        raise ValueError(f"unknown taxonomy version: {obj.get('version')}")
+    return obj["vocab"], obj["centroids"], obj["tags"]
+
+
 # frozen workload taxonomy for the documents corpus — fit ONCE by
 # fit_cluster_taxonomy at the driver's sf0.01 (seed 42, k=6) and
 # PINNED like a shipped tokenizer (functions/bpe.py PINNED_MERGES);

@@ -505,3 +505,41 @@ def test_sem_group_cluster_apply_validation(spark):
         sem_group_cluster_apply(
             df, ["text"], "w", ("scan", "join"), [[1.0]], ["a"]
         )
+
+
+def test_taxonomy_save_load_roundtrip(spark, tmp_path):
+    """fit → save → load → apply equals apply-with-in-memory-fit; the
+    artifact is the fit-once / apply-anywhere contract."""
+    from semantic_olap_spark.operators.semantic import (
+        PINNED_WORKLOAD_CENTROIDS,
+        PINNED_WORKLOAD_TAGS,
+        WORKLOAD_VOCAB,
+        load_taxonomy,
+        save_taxonomy,
+        sem_group_cluster_apply,
+    )
+
+    p = str(tmp_path / "taxonomy.json")
+    save_taxonomy(
+        p, WORKLOAD_VOCAB, PINNED_WORKLOAD_CENTROIDS,
+        PINNED_WORKLOAD_TAGS,
+    )
+    vocab, cents, tags = load_taxonomy(p)
+    assert vocab == list(WORKLOAD_VOCAB)
+    assert tags == list(PINNED_WORKLOAD_TAGS)
+    df = spark.createDataFrame(
+        [(1, "scan scan filter"), (2, "join join group window")],
+        ["doc_id", "text"],
+    )
+    a = sem_group_cluster_apply(
+        df, ["text"], "w", WORKLOAD_VOCAB, PINNED_WORKLOAD_CENTROIDS,
+        PINNED_WORKLOAD_TAGS, cluster_col="c",
+    )
+    b = sem_group_cluster_apply(
+        df, ["text"], "w", vocab, cents, tags, cluster_col="c"
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(
+        map(tuple, b.collect())
+    )
+    with pytest.raises(ValueError, match="centroids vs"):
+        save_taxonomy(p, vocab, cents, tags[:-1])
