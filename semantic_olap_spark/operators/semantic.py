@@ -520,6 +520,7 @@ def fit_cluster_taxonomy(
     samples_per_cluster: int = 3,
     seed: int = 42,
     round_to: int = 6,
+    sample_fraction: float | None = None,
 ) -> tuple[list[list[float]], list[str]]:
     """Fit phase of the FROZEN cluster-taxonomy grouping.
 
@@ -535,11 +536,20 @@ def fit_cluster_taxonomy(
     Centroids are rounded to ``round_to`` decimals so they embed as
     exact SQL literals on both sides; every cluster gets a tag (an
     empty cluster falls back to "other").
+
+    ``sample_fraction``: at 100 TB the fit should see a seeded
+    Bernoulli sample, not the corpus — k-means centroids converge on
+    a fraction of the data and the APPLY step is what runs at full
+    scale.  ``None`` (default) fits on everything, right for the
+    driver-testdata scale where the pinned constants must be exactly
+    re-derivable.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     cols = list(columns)
+    if sample_fraction is not None:
+        df = df.sample(fraction=float(sample_fraction), seed=seed)
     cnts = _vocab_count_cols(cols, vocab)
     text = F.lower(
         F.concat_ws(" ", *[F.col(c).cast("string") for c in cols])

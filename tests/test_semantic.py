@@ -543,3 +543,30 @@ def test_taxonomy_save_load_roundtrip(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="centroids vs"):
         save_taxonomy(p, vocab, cents, tags[:-1])
+
+
+def test_fit_cluster_taxonomy_sample_fraction(spark):
+    """The 100 TB fit posture: a seeded Bernoulli sample feeds the
+    fit; the taxonomy still applies to the FULL frame."""
+    from semantic_olap_spark.operators.semantic import (
+        fit_cluster_taxonomy,
+        sem_group_cluster_apply,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i} " + ("scan " if i % 2 else "join ") * (i % 5 + 1))
+         for i in range(200)],
+        ["doc_id", "text"],
+    )
+    cents, tags = fit_cluster_taxonomy(
+        df, ["text"], "group by workload, one of: scan, join",
+        "w", ("scan", "join"), n_clusters=2, sample_fraction=0.5,
+    )
+    assert len(cents) == 2 and len(tags) == 2
+    out = sem_group_cluster_apply(
+        df, ["text"], "w", ("scan", "join"), cents, tags,
+        cluster_col="c",
+    )
+    rows = out.collect()
+    assert len(rows) == 200  # apply covers the whole frame
+    assert {r["c"] for r in rows} == {0, 1}
