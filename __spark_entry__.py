@@ -746,6 +746,28 @@ def _q_dedup_keep_best(spark, sf_dir):
     )
 
 
+def _q_dup_spans_docs(spark, sf_dir):
+    # ExactSubstr span detection (Lee et al. 2022): duplicated
+    # >=20-token windows corpus-wide, merged to maximal spans.  Pure
+    # Catalyst (md5 k-gram fingerprints), so the DuckDB oracle
+    # reproduces it bit-for-bit.
+    from semantic_olap_spark.functions.dedup import duplicate_spans
+
+    return duplicate_spans(_t(spark, sf_dir, "documents"), k=20).select(
+        "doc_id", "span_start", "span_end", "span_tokens"
+    )
+
+
+def _q_remove_dup_spans_docs(spark, sf_dir):
+    # the removal half: ALL occurrences of each duplicated span are
+    # dropped and the text rebuilt from surviving tokens.
+    from semantic_olap_spark.functions.dedup import remove_duplicate_spans
+
+    return remove_duplicate_spans(
+        _t(spark, sf_dir, "documents"), k=20
+    ).select("doc_id", "text", "removed_tokens", "orig_tokens")
+
+
 # ---- pipeline functions: similarity search -----------------------------
 
 
@@ -2745,6 +2767,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "dedup_clusters_distributed": _q_dedup_clusters_distributed,
         "dedup_keep_best": _q_dedup_keep_best,
+        "dup_spans_docs": _q_dup_spans_docs,
+        "remove_dup_spans_docs": _q_remove_dup_spans_docs,
         # pipeline: similarity
         "cosine_topk": _q_cosine_topk,
         "cosine_pairs": _q_cosine_pairs,
@@ -3641,6 +3665,113 @@ def _oracle_sql_literal() -> dict[str, str]:
             QUALIFY row_number() OVER (
                 PARTITION BY coalesce(cl.cluster_id, d.doc_id)
                 ORDER BY d.n_chars DESC, d.doc_id) = 1
+        """,
+        # ExactSubstr span dedup: k-gram md5 fingerprints → corpus-wide
+        # dup filter → per-doc gaps-and-islands merge; bit-exact in SQL
+        "dup_spans_docs": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id, u.i AS start,
+                     md5(array_to_string(toks[u.i : u.i + 19], ' ')) AS h
+              FROM t, unnest(CASE WHEN len(toks) >= 20
+                                  THEN range(1, len(toks) - 18)
+                                  ELSE range(1, 1) END) AS u(i)
+            ),
+            dup AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+            hit AS (
+              SELECT g.doc_id, g.start, g.start + 19 AS e
+              FROM g JOIN dup USING (h)
+            ),
+            pe AS (
+              SELECT doc_id, start, e,
+                     max(e) OVER (PARTITION BY doc_id ORDER BY start
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS prev_end
+              FROM hit
+            ),
+            isl AS (
+              SELECT doc_id, start, e,
+                     sum(CASE WHEN prev_end IS NULL
+                              OR start > prev_end + 1
+                              THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY doc_id ORDER BY start
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS island
+              FROM pe
+            )
+            SELECT doc_id,
+                   min(start)::BIGINT AS span_start,
+                   max(e)::BIGINT     AS span_end,
+                   (max(e) - min(start) + 1)::BIGINT AS span_tokens
+            FROM isl GROUP BY doc_id, island
+        """,
+        "remove_dup_spans_docs": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id, u.i AS start,
+                     md5(array_to_string(toks[u.i : u.i + 19], ' ')) AS h
+              FROM t, unnest(CASE WHEN len(toks) >= 20
+                                  THEN range(1, len(toks) - 18)
+                                  ELSE range(1, 1) END) AS u(i)
+            ),
+            dup AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+            hit AS (
+              SELECT g.doc_id, g.start, g.start + 19 AS e
+              FROM g JOIN dup USING (h)
+            ),
+            pe AS (
+              SELECT doc_id, start, e,
+                     max(e) OVER (PARTITION BY doc_id ORDER BY start
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS prev_end
+              FROM hit
+            ),
+            isl AS (
+              SELECT doc_id, start, e,
+                     sum(CASE WHEN prev_end IS NULL
+                              OR start > prev_end + 1
+                              THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY doc_id ORDER BY start
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS island
+              FROM pe
+            ),
+            spans AS (
+              SELECT doc_id, min(start) AS s, max(e) AS e2
+              FROM isl GROUP BY doc_id, island
+            ),
+            tok AS (
+              SELECT doc_id, toks[u.i] AS tok, u.i AS pos
+              FROM t, unnest(range(1, len(toks) + 1)) AS u(i)
+            ),
+            kept AS (
+              SELECT tp.doc_id, tp.pos, tp.tok FROM tok tp
+              WHERE NOT EXISTS (
+                SELECT 1 FROM spans s
+                WHERE s.doc_id = tp.doc_id
+                  AND tp.pos BETWEEN s.s AND s.e2)
+            ),
+            agg AS (
+              SELECT doc_id,
+                     string_agg(tok, ' ' ORDER BY pos) AS text,
+                     count(*) AS kept_n
+              FROM kept GROUP BY doc_id
+            )
+            SELECT t.doc_id, coalesce(a.text, '') AS text,
+                   (len(t.toks) - coalesce(a.kept_n, 0))::BIGINT
+                       AS removed_tokens,
+                   len(t.toks)::BIGINT AS orig_tokens
+            FROM t LEFT JOIN agg a USING (doc_id)
         """,
         # image_features: the stub decode derives features from the
         # md5 content hash — exactly reproducible in SQL

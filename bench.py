@@ -167,6 +167,10 @@ HEADLINE = [
     "quantized_probe_indexed",
     "minhash_lsh_pairs",
     "simhash_pairs",
+    # ExactSubstr span dedup: k-gram fingerprint shuffle + dup join +
+    # per-doc island merge + token-level rewrite (the removal half
+    # subsumes the detection half's whole plan)
+    "remove_dup_spans_docs",
     # retrieval cascade end-to-end (BM25 recall → LLM rerank): the
     # row whose llm_calls count a pytest pins at |candidates|
     "bm25_rerank_cascade",

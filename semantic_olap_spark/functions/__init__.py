@@ -20,9 +20,11 @@ from semantic_olap_spark.functions.dedup import (  # noqa: F401
     dedup_clusters,
     dedup_exact,
     dedup_keep_best,
+    duplicate_spans,
     jaccard_pairs,
     minhash_index,
     minhash_lsh_pairs,
+    remove_duplicate_spans,
     simhash_pairs,
     winnow_overlap_pairs,
 )

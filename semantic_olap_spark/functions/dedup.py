@@ -1381,3 +1381,205 @@ def dedup_keep_best(
         .filter(F.col("_rn") == 1)
         .drop("_cid", "_cluster", "_rn")
     )
+
+
+def _span_tokens(col: Column) -> Column:
+    """Whitespace tokens of the ORIGINAL-case text, empties dropped.
+
+    Span dedup is exact-substring dedup, so unlike the near-dup
+    family there is no lowercase normalization: two spans are
+    duplicates only if they match byte-for-byte token-for-token
+    (Lee et al. 2022 §3.1 operates on the raw token stream).
+    """
+    return F.filter(F.split(col, _WS), lambda t: t != "")
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+    min_count: int = 2,
+) -> DataFrame:
+    """Find exact duplicated token spans of length >= ``k`` corpus-wide.
+
+    The ExactSubstr technique of Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better"): any token window of
+    length ``k`` whose exact content occurs at least ``min_count``
+    times ANYWHERE in the corpus (across docs or repeated within one
+    doc) marks a duplicated region.  The paper builds a suffix array;
+    the Spark-first equivalent is a rolling k-gram fingerprint join —
+    same detected spans for windows of exactly length ``k``, because
+    every duplicated substring of >= k tokens is a union of duplicated
+    k-windows and merging overlapping windows recovers the maximal
+    span.
+
+    Plan shape (pure Catalyst, zero Python rows):
+
+    1. tokenize scan-side; k-gram fingerprints ``md5(concat_ws(' ',
+       slice(tokens, i, k)))`` built by a higher-order ``transform``
+       over ``sequence(1, n-k+1)`` then exploded — row count ~= total
+       corpus tokens, all map-side;
+    2. ONE corpus-wide shuffle: ``groupBy(hash)`` with partial
+       (map-side) aggregation to find fingerprints seen
+       ``>= min_count`` times;
+    3. equi-join the gram stream back on the surviving hashes (no
+       fan-out — the dup side is distinct hashes — so a boilerplate
+       gram repeated M times stays M rows, never M x M);
+    4. per-doc island merge of overlapping/adjacent windows with one
+       window spec (classic gaps-and-islands).
+
+    At 100 TB the only all-corpus exchange is step 2's fingerprint
+    aggregate, the same shuffle profile as ``minhash_lsh_pairs``'
+    shingle stage; step 4 partitions by doc.  Returns one row per
+    maximal span: ``(id_col, span_start, span_end, span_tokens)``
+    with 1-based inclusive token indices.
+
+    Reference scope note: the reference engine has no span-level
+    dedup (its dedup surface is row-level); this is part of the
+    beyond-reference training-pipeline family (SURVEY.md §7.1 M7).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    toks = _span_tokens(F.col(text_col))
+    base = df.select(F.col(id_col), toks.alias("_t"))
+    n = F.size("_t")
+    starts = F.when(
+        n >= k, F.sequence(F.lit(1), (n - k + 1).cast("int"))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = base.select(
+        id_col,
+        F.explode(
+            F.transform(
+                starts,
+                lambda i: F.struct(
+                    i.cast("long").alias("start"),
+                    F.md5(
+                        F.concat_ws(" ", F.slice(F.col("_t"), i, k))
+                    ).alias("h"),
+                ),
+            )
+        ).alias("_g"),
+    ).select(id_col, F.col("_g.start").alias("start"), F.col("_g.h").alias("h"))
+    dup = (
+        grams.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .filter(F.col("_cnt") >= min_count)
+        .select("h")
+    )
+    hits = grams.join(dup, "h").select(
+        id_col,
+        F.col("start"),
+        (F.col("start") + (k - 1)).alias("end"),
+    )
+    w = Window.partitionBy(id_col).orderBy("start")
+    prev_end = F.max("end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = hits.withColumn(
+        "_new",
+        F.when(
+            prev_end.isNull() | (F.col("start") > prev_end + 1), 1
+        ).otherwise(0),
+    ).withColumn(
+        "_island",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        flagged.groupBy(id_col, "_island")
+        .agg(
+            F.min("start").alias("span_start"),
+            F.max("end").alias("span_end"),
+        )
+        .select(
+            id_col,
+            F.col("span_start").cast("long").alias("span_start"),
+            F.col("span_end").cast("long").alias("span_end"),
+            (F.col("span_end") - F.col("span_start") + 1)
+            .cast("long")
+            .alias("span_tokens"),
+        )
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+    min_count: int = 2,
+    spans: DataFrame | None = None,
+) -> DataFrame:
+    """Drop every duplicated >= ``k``-token span from ``text_col``.
+
+    The removal half of ExactSubstr dedup: ALL occurrences of a
+    duplicated span are removed (the Lee et al. 2022 policy — the
+    model should see duplicated boilerplate zero times, not once),
+    and the surviving tokens are re-joined with single spaces.
+    Pass a precomputed ``spans`` frame (from :func:`duplicate_spans`
+    with the SAME k/min_count) to reuse work; otherwise it is built
+    here.
+
+    Output: ``df``'s schema with ``text_col`` rewritten, plus
+    ``orig_tokens`` and ``removed_tokens`` counts.  Docs with no
+    duplicated span pass through with ``removed_tokens = 0`` (their
+    text is still re-joined from tokens, so runs of whitespace
+    collapse — documented normalization, same as the rest of the
+    dedup family).
+
+    Plan shape: spans aggregate to one small array per affected doc
+    (``collect_list`` of (start, end) structs — bounded by spans per
+    doc, not corpus size), left-joined back; token filtering is a
+    higher-order ``filter`` with an ``exists`` probe per token, all
+    inside whole-stage codegen.  Spans-per-doc is tiny in practice
+    (boilerplate regions), so the join's right side broadcasts under
+    AQE at any corpus scale.
+    """
+    if spans is None:
+        spans = duplicate_spans(
+            df, text_col=text_col, id_col=id_col, k=k, min_count=min_count
+        )
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(
+            F.struct(
+                F.col("span_start").alias("s"), F.col("span_end").alias("e")
+            )
+        ).alias("_spans")
+    )
+    joined = df.join(per_doc, on=id_col, how="left").withColumn(
+        "_spans",
+        F.coalesce(
+            F.col("_spans"),
+            F.array().cast("array<struct<s:bigint,e:bigint>>"),
+        ),
+    )
+    toks = _span_tokens(F.col(text_col))
+    indexed = F.transform(
+        toks,
+        lambda x, i: F.struct(
+            x.alias("tok"), (i + 1).cast("long").alias("pos")
+        ),
+    )
+    kept = F.filter(
+        indexed,
+        lambda p: ~F.exists(
+            F.col("_spans"),
+            lambda s: (p["pos"] >= s["s"]) & (p["pos"] <= s["e"]),
+        ),
+    )
+    out = (
+        joined.withColumn("_orig", F.size(toks).cast("long"))
+        .withColumn("_kept", kept)
+        .withColumn(
+            text_col,
+            F.concat_ws(
+                " ", F.transform(F.col("_kept"), lambda p: p["tok"])
+            ),
+        )
+        .withColumn(
+            "removed_tokens",
+            (F.col("_orig") - F.size("_kept")).cast("long"),
+        )
+        .withColumn("orig_tokens", F.col("_orig"))
+    )
+    return out.drop("_spans", "_orig", "_kept")

@@ -1,0 +1,234 @@
+"""Exact-substring span dedup (ExactSubstr, Lee et al. 2022).
+
+Hand-checked plants + full DuckDB oracle parity for
+``duplicate_spans`` / ``remove_duplicate_spans``.  The reference
+engine has no span-level dedup (row-level only); this family is
+beyond-reference (SURVEY.md §7.1 M7).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from semantic_olap_spark.functions.dedup import (
+    duplicate_spans,
+    remove_duplicate_spans,
+)
+
+from tests.conftest import assert_matches
+
+
+def _spans_sql(k: int, min_count: int = 2) -> str:
+    return rf"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '')
+                 AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, u.i AS start,
+             md5(array_to_string(toks[u.i : u.i + {k} - 1], ' ')) AS h
+      FROM t, unnest(CASE WHEN len(toks) >= {k}
+                          THEN range(1, len(toks) - {k} + 2)
+                          ELSE range(1, 1) END) AS u(i)
+    ),
+    dup AS (SELECT h FROM g GROUP BY h HAVING count(*) >= {min_count}),
+    hit AS (
+      SELECT g.doc_id, g.start, g.start + {k} - 1 AS e
+      FROM g JOIN dup USING (h)
+    ),
+    pe AS (
+      SELECT doc_id, start, e,
+             max(e) OVER (PARTITION BY doc_id ORDER BY start
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS prev_end
+      FROM hit
+    ),
+    isl AS (
+      SELECT doc_id, start, e,
+             sum(CASE WHEN prev_end IS NULL OR start > prev_end + 1
+                      THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY start
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS island
+      FROM pe
+    )
+    SELECT doc_id,
+           min(start)::BIGINT AS span_start,
+           max(e)::BIGINT     AS span_end,
+           (max(e) - min(start) + 1)::BIGINT AS span_tokens
+    FROM isl GROUP BY doc_id, island
+    """
+
+
+def _remove_sql(k: int, min_count: int = 2) -> str:
+    return rf"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '')
+                 AS toks
+      FROM documents
+    ),
+    spans AS (SELECT doc_id, span_start AS s, span_end AS e2
+              FROM ({_spans_sql(k, min_count)})),
+    tok AS (
+      SELECT doc_id, toks[u.i] AS tok, u.i AS pos
+      FROM t, unnest(range(1, len(toks) + 1)) AS u(i)
+    ),
+    kept AS (
+      SELECT tp.doc_id, tp.pos, tp.tok FROM tok tp
+      WHERE NOT EXISTS (
+        SELECT 1 FROM spans s
+        WHERE s.doc_id = tp.doc_id
+          AND tp.pos BETWEEN s.s AND s.e2)
+    ),
+    agg AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text,
+             count(*) AS kept_n
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id, coalesce(a.text, '') AS text,
+           (len(t.toks) - coalesce(a.kept_n, 0))::BIGINT
+               AS removed_tokens,
+           len(t.toks)::BIGINT AS orig_tokens
+    FROM t LEFT JOIN agg a USING (doc_id)
+    """
+
+
+def test_duplicate_spans_oracle(tables, duck):
+    assert_matches(
+        duplicate_spans(tables["documents"], k=20).select(
+            "doc_id", "span_start", "span_end", "span_tokens"
+        ),
+        duck,
+        _spans_sql(20),
+    )
+
+
+def test_remove_duplicate_spans_oracle(tables, duck):
+    assert_matches(
+        remove_duplicate_spans(tables["documents"], k=20).select(
+            "doc_id", "text", "removed_tokens", "orig_tokens"
+        ),
+        duck,
+        _remove_sql(20),
+    )
+
+
+def test_planted_cross_doc_span(spark):
+    # docs 1 and 2 share the 6-token run "a b c d e f"; with k=5 the
+    # two overlapping dup windows merge into ONE maximal 6-token span
+    # in each doc, at the right offsets.
+    df = spark.createDataFrame(
+        [
+            (1, "x y a b c d e f q r s t u v"),
+            (2, "a b c d e f m n o p w z"),
+            (3, "entirely unrelated words only here nothing shared"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in duplicate_spans(df, k=5).collect()
+    }
+    assert got == {(1, 3, 8, 6), (2, 1, 6, 6)}
+
+
+def test_planted_within_doc_repetition(spark):
+    # one doc repeating the same 5 tokens twice: both occurrences are
+    # duplicated (corpus-wide count includes within-doc repeats), and
+    # since they are adjacent they merge into one 10-token span.
+    df = spark.createDataFrame(
+        [(1, "p q r s t p q r s t"), (2, "unrelated filler words here")],
+        ["doc_id", "text"],
+    )
+    spans = duplicate_spans(df, k=5).collect()
+    assert [(r.doc_id, r.span_start, r.span_end) for r in spans] == [
+        (1, 1, 10)
+    ]
+
+
+def test_docs_shorter_than_k_produce_no_grams(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c")], ["doc_id", "text"]
+    )
+    # identical docs, but shorter than k → zero windows → no spans
+    assert duplicate_spans(df, k=5).count() == 0
+    out = remove_duplicate_spans(df, k=5).orderBy("doc_id").collect()
+    assert [r.text for r in out] == ["a b c", "a b c"]
+    assert [r.removed_tokens for r in out] == [0, 0]
+
+
+def test_non_adjacent_spans_stay_separate(spark):
+    # two shared 5-token runs separated by a unique gap in each doc →
+    # two distinct spans per doc, not one.
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e GAPONE v w x y z"),
+            (2, "a b c d e GAPTWO v w x y z"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = sorted(
+        (r.doc_id, r.span_start, r.span_end)
+        for r in duplicate_spans(df, k=5).collect()
+    )
+    assert got == [(1, 1, 5), (1, 7, 11), (2, 1, 5), (2, 7, 11)]
+
+
+def test_remove_rebuilds_text_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "x y a b c d e f q r"),
+            (2, "a b c d e f m n o p"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r
+        for r in remove_duplicate_spans(df, k=5).collect()
+    }
+    assert out[1].text == "x y q r"
+    assert out[1].removed_tokens == 6 and out[1].orig_tokens == 10
+    assert out[2].text == "m n o p"
+    assert out[2].removed_tokens == 6 and out[2].orig_tokens == 10
+
+
+def test_remove_accepts_precomputed_spans(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "a b c d e f g")], ["doc_id", "text"]
+    )
+    spans = duplicate_spans(df, k=5)
+    out = remove_duplicate_spans(df, k=5, spans=spans).collect()
+    assert all(r.text == "" and r.removed_tokens == 7 for r in out)
+
+
+def test_min_count_threshold(spark):
+    # span shared by two docs survives min_count=2 but not min_count=3
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e one two"),
+            (2, "a b c d e three four"),
+        ],
+        ["doc_id", "text"],
+    )
+    assert duplicate_spans(df, k=5, min_count=2).count() == 2
+    assert duplicate_spans(df, k=5, min_count=3).count() == 0
+
+
+def test_invalid_k_raises(spark):
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        duplicate_spans(df, k=0)
+
+
+def test_plans_stay_jvm_side(tables):
+    # the whole family is pure Catalyst: no row-at-a-time Python in
+    # either plan (the audit_plans.py contract).
+    for frame in (
+        duplicate_spans(tables["documents"], k=20),
+        remove_duplicate_spans(tables["documents"], k=20),
+    ):
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
