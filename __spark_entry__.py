@@ -753,7 +753,9 @@ def _q_dup_spans_docs(spark, sf_dir):
     # reproduces it bit-for-bit.
     from semantic_olap_spark.functions.dedup import duplicate_spans
 
-    return duplicate_spans(_t(spark, sf_dir, "documents"), k=20).select(
+    return duplicate_spans(
+        _t(spark, sf_dir, "documents"), k=20, fingerprint="md5"
+    ).select(
         "doc_id", "span_start", "span_end", "span_tokens"
     )
 
@@ -764,7 +766,7 @@ def _q_remove_dup_spans_docs(spark, sf_dir):
     from semantic_olap_spark.functions.dedup import remove_duplicate_spans
 
     return remove_duplicate_spans(
-        _t(spark, sf_dir, "documents"), k=20
+        _t(spark, sf_dir, "documents"), k=20, fingerprint="md5"
     ).select("doc_id", "text", "removed_tokens", "orig_tokens")
 
 

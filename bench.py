@@ -305,6 +305,10 @@ SCALE_QUERIES = [
     # Catalyst (0 exchanges, 0 Python); the row documents that the
     # r9 oracle upgrade also made the operator data-linear
     "sem_group_cluster",
+    # round-9: ExactSubstr span dedup — the fingerprint shuffle grows
+    # with corpus tokens (linear), the dup join-back with dup-gram
+    # count; the row pins that neither goes super-linear at 10×
+    "remove_dup_spans_docs",
 ]
 
 # threshold for flagging super-linear rows: >15× for 10× data (the
@@ -504,6 +508,13 @@ def main() -> None:
     )
     qs["minhash_lsh_pairs"] = lambda spark_, sf_: minhash_lsh_pairs(
         tables["documents"], shingle_n=3, threshold=0.5
+    )
+    # span dedup likewise: contract row is md5 oracle mode, bench
+    # measures the production xxhash64 array-slice fingerprint
+    from semantic_olap_spark.functions.dedup import remove_duplicate_spans
+
+    qs["remove_dup_spans_docs"] = lambda spark_, sf_: remove_duplicate_spans(
+        tables["documents"], k=20
     )
     # persisted ANN indexes (warmup = the one-time assign+write cost;
     # the timed rows below measure the repeated-query probe path)
@@ -732,6 +743,13 @@ def main() -> None:
         scale_qs["minhash_lsh_pairs"] = lambda spark_, sfd: _mh(
             load_table(spark_, sfd, "documents"),
             shingle_n=3, threshold=0.5,
+        )
+        from semantic_olap_spark.functions.dedup import (
+            remove_duplicate_spans as _rds,
+        )
+
+        scale_qs["remove_dup_spans_docs"] = lambda spark_, sfd: _rds(
+            load_table(spark_, sfd, "documents"), k=20
         )
         sq: dict[str, dict] = {}
         flagged: list[str] = []

@@ -1400,6 +1400,7 @@ def duplicate_spans(
     id_col: str = "doc_id",
     k: int = 20,
     min_count: int = 2,
+    fingerprint: str = "xxhash64",
 ) -> DataFrame:
     """Find exact duplicated token spans of length >= ``k`` corpus-wide.
 
@@ -1438,15 +1439,31 @@ def duplicate_spans(
     Reference scope note: the reference engine has no span-level
     dedup (its dedup surface is row-level); this is part of the
     beyond-reference training-pipeline family (SURVEY.md §7.1 M7).
+
+    ``fingerprint``: ``"xxhash64"`` (default) hashes the token-array
+    slice directly — no per-window string build, the production
+    posture (64-bit: ~7e-7 false-dup windows at 25T windows, the
+    same budget the MinHash family accepts).  ``"md5"`` builds
+    ``md5(concat_ws(' ', window))`` — 128-bit and reproducible in
+    ANSI SQL, the driver-oracle mode (mirrors
+    ``minhash_lsh_pairs(exact_hash=True)``).
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    if fingerprint not in ("xxhash64", "md5"):
+        raise ValueError(f"unknown fingerprint {fingerprint!r}")
     toks = _span_tokens(F.col(text_col))
     base = df.select(F.col(id_col), toks.alias("_t"))
     n = F.size("_t")
     starts = F.when(
         n >= k, F.sequence(F.lit(1), (n - k + 1).cast("int"))
     ).otherwise(F.array().cast("array<int>"))
+    if fingerprint == "md5":
+        def _fp(i):
+            return F.md5(F.concat_ws(" ", F.slice(F.col("_t"), i, k)))
+    else:
+        def _fp(i):
+            return F.xxhash64(F.slice(F.col("_t"), i, k))
     grams = base.select(
         id_col,
         F.explode(
@@ -1454,9 +1471,7 @@ def duplicate_spans(
                 starts,
                 lambda i: F.struct(
                     i.cast("long").alias("start"),
-                    F.md5(
-                        F.concat_ws(" ", F.slice(F.col("_t"), i, k))
-                    ).alias("h"),
+                    _fp(i).alias("h"),
                 ),
             )
         ).alias("_g"),
@@ -1508,6 +1523,7 @@ def remove_duplicate_spans(
     id_col: str = "doc_id",
     k: int = 20,
     min_count: int = 2,
+    fingerprint: str = "xxhash64",
     spans: DataFrame | None = None,
 ) -> DataFrame:
     """Drop every duplicated >= ``k``-token span from ``text_col``.
@@ -1537,7 +1553,12 @@ def remove_duplicate_spans(
     """
     if spans is None:
         spans = duplicate_spans(
-            df, text_col=text_col, id_col=id_col, k=k, min_count=min_count
+            df,
+            text_col=text_col,
+            id_col=id_col,
+            k=k,
+            min_count=min_count,
+            fingerprint=fingerprint,
         )
     per_doc = spans.groupBy(id_col).agg(
         F.collect_list(

@@ -232,3 +232,22 @@ def test_plans_stay_jvm_side(tables):
     ):
         plan = frame._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan
+
+
+def test_fingerprint_modes_agree(tables):
+    # production xxhash64 array-slice fingerprints vs the md5 oracle
+    # mode: identical spans on a real corpus (64-bit collisions are a
+    # ~7e-7-at-25T-windows budget, zero here)
+    a = duplicate_spans(tables["documents"], k=20, fingerprint="md5")
+    b = duplicate_spans(
+        tables["documents"], k=20, fingerprint="xxhash64"
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(
+        map(tuple, b.collect())
+    )
+
+
+def test_unknown_fingerprint_rejected(spark):
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        duplicate_spans(df, k=2, fingerprint="sha1")

@@ -1,0 +1,109 @@
+"""Fixed-seed fuzz for ExactSubstr span dedup vs a brute-force oracle.
+
+The targeted tests in test_span_dedup.py cover planted shapes and the
+DuckDB parity; this module samples random small-vocabulary corpora
+(tiny vocab → natural k-gram collisions, the adversarial regime for
+the island merge) and checks the distributed pipeline against an
+exhaustive in-Python reference: mark every token covered by ANY
+duplicated window, then read maximal marked runs.  Marked-token runs
+are provably identical to the operator's merge rule (windows merge
+when the next start <= previous end + 1), so any divergence is a real
+bug.  Seeds fixed: failures reproduce.
+"""
+
+from __future__ import annotations
+
+import random
+import re
+from collections import Counter
+
+
+def _ref_spans(texts: dict[int, str], k: int, min_count: int):
+    toks = {
+        d: [t for t in re.split(r"\s+", s) if t] for d, s in texts.items()
+    }
+    cnt: Counter = Counter()
+    for ts in toks.values():
+        for i in range(len(ts) - k + 1):
+            cnt[" ".join(ts[i : i + k])] += 1
+    spans = []
+    removed = {}
+    for d, ts in sorted(toks.items()):
+        marked = [False] * len(ts)
+        for i in range(len(ts) - k + 1):
+            if cnt[" ".join(ts[i : i + k])] >= min_count:
+                for j in range(i, i + k):
+                    marked[j] = True
+        i = 0
+        while i < len(ts):
+            if marked[i]:
+                j = i
+                while j + 1 < len(ts) and marked[j + 1]:
+                    j += 1
+                spans.append((d, i + 1, j + 1, j - i + 1))
+                i = j + 1
+            else:
+                i += 1
+        removed[d] = (
+            " ".join(t for t, m in zip(ts, marked) if not m),
+            sum(marked),
+            len(ts),
+        )
+    return spans, removed
+
+
+def _rand_corpus(rng: random.Random, n_docs: int, vocab: int):
+    # small vocab + short docs → dense k-gram collisions; a few docs
+    # get literal copy-paste from an earlier doc (the realistic case)
+    texts = {}
+    words = [f"w{i}" for i in range(vocab)]
+    for d in range(n_docs):
+        n = rng.randint(0, 30)
+        ts = [rng.choice(words) for _ in range(n)]
+        if d > 0 and rng.random() < 0.4 and texts[d - 1]:
+            prev = texts[d - 1].split()
+            if prev:
+                a = rng.randrange(len(prev))
+                b = rng.randrange(a, min(len(prev), a + 12) + 1)
+                pos = rng.randint(0, len(ts))
+                ts[pos:pos] = prev[a:b]
+        texts[d] = " ".join(ts)
+    return texts
+
+
+def test_span_dedup_fuzz_vs_bruteforce(spark):
+    from semantic_olap_spark.functions.dedup import (
+        duplicate_spans,
+        remove_duplicate_spans,
+    )
+
+    rng = random.Random(20260816)
+    for trial in range(6):
+        k = rng.choice([2, 3, 5])
+        min_count = rng.choice([2, 2, 3])
+        texts = _rand_corpus(
+            rng, n_docs=rng.randint(3, 14), vocab=rng.choice([3, 5, 8])
+        )
+        df = spark.createDataFrame(
+            list(texts.items()), ["doc_id", "text"]
+        )
+        want_spans, want_removed = _ref_spans(texts, k, min_count)
+        got_spans = sorted(
+            (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+            for r in duplicate_spans(
+                df, k=k, min_count=min_count
+            ).collect()
+        )
+        assert got_spans == sorted(want_spans), (
+            f"trial {trial} k={k} min_count={min_count}: "
+            f"{got_spans} != {sorted(want_spans)}\n{texts}"
+        )
+        got_removed = {
+            r.doc_id: (r.text, r.removed_tokens, r.orig_tokens)
+            for r in remove_duplicate_spans(
+                df, k=k, min_count=min_count
+            ).collect()
+        }
+        assert got_removed == want_removed, (
+            f"trial {trial} k={k} min_count={min_count}\n{texts}"
+        )
