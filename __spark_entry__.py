@@ -770,6 +770,26 @@ def _q_remove_dup_spans_docs(spark, sf_dir):
     ).select("doc_id", "text", "removed_tokens", "orig_tokens")
 
 
+def _q_remove_spans_against_docs(spark, sf_dir):
+    # incremental ExactSubstr: even-id docs are the frozen seen
+    # corpus (span_index of distinct window fingerprints), odd-id
+    # docs are the incoming batch — every batch span already present
+    # in the corpus is removed (within-batch repeats deliberately
+    # kept: that is remove_duplicate_spans' job)
+    from semantic_olap_spark.functions.dedup import (
+        remove_spans_against,
+        span_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    idx = span_index(
+        docs.filter("doc_id % 2 = 0"), k=20, fingerprint="md5"
+    )
+    return remove_spans_against(
+        docs.filter("doc_id % 2 = 1"), idx, k=20, fingerprint="md5"
+    ).select("doc_id", "text", "removed_tokens", "orig_tokens")
+
+
 # ---- pipeline functions: similarity search -----------------------------
 
 
@@ -2771,6 +2791,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": _q_dedup_keep_best,
         "dup_spans_docs": _q_dup_spans_docs,
         "remove_dup_spans_docs": _q_remove_dup_spans_docs,
+        "remove_spans_against_docs": _q_remove_spans_against_docs,
         # pipeline: similarity
         "cosine_topk": _q_cosine_topk,
         "cosine_pairs": _q_cosine_pairs,
@@ -3774,6 +3795,81 @@ def _oracle_sql_literal() -> dict[str, str]:
                        AS removed_tokens,
                    len(t.toks)::BIGINT AS orig_tokens
             FROM t LEFT JOIN agg a USING (doc_id)
+        """,
+        # incremental ExactSubstr: batch windows whose fingerprints
+        # exist in the even-id corpus index are removed from odd-id
+        # batch docs
+        "remove_spans_against_docs": r"""
+            WITH tb AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents WHERE doc_id % 2 = 1
+            ),
+            idx AS (
+              SELECT DISTINCT
+                     md5(array_to_string(toks[u.i : u.i + 19], ' ')) AS h
+              FROM (SELECT list_filter(string_split_regex(text, '\s+'),
+                                       x -> x <> '') AS toks
+                    FROM documents WHERE doc_id % 2 = 0) tc,
+                   unnest(CASE WHEN len(toks) >= 20
+                               THEN range(1, len(toks) - 18)
+                               ELSE range(1, 1) END) AS u(i)
+            ),
+            g AS (
+              SELECT doc_id, u.i AS start,
+                     md5(array_to_string(toks[u.i : u.i + 19], ' ')) AS h
+              FROM tb, unnest(CASE WHEN len(toks) >= 20
+                                   THEN range(1, len(toks) - 18)
+                                   ELSE range(1, 1) END) AS u(i)
+            ),
+            hit AS (
+              SELECT g.doc_id, g.start, g.start + 19 AS e
+              FROM g JOIN idx USING (h)
+            ),
+            pe AS (
+              SELECT doc_id, start, e,
+                     max(e) OVER (PARTITION BY doc_id ORDER BY start
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS prev_end
+              FROM hit
+            ),
+            isl AS (
+              SELECT doc_id, start, e,
+                     sum(CASE WHEN prev_end IS NULL
+                              OR start > prev_end + 1
+                              THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY doc_id ORDER BY start
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS island
+              FROM pe
+            ),
+            spans AS (
+              SELECT doc_id, min(start) AS s, max(e) AS e2
+              FROM isl GROUP BY doc_id, island
+            ),
+            tok AS (
+              SELECT doc_id, toks[u.i] AS tok, u.i AS pos
+              FROM tb, unnest(range(1, len(toks) + 1)) AS u(i)
+            ),
+            kept AS (
+              SELECT tp.doc_id, tp.pos, tp.tok FROM tok tp
+              WHERE NOT EXISTS (
+                SELECT 1 FROM spans s
+                WHERE s.doc_id = tp.doc_id
+                  AND tp.pos BETWEEN s.s AND s.e2)
+            ),
+            agg AS (
+              SELECT doc_id,
+                     string_agg(tok, ' ' ORDER BY pos) AS text,
+                     count(*) AS kept_n
+              FROM kept GROUP BY doc_id
+            )
+            SELECT tb.doc_id, coalesce(a.text, '') AS text,
+                   (len(tb.toks) - coalesce(a.kept_n, 0))::BIGINT
+                       AS removed_tokens,
+                   len(tb.toks)::BIGINT AS orig_tokens
+            FROM tb LEFT JOIN agg a USING (doc_id)
         """,
         # image_features: the stub decode derives features from the
         # md5 content hash — exactly reproducible in SQL

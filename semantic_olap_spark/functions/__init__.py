@@ -21,11 +21,14 @@ from semantic_olap_spark.functions.dedup import (  # noqa: F401
     dedup_exact,
     dedup_keep_best,
     duplicate_spans,
+    duplicate_spans_against,
     jaccard_pairs,
     minhash_index,
     minhash_lsh_pairs,
     remove_duplicate_spans,
+    remove_spans_against,
     simhash_pairs,
+    span_index,
     winnow_overlap_pairs,
 )
 from semantic_olap_spark.functions.similarity import (  # noqa: F401

@@ -1448,6 +1448,29 @@ def duplicate_spans(
     ANSI SQL, the driver-oracle mode (mirrors
     ``minhash_lsh_pairs(exact_hash=True)``).
     """
+    grams = _gram_stream(df, text_col, id_col, k, fingerprint)
+    dup = (
+        grams.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .filter(F.col("_cnt") >= min_count)
+        .select("h")
+    )
+    hits = grams.join(dup, "h").select(
+        id_col,
+        F.col("start"),
+        (F.col("start") + (k - 1)).alias("end"),
+    )
+    return _merge_islands(hits, id_col)
+
+
+def _gram_stream(
+    df: DataFrame, text_col: str, id_col: str, k: int, fingerprint: str
+) -> DataFrame:
+    """(id, start, h): one fingerprint row per k-token window.
+
+    All map-side: tokenize, build the window fingerprints with a
+    higher-order ``transform`` over ``sequence(1, n-k+1)``, explode.
+    """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if fingerprint not in ("xxhash64", "md5"):
@@ -1464,7 +1487,7 @@ def duplicate_spans(
     else:
         def _fp(i):
             return F.xxhash64(F.slice(F.col("_t"), i, k))
-    grams = base.select(
+    return base.select(
         id_col,
         F.explode(
             F.transform(
@@ -1476,17 +1499,11 @@ def duplicate_spans(
             )
         ).alias("_g"),
     ).select(id_col, F.col("_g.start").alias("start"), F.col("_g.h").alias("h"))
-    dup = (
-        grams.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("_cnt"))
-        .filter(F.col("_cnt") >= min_count)
-        .select("h")
-    )
-    hits = grams.join(dup, "h").select(
-        id_col,
-        F.col("start"),
-        (F.col("start") + (k - 1)).alias("end"),
-    )
+
+
+def _merge_islands(hits: DataFrame, id_col: str) -> DataFrame:
+    """Merge overlapping/adjacent (start, end) windows per doc into
+    maximal spans — classic gaps-and-islands, one window spec."""
     w = Window.partitionBy(id_col).orderBy("start")
     prev_end = F.max("end").over(
         w.rowsBetween(Window.unboundedPreceding, -1)
@@ -1514,6 +1531,87 @@ def duplicate_spans(
             .cast("long")
             .alias("span_tokens"),
         )
+    )
+
+
+def span_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+    fingerprint: str = "xxhash64",
+) -> DataFrame:
+    """Distinct k-gram fingerprints of a seen corpus (column ``h``).
+
+    The incremental-ingest artifact for span dedup, the analogue of
+    :func:`minhash_index`: build once over the frozen corpus, persist
+    as parquet, and probe each incoming batch with
+    :func:`remove_spans_against`.  To fold a new batch in, union its
+    index and re-distinct — fingerprints are mergeable by
+    construction.  Size ~= distinct corpus windows × 8 bytes
+    (xxhash64), partitionable/bucketable by ``h`` so the batch probe
+    join never rescans the corpus text.
+    """
+    return _gram_stream(df, text_col, id_col, k, fingerprint).select(
+        "h"
+    ).distinct()
+
+
+def duplicate_spans_against(
+    batch: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+    fingerprint: str = "xxhash64",
+) -> DataFrame:
+    """Spans of ``batch`` whose >= ``k``-token windows already occur
+    in a seen corpus's :func:`span_index`.
+
+    Incremental ExactSubstr: a window is duplicated if its
+    fingerprint EXISTS in the index (it occurred at least once
+    before, so the corpus-wide count is >= 2 by construction).
+    Within-batch repetition is deliberately NOT considered — that is
+    :func:`duplicate_spans` on the batch; the two compose.
+
+    Scale shape: the batch gram stream is usually the small join
+    side, so Spark broadcasts it against the (much larger,
+    ``h``-partitioned) index — the daily-ingest probe never reshuffles
+    the corpus.  Same output schema as :func:`duplicate_spans`.
+    """
+    grams = _gram_stream(batch, text_col, id_col, k, fingerprint)
+    hits = grams.join(
+        index.select("h").distinct(), "h"
+    ).select(
+        id_col,
+        F.col("start"),
+        (F.col("start") + (k - 1)).alias("end"),
+    )
+    return _merge_islands(hits, id_col)
+
+
+def remove_spans_against(
+    batch: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+    fingerprint: str = "xxhash64",
+) -> DataFrame:
+    """Rewrite ``batch`` texts with every corpus-duplicated span
+    removed — the ingest-time removal half of incremental ExactSubstr
+    (see :func:`duplicate_spans_against`).  Output schema matches
+    :func:`remove_duplicate_spans`."""
+    spans = duplicate_spans_against(
+        batch,
+        index,
+        text_col=text_col,
+        id_col=id_col,
+        k=k,
+        fingerprint=fingerprint,
+    )
+    return remove_duplicate_spans(
+        batch, text_col=text_col, id_col=id_col, k=k, spans=spans
     )
 
 

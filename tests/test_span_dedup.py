@@ -251,3 +251,59 @@ def test_unknown_fingerprint_rejected(spark):
     df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
     with pytest.raises(ValueError):
         duplicate_spans(df, k=2, fingerprint="sha1")
+
+
+def test_span_index_and_against_planted(spark):
+    from semantic_olap_spark.functions.dedup import (
+        duplicate_spans_against,
+        remove_spans_against,
+        span_index,
+    )
+
+    seen = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [
+            # tokens 3..7 copy a 5-token corpus run
+            (1, "alpha beta quick brown fox jumps over gamma delta"),
+            # no corpus overlap, but repeats itself (must NOT match:
+            # within-batch dups are duplicate_spans' job)
+            (2, "p q r s t p q r s t"),
+        ],
+        ["doc_id", "text"],
+    )
+    idx = span_index(seen, k=5)
+    got = sorted(
+        (r.doc_id, r.span_start, r.span_end)
+        for r in duplicate_spans_against(batch, idx, k=5).collect()
+    )
+    assert got == [(1, 3, 7)]
+    out = {
+        r.doc_id: r for r in remove_spans_against(batch, idx, k=5).collect()
+    }
+    assert out[1].text == "alpha beta gamma delta"
+    assert out[1].removed_tokens == 5
+    assert out[2].text == "p q r s t p q r s t"
+    assert out[2].removed_tokens == 0
+
+
+def test_span_index_mergeable_and_batch_probe_matches_full(tables, spark):
+    # folding a batch into the index (union+distinct) then probing a
+    # second batch == probing an index built over the union corpus
+    from semantic_olap_spark.functions.dedup import (
+        duplicate_spans_against,
+        span_index,
+    )
+
+    docs = tables["documents"]
+    seen = docs.filter("doc_id % 3 = 0")
+    mid = docs.filter("doc_id % 3 = 1")
+    batch = docs.filter("doc_id % 3 = 2")
+    folded = span_index(seen, k=10).union(span_index(mid, k=10)).distinct()
+    full = span_index(seen.union(mid), k=10)
+    a = sorted(map(tuple, duplicate_spans_against(batch, folded, k=10).collect()))
+    b = sorted(map(tuple, duplicate_spans_against(batch, full, k=10).collect()))
+    assert a == b
+    assert len(a) > 0  # non-vacuous: replicated docs span the splits
