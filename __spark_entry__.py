@@ -1283,6 +1283,43 @@ def _q_training_pipeline(spark, sf_dir):
     ).select("doc_id", "split")
 
 
+def _q_training_pipeline_spans(spark, sf_dir):
+    # the curation chain with ExactSubstr span removal inserted
+    # between the quality gate and exact dedup: gate → strip
+    # duplicated >=20-token spans (md5 oracle mode) → re-gate docs
+    # that kept >=20 tokens → exact dedup on the REWRITTEN text →
+    # decontaminate vs the ORIGINAL src0 eval set → hash split.
+    # Still one lazy plan; span removal adds one fingerprint shuffle.
+    from semantic_olap_spark.functions.cleaning import (
+        decontaminate,
+        heuristic_filter,
+    )
+    from semantic_olap_spark.functions.dedup import (
+        _span_tokens,
+        dedup_exact,
+        remove_duplicate_spans,
+    )
+    from semantic_olap_spark.functions.sampling import train_test_split
+
+    docs = _t(spark, sf_dir, "documents")
+    gated = heuristic_filter(
+        docs, min_tokens=20,
+        max_top_token_frac=0.12, max_dup_2gram_frac=0.05,
+    )
+    cleaned = remove_duplicate_spans(
+        gated, k=20, fingerprint="md5"
+    ).drop("removed_tokens", "orig_tokens")
+    regated = cleaned.filter(
+        F.size(_span_tokens(F.col("text"))) >= 20
+    )
+    kept = dedup_exact(regated).filter(F.col("source") != "src0")
+    bench = docs.filter(F.col("source") == "src0")
+    clean = decontaminate(kept, bench, n=4)
+    return train_test_split(
+        clean, {"train": 0.9, "test": 0.1}, "doc_id"
+    ).select("doc_id", "split")
+
+
 def _q_quantile_filter(spark, sf_dir):
     from semantic_olap_spark.functions.sampling import quantile_filter
 
@@ -2851,6 +2888,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_against_embeddings": _q_dedup_against_embeddings,
         "dedup_against_embeddings_expr": _q_dedup_against_embeddings_expr,
         "training_pipeline": _q_training_pipeline,
+        "training_pipeline_spans": _q_training_pipeline_spans,
         # Spark-native analytics breadth (§2.5 fill-ins)
         "rollup_order_revenue": _q_rollup_order_revenue,
         "cube_shipping": _q_cube_shipping,
@@ -4498,6 +4536,124 @@ def _oracle_sql_literal() -> dict[str, str]:
               FROM g4 JOIN corpus USING (doc_id)
             ),
             hits AS (SELECT DISTINCT ge.doc_id FROM ge JOIN bench USING (gram))
+            SELECT doc_id,
+                   {_split_case_sql({'train': 0.9, 'test': 0.1}, 'doc_id')}
+                       AS split
+            FROM corpus
+            WHERE doc_id NOT IN (SELECT doc_id FROM hits)
+        """,
+        # training_pipeline_spans: the same chain with ExactSubstr
+        # span removal between the gate and the dedup — dedup/
+        # decontamination grams run on the REWRITTEN text, the bench
+        # eval grams on the ORIGINAL src0 docs
+        "training_pipeline_spans": rf"""
+            WITH {_REPETITION_CTE},
+            kept1 AS (
+              SELECT d.* FROM documents d JOIN prof USING (doc_id)
+              WHERE prof.n >= 20
+                AND prof.top_token_frac <= 0.12
+                AND prof.dup_2gram_frac <= 0.05
+                AND prof.mean_token_len BETWEEN 2.0 AND 12.0
+                AND prof.symbol_ratio <= 0.2
+            ),
+            st AS (
+              SELECT doc_id, source,
+                     list_filter(string_split_regex(text, '\s+'),
+                                 x -> x <> '') AS toks
+              FROM kept1
+            ),
+            sg AS (
+              SELECT doc_id, u.i AS start,
+                     md5(array_to_string(toks[u.i : u.i + 19], ' ')) AS h
+              FROM st, unnest(CASE WHEN len(toks) >= 20
+                                   THEN range(1, len(toks) - 18)
+                                   ELSE range(1, 1) END) AS u(i)
+            ),
+            sdup AS (SELECT h FROM sg GROUP BY h HAVING count(*) >= 2),
+            shit AS (
+              SELECT sg.doc_id, sg.start, sg.start + 19 AS e
+              FROM sg JOIN sdup USING (h)
+            ),
+            spe AS (
+              SELECT doc_id, start, e,
+                     max(e) OVER (PARTITION BY doc_id ORDER BY start
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS prev_end
+              FROM shit
+            ),
+            sisl AS (
+              SELECT doc_id, start, e,
+                     sum(CASE WHEN prev_end IS NULL
+                              OR start > prev_end + 1
+                              THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY doc_id ORDER BY start
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS island
+              FROM spe
+            ),
+            sspans AS (
+              SELECT doc_id, min(start) AS s, max(e) AS e2
+              FROM sisl GROUP BY doc_id, island
+            ),
+            stok AS (
+              SELECT doc_id, toks[u.i] AS tok, u.i AS pos
+              FROM st, unnest(range(1, len(toks) + 1)) AS u(i)
+            ),
+            skept AS (
+              SELECT tp.doc_id, tp.pos, tp.tok FROM stok tp
+              WHERE NOT EXISTS (
+                SELECT 1 FROM sspans s
+                WHERE s.doc_id = tp.doc_id
+                  AND tp.pos BETWEEN s.s AND s.e2)
+            ),
+            sagg AS (
+              SELECT doc_id,
+                     string_agg(tok, ' ' ORDER BY pos) AS text,
+                     count(*) AS kept_n
+              FROM skept GROUP BY doc_id
+            ),
+            sclean AS (
+              SELECT st.doc_id, st.source,
+                     coalesce(a.text, '') AS text,
+                     coalesce(a.kept_n, 0) AS n_kept
+              FROM st LEFT JOIN sagg a USING (doc_id)
+            ),
+            gate2 AS (
+              SELECT doc_id, source, text FROM sclean WHERE n_kept >= 20
+            ),
+            kept2 AS (
+              SELECT * FROM gate2
+              QUALIFY row_number() OVER (
+                  PARTITION BY {_NORM_MD5} ORDER BY doc_id) = 1
+            ),
+            corpus AS (SELECT * FROM kept2 WHERE source != 'src0'),
+            tok4 AS (
+              SELECT doc_id,
+                     str_split_regex(lower(trim(text)), '\s+') AS toks
+              FROM corpus
+            ),
+            g4 AS (
+              SELECT doc_id, list_distinct([
+                  array_to_string(toks[i + 1 : i + 4], ' ')
+                  for i in generate_series(0, greatest(len(toks) - 4, 0))
+              ]) AS gs
+              FROM tok4
+            ),
+            btok4 AS (
+              SELECT str_split_regex(lower(trim(text)), '\s+') AS toks
+              FROM documents WHERE source = 'src0'
+            ),
+            bench AS (
+              SELECT DISTINCT unnest(list_distinct([
+                  array_to_string(toks[i + 1 : i + 4], ' ')
+                  for i in generate_series(0, greatest(len(toks) - 4, 0))
+              ])) AS gram
+              FROM btok4
+            ),
+            ge AS (SELECT g4.doc_id, unnest(g4.gs) AS gram FROM g4),
+            hits AS (
+              SELECT DISTINCT ge.doc_id FROM ge JOIN bench USING (gram)
+            )
             SELECT doc_id,
                    {_split_case_sql({'train': 0.9, 'test': 0.1}, 'doc_id')}
                        AS split

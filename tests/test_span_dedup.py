@@ -307,3 +307,26 @@ def test_span_index_mergeable_and_batch_probe_matches_full(tables, spark):
     b = sorted(map(tuple, duplicate_spans_against(batch, full, k=10).collect()))
     assert a == b
     assert len(a) > 0  # non-vacuous: replicated docs span the splits
+
+
+def test_span_index_parquet_round_trip(tables, spark, tmp_path):
+    # the index is a persistable artifact: write parquet, reload in a
+    # fresh frame, probe — identical spans to probing the in-memory
+    # index (the minhash_index artifact pattern)
+    from semantic_olap_spark.functions.dedup import (
+        duplicate_spans_against,
+        span_index,
+    )
+
+    docs = tables["documents"]
+    seen = docs.filter("doc_id % 2 = 0")
+    batch = docs.filter("doc_id % 2 = 1")
+    idx = span_index(seen, k=10)
+    path = str(tmp_path / "span_index")
+    idx.write.parquet(path)
+    reloaded = spark.read.parquet(path)
+    a = sorted(map(tuple, duplicate_spans_against(batch, idx, k=10).collect()))
+    b = sorted(
+        map(tuple, duplicate_spans_against(batch, reloaded, k=10).collect())
+    )
+    assert a == b and len(a) > 0
