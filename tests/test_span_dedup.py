@@ -330,3 +330,52 @@ def test_span_index_parquet_round_trip(tables, spark, tmp_path):
         map(tuple, duplicate_spans_against(batch, reloaded, k=10).collect())
     )
     assert a == b and len(a) > 0
+
+
+def test_streaming_ingest_span_strip_foreachbatch(spark, tables, sf_dir):
+    # ingest-time span strip on a STREAM: the island merge uses a
+    # window function (unsupported in a streaming plan), so the
+    # documented wiring is foreachBatch — each micro-batch is a batch
+    # frame probed against the static span_index.  Parity contract:
+    # availableNow stream == batch remove_spans_against on the same
+    # parquet.
+    from semantic_olap_spark.functions.dedup import (
+        remove_spans_against,
+        span_index,
+    )
+    from semantic_olap_spark.streaming import read_documents_stream
+
+    docs = tables["documents"]
+    idx = span_index(docs.filter("doc_id % 2 = 0"), k=10)
+    want = sorted(
+        (r.doc_id, r.text, r.removed_tokens)
+        for r in remove_spans_against(
+            docs.filter("doc_id % 2 = 1"), idx, k=10
+        ).collect()
+    )
+    assert any(r[2] > 0 for r in want)  # non-vacuous
+
+    got = []
+
+    def _sink(batch_df, _bid):
+        got.extend(
+            (r.doc_id, r.text, r.removed_tokens)
+            for r in remove_spans_against(
+                batch_df.filter("doc_id % 2 = 1"), idx, k=10
+            ).collect()
+        )
+
+    stream = read_documents_stream(spark, sf_dir)
+    q = (
+        stream.writeStream.foreachBatch(_sink)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            spark.conf.get("spark.sql.warehouse.dir").replace(
+                "file:", ""
+            ) + "/span_stream_ckpt",
+        )
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(got) == want
