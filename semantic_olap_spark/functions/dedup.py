@@ -1401,6 +1401,7 @@ def duplicate_spans(
     k: int = 20,
     min_count: int = 2,
     fingerprint: str = "xxhash64",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Find exact duplicated token spans of length >= ``k`` corpus-wide.
 
@@ -1448,7 +1449,7 @@ def duplicate_spans(
     ANSI SQL, the driver-oracle mode (mirrors
     ``minhash_lsh_pairs(exact_hash=True)``).
     """
-    grams = _gram_stream(df, text_col, id_col, k, fingerprint)
+    grams = _gram_stream(df, text_col, id_col, k, fingerprint, tokens_col)
     dup = (
         grams.groupBy("h")
         .agg(F.count(F.lit(1)).alias("_cnt"))
@@ -1464,18 +1465,32 @@ def duplicate_spans(
 
 
 def _gram_stream(
-    df: DataFrame, text_col: str, id_col: str, k: int, fingerprint: str
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    fingerprint: str,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """(id, start, h): one fingerprint row per k-token window.
 
     All map-side: tokenize, build the window fingerprints with a
     higher-order ``transform`` over ``sequence(1, n-k+1)``, explode.
+    With ``tokens_col`` the windows run over that pre-tokenized array
+    (any element type — e.g. BPE ids from ``bpe_tokenize_docs``)
+    instead of whitespace-splitting ``text_col``; md5 mode casts the
+    window to ``array<string>`` before the concat (a no-op for text
+    tokens).
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if fingerprint not in ("xxhash64", "md5"):
         raise ValueError(f"unknown fingerprint {fingerprint!r}")
-    toks = _span_tokens(F.col(text_col))
+    toks = (
+        F.col(tokens_col)
+        if tokens_col
+        else _span_tokens(F.col(text_col))
+    )
     base = df.select(F.col(id_col), toks.alias("_t"))
     n = F.size("_t")
     starts = F.when(
@@ -1483,7 +1498,12 @@ def _gram_stream(
     ).otherwise(F.array().cast("array<int>"))
     if fingerprint == "md5":
         def _fp(i):
-            return F.md5(F.concat_ws(" ", F.slice(F.col("_t"), i, k)))
+            return F.md5(
+                F.concat_ws(
+                    " ",
+                    F.slice(F.col("_t"), i, k).cast("array<string>"),
+                )
+            )
     else:
         def _fp(i):
             return F.xxhash64(F.slice(F.col("_t"), i, k))
@@ -1540,6 +1560,7 @@ def span_index(
     id_col: str = "doc_id",
     k: int = 20,
     fingerprint: str = "xxhash64",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Distinct k-gram fingerprints of a seen corpus (column ``h``).
 
@@ -1552,9 +1573,9 @@ def span_index(
     (xxhash64), partitionable/bucketable by ``h`` so the batch probe
     join never rescans the corpus text.
     """
-    return _gram_stream(df, text_col, id_col, k, fingerprint).select(
-        "h"
-    ).distinct()
+    return _gram_stream(
+        df, text_col, id_col, k, fingerprint, tokens_col
+    ).select("h").distinct()
 
 
 def duplicate_spans_against(
@@ -1564,6 +1585,7 @@ def duplicate_spans_against(
     id_col: str = "doc_id",
     k: int = 20,
     fingerprint: str = "xxhash64",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Spans of ``batch`` whose >= ``k``-token windows already occur
     in a seen corpus's :func:`span_index`.
@@ -1579,7 +1601,9 @@ def duplicate_spans_against(
     ``h``-partitioned) index — the daily-ingest probe never reshuffles
     the corpus.  Same output schema as :func:`duplicate_spans`.
     """
-    grams = _gram_stream(batch, text_col, id_col, k, fingerprint)
+    grams = _gram_stream(
+        batch, text_col, id_col, k, fingerprint, tokens_col
+    )
     hits = grams.join(
         index.select("h").distinct(), "h"
     ).select(
@@ -1597,6 +1621,7 @@ def remove_spans_against(
     id_col: str = "doc_id",
     k: int = 20,
     fingerprint: str = "xxhash64",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Rewrite ``batch`` texts with every corpus-duplicated span
     removed — the ingest-time removal half of incremental ExactSubstr
@@ -1609,9 +1634,15 @@ def remove_spans_against(
         id_col=id_col,
         k=k,
         fingerprint=fingerprint,
+        tokens_col=tokens_col,
     )
     return remove_duplicate_spans(
-        batch, text_col=text_col, id_col=id_col, k=k, spans=spans
+        batch,
+        text_col=text_col,
+        id_col=id_col,
+        k=k,
+        tokens_col=tokens_col,
+        spans=spans,
     )
 
 
@@ -1622,6 +1653,7 @@ def remove_duplicate_spans(
     k: int = 20,
     min_count: int = 2,
     fingerprint: str = "xxhash64",
+    tokens_col: str | None = None,
     spans: DataFrame | None = None,
 ) -> DataFrame:
     """Drop every duplicated >= ``k``-token span from ``text_col``.
@@ -1648,6 +1680,11 @@ def remove_duplicate_spans(
     inside whole-stage codegen.  Spans-per-doc is tiny in practice
     (boilerplate regions), so the join's right side broadcasts under
     AQE at any corpus scale.
+
+    With ``tokens_col`` the dedup runs over that pre-tokenized array
+    column (e.g. BPE ids) instead of whitespace text: ``tokens_col``
+    itself is rewritten to the surviving array (element type
+    preserved) and ``text_col`` is untouched.
     """
     if spans is None:
         spans = duplicate_spans(
@@ -1657,6 +1694,7 @@ def remove_duplicate_spans(
             k=k,
             min_count=min_count,
             fingerprint=fingerprint,
+            tokens_col=tokens_col,
         )
     per_doc = spans.groupBy(id_col).agg(
         F.collect_list(
@@ -1672,7 +1710,11 @@ def remove_duplicate_spans(
             F.array().cast("array<struct<s:bigint,e:bigint>>"),
         ),
     )
-    toks = _span_tokens(F.col(text_col))
+    toks = (
+        F.col(tokens_col)
+        if tokens_col
+        else _span_tokens(F.col(text_col))
+    )
     indexed = F.transform(
         toks,
         lambda x, i: F.struct(
@@ -1686,19 +1728,16 @@ def remove_duplicate_spans(
             lambda s: (p["pos"] >= s["s"]) & (p["pos"] <= s["e"]),
         ),
     )
-    out = (
-        joined.withColumn("_orig", F.size(toks).cast("long"))
-        .withColumn("_kept", kept)
-        .withColumn(
-            text_col,
-            F.concat_ws(
-                " ", F.transform(F.col("_kept"), lambda p: p["tok"])
-            ),
-        )
-        .withColumn(
-            "removed_tokens",
-            (F.col("_orig") - F.size("_kept")).cast("long"),
-        )
-        .withColumn("orig_tokens", F.col("_orig"))
+    survivors = F.transform(F.col("_kept"), lambda p: p["tok"])
+    out = joined.withColumn("_orig", F.size(toks).cast("long")).withColumn(
+        "_kept", kept
     )
+    if tokens_col:
+        out = out.withColumn(tokens_col, survivors)
+    else:
+        out = out.withColumn(text_col, F.concat_ws(" ", survivors))
+    out = out.withColumn(
+        "removed_tokens",
+        (F.col("_orig") - F.size("_kept")).cast("long"),
+    ).withColumn("orig_tokens", F.col("_orig"))
     return out.drop("_spans", "_orig", "_kept")

@@ -379,3 +379,73 @@ def test_streaming_ingest_span_strip_foreachbatch(spark, tables, sf_dir):
     )
     q.awaitTermination(120)
     assert sorted(got) == want
+
+
+def test_tokens_col_mode_int_arrays(spark):
+    # pre-tokenized int arrays (the BPE-ids shape): detection and
+    # removal run over the array column; text_col untouched, the
+    # array itself is rewritten
+    from semantic_olap_spark.functions.dedup import (
+        duplicate_spans,
+        remove_duplicate_spans,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [9, 9, 1, 2, 3, 4, 5, 7, 8]),
+            (2, [1, 2, 3, 4, 5, 6, 6, 6, 6]),
+        ],
+        ["doc_id", "ids"],
+    )
+    got = sorted(
+        (r.doc_id, r.span_start, r.span_end)
+        for r in duplicate_spans(df, k=5, tokens_col="ids").collect()
+    )
+    assert got == [(1, 3, 7), (2, 1, 5)]
+    out = {
+        r.doc_id: r
+        for r in remove_duplicate_spans(
+            df, k=5, tokens_col="ids"
+        ).collect()
+    }
+    assert out[1].ids == [9, 9, 7, 8] and out[1].removed_tokens == 5
+    assert out[2].ids == [6, 6, 6, 6] and out[2].removed_tokens == 5
+
+
+def test_tokens_col_md5_mode_matches_xxhash(spark):
+    from semantic_olap_spark.functions.dedup import duplicate_spans
+
+    df = spark.createDataFrame(
+        [(1, [1, 2, 3, 4, 1, 2, 3, 4]), (2, [5, 1, 2, 3, 4, 9])],
+        ["doc_id", "ids"],
+    )
+    a = sorted(map(tuple, duplicate_spans(
+        df, k=4, tokens_col="ids", fingerprint="md5").collect()))
+    b = sorted(map(tuple, duplicate_spans(
+        df, k=4, tokens_col="ids", fingerprint="xxhash64").collect()))
+    assert a == b and len(a) > 0
+
+
+def test_span_dedup_composes_with_bpe(tables, spark):
+    # the composition the tokens_col mode exists for: distributed BPE
+    # encode -> span dedup over the BPE id stream; verify against
+    # whitespace-mode spans on the same docs (BPE splits words into
+    # subwords, so BPE spans must cover at least the whitespace-mode
+    # duplicated docs)
+    from semantic_olap_spark.functions.bpe import bpe_encode, learn_bpe
+    from semantic_olap_spark.functions.dedup import (
+        duplicate_spans,
+        remove_duplicate_spans,
+    )
+
+    docs = tables["documents"].limit(200)
+    merges = learn_bpe(docs, num_merges=50)
+    enc = bpe_encode(docs, merges)
+    spans = remove_duplicate_spans(
+        enc, k=20, tokens_col="bpe_tokens"
+    )
+    hit = spans.filter("removed_tokens > 0")
+    assert hit.count() > 0
+    # surviving arrays really shrank by removed_tokens
+    row = hit.first()
+    assert len(row.bpe_tokens) == row.orig_tokens - row.removed_tokens
