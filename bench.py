@@ -203,6 +203,14 @@ STRESS = [
     "skew_agg_salted",
     "skew_join_plain",
     "skew_join_salted",
+    # hot-gram stress for span dedup: 2k docs sharing a 54-token
+    # boilerplate prefix (every boilerplate window occurs 2000×) vs
+    # the same corpus with a 2-doc clique.  Prices the claim that the
+    # dup join-back has NO fan-out (dup side is distinct hashes): the
+    # hot corpus costs island-merge work proportional to hits, never
+    # clique² pairs
+    "span_stress_hot",
+    "span_stress_cold",
 ]
 
 STRESS_NOTE = {
@@ -222,6 +230,11 @@ STRESS_NOTE = {
     "skew_join_salted": (
         "salting replicates the dim side across salt buckets; "
         "reserve for keys AQE cannot split — pair documents the trade"
+    ),
+    "span_stress_hot": (
+        "2k-doc boilerplate clique: every shared window occurs 2000x; "
+        "linear-in-hits cost (no pair fan-out) — compare against "
+        "span_stress_cold"
     ),
 }
 
@@ -565,6 +578,17 @@ def main() -> None:
     stress_mh.count()
     stress_sh = _stress_documents(spark, 30_000, clique=6_000, variants=1)
     stress_sh.count()
+    # span-dedup hot-gram stress reuses the minhash clique corpus
+    # (2k docs share the 54-token boilerplate prefix) vs a 2-doc
+    # clique control of the same size
+    stress_span_cold = _stress_documents(spark, 20_000, clique=2, variants=1)
+    stress_span_cold.count()
+    qs["span_stress_hot"] = lambda spark_, sf_: remove_duplicate_spans(
+        stress_mh, k=10
+    )
+    qs["span_stress_cold"] = lambda spark_, sf_: remove_duplicate_spans(
+        stress_span_cold, k=10
+    )
     qs["minhash_stress_capped"] = lambda spark_, sf_: minhash_lsh_pairs(
         stress_mh, threshold=0.5, max_bucket_size=500
     )
