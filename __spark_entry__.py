@@ -770,6 +770,50 @@ def _q_remove_dup_spans_docs(spark, sf_dir):
     ).select("doc_id", "text", "removed_tokens", "orig_tokens")
 
 
+def _q_span_coverage_by_source(spark, sf_dir):
+    # the decide-before-you-strip diagnostic: per source, how many
+    # tokens sit inside duplicated >=20-token spans.  One extra
+    # broadcast join + one agg over the span frame.
+    from semantic_olap_spark.functions.dedup import (
+        _span_tokens,
+        duplicate_spans,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    spans = duplicate_spans(docs, k=20, fingerprint="md5")
+    totals = docs.groupBy("source").agg(
+        F.sum(F.size(_span_tokens(F.col("text"))))
+        .cast("long")
+        .alias("total_tokens")
+    )
+    per_src = (
+        spans.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.sum("span_tokens").cast("long").alias("dup_tokens"),
+        )
+    )
+    return (
+        totals.join(per_src, "source", "left")
+        .select(
+            "source",
+            F.coalesce(F.col("n_spans"), F.lit(0))
+            .cast("long")
+            .alias("n_spans"),
+            F.coalesce(F.col("dup_tokens"), F.lit(0))
+            .cast("long")
+            .alias("dup_tokens"),
+            "total_tokens",
+            F.round(
+                F.coalesce(F.col("dup_tokens"), F.lit(0))
+                / F.col("total_tokens"),
+                6,
+            ).alias("dup_frac"),
+        )
+    )
+
+
 def _q_remove_spans_against_docs(spark, sf_dir):
     # incremental ExactSubstr: even-id docs are the frozen seen
     # corpus (span_index of distinct window fingerprints), odd-id
@@ -2829,6 +2873,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans_docs": _q_dup_spans_docs,
         "remove_dup_spans_docs": _q_remove_dup_spans_docs,
         "remove_spans_against_docs": _q_remove_spans_against_docs,
+        "span_coverage_by_source": _q_span_coverage_by_source,
         # pipeline: similarity
         "cosine_topk": _q_cosine_topk,
         "cosine_pairs": _q_cosine_pairs,
@@ -3833,6 +3878,68 @@ def _oracle_sql_literal() -> dict[str, str]:
                        AS removed_tokens,
                    len(t.toks)::BIGINT AS orig_tokens
             FROM t LEFT JOIN agg a USING (doc_id)
+        """,
+        # span coverage report: per source, tokens inside duplicated
+        # >=20-token spans over the same md5 span pipeline
+        "span_coverage_by_source": r"""
+            WITH t AS (
+              SELECT doc_id, source,
+                     list_filter(string_split_regex(text, '\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id, u.i AS start,
+                     md5(array_to_string(toks[u.i : u.i + 19], ' ')) AS h
+              FROM t, unnest(CASE WHEN len(toks) >= 20
+                                  THEN range(1, len(toks) - 18)
+                                  ELSE range(1, 1) END) AS u(i)
+            ),
+            dup AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+            hit AS (
+              SELECT g.doc_id, g.start, g.start + 19 AS e
+              FROM g JOIN dup USING (h)
+            ),
+            pe AS (
+              SELECT doc_id, start, e,
+                     max(e) OVER (PARTITION BY doc_id ORDER BY start
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS prev_end
+              FROM hit
+            ),
+            isl AS (
+              SELECT doc_id, start, e,
+                     sum(CASE WHEN prev_end IS NULL
+                              OR start > prev_end + 1
+                              THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY doc_id ORDER BY start
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS island
+              FROM pe
+            ),
+            spans AS (
+              SELECT doc_id,
+                     (max(e) - min(start) + 1)::BIGINT AS span_tokens
+              FROM isl GROUP BY doc_id, island
+            ),
+            totals AS (
+              SELECT source, sum(len(toks))::BIGINT AS total_tokens
+              FROM t GROUP BY source
+            ),
+            per_src AS (
+              SELECT t.source,
+                     count(*)::BIGINT AS n_spans,
+                     sum(s.span_tokens)::BIGINT AS dup_tokens
+              FROM spans s JOIN t ON s.doc_id = t.doc_id
+              GROUP BY t.source
+            )
+            SELECT totals.source,
+                   coalesce(p.n_spans, 0)::BIGINT AS n_spans,
+                   coalesce(p.dup_tokens, 0)::BIGINT AS dup_tokens,
+                   totals.total_tokens,
+                   round(coalesce(p.dup_tokens, 0)
+                         / totals.total_tokens::DOUBLE, 6) AS dup_frac
+            FROM totals LEFT JOIN per_src p USING (source)
         """,
         # incremental ExactSubstr: batch windows whose fingerprints
         # exist in the even-id corpus index are removed from odd-id
