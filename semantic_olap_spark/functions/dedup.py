@@ -1471,6 +1471,7 @@ def _gram_stream(
     k: int,
     fingerprint: str,
     tokens_col: str | None = None,
+    stride: int = 1,
 ) -> DataFrame:
     """(id, start, h): one fingerprint row per k-token window.
 
@@ -1484,6 +1485,8 @@ def _gram_stream(
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
     if fingerprint not in ("xxhash64", "md5"):
         raise ValueError(f"unknown fingerprint {fingerprint!r}")
     toks = (
@@ -1494,7 +1497,10 @@ def _gram_stream(
     base = df.select(F.col(id_col), toks.alias("_t"))
     n = F.size("_t")
     starts = F.when(
-        n >= k, F.sequence(F.lit(1), (n - k + 1).cast("int"))
+        n >= k,
+        F.sequence(
+            F.lit(1), (n - k + 1).cast("int"), F.lit(int(stride))
+        ),
     ).otherwise(F.array().cast("array<int>"))
     if fingerprint == "md5":
         def _fp(i):
@@ -1561,6 +1567,7 @@ def span_index(
     k: int = 20,
     fingerprint: str = "xxhash64",
     tokens_col: str | None = None,
+    stride: int = 1,
 ) -> DataFrame:
     """Distinct k-gram fingerprints of a seen corpus (column ``h``).
 
@@ -1572,9 +1579,21 @@ def span_index(
     construction.  Size ~= distinct corpus windows × 8 bytes
     (xxhash64), partitionable/bucketable by ``h`` so the batch probe
     join never rescans the corpus text.
+
+    ``stride``: index only every ``stride``-th window position (the
+    sampled-suffix-array trade, index size and fingerprint CPU cut
+    ~``stride``×).  The probe side still fingerprints every batch
+    position, so any shared run of **>= k + stride - 1 tokens is
+    still guaranteed detected** (it must contain an indexed corpus
+    window); runs shorter than that may be missed, and a detected
+    span's edges may under-cover the true shared run by up to
+    ``stride - 1`` tokens per side.  ``stride=1`` (default) is
+    exact.  Strided indexes are probe-compatible with the same-k
+    :func:`duplicate_spans_against` — no flag needed on the batch
+    side.
     """
     return _gram_stream(
-        df, text_col, id_col, k, fingerprint, tokens_col
+        df, text_col, id_col, k, fingerprint, tokens_col, stride
     ).select("h").distinct()
 
 

@@ -449,3 +449,57 @@ def test_span_dedup_composes_with_bpe(tables, spark):
     # surviving arrays really shrank by removed_tokens
     row = hit.first()
     assert len(row.bpe_tokens) == row.orig_tokens - row.removed_tokens
+
+
+def test_strided_index_guarantee(spark):
+    # stride=s: any shared run >= k + s - 1 tokens is still detected
+    # (it must contain an indexed window); shorter runs at the worst
+    # alignment are missed — both directions pinned at k=4, s=3:
+    # guarantee length 6.
+    from semantic_olap_spark.functions.dedup import (
+        duplicate_spans_against,
+        span_index,
+    )
+
+    # corpus positions: run placed so it starts at position 2 (not
+    # ≡ 1 mod 3) — the worst alignment for the sampler
+    seen = spark.createDataFrame(
+        [(100, "z a b c d e f z z z z z")], ["doc_id", "text"]
+    )
+    idx = span_index(seen, k=4, stride=3)
+    # 6-token copy (= k + s - 1): guaranteed detected
+    batch6 = spark.createDataFrame(
+        [(1, "x x a b c d e f y y")], ["doc_id", "text"]
+    )
+    got6 = duplicate_spans_against(batch6, idx, k=4).collect()
+    assert len(got6) == 1
+    # 4-token copy (< k + s - 1) whose only corpus window is
+    # unsampled: missed — the documented trade
+    batch4 = spark.createDataFrame(
+        [(2, "x x a b c d y y y y")], ["doc_id", "text"]
+    )
+    # corpus window "a b c d" starts at position 2; stride 3 indexes
+    # positions 1, 4, 7 — so it is absent from the index
+    assert duplicate_spans_against(batch4, idx, k=4).count() == 0
+    # stride=1 exact mode catches it
+    idx1 = span_index(seen, k=4, stride=1)
+    assert duplicate_spans_against(batch4, idx1, k=4).count() == 1
+
+
+def test_strided_index_size_reduction(tables):
+    from semantic_olap_spark.functions.dedup import span_index
+
+    docs = tables["documents"]
+    full = span_index(docs, k=10).count()
+    s4 = span_index(docs, k=10, stride=4).count()
+    # distinct-hash counts: strided must be well under the full index
+    # (not exactly /4 because of dedup, but far less than full)
+    assert s4 < full * 0.5, (s4, full)
+
+
+def test_invalid_stride_raises(spark):
+    from semantic_olap_spark.functions.dedup import span_index
+
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        span_index(df, k=2, stride=0)
