@@ -1623,9 +1623,11 @@ def duplicate_spans_against(
     grams = _gram_stream(
         batch, text_col, id_col, k, fingerprint, tokens_col
     )
-    hits = grams.join(
-        index.select("h").distinct(), "h"
-    ).select(
+    # no defensive distinct on the index: re-distincting would shuffle
+    # the (corpus-sized) index on EVERY batch probe, and duplicate
+    # index rows are harmless anyway — they duplicate (start, end)
+    # hit rows, which the island merge's min/max collapses
+    hits = grams.join(index.select("h"), "h").select(
         id_col,
         F.col("start"),
         (F.col("start") + (k - 1)).alias("end"),

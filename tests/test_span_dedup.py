@@ -503,3 +503,29 @@ def test_invalid_stride_raises(spark):
     df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
     with pytest.raises(ValueError):
         span_index(df, k=2, stride=0)
+
+
+def test_against_tolerates_duplicate_index_rows(spark):
+    # a user-built index with duplicate hashes (e.g. unions without
+    # distinct) must not change results: duplicate hit intervals
+    # collapse in the island merge — and the probe deliberately does
+    # NOT re-distinct (that would shuffle the corpus-sized index per
+    # batch)
+    from semantic_olap_spark.functions.dedup import (
+        duplicate_spans_against,
+        span_index,
+    )
+
+    seen = spark.createDataFrame(
+        [(100, "a b c d e f g h")], ["doc_id", "text"]
+    )
+    batch = spark.createDataFrame(
+        [(1, "z a b c d e f z")], ["doc_id", "text"]
+    )
+    idx = span_index(seen, k=4)
+    dup_idx = idx.union(idx).union(idx)
+    a = sorted(map(tuple, duplicate_spans_against(batch, idx, k=4).collect()))
+    b = sorted(
+        map(tuple, duplicate_spans_against(batch, dup_idx, k=4).collect())
+    )
+    assert a == b and len(a) == 1
