@@ -332,7 +332,9 @@ def test_span_index_parquet_round_trip(tables, spark, tmp_path):
     assert a == b and len(a) > 0
 
 
-def test_streaming_ingest_span_strip_foreachbatch(spark, tables, sf_dir):
+def test_streaming_ingest_span_strip_foreachbatch(
+    spark, tables, sf_dir, tmp_path
+):
     # ingest-time span strip on a STREAM: the island merge uses a
     # window function (unsupported in a streaming plan), so the
     # documented wiring is foreachBatch — each micro-batch is a batch
@@ -370,10 +372,7 @@ def test_streaming_ingest_span_strip_foreachbatch(spark, tables, sf_dir):
         stream.writeStream.foreachBatch(_sink)
         .trigger(availableNow=True)
         .option(
-            "checkpointLocation",
-            spark.conf.get("spark.sql.warehouse.dir").replace(
-                "file:", ""
-            ) + "/span_stream_ckpt",
+            "checkpointLocation", str(tmp_path / "span_stream_ckpt")
         )
         .start()
     )
