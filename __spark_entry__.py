@@ -1364,6 +1364,17 @@ def _q_training_pipeline_spans(spark, sf_dir):
     ).select("doc_id", "split")
 
 
+def _q_shuffle_rows_docs(spark, sf_dir):
+    # deterministic global shuffle for training order: seeded-md5
+    # key, parallel dense-ranks total order (no single-partition
+    # window — the WindowExec warning class the repo bans)
+    from semantic_olap_spark.functions.sampling import shuffle_rows
+
+    return shuffle_rows(
+        _t(spark, sf_dir, "documents"), ["doc_id"], seed=42
+    ).select("doc_id", "shuffle_rank")
+
+
 def _q_quantile_filter(spark, sf_dir):
     from semantic_olap_spark.functions.sampling import quantile_filter
 
@@ -2898,6 +2909,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": _q_hash_sample,
         "stratified_sample": _q_stratified_sample,
         "train_test_split": _q_train_test_split,
+        "shuffle_rows_docs": _q_shuffle_rows_docs,
         "reservoir_sample": _q_reservoir_sample,
         "pack_documents": _q_pack_documents,
         "leakage_safe_split": _q_leakage_safe_split,
@@ -4766,6 +4778,14 @@ def _oracle_sql_literal() -> dict[str, str]:
                        AS split
             FROM corpus
             WHERE doc_id NOT IN (SELECT doc_id FROM hits)
+        """,
+        # shuffle_rows: seeded-md5 total order, rank 0-based
+        "shuffle_rows_docs": r"""
+            SELECT doc_id,
+                   (row_number() OVER (
+                        ORDER BY md5('42' || chr(31) || doc_id::VARCHAR))
+                    - 1)::BIGINT AS shuffle_rank
+            FROM documents
         """,
         "take_token_budget": r"""
             WITH t AS (

@@ -169,8 +169,10 @@ HEADLINE = [
     "simhash_pairs",
     # ExactSubstr span dedup: k-gram fingerprint shuffle + dup join +
     # per-doc island merge + token-level rewrite (the removal half
-    # subsumes the detection half's whole plan)
+    # subsumes the detection half's whole plan); the _against row is
+    # the incremental ingest probe (batch grams vs prebuilt index)
     "remove_dup_spans_docs",
+    "remove_spans_against_docs",
     # retrieval cascade end-to-end (BM25 recall → LLM rerank): the
     # row whose llm_calls count a pytest pins at |candidates|
     "bm25_rerank_cascade",
@@ -522,12 +524,29 @@ def main() -> None:
     qs["minhash_lsh_pairs"] = lambda spark_, sf_: minhash_lsh_pairs(
         tables["documents"], shingle_n=3, threshold=0.5
     )
-    # span dedup likewise: contract row is md5 oracle mode, bench
-    # measures the production xxhash64 array-slice fingerprint
-    from semantic_olap_spark.functions.dedup import remove_duplicate_spans
+    # span dedup likewise: contract rows are md5 oracle mode, bench
+    # measures the production xxhash64 array-slice fingerprint; the
+    # ingest-probe row builds its index in warmup (the amortized
+    # cost) so the timed row is the per-batch probe, mirroring the
+    # ANN *_probe_indexed rows
+    from semantic_olap_spark.functions.dedup import (
+        remove_duplicate_spans,
+        remove_spans_against,
+        span_index,
+    )
 
     qs["remove_dup_spans_docs"] = lambda spark_, sf_: remove_duplicate_spans(
         tables["documents"], k=20
+    )
+    import tempfile
+
+    span_idx_path = tempfile.mkdtemp(prefix="spanidx_") + "/idx"
+    span_index(
+        tables["documents"].filter("doc_id % 2 = 0"), k=20
+    ).write.mode("overwrite").parquet(span_idx_path)
+    span_idx = spark.read.parquet(span_idx_path)
+    qs["remove_spans_against_docs"] = lambda spark_, sf_: remove_spans_against(
+        tables["documents"].filter("doc_id % 2 = 1"), span_idx, k=20
     )
     # persisted ANN indexes (warmup = the one-time assign+write cost;
     # the timed rows below measure the repeated-query probe path)

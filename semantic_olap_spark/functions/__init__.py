@@ -55,6 +55,7 @@ from semantic_olap_spark.functions.sampling import (  # noqa: F401
     mix_corpus,
     quantile_filter,
     reservoir_sample,
+    shuffle_rows,
     stratified_sample,
     train_test_split,
     uniform_hash,

@@ -43,6 +43,8 @@ part of the §2.5 "what a large-scale pipeline needs" gap-fill.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -365,4 +367,40 @@ def reservoir_sample(
         .orderBy(F.col("_u").asc(), F.col(key_col).asc(), tiebreak.asc())
         .limit(int(n))
         .drop("_u")
+    )
+
+
+def shuffle_rows(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    seed: int = 42,
+    rank_col: str = "shuffle_rank",
+) -> DataFrame:
+    """Deterministic global shuffle: a seeded random-but-reproducible
+    total order for training-data writes.
+
+    Training runs need the corpus in a shuffled order that is (a)
+    decoupled from ingest order, (b) reproducible across reruns and
+    engines, and (c) re-rollable by seed.  The shuffle key is
+    ``md5(seed || key_cols)`` — the same keyed-md5 determinism
+    contract as :func:`hash_sample`/:func:`train_test_split` — and
+    the 0-based ``rank_col`` comes from the parallel
+    ``dense_ranks`` construction (range partition + broadcast
+    prefix-sum offsets; no single-partition window), so the total
+    order survives a 1000-executor table.  Write shards with
+    ``df.orderBy(rank_col)`` or feed ``repartitionByRange(rank_col)``
+    for contiguous, evenly-sized shards.
+    """
+    from semantic_olap_spark.sources.loaders import dense_ranks
+
+    key = F.md5(
+        F.concat_ws(
+            "\x1f",
+            F.lit(str(seed)),
+            *[F.col(c).cast("string") for c in key_cols],
+        )
+    )
+    tagged = df.withColumn("_shuffle_key", key)
+    return dense_ranks(tagged, ["_shuffle_key"], rank_col).drop(
+        "_shuffle_key"
     )
