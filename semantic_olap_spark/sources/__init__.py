@@ -14,6 +14,7 @@ from semantic_olap_spark.sources.bucketing import (  # noqa: F401
 from semantic_olap_spark.sources.sinks import (  # noqa: F401
     compact,
     write_partitioned,
+    write_shards,
     write_stream_parquet,
 )
 from semantic_olap_spark.sources.layout import (  # noqa: F401

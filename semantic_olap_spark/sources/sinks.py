@@ -141,3 +141,94 @@ def write_stream_parquet(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def write_shards(
+    df: DataFrame,
+    path: str,
+    key_cols: list[str],
+    rows_per_shard: int = 100_000,
+    seed: int = 42,
+    mode: str = "overwrite",
+    format: str = "parquet",
+) -> dict:
+    """Write deterministic, shuffled, fixed-size training shards.
+
+    The training-data last mile: a seeded global shuffle
+    (:func:`semantic_olap_spark.functions.sampling.shuffle_rows` —
+    md5(seed||keys) order, parallel dense ranks) sliced into
+    contiguous shards of ``rows_per_shard`` rows, written as
+    ``shard=K/`` hive directories so a trainer (or a later Spark
+    read) can address shards individually.  Re-running with the same
+    seed and corpus reproduces the exact same shard contents — the
+    property data loaders rely on for resumable epochs.
+
+    One file per shard: the frame is repartitioned BY the shard id
+    (hash partitioning on the already-assigned id, not a range sort)
+    so each task writes exactly one shard sequentially, ordered by
+    rank via a task-local sort.  Returns a manifest dict
+    ``{n_rows, n_shards, rows_per_shard, seed, shards: [{shard,
+    rows, min_rank, max_rank}, ...]}`` — also written as
+    ``_manifest.json`` next to the data, because a trainer needs the
+    shard census without listing the directory.
+    """
+    import json
+    import math
+
+    from pyspark.sql import functions as F
+
+    from semantic_olap_spark.functions.sampling import shuffle_rows
+
+    if rows_per_shard < 1:
+        raise ValueError(
+            f"rows_per_shard must be >= 1, got {rows_per_shard}"
+        )
+    if format not in _FORMATS:
+        raise ValueError(f"format must be one of {_FORMATS}, got {format!r}")
+    ranked = shuffle_rows(df, key_cols, seed=seed)
+    sharded = ranked.withColumn(
+        "shard", (F.col("shuffle_rank") / rows_per_shard).cast("long")
+    )
+    n_shards_hint = max(
+        sharded.sparkSession.sparkContext.defaultParallelism, 1
+    )
+    (
+        sharded.repartition(n_shards_hint, "shard")
+        .sortWithinPartitions("shard", "shuffle_rank")
+        .write.mode(mode)
+        .partitionBy("shard")
+        .format(format)
+        .save(path)
+    )
+    stats = sorted(
+        (r["shard"], r["rows"], r["min_rank"], r["max_rank"])
+        for r in sharded.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.min("shuffle_rank").alias("min_rank"),
+            F.max("shuffle_rank").alias("max_rank"),
+        )
+        .collect()
+    )
+    n_rows = sum(s[1] for s in stats)
+    manifest = {
+        "n_rows": n_rows,
+        "n_shards": len(stats),
+        "rows_per_shard": rows_per_shard,
+        "seed": seed,
+        "expected_shards": math.ceil(n_rows / rows_per_shard) if n_rows else 0,
+        "shards": [
+            {"shard": int(s), "rows": int(r), "min_rank": int(a),
+             "max_rank": int(b)}
+            for s, r, a, b in stats
+        ],
+    }
+    jvm_path = path.rstrip("/") + "/_manifest.json"
+    # write via the driver-side filesystem only for local paths; on
+    # object stores callers pass the manifest to their own writer
+    try:
+        with open(jvm_path.replace("file:", ""), "w") as fh:
+            json.dump(manifest, fh, indent=1)
+    except OSError:
+        pass
+    return manifest

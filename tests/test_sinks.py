@@ -136,3 +136,66 @@ def test_jsonl_export_roundtrip(spark, tables, tmp_path):
     back = load_jsonl(spark, out)
     cols = ["doc_id", "text", "source"]
     assert _rows(back, cols) == _rows(docs, cols)
+
+
+def test_write_shards_deterministic_manifest_and_roundtrip(
+    spark, tables, tmp_path
+):
+    from semantic_olap_spark.sources.sinks import write_shards
+
+    docs = tables["documents"]
+    p1, p2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    m1 = write_shards(docs, p1, ["doc_id"], rows_per_shard=150, seed=7)
+    m2 = write_shards(docs, p2, ["doc_id"], rows_per_shard=150, seed=7)
+    n = docs.count()
+    assert m1["n_rows"] == n
+    assert m1["n_shards"] == m1["expected_shards"] == (n + 149) // 150
+    # same seed → identical shard census AND identical shard contents
+    assert m1["shards"] == m2["shards"]
+    a = spark.read.parquet(p1).select("doc_id", "shard", "shuffle_rank")
+    b = spark.read.parquet(p2).select("doc_id", "shard", "shuffle_rank")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    # shards are contiguous rank ranges of the right size
+    for s in m1["shards"][:-1]:
+        assert s["rows"] == 150
+        assert s["max_rank"] - s["min_rank"] + 1 == s["rows"]
+        assert s["min_rank"] == s["shard"] * 150
+    # manifest persisted next to the data
+    import json, os
+    with open(os.path.join(p1, "_manifest.json")) as fh:
+        disk = json.load(fh)
+    assert disk == m1
+    # hive layout: shard=K dirs, one data file each
+    kdirs = [d for d in os.listdir(p1) if d.startswith("shard=")]
+    assert len(kdirs) == m1["n_shards"]
+    for d in kdirs:
+        files = [f for f in os.listdir(os.path.join(p1, d))
+                 if f.endswith(".parquet")]
+        assert len(files) == 1, (d, files)
+
+
+def test_write_shards_seed_changes_contents(spark, tables, tmp_path):
+    from semantic_olap_spark.sources.sinks import write_shards
+
+    docs = tables["documents"]
+    p1, p2 = str(tmp_path / "a"), str(tmp_path / "b")
+    write_shards(docs, p1, ["doc_id"], rows_per_shard=100, seed=1)
+    write_shards(docs, p2, ["doc_id"], rows_per_shard=100, seed=2)
+    a = {r.doc_id for r in
+         spark.read.parquet(p1).filter("shard = 0").collect()}
+    b = {r.doc_id for r in
+         spark.read.parquet(p2).filter("shard = 0").collect()}
+    assert a != b
+
+
+def test_write_shards_validates_args(tables, tmp_path):
+    import pytest
+
+    from semantic_olap_spark.sources.sinks import write_shards
+
+    with pytest.raises(ValueError):
+        write_shards(tables["documents"], str(tmp_path / "x"),
+                     ["doc_id"], rows_per_shard=0)
+    with pytest.raises(ValueError):
+        write_shards(tables["documents"], str(tmp_path / "y"),
+                     ["doc_id"], format="avro")
