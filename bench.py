@@ -324,6 +324,14 @@ SCALE_QUERIES = [
     # with corpus tokens (linear), the dup join-back with dup-gram
     # count; the row pins that neither goes super-linear at 10×
     "remove_dup_spans_docs",
+    # the ingest probe at 10× batch AND 10× index (index build
+    # included — the honest full cost; the headline row amortizes it)
+    "remove_spans_against_docs",
+    # the parallel dense-ranks total order (repartitionByRange +
+    # prefix offsets) — the machinery every global-order consumer
+    # (shuffle/shards/olap_id) rides; pins that the range sort stays
+    # near-linear
+    "shuffle_rows_docs",
 ]
 
 # threshold for flagging super-linear rows: >15× for 10× data (the
@@ -794,11 +802,30 @@ def main() -> None:
         scale_qs["remove_dup_spans_docs"] = lambda spark_, sfd: _rds(
             load_table(spark_, sfd, "documents"), k=20
         )
+        from semantic_olap_spark.functions.dedup import (
+            remove_spans_against as _rsa,
+            span_index as _sidx,
+        )
+
+        def _probe_scale(spark_, sfd):
+            d = load_table(spark_, sfd, "documents")
+            return _rsa(
+                d.filter("doc_id % 2 = 1"),
+                _sidx(d.filter("doc_id % 2 = 0"), k=20),
+                k=20,
+            )
+
+        scale_qs["remove_spans_against_docs"] = _probe_scale
         sq: dict[str, dict] = {}
         flagged: list[str] = []
         for name in SCALE_QUERIES:
             small = timings.get(name)
-            if small is None or name == "minhash_lsh_pairs":
+            # rows whose scale fn differs from the headline fn (md5
+            # oracle mode vs production, or amortized-index probe vs
+            # build-included) must re-measure small with the SAME fn
+            # or the ratio compares different code
+            remeasure = {"minhash_lsh_pairs", "remove_spans_against_docs"}
+            if small is None or name in remeasure:
                 spark.catalog.clearCache()
                 t0 = time.perf_counter()
                 _force(scale_qs[name](spark, sf_dir))
