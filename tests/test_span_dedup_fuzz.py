@@ -107,3 +107,78 @@ def test_span_dedup_fuzz_vs_bruteforce(spark):
         assert got_removed == want_removed, (
             f"trial {trial} k={k} min_count={min_count}\n{texts}"
         )
+
+
+def _ref_spans_against(batch: dict[int, str], seen: dict[int, str], k: int):
+    """Brute-force incremental reference: batch windows whose exact
+    content occurs anywhere in the seen corpus."""
+    seen_grams = set()
+    for s in seen.values():
+        ts = [t for t in re.split(r"\s+", s) if t]
+        for i in range(len(ts) - k + 1):
+            seen_grams.add(" ".join(ts[i : i + k]))
+    spans = []
+    for d, s in sorted(batch.items()):
+        ts = [t for t in re.split(r"\s+", s) if t]
+        marked = [False] * len(ts)
+        for i in range(len(ts) - k + 1):
+            if " ".join(ts[i : i + k]) in seen_grams:
+                for j in range(i, i + k):
+                    marked[j] = True
+        i = 0
+        while i < len(ts):
+            if marked[i]:
+                j = i
+                while j + 1 < len(ts) and marked[j + 1]:
+                    j += 1
+                spans.append((d, i + 1, j + 1, j - i + 1))
+                i = j + 1
+            else:
+                i += 1
+    return spans
+
+
+def test_span_against_fuzz_vs_bruteforce(spark):
+    from semantic_olap_spark.functions.dedup import (
+        duplicate_spans_against,
+        span_index,
+    )
+
+    rng = random.Random(20260817)
+    for trial in range(5):
+        k = rng.choice([2, 3, 4])
+        seen = _rand_corpus(rng, n_docs=rng.randint(2, 8), vocab=4)
+        batch = _rand_corpus(rng, n_docs=rng.randint(2, 8), vocab=4)
+        sdf = spark.createDataFrame(list(seen.items()), ["doc_id", "text"])
+        bdf = spark.createDataFrame(list(batch.items()), ["doc_id", "text"])
+        idx = span_index(sdf, k=k)
+        got = sorted(
+            (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+            for r in duplicate_spans_against(bdf, idx, k=k).collect()
+        )
+        want = sorted(_ref_spans_against(batch, seen, k))
+        assert got == want, (
+            f"trial {trial} k={k}: {got} != {want}\n{seen}\n{batch}"
+        )
+
+
+def test_tokens_col_fuzz_matches_text_mode(spark):
+    # the same corpus presented as text vs pre-split token arrays
+    # must yield identical spans — tokens_col is a representation
+    # change, not a semantics change
+    from semantic_olap_spark.functions.dedup import duplicate_spans
+
+    rng = random.Random(20260818)
+    for trial in range(4):
+        k = rng.choice([2, 3, 5])
+        texts = _rand_corpus(rng, n_docs=rng.randint(3, 10), vocab=5)
+        tdf = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+        adf = spark.createDataFrame(
+            [(d, [t for t in s.split() if t]) for d, s in texts.items()],
+            ["doc_id", "toks"],
+        )
+        a = sorted(map(tuple, duplicate_spans(tdf, k=k).collect()))
+        b = sorted(
+            map(tuple, duplicate_spans(adf, k=k, tokens_col="toks").collect())
+        )
+        assert a == b, f"trial {trial} k={k}"
