@@ -77,13 +77,38 @@ def lineage_cut(
     reliable ``checkpoint()``: blocks are written to the fault-
     tolerant store and the job survives executor loss.  Results are
     identical either way — only durability changes.
+
+    Reliable mode persists around the cut: a bare ``checkpoint()``
+    recomputes the frame's full lineage a second time inside the
+    separate checkpoint-write job (Spark's documented behavior —
+    ``localCheckpoint`` avoids it by persisting), which would double
+    every loop round's compute on exactly the cluster deployments
+    the option targets.  The scratch persist is released once the
+    checkpoint holds the data.
     """
     if checkpoint_dir:
         sc = df.sparkSession.sparkContext
-        # setCheckpointDir is idempotent for the same path; callers
-        # pass one dir per loop, so repeated sets are cheap
-        sc.setCheckpointDir(checkpoint_dir)
-        return df.checkpoint(eager=eager)
+        # setCheckpointDir mkdirs a fresh random-UUID subdirectory on
+        # EVERY call (it is NOT an idempotent set) — only (re)set it
+        # when the configured parent dir actually changes, so a
+        # 50-round loop issues one mkdir, not 50 scattered UUID dirs
+        current = sc._jsc.sc().getCheckpointDir()
+        want = checkpoint_dir.rstrip("/")
+        have = (
+            current.get().rstrip("/").rsplit("/", 1)[0]
+            if current.isDefined()
+            else None
+        )
+        if have is None or not have.endswith(want.lstrip("/")):
+            sc.setCheckpointDir(checkpoint_dir)
+        if eager:
+            df.persist()
+            try:
+                out = df.checkpoint(eager=True)
+            finally:
+                df.unpersist()
+            return out
+        return df.checkpoint(eager=False)
     return df.localCheckpoint(eager=eager)
 
 

@@ -1503,10 +1503,16 @@ def _gram_stream(
         ),
     ).otherwise(F.array().cast("array<int>"))
     if fingerprint == "md5":
+        # text mode joins with ' ' (whitespace tokens cannot contain
+        # spaces, so the encoding is injective AND reproducible in a
+        # plain-SQL oracle).  tokens_col mode joins with the unit
+        # separator: arbitrary caller tokens MAY contain spaces, and
+        # ["new york","city"] vs ["new","york city"] must not collide
+        sep = "\x1f" if tokens_col else " "
         def _fp(i):
             return F.md5(
                 F.concat_ws(
-                    " ",
+                    sep,
                     F.slice(F.col("_t"), i, k).cast("array<string>"),
                 )
             )
@@ -1750,15 +1756,28 @@ def remove_duplicate_spans(
         ),
     )
     survivors = F.transform(F.col("_kept"), lambda p: p["tok"])
-    out = joined.withColumn("_orig", F.size(toks).cast("long")).withColumn(
-        "_kept", kept
-    )
+    # null input text/tokens: F.size(null) is -1, which would emit
+    # orig_tokens = -1 and corrupt downstream token accounting — pass
+    # null rows through untouched with 0/0 counts instead
+    out = joined.withColumn(
+        "_orig", F.greatest(F.size(toks), F.lit(0)).cast("long")
+    ).withColumn("_kept", kept)
     if tokens_col:
-        out = out.withColumn(tokens_col, survivors)
+        out = out.withColumn(
+            tokens_col,
+            F.when(F.col(tokens_col).isNotNull(), survivors),
+        )
     else:
-        out = out.withColumn(text_col, F.concat_ws(" ", survivors))
+        out = out.withColumn(
+            text_col,
+            F.when(
+                F.col(text_col).isNotNull(), F.concat_ws(" ", survivors)
+            ),
+        )
     out = out.withColumn(
         "removed_tokens",
-        (F.col("_orig") - F.size("_kept")).cast("long"),
+        (
+            F.col("_orig") - F.greatest(F.size("_kept"), F.lit(0))
+        ).cast("long"),
     ).withColumn("orig_tokens", F.col("_orig"))
     return out.drop("_spans", "_orig", "_kept")

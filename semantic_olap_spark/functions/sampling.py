@@ -375,6 +375,7 @@ def shuffle_rows(
     key_cols: Sequence[str],
     seed: int = 42,
     rank_col: str = "shuffle_rank",
+    validate_unique: bool = True,
 ) -> DataFrame:
     """Deterministic global shuffle: a seeded random-but-reproducible
     total order for training-data writes.
@@ -390,16 +391,38 @@ def shuffle_rows(
     order survives a 1000-executor table.  Write shards with
     ``df.orderBy(rank_col)`` or feed ``repartitionByRange(rank_col)``
     for contiguous, evenly-sized shards.
+
+    The reproducibility guarantee requires ``key_cols`` to be
+    row-UNIQUE: rows with identical keys share one md5 value and
+    their relative order would fall to shuffle-fetch interleaving —
+    exactly the nondeterminism this op exists to remove.  With the
+    default ``validate_unique=True`` that precondition is checked by
+    one aggregate (count vs distinct count over the key) and
+    violated input raises; pass ``False`` only when uniqueness is
+    already guaranteed upstream and the extra job matters.  Null key
+    parts are encoded with an explicit sentinel so ``("a", null)``
+    and ``(null, "a")`` cannot collide (``concat_ws`` alone would
+    silently drop the nulls).
     """
     from semantic_olap_spark.sources.loaders import dense_ranks
 
-    key = F.md5(
-        F.concat_ws(
-            "\x1f",
-            F.lit(str(seed)),
-            *[F.col(c).cast("string") for c in key_cols],
-        )
-    )
+    cols = [
+        F.coalesce(F.col(c).cast("string"), F.lit("\x00<null>"))
+        for c in key_cols
+    ]
+    if validate_unique:
+        row = df.select(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.struct(*cols)).alias("d"),
+        ).collect()[0]
+        if row["n"] != row["d"]:
+            raise ValueError(
+                f"shuffle_rows requires unique key_cols: "
+                f"{row['n'] - row['d']} duplicate key rows found for "
+                f"{list(key_cols)} — pick a unique key (or add one) "
+                f"so the shuffle order is reproducible"
+            )
+    key = F.md5(F.concat_ws("\x1f", F.lit(str(seed)), *cols))
     tagged = df.withColumn("_shuffle_key", key)
     return dense_ranks(tagged, ["_shuffle_key"], rank_col).drop(
         "_shuffle_key"

@@ -31,6 +31,7 @@ from semantic_olap_spark.operators.semantic import (  # noqa: F401
     filter_enum_llm,
     filter_pattern,
     fit_cluster_taxonomy,
+    load_taxonomy,
     induce_taxonomy,
     sem_filter,
     sem_filter_cond,
@@ -39,6 +40,7 @@ from semantic_olap_spark.operators.semantic import (  # noqa: F401
     sem_join_cond,
     sem_group,
     sem_group_cluster,
+    save_taxonomy,
     sem_group_cluster_apply,
     sem_group_sequential,
     sem_map,

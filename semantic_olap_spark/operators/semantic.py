@@ -569,15 +569,19 @@ def fit_cluster_taxonomy(
         for c in model.clusterCenters()
     ]
     assigned = model.transform(feats)
+    # first-N distinct texts per cluster via a bounded window top-k:
+    # collect_set would buffer a cluster's ENTIRE distinct text set
+    # in one aggregation buffer before slicing (executor OOM at
+    # corpus scale); the window sort spills, and only N rows per
+    # cluster survive to the driver
+    w = Window.partitionBy("_sgc_cluster").orderBy("_sgc_text")
     samples = (
         assigned.select("_sgc_cluster", "_sgc_text")
+        .dropDuplicates(["_sgc_cluster", "_sgc_text"])
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= samples_per_cluster)
         .groupBy("_sgc_cluster")
-        .agg(
-            F.slice(
-                F.sort_array(F.collect_set("_sgc_text")),
-                1, samples_per_cluster,
-            ).alias("_ex")
-        )
+        .agg(F.sort_array(F.collect_list("_sgc_text")).alias("_ex"))
         .collect()
     )
     llm = llm_factory()

@@ -84,12 +84,11 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     # sanity: the session really runs on two executor JVMs
-    execs = {
+    execs = set(
         spark.sparkContext.parallelize(range(16), 16)
         .map(lambda _: __import__("os").getppid())
-        .collect()[i]
-        for i in range(16)
-    }
+        .collect()
+    )
     n_jvms = len(execs)
 
     with open(GOLDEN_PATH) as fh:
