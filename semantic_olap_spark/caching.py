@@ -50,6 +50,7 @@ __all__ = [
 
 _LOCK = threading.Lock()
 _TRACKED: list[DataFrame] = []
+_CKPT_DIRS: dict[str, str] = {}
 
 
 def tracked_persist(
@@ -89,18 +90,14 @@ def lineage_cut(
     if checkpoint_dir:
         sc = df.sparkSession.sparkContext
         # setCheckpointDir mkdirs a fresh random-UUID subdirectory on
-        # EVERY call (it is NOT an idempotent set) — only (re)set it
-        # when the configured parent dir actually changes, so a
-        # 50-round loop issues one mkdir, not 50 scattered UUID dirs
-        current = sc._jsc.sc().getCheckpointDir()
-        want = checkpoint_dir.rstrip("/")
-        have = (
-            current.get().rstrip("/").rsplit("/", 1)[0]
-            if current.isDefined()
-            else None
-        )
-        if have is None or not have.endswith(want.lstrip("/")):
-            sc.setCheckpointDir(checkpoint_dir)
+        # EVERY call (it is NOT an idempotent set) — remember what we
+        # set per SparkContext so a 50-round loop issues one mkdir,
+        # not 50 scattered UUID dirs
+        app = sc.applicationId
+        with _LOCK:
+            if _CKPT_DIRS.get(app) != checkpoint_dir:
+                sc.setCheckpointDir(checkpoint_dir)
+                _CKPT_DIRS[app] = checkpoint_dir
         if eager:
             df.persist()
             try:

@@ -1456,12 +1456,20 @@ def duplicate_spans(
         .filter(F.col("_cnt") >= min_count)
         .select("h")
     )
-    hits = grams.join(dup, "h").select(
+    return _merge_islands(_window_hits(grams, dup, id_col, k), id_col)
+
+
+def _window_hits(
+    grams: DataFrame, keys: DataFrame, id_col: str, k: int
+) -> DataFrame:
+    """Gram rows surviving the fingerprint equi-join, as (id, start,
+    end) window intervals — shared by the corpus-wide and the
+    against-index span paths."""
+    return grams.join(keys, "h").select(
         id_col,
         F.col("start"),
         (F.col("start") + (k - 1)).alias("end"),
     )
-    return _merge_islands(hits, id_col)
 
 
 def _gram_stream(
@@ -1633,12 +1641,9 @@ def duplicate_spans_against(
     # the (corpus-sized) index on EVERY batch probe, and duplicate
     # index rows are harmless anyway — they duplicate (start, end)
     # hit rows, which the island merge's min/max collapses
-    hits = grams.join(index.select("h"), "h").select(
-        id_col,
-        F.col("start"),
-        (F.col("start") + (k - 1)).alias("end"),
+    return _merge_islands(
+        _window_hits(grams, index.select("h"), id_col, k), id_col
     )
-    return _merge_islands(hits, id_col)
 
 
 def remove_spans_against(
