@@ -770,6 +770,25 @@ def _q_remove_dup_spans_docs(spark, sf_dir):
     ).select("doc_id", "text", "removed_tokens", "orig_tokens")
 
 
+def _q_remove_spans_against_strided(spark, sf_dir):
+    # the sampled-suffix-array scale path: stride-3 index (1/3 the
+    # fingerprints) probed by the full batch gram stream — detection
+    # guaranteed for shared runs >= k+stride-1 = 22 tokens, edges may
+    # under-cover by < stride per side (SCALE.md records the trade)
+    from semantic_olap_spark.functions.dedup import (
+        remove_spans_against,
+        span_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    idx = span_index(
+        docs.filter("doc_id % 2 = 0"), k=20, fingerprint="md5", stride=3
+    )
+    return remove_spans_against(
+        docs.filter("doc_id % 2 = 1"), idx, k=20, fingerprint="md5"
+    ).select("doc_id", "text", "removed_tokens", "orig_tokens")
+
+
 def _q_span_coverage_by_source(spark, sf_dir):
     # the decide-before-you-strip diagnostic: per source, how many
     # tokens sit inside duplicated >=20-token spans.  One extra
@@ -2884,6 +2903,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans_docs": _q_dup_spans_docs,
         "remove_dup_spans_docs": _q_remove_dup_spans_docs,
         "remove_spans_against_docs": _q_remove_spans_against_docs,
+        "remove_spans_against_strided": _q_remove_spans_against_strided,
         "span_coverage_by_source": _q_span_coverage_by_source,
         # pipeline: similarity
         "cosine_topk": _q_cosine_topk,
@@ -3952,6 +3972,80 @@ def _oracle_sql_literal() -> dict[str, str]:
                    round(coalesce(p.dup_tokens, 0)
                          / totals.total_tokens::DOUBLE, 6) AS dup_frac
             FROM totals LEFT JOIN per_src p USING (source)
+        """,
+        # strided variant: the index samples every 3rd window position
+        # (range step 3); the batch probe is unchanged
+        "remove_spans_against_strided": r"""
+            WITH tb AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents WHERE doc_id % 2 = 1
+            ),
+            idx AS (
+              SELECT DISTINCT
+                     md5(array_to_string(toks[u.i : u.i + 19], ' ')) AS h
+              FROM (SELECT list_filter(string_split_regex(text, '\s+'),
+                                       x -> x <> '') AS toks
+                    FROM documents WHERE doc_id % 2 = 0) tc,
+                   unnest(CASE WHEN len(toks) >= 20
+                               THEN range(1, len(toks) - 18, 3)
+                               ELSE range(1, 1) END) AS u(i)
+            ),
+            g AS (
+              SELECT doc_id, u.i AS start,
+                     md5(array_to_string(toks[u.i : u.i + 19], ' ')) AS h
+              FROM tb, unnest(CASE WHEN len(toks) >= 20
+                                   THEN range(1, len(toks) - 18)
+                                   ELSE range(1, 1) END) AS u(i)
+            ),
+            hit AS (
+              SELECT g.doc_id, g.start, g.start + 19 AS e
+              FROM g JOIN idx USING (h)
+            ),
+            pe AS (
+              SELECT doc_id, start, e,
+                     max(e) OVER (PARTITION BY doc_id ORDER BY start
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS prev_end
+              FROM hit
+            ),
+            isl AS (
+              SELECT doc_id, start, e,
+                     sum(CASE WHEN prev_end IS NULL
+                              OR start > prev_end + 1
+                              THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY doc_id ORDER BY start
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS island
+              FROM pe
+            ),
+            spans AS (
+              SELECT doc_id, min(start) AS s, max(e) AS e2
+              FROM isl GROUP BY doc_id, island
+            ),
+            tok AS (
+              SELECT doc_id, toks[u.i] AS tok, u.i AS pos
+              FROM tb, unnest(range(1, len(toks) + 1)) AS u(i)
+            ),
+            kept AS (
+              SELECT tp.doc_id, tp.pos, tp.tok FROM tok tp
+              WHERE NOT EXISTS (
+                SELECT 1 FROM spans s
+                WHERE s.doc_id = tp.doc_id
+                  AND tp.pos BETWEEN s.s AND s.e2)
+            ),
+            agg AS (
+              SELECT doc_id,
+                     string_agg(tok, ' ' ORDER BY pos) AS text,
+                     count(*) AS kept_n
+              FROM kept GROUP BY doc_id
+            )
+            SELECT tb.doc_id, coalesce(a.text, '') AS text,
+                   (len(tb.toks) - coalesce(a.kept_n, 0))::BIGINT
+                       AS removed_tokens,
+                   len(tb.toks)::BIGINT AS orig_tokens
+            FROM tb LEFT JOIN agg a USING (doc_id)
         """,
         # incremental ExactSubstr: batch windows whose fingerprints
         # exist in the even-id corpus index are removed from odd-id
