@@ -95,10 +95,29 @@ def lineage_cut(
         # not 50 scattered UUID dirs
         app = sc.applicationId
         with _LOCK:
-            if _CKPT_DIRS.get(app) != checkpoint_dir:
+            # The memo alone goes stale if foreign code calls
+            # sc.setCheckpointDir directly, which would silently send
+            # our checkpoints into the foreign directory — cheaply
+            # re-verify the live value (it is <dir>/<uuid>, so prefix
+            # match) before trusting the memo.
+            live = sc.getCheckpointDir()
+            if live and live.startswith("file:"):
+                live = live[len("file:"):]
+            want = checkpoint_dir
+            if want.startswith("file:"):
+                want = want[len("file:"):]
+            if _CKPT_DIRS.get(app) != checkpoint_dir or not (
+                live and live.rstrip("/").startswith(want.rstrip("/"))
+            ):
                 sc.setCheckpointDir(checkpoint_dir)
                 _CKPT_DIRS[app] = checkpoint_dir
         if eager:
+            # Scratch-persist only frames the caller has NOT already
+            # persisted — the finally-unpersist must never evict a
+            # cache the caller owns (e.g. via tracked_persist).
+            already = df.storageLevel.useMemory or df.storageLevel.useDisk
+            if already:
+                return df.checkpoint(eager=True)
             df.persist()
             try:
                 out = df.checkpoint(eager=True)

@@ -410,19 +410,27 @@ def shuffle_rows(
         F.coalesce(F.col(c).cast("string"), F.lit("\x00<null>"))
         for c in key_cols
     ]
+    # Validate on the SAME joined string the md5 consumes — not on
+    # struct(cols) — so key tuples that would alias through the
+    # separator (values containing "\x1f", or a literal "\x00<null>"
+    # colliding with the null sentinel) fail validation instead of
+    # silently sharing a shuffle key.
+    key_str = F.concat_ws("\x1f", F.lit(str(seed)), *cols)
     if validate_unique:
         row = df.select(
             F.count(F.lit(1)).alias("n"),
-            F.count_distinct(F.struct(*cols)).alias("d"),
+            F.count_distinct(key_str).alias("d"),
         ).collect()[0]
         if row["n"] != row["d"]:
             raise ValueError(
                 f"shuffle_rows requires unique key_cols: "
                 f"{row['n'] - row['d']} duplicate key rows found for "
                 f"{list(key_cols)} — pick a unique key (or add one) "
-                f"so the shuffle order is reproducible"
+                f"so the shuffle order is reproducible (keys whose "
+                f"string values contain the \\x1f separator count as "
+                f"duplicates because they alias in the shuffle key)"
             )
-    key = F.md5(F.concat_ws("\x1f", F.lit(str(seed)), *cols))
+    key = F.md5(key_str)
     tagged = df.withColumn("_shuffle_key", key)
     return dense_ranks(tagged, ["_shuffle_key"], rank_col).drop(
         "_shuffle_key"
