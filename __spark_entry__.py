@@ -1394,6 +1394,51 @@ def _q_shuffle_rows_docs(spark, sf_dir):
     ).select("doc_id", "shuffle_rank")
 
 
+def _q_write_shards_roundtrip(spark, sf_dir):
+    # the training-data last mile (sources/sinks.py write_shards):
+    # seeded-shuffle documents into fixed-size shards, write them as
+    # shard=K/ hive dirs + _manifest.json, then READ EVERYTHING BACK
+    # — rows from the shard files, census from the manifest — and
+    # join the two.  The oracle recomputes both sides from
+    # `documents` alone (md5-seeded rank, shard = rank // 64, per-
+    # shard count/min/max), so a wrong file layout, a dropped row, a
+    # mis-sliced shard boundary, or a manifest that disagrees with
+    # the files all hash-mismatch.
+    import json
+    import os
+    import tempfile
+
+    from semantic_olap_spark.sources.sinks import write_shards
+
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"solap_write_shards_{os.getpid()}_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    manifest = write_shards(
+        docs, out_dir, ["doc_id"], rows_per_shard=64, seed=42
+    )
+    census = spark.createDataFrame(
+        [
+            (m["shard"], m["rows"], m["min_rank"], m["max_rank"])
+            for m in manifest["shards"]
+        ],
+        "shard long, shard_rows long, shard_min_rank long, shard_max_rank long",
+    )
+    # prove the read path, not the in-memory frame: reload the hive
+    # layout AND re-read the manifest json from disk
+    with open(os.path.join(out_dir, "_manifest.json")) as fh:
+        disk = json.load(fh)
+    assert disk["n_rows"] == manifest["n_rows"], "manifest file drift"
+    back = spark.read.parquet(out_dir).select(
+        "doc_id", "shuffle_rank", F.col("shard").cast("long").alias("shard")
+    )
+    return back.join(census, "shard").select(
+        "doc_id", "shuffle_rank", "shard",
+        "shard_rows", "shard_min_rank", "shard_max_rank",
+    )
+
+
 def _q_quantile_filter(spark, sf_dir):
     from semantic_olap_spark.functions.sampling import quantile_filter
 
@@ -2930,6 +2975,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "train_test_split": _q_train_test_split,
         "shuffle_rows_docs": _q_shuffle_rows_docs,
+        "write_shards_roundtrip": _q_write_shards_roundtrip,
         "reservoir_sample": _q_reservoir_sample,
         "pack_documents": _q_pack_documents,
         "leakage_safe_split": _q_leakage_safe_split,
@@ -4880,6 +4926,29 @@ def _oracle_sql_literal() -> dict[str, str]:
                         ORDER BY md5('42' || chr(31) || doc_id::VARCHAR))
                     - 1)::BIGINT AS shuffle_rank
             FROM documents
+        """,
+        # write_shards: shard files + manifest read-back must equal
+        # the pure recomputation (rank = seeded-md5 order, shard =
+        # rank // 64, census = per-shard count/min/max)
+        "write_shards_roundtrip": r"""
+            WITH ranked AS (
+              SELECT doc_id,
+                     (row_number() OVER (
+                          ORDER BY md5('42' || chr(31) || doc_id::VARCHAR))
+                      - 1)::BIGINT AS shuffle_rank
+              FROM documents
+            ),
+            sharded AS (
+              SELECT doc_id, shuffle_rank,
+                     (shuffle_rank // 64)::BIGINT AS shard
+              FROM ranked
+            )
+            SELECT doc_id, shuffle_rank, shard,
+                   count(*) OVER w AS shard_rows,
+                   min(shuffle_rank) OVER w AS shard_min_rank,
+                   max(shuffle_rank) OVER w AS shard_max_rank
+            FROM sharded
+            WINDOW w AS (PARTITION BY shard)
         """,
         "take_token_budget": r"""
             WITH t AS (

@@ -26,6 +26,16 @@ Env knobs:
                       session sweep knobs as tools/replay_contract.py
                       (cross-JVM × divergent-conf compounds the two
                       strongest determinism probes)
+    REPLAY_PACKAGE_SOURCE — how executor Python gets the package:
+        "wheel" (default): build the real deployment artifact with
+            tools/build_wheel.py and ship it via
+            ``spark.submit.pyFiles`` — exactly what a cluster
+            submission does (``spark-submit --py-files *.whl``).
+            The tool scrubs the repo from the inherited PYTHONPATH
+            first, so the wheel is provably the ONLY package source
+            executors have.
+        "pythonpath": the r9 same-host analogue
+            (``spark.executorEnv.PYTHONPATH`` pointing at the repo).
 
 Prints per-query pass/FAIL lines and ONE final JSON summary line.
 Run from a fresh process — a pytest-owned local[32] session and a
@@ -49,6 +59,40 @@ def main() -> None:
     only = set(sys.argv[1:])
     sf_dir = os.environ.get("REPLAY_SF_DIR", "/root/testdata/sf0.01")
     master = os.environ.get("MULTIJVM_MASTER", "local-cluster[2,2,2048]")
+    pkg_source = os.environ.get("REPLAY_PACKAGE_SOURCE", "wheel")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    # the first full replay found exactly what this harness exists to
+    # find: worker JVMs spawn their own Python workers, which do NOT
+    # inherit the driver's sys.path — 29 semantic/LLM rows died with
+    # ModuleNotFoundError while all 129 pure-Catalyst rows passed
+    # (zero executor Python).  Shipping the package is the deployment
+    # requirement; the default mode now does it the way a real
+    # cluster submission does: build the wheel and put it on
+    # ``spark.submit.pyFiles`` (= ``spark-submit --py-files *.whl``).
+    pkg_conf: dict[str, str] = {}
+    if pkg_source == "wheel":
+        from tools.build_wheel import build_spark_shippable
+
+        wheel = build_spark_shippable(os.path.join(repo, "dist"))
+        # local-cluster worker JVMs inherit THIS process's env — scrub
+        # the repo out of PYTHONPATH so the wheel is provably the only
+        # way executor Python can import the package
+        pp = os.environ.get("PYTHONPATH")
+        if pp:
+            parts = [
+                p for p in pp.split(os.pathsep)
+                if os.path.abspath(p or ".") != repo
+            ]
+            if parts:
+                os.environ["PYTHONPATH"] = os.pathsep.join(parts)
+            else:
+                del os.environ["PYTHONPATH"]
+        pkg_source = f"wheel:{os.path.basename(wheel)}"
+    else:
+        # r9's same-host analogue of an installed package
+        pkg_conf["spark.executorEnv.PYTHONPATH"] = repo
+        pkg_source = "executorEnv.PYTHONPATH"
 
     import __spark_entry__ as entry
     from semantic_olap_spark.session import get_spark
@@ -63,26 +107,22 @@ def main() -> None:
             **(
                 {"spark.sql.session.timeZone": tz} if tz else {}
             ),
+            **pkg_conf,
             "spark.pyspark.python": sys.executable,
             # wait for BOTH executors so every query really spans two
             # JVMs (same rationale as tools/multijvm_probe.py)
             "spark.scheduler.minRegisteredResourcesRatio": "1.0",
             "spark.scheduler.maxRegisteredResourcesWaitingTime": "60s",
-            # the first full replay found exactly what this harness
-            # exists to find: worker JVMs spawn their own Python
-            # workers, which do NOT inherit the driver's sys.path —
-            # 29 semantic/LLM rows died with ModuleNotFoundError
-            # while all 129 pure-Catalyst rows passed (zero executor
-            # Python).  Shipping the package is the deployment
-            # requirement (a real cluster uses --py-files / an
-            # installed wheel); executorEnv.PYTHONPATH is the
-            # same-host local-cluster analogue.
-            "spark.executorEnv.PYTHONPATH": os.path.dirname(
-                os.path.dirname(os.path.abspath(__file__))
-            ),
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
+    if pkg_source.startswith("wheel:"):
+        # the programmatic equivalent of ``spark-submit --py-files``:
+        # the wheel is shipped to every executor and prepended to each
+        # Python worker's sys.path (spark.submit.pyFiles as a conf key
+        # is only parsed by the spark-submit launcher, not by a
+        # programmatic SparkContext — verified empirically)
+        spark.sparkContext.addPyFile(wheel)
     # sanity: the session really runs on two executor JVMs
     execs = set(
         spark.sparkContext.parallelize(range(16), 16)
@@ -119,6 +159,7 @@ def main() -> None:
     summary = {
         "master": master,
         "executor_jvms": n_jvms,
+        "package_source": pkg_source,
         "sf_dir": sf_dir,
         "pass": len(ok),
         "fail": [list(b) for b in bad],
