@@ -1402,6 +1402,7 @@ def duplicate_spans(
     min_count: int = 2,
     fingerprint: str = "xxhash64",
     tokens_col: str | None = None,
+    max_doc_tokens: int | None = 2_000_000,
 ) -> DataFrame:
     """Find exact duplicated token spans of length >= ``k`` corpus-wide.
 
@@ -1448,8 +1449,19 @@ def duplicate_spans(
     ``md5(concat_ws(' ', window))`` — 128-bit and reproducible in
     ANSI SQL, the driver-oracle mode (mirrors
     ``minhash_lsh_pairs(exact_hash=True)``).
+
+    ``max_doc_tokens`` (default 2M): the island merge partitions by
+    doc, so one pathological multi-GB document would serialize its
+    own merge task.  Documents over the bound raise in-plan with a
+    remedy (pre-chunk with
+    :func:`semantic_olap_spark.functions.packing.chunk_documents`);
+    pass ``None`` to accept the skew — the same opt-in philosophy as
+    the Jaccard family's ``allow_unblocked``.
     """
-    grams = _gram_stream(df, text_col, id_col, k, fingerprint, tokens_col)
+    grams = _gram_stream(
+        df, text_col, id_col, k, fingerprint, tokens_col,
+        max_doc_tokens=max_doc_tokens,
+    )
     dup = (
         grams.groupBy("h")
         .agg(F.count(F.lit(1)).alias("_cnt"))
@@ -1480,6 +1492,7 @@ def _gram_stream(
     fingerprint: str,
     tokens_col: str | None = None,
     stride: int = 1,
+    max_doc_tokens: int | None = None,
 ) -> DataFrame:
     """(id, start, h): one fingerprint row per k-token window.
 
@@ -1490,6 +1503,13 @@ def _gram_stream(
     instead of whitespace-splitting ``text_col``; md5 mode casts the
     window to ``array<string>`` before the concat (a no-op for text
     tokens).
+
+    ``max_doc_tokens``: in-plan oversized-document guard.  The island
+    merge downstream windows by doc, so ONE pathological multi-GB
+    document serializes its own merge task; with the guard set, any
+    document over the bound raises (``F.raise_error`` inside the
+    token-count expression — zero extra jobs, fires exactly on the
+    offending row) with a remedy pointing at ``chunk_documents``.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
@@ -1497,6 +1517,10 @@ def _gram_stream(
         raise ValueError(f"stride must be >= 1, got {stride}")
     if fingerprint not in ("xxhash64", "md5"):
         raise ValueError(f"unknown fingerprint {fingerprint!r}")
+    if max_doc_tokens is not None and max_doc_tokens < 1:
+        raise ValueError(
+            f"max_doc_tokens must be >= 1 or None, got {max_doc_tokens}"
+        )
     toks = (
         F.col(tokens_col)
         if tokens_col
@@ -1504,6 +1528,24 @@ def _gram_stream(
     )
     base = df.select(F.col(id_col), toks.alias("_t"))
     n = F.size("_t")
+    if max_doc_tokens is not None:
+        n = F.when(n <= max_doc_tokens, n).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("span dedup: document "),
+                    F.col(id_col).cast("string"),
+                    F.lit(" has "),
+                    F.size("_t").cast("string"),
+                    F.lit(
+                        f" tokens > max_doc_tokens={max_doc_tokens}: one"
+                        " huge document serializes its own island-merge"
+                        " task — pre-chunk it with semantic_olap_spark."
+                        "functions.packing.chunk_documents, or pass"
+                        " max_doc_tokens=None to accept the skew"
+                    ),
+                )
+            )
+        )
     starts = F.when(
         n >= k,
         F.sequence(
@@ -1582,6 +1624,7 @@ def span_index(
     fingerprint: str = "xxhash64",
     tokens_col: str | None = None,
     stride: int = 1,
+    max_doc_tokens: int | None = 2_000_000,
 ) -> DataFrame:
     """Distinct k-gram fingerprints of a seen corpus (column ``h``).
 
@@ -1607,7 +1650,8 @@ def span_index(
     side.
     """
     return _gram_stream(
-        df, text_col, id_col, k, fingerprint, tokens_col, stride
+        df, text_col, id_col, k, fingerprint, tokens_col, stride,
+        max_doc_tokens=max_doc_tokens,
     ).select("h").distinct()
 
 
@@ -1619,6 +1663,7 @@ def duplicate_spans_against(
     k: int = 20,
     fingerprint: str = "xxhash64",
     tokens_col: str | None = None,
+    max_doc_tokens: int | None = 2_000_000,
 ) -> DataFrame:
     """Spans of ``batch`` whose >= ``k``-token windows already occur
     in a seen corpus's :func:`span_index`.
@@ -1635,7 +1680,8 @@ def duplicate_spans_against(
     the corpus.  Same output schema as :func:`duplicate_spans`.
     """
     grams = _gram_stream(
-        batch, text_col, id_col, k, fingerprint, tokens_col
+        batch, text_col, id_col, k, fingerprint, tokens_col,
+        max_doc_tokens=max_doc_tokens,
     )
     # no defensive distinct on the index: re-distincting would shuffle
     # the (corpus-sized) index on EVERY batch probe, and duplicate
@@ -1654,6 +1700,7 @@ def remove_spans_against(
     k: int = 20,
     fingerprint: str = "xxhash64",
     tokens_col: str | None = None,
+    max_doc_tokens: int | None = 2_000_000,
 ) -> DataFrame:
     """Rewrite ``batch`` texts with every corpus-duplicated span
     removed — the ingest-time removal half of incremental ExactSubstr
@@ -1667,6 +1714,7 @@ def remove_spans_against(
         k=k,
         fingerprint=fingerprint,
         tokens_col=tokens_col,
+        max_doc_tokens=max_doc_tokens,
     )
     return remove_duplicate_spans(
         batch,
@@ -1687,6 +1735,7 @@ def remove_duplicate_spans(
     fingerprint: str = "xxhash64",
     tokens_col: str | None = None,
     spans: DataFrame | None = None,
+    max_doc_tokens: int | None = 2_000_000,
 ) -> DataFrame:
     """Drop every duplicated >= ``k``-token span from ``text_col``.
 
@@ -1727,6 +1776,7 @@ def remove_duplicate_spans(
             min_count=min_count,
             fingerprint=fingerprint,
             tokens_col=tokens_col,
+            max_doc_tokens=max_doc_tokens,
         )
     per_doc = spans.groupBy(id_col).agg(
         F.collect_list(

@@ -528,3 +528,68 @@ def test_against_tolerates_duplicate_index_rows(spark):
         map(tuple, duplicate_spans_against(batch, dup_idx, k=4).collect())
     )
     assert a == b and len(a) == 1
+
+
+def test_max_doc_tokens_guard_raises_with_remedy(spark):
+    # one multi-GB doc would serialize its own island-merge task —
+    # the planted oversized doc must raise in-plan with the
+    # chunk_documents remedy, identifying the offending document
+    from semantic_olap_spark.functions.dedup import duplicate_spans
+
+    big = " ".join(f"t{i}" for i in range(300)) + " a b c d"
+    df = spark.createDataFrame(
+        [(1, "a b c d e a b c d e"), (2, big)], ["doc_id", "text"]
+    )
+    with pytest.raises(Exception, match="chunk_documents") as exc:
+        duplicate_spans(df, k=4, max_doc_tokens=200).collect()
+    assert "document 2" in str(exc.value)
+    assert "max_doc_tokens=200" in str(exc.value)
+
+
+def test_max_doc_tokens_guard_off_and_boundary(spark):
+    from semantic_olap_spark.functions.dedup import duplicate_spans
+
+    big = " ".join(f"t{i}" for i in range(300)) + " a b c d e a b c d e"
+    df = spark.createDataFrame([(2, big)], ["doc_id", "text"])
+    # None disables the guard entirely (the two "a b c d e" runs are
+    # adjacent after the island merge -> one maximal span)
+    spans = duplicate_spans(df, k=4, max_doc_tokens=None).collect()
+    assert len(spans) == 1
+    # a doc exactly AT the bound passes (<=, not <)
+    n = len(big.split())
+    spans = duplicate_spans(df, k=4, max_doc_tokens=n).collect()
+    assert len(spans) == 1
+
+
+def test_max_doc_tokens_guard_on_all_entry_points(spark):
+    from semantic_olap_spark.functions.dedup import (
+        duplicate_spans_against,
+        remove_duplicate_spans,
+        remove_spans_against,
+        span_index,
+    )
+
+    big = " ".join(f"t{i}" for i in range(100))
+    df = spark.createDataFrame([(1, big)], ["doc_id", "text"])
+    ok = spark.createDataFrame([(9, "a b c d e")], ["doc_id", "text"])
+    idx = span_index(ok, k=4)
+    for call in (
+        lambda: span_index(df, k=4, max_doc_tokens=50).collect(),
+        lambda: remove_duplicate_spans(df, k=4, max_doc_tokens=50).collect(),
+        lambda: duplicate_spans_against(
+            df, idx, k=4, max_doc_tokens=50
+        ).collect(),
+        lambda: remove_spans_against(
+            df, idx, k=4, max_doc_tokens=50
+        ).collect(),
+    ):
+        with pytest.raises(Exception, match="chunk_documents"):
+            call()
+
+
+def test_max_doc_tokens_invalid_value(spark):
+    from semantic_olap_spark.functions.dedup import duplicate_spans
+
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="max_doc_tokens"):
+        duplicate_spans(df, k=2, max_doc_tokens=0)
