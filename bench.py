@@ -1008,10 +1008,38 @@ def main() -> None:
                 id_col="doc_id", llm_factory=f,
             )
 
+        # -- classify family under the same latency (r9 VERDICT #6) --
+        # sem_map is the corpus's second-most-frequent operator (107
+        # uses, SURVEY §2) and sem_group's phase-2 classify is the
+        # heaviest per-row pattern after the tournament; both are one
+        # generate call per row, so wall-clock under latency is
+        # calls × lat / effective_concurrency if and only if the
+        # Arrow batches keep the client pool saturated.
+        from semantic_olap_spark.operators.semantic import (
+            sem_group as _sgrp,
+            sem_map as _smap,
+        )
+
+        def _run_map(f):
+            return _smap(
+                docs, ["text"], "the main database topic discussed",
+                "topic", llm_factory=f,
+            )
+
+        def _run_group(f):
+            # taxonomy=None: the timed row is the FULL two-phase cost
+            # (bounded sample induction + per-row classify)
+            return _sgrp(
+                docs, ["text"], "the workload type discussed",
+                "workload", llm_factory=f,
+            )
+
         op_latency: dict[str, dict] = {}
         for tag, runner in (
             ("sem_topk_tournament_p400", _run_tournament),
             ("bm25_rerank_cascade_c1000", _run_cascade),
+            ("sem_map_classify", _run_map),
+            ("sem_group_two_phase", _run_group),
         ):
             f3 = http_llm_factory(
                 srv.base_url, model=f"bench-{tag}", concurrency=conc

@@ -415,3 +415,58 @@ def test_rerank_cascade_pipelines_under_latency(spark):
         f"cascade pipelining {ratio:.1f}x < 4x "
         f"({calls} calls, wall {wall:.2f}s)"
     )
+
+
+def test_sem_map_pipelines_under_latency(spark):
+    """sem_map — the corpus's second-most-frequent operator (107
+    uses, SURVEY §2 frequency table) — is one generate call per row;
+    under 50ms injected latency 256 rows = 12.8s sequential floor.
+    The conc/4 pin requires the Arrow batches to keep the client
+    pool saturated across partition boundaries."""
+    from semantic_olap_spark.operators.semantic import sem_map
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} about spark joins and scans") for i in range(256)],
+        "doc_id long, text string",
+    ).repartition(8)
+    ratio, calls, wall = _latency_ratio(
+        spark,
+        lambda f: sem_map(
+            docs, ["text"], "the main database topic discussed",
+            "topic", llm_factory=f,
+        ),
+        lat=0.05,
+    )
+    assert calls == 256  # one map call per row, never more
+    assert ratio >= 4, (
+        f"sem_map pipelining {ratio:.1f}x < 4x "
+        f"({calls} calls, wall {wall:.2f}s)"
+    )
+
+
+def test_sem_group_two_phase_pipelines_under_latency(spark):
+    """sem_group's phase-2 classify is the heaviest per-row pattern
+    after the tournament.  The timed run includes the bounded-sample
+    taxonomy induction (the full two-phase cost): 256 classify calls
+    + the induction call at 50ms ≈ 12.9s floor; conc/4 pin as for
+    the filter/tournament rows."""
+    from semantic_olap_spark.operators.semantic import sem_group
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} " + ("oltp insert update" if i % 2 else
+                            "olap scan aggregate")) for i in range(256)],
+        "doc_id long, text string",
+    ).repartition(8)
+    ratio, calls, wall = _latency_ratio(
+        spark,
+        lambda f: sem_group(
+            docs, ["text"], "the workload type discussed",
+            "workload", llm_factory=f,
+        ),
+        lat=0.05,
+    )
+    assert calls >= 256  # every row classified (+ induction calls)
+    assert ratio >= 4, (
+        f"sem_group pipelining {ratio:.1f}x < 4x "
+        f"({calls} calls, wall {wall:.2f}s)"
+    )
