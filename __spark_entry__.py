@@ -833,6 +833,62 @@ def _q_span_coverage_by_source(spark, sf_dir):
     )
 
 
+def _q_span_stream_ingest(spark, sf_dir):
+    # continuous ExactSubstr ingest (streaming/spans.py): even docs
+    # arrive as epoch 0 (cleaned against an EMPTY index — pass
+    # through with re-joined text), odd docs as epoch 1 (cleaned
+    # against the index epoch 0 folded in).  The availableNow run +
+    # read-back proves the whole stream loop — foreachBatch fold,
+    # commit markers, delta index, output generations — against a
+    # pure-SQL oracle: epoch 1 is exactly remove_spans_against_docs'
+    # semantics, epoch 0 the whitespace-normalized identity.
+    import os
+    import shutil
+    import tempfile
+
+    from semantic_olap_spark.streaming.spans import (
+        maintain_span_dedup,
+        read_clean_output,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = tempfile.mkdtemp(prefix="solap_span_stream_")
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    for name, pred, mt in (
+        ("b0", "doc_id % 2 = 0", 1_000),
+        ("b1", "doc_id % 2 = 1", 2_000),
+    ):
+        staging = os.path.join(base, "stage_" + name)
+        docs.filter(pred).coalesce(1).write.mode("overwrite").parquet(
+            staging
+        )
+        part = next(
+            f for f in os.listdir(staging) if f.endswith(".parquet")
+        )
+        dst = os.path.join(src, name + ".parquet")
+        shutil.copyfile(os.path.join(staging, part), dst)
+        os.utime(dst, (mt, mt))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = maintain_span_dedup(
+        stream,
+        os.path.join(base, "idx"),
+        os.path.join(base, "out"),
+        os.path.join(base, "ckpt"),
+        k=20,
+        fingerprint="md5",
+        trigger_once=True,
+    )
+    q.awaitTermination(180)
+    return read_clean_output(spark, os.path.join(base, "out")).select(
+        "doc_id", "text", "removed_tokens", "orig_tokens"
+    )
+
+
 def _q_remove_spans_against_docs(spark, sf_dir):
     # incremental ExactSubstr: even-id docs are the frozen seen
     # corpus (span_index of distinct window fingerprints), odd-id
@@ -2948,6 +3004,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans_docs": _q_dup_spans_docs,
         "remove_dup_spans_docs": _q_remove_dup_spans_docs,
         "remove_spans_against_docs": _q_remove_spans_against_docs,
+        "span_stream_ingest": _q_span_stream_ingest,
         "remove_spans_against_strided": _q_remove_spans_against_strided,
         "span_coverage_by_source": _q_span_coverage_by_source,
         # pipeline: similarity
@@ -4162,6 +4219,92 @@ def _oracle_sql_literal() -> dict[str, str]:
                      count(*) AS kept_n
               FROM kept GROUP BY doc_id
             )
+            SELECT tb.doc_id, coalesce(a.text, '') AS text,
+                   (len(tb.toks) - coalesce(a.kept_n, 0))::BIGINT
+                       AS removed_tokens,
+                   len(tb.toks)::BIGINT AS orig_tokens
+            FROM tb LEFT JOIN agg a USING (doc_id)
+        """,
+        # span_stream_ingest: epoch 0 (even docs, empty index) is the
+        # whitespace-normalized identity; epoch 1 (odd docs) is
+        # exactly remove_spans_against_docs' oracle — the stream loop
+        # (foreachBatch fold, delta index, output generations) must
+        # land on the same values
+        "span_stream_ingest": r"""
+            WITH tb AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents WHERE doc_id % 2 = 1
+            ),
+            idx AS (
+              SELECT DISTINCT
+                     md5(array_to_string(toks[u.i : u.i + 19], ' ')) AS h
+              FROM (SELECT list_filter(string_split_regex(text, '\s+'),
+                                       x -> x <> '') AS toks
+                    FROM documents WHERE doc_id % 2 = 0) tc,
+                   unnest(CASE WHEN len(toks) >= 20
+                               THEN range(1, len(toks) - 18)
+                               ELSE range(1, 1) END) AS u(i)
+            ),
+            g AS (
+              SELECT doc_id, u.i AS start,
+                     md5(array_to_string(toks[u.i : u.i + 19], ' ')) AS h
+              FROM tb, unnest(CASE WHEN len(toks) >= 20
+                                   THEN range(1, len(toks) - 18)
+                                   ELSE range(1, 1) END) AS u(i)
+            ),
+            hit AS (
+              SELECT g.doc_id, g.start, g.start + 19 AS e
+              FROM g JOIN idx USING (h)
+            ),
+            pe AS (
+              SELECT doc_id, start, e,
+                     max(e) OVER (PARTITION BY doc_id ORDER BY start
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS prev_end
+              FROM hit
+            ),
+            isl AS (
+              SELECT doc_id, start, e,
+                     sum(CASE WHEN prev_end IS NULL
+                              OR start > prev_end + 1
+                              THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY doc_id ORDER BY start
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS island
+              FROM pe
+            ),
+            spans AS (
+              SELECT doc_id, min(start) AS s, max(e) AS e2
+              FROM isl GROUP BY doc_id, island
+            ),
+            tok AS (
+              SELECT doc_id, toks[u.i] AS tok, u.i AS pos
+              FROM tb, unnest(range(1, len(toks) + 1)) AS u(i)
+            ),
+            kept AS (
+              SELECT tp.doc_id, tp.pos, tp.tok FROM tok tp
+              WHERE NOT EXISTS (
+                SELECT 1 FROM spans s
+                WHERE s.doc_id = tp.doc_id
+                  AND tp.pos BETWEEN s.s AND s.e2)
+            ),
+            agg AS (
+              SELECT doc_id,
+                     string_agg(tok, ' ' ORDER BY pos) AS text,
+                     count(*) AS kept_n
+              FROM kept GROUP BY doc_id
+            )
+            SELECT doc_id,
+                   array_to_string(
+                       list_filter(string_split_regex(text, '\s+'),
+                                   x -> x <> ''), ' ') AS text,
+                   0::BIGINT AS removed_tokens,
+                   len(list_filter(string_split_regex(text, '\s+'),
+                                   x -> x <> ''))::BIGINT AS orig_tokens
+            FROM documents WHERE doc_id % 2 = 0
+            UNION ALL
             SELECT tb.doc_id, coalesce(a.text, '') AS text,
                    (len(tb.toks) - coalesce(a.kept_n, 0))::BIGINT
                        AS removed_tokens,

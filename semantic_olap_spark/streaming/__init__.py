@@ -14,6 +14,14 @@ from semantic_olap_spark.streaming.semantic import (  # noqa: F401
     sem_filter_stream,
     sem_map_stream,
 )
+from semantic_olap_spark.streaming.spans import (  # noqa: F401
+    compact_span_index,
+    fold_span_batch,
+    maintain_span_dedup,
+    read_clean_output,
+    read_span_index,
+    replace_index_with_compacted,
+)
 from semantic_olap_spark.streaming.windows import (  # noqa: F401
     read_events_stream,
     session_agg,
