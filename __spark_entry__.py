@@ -883,7 +883,12 @@ def _q_span_stream_ingest(spark, sf_dir):
         fingerprint="md5",
         trigger_once=True,
     )
-    q.awaitTermination(180)
+    finished = q.awaitTermination(180)
+    if not finished:
+        # awaitTermination returns False on timeout instead of
+        # raising — reading partial output would mis-hash
+        q.stop()
+        raise TimeoutError("span_stream_ingest stream did not drain in 180s")
     return read_clean_output(spark, os.path.join(base, "out")).select(
         "doc_id", "text", "removed_tokens", "orig_tokens"
     )

@@ -106,9 +106,15 @@ def lineage_cut(
             want = checkpoint_dir
             if want.startswith("file:"):
                 want = want[len("file:"):]
-            if _CKPT_DIRS.get(app) != checkpoint_dir or not (
-                live and live.rstrip("/").startswith(want.rstrip("/"))
-            ):
+            want = want.rstrip("/")
+            # exact dir or a child of it — a plain prefix match would
+            # accept a foreign SIBLING dir sharing a path prefix
+            # (/data/ckpt_backup vs /data/ckpt)
+            live_ok = live is not None and (
+                live.rstrip("/") == want
+                or live.startswith(want + "/")
+            )
+            if _CKPT_DIRS.get(app) != checkpoint_dir or not live_ok:
                 sc.setCheckpointDir(checkpoint_dir)
                 _CKPT_DIRS[app] = checkpoint_dir
         if eager:

@@ -46,8 +46,10 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 
 from semantic_olap_spark.functions.dedup import (
-    remove_spans_against,
-    span_index,
+    _gram_stream,
+    _merge_islands,
+    _window_hits,
+    remove_duplicate_spans,
 )
 
 _DELTA_RE = re.compile(r"^delta=(\d+)$")
@@ -69,6 +71,22 @@ def _committed(path: str, pattern: re.Pattern) -> list[int]:
 def _mark(path: str) -> None:
     with open(os.path.join(path, _COMMIT_MARKER), "w"):
         pass
+
+
+def _recover_compaction(index_path: str) -> None:
+    """Heal a compaction interrupted mid-swap.
+
+    ``replace_index_with_compacted`` moves the old tree ASIDE (to
+    ``<index_path>.precompact``) before the compacted tree moves in;
+    a crash between the two renames leaves ``index_path`` missing.
+    Restoring the set-aside tree is always safe (it is the complete
+    pre-compaction index), so every reader/writer entry point calls
+    this first — an interrupted compaction can never present as an
+    empty index (which would silently re-admit the whole dedup
+    history)."""
+    old = index_path + ".precompact"
+    if os.path.isdir(old) and not os.path.isdir(index_path):
+        shutil.move(old, index_path)
 
 
 def fold_span_batch(
@@ -99,6 +117,7 @@ def fold_span_batch(
     loudly, same contract as ``materialized.fold_batch``.
     """
     spark = batch.sparkSession
+    _recover_compaction(index_path)
     deltas = _committed(index_path, _DELTA_RE)
     newer = [d for d in deltas if d > epoch_id]
     if newer:
@@ -123,31 +142,41 @@ def fold_span_batch(
         h_type = "string" if fingerprint == "md5" else "long"
         idx = spark.createDataFrame([], f"h {h_type}")
 
-    cleaned = remove_spans_against(
-        batch,
-        idx,
-        text_col=text_col,
-        id_col=id_col,
-        k=k,
-        fingerprint=fingerprint,
-        tokens_col=tokens_col,
+    # ONE gram stream feeds both jobs (the probe's hit intervals and
+    # the delta index are both views of it) — persisted so the batch
+    # is tokenized/fingerprinted once per epoch, not once per write;
+    # gram rows ≈ micro-batch tokens, a bounded scratch footprint.
+    # Equivalent by construction to remove_spans_against +
+    # span_index: duplicate_spans_against IS
+    # merge_islands(window_hits(grams, index)) and span_index IS
+    # grams.select("h").distinct() (functions/dedup.py).
+    grams = _gram_stream(
+        batch, text_col, id_col, k, fingerprint, tokens_col,
         max_doc_tokens=max_doc_tokens,
-    )
-    out_dir = os.path.join(out_path, f"epoch={epoch_id}")
-    cleaned.write.mode("overwrite").parquet(out_dir)
-    _mark(out_dir)
+    ).persist()
+    try:
+        spans = _merge_islands(
+            _window_hits(grams, idx.select("h"), id_col, k), id_col
+        )
+        cleaned = remove_duplicate_spans(
+            batch,
+            text_col=text_col,
+            id_col=id_col,
+            k=k,
+            tokens_col=tokens_col,
+            spans=spans,
+        )
+        out_dir = os.path.join(out_path, f"epoch={epoch_id}")
+        cleaned.write.mode("overwrite").parquet(out_dir)
+        _mark(out_dir)
 
-    delta_dir = os.path.join(index_path, f"delta={epoch_id}")
-    span_index(
-        batch,
-        text_col=text_col,
-        id_col=id_col,
-        k=k,
-        fingerprint=fingerprint,
-        tokens_col=tokens_col,
-        max_doc_tokens=max_doc_tokens,
-    ).write.mode("overwrite").parquet(delta_dir)
-    _mark(delta_dir)
+        delta_dir = os.path.join(index_path, f"delta={epoch_id}")
+        grams.select("h").distinct().write.mode("overwrite").parquet(
+            delta_dir
+        )
+        _mark(delta_dir)
+    finally:
+        grams.unpersist()
 
 
 def maintain_span_dedup(
@@ -214,6 +243,7 @@ def read_clean_output(spark: SparkSession, out_path: str) -> DataFrame:
 def read_span_index(spark: SparkSession, index_path: str) -> DataFrame:
     """The live index: union of committed deltas (duplicates across
     deltas possible and harmless — distinct() to compact)."""
+    _recover_compaction(index_path)
     deltas = _committed(index_path, _DELTA_RE)
     if not deltas:
         raise ValueError(f"no committed index deltas in {index_path}")
@@ -260,5 +290,18 @@ def replace_index_with_compacted(
     os.makedirs(tmp)
     shutil.move(compacted_path, os.path.join(tmp, f"delta={keep}"))
     _mark(os.path.join(tmp, f"delta={keep}"))
-    shutil.rmtree(index_path)
-    shutil.move(tmp, index_path)
+    # rename-based swap: the old tree is moved ASIDE before the new
+    # one moves in, so no crash instant leaves index_path missing —
+    # an rmtree-then-move window would let a resuming stream see an
+    # EMPTY index (no deltas → no refusal) and silently re-admit the
+    # whole dedup history
+    old = index_path + ".precompact"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    shutil.move(index_path, old)
+    try:
+        shutil.move(tmp, index_path)
+    except BaseException:
+        shutil.move(old, index_path)  # restore on failure
+        raise
+    shutil.rmtree(old)

@@ -97,3 +97,46 @@ def test_lineage_cut_recovers_from_foreign_setCheckpointDir(spark, tmp_path):
     lineage_cut(spark.range(10), checkpoint_dir=ours).count()
     live = sc.getCheckpointDir() or ""
     assert ours in live and foreign not in live
+
+
+# ---- 4. (self-review) sibling-prefix checkpoint dir is NOT ours --------
+
+
+def test_lineage_cut_sibling_prefix_dir_not_trusted(spark, tmp_path):
+    """/data/ckpt_backup must not satisfy a /data/ckpt re-verify —
+    a raw startswith would accept the foreign sibling and silently
+    checkpoint into it."""
+    sc = spark.sparkContext
+    ours = str(tmp_path / "ckpt")
+    sibling = str(tmp_path / "ckpt_backup")
+
+    lineage_cut(spark.range(5), checkpoint_dir=ours).count()
+    sc.setCheckpointDir(sibling)  # foreign code, prefix-sharing dir
+    lineage_cut(spark.range(5), checkpoint_dir=ours).count()
+    live = sc.getCheckpointDir() or ""
+    assert "ckpt_backup" not in live and "/ckpt" in live
+
+
+# ---- 5. (self-review) shared PYTHONPATH scrub helper -------------------
+
+
+def test_scrub_repo_from_pythonpath(monkeypatch):
+    import os
+    import sys
+
+    _repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, _repo)
+    from tools.build_wheel import scrub_repo_from_pythonpath
+
+    monkeypatch.setenv(
+        "PYTHONPATH", os.pathsep.join([_repo, "/somewhere/else"])
+    )
+    scrub_repo_from_pythonpath(_repo)
+    assert os.environ["PYTHONPATH"] == "/somewhere/else"
+
+    monkeypatch.setenv("PYTHONPATH", _repo)
+    scrub_repo_from_pythonpath(_repo)
+    assert "PYTHONPATH" not in os.environ
+
+    monkeypatch.delenv("PYTHONPATH", raising=False)
+    scrub_repo_from_pythonpath(_repo)  # no-op, no KeyError

@@ -196,3 +196,28 @@ def test_compaction_preserves_index_and_blocks_fresh_overwrite(
     assert _committed(paths["idx"], _DELTA_RE) == [1]
     with pytest.raises(ValueError, match="different stream run"):
         fold_span_batch(b1, 0, paths["idx"], paths["out"], k=K)
+
+
+def test_interrupted_compaction_recovers(spark, paths, tmp_path):
+    # crash window: old tree moved aside, new tree not yet in place —
+    # readers and folds must restore the set-aside tree instead of
+    # proceeding against an empty index
+    b1, b2 = _batch1(spark), _batch2(spark)
+    _stage(paths["src"], b1, "b1", 1_000)
+    _run(spark, paths["src"], b1.schema, paths)
+    before = {
+        r["h"] for r in read_span_index(spark, paths["idx"]).collect()
+    }
+    # simulate the mid-swap crash
+    shutil.move(paths["idx"], paths["idx"] + ".precompact")
+    assert not os.path.isdir(paths["idx"])
+    after = {
+        r["h"] for r in read_span_index(spark, paths["idx"]).collect()
+    }
+    assert after == before  # auto-restored
+    # and a fold resuming right after the crash sees the restored
+    # index: doc 3's boilerplate (admitted in epoch 0) is stripped
+    shutil.move(paths["idx"], paths["idx"] + ".precompact")
+    fold_span_batch(b2, 1, paths["idx"], paths["out"], k=K)
+    got = _texts(read_clean_output(spark, paths["out"]))
+    assert BOILER not in got[3]

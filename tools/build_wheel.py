@@ -103,6 +103,28 @@ def build(outdir: str) -> str:
     return out_path
 
 
+def scrub_repo_from_pythonpath(repo: str) -> None:
+    """Remove ``repo`` from ``os.environ['PYTHONPATH']`` in place.
+
+    local-cluster worker JVMs inherit the launcher process's env, so
+    a repo on PYTHONPATH would leak the package to executors and make
+    any "the wheel is the only package source" claim vacuous.  Both
+    cross-JVM tools (multijvm_replay, multijvm_bench) call this one
+    helper so the scrub cannot drift between them.
+    """
+    pp = os.environ.get("PYTHONPATH")
+    if not pp:
+        return
+    parts = [
+        p for p in pp.split(os.pathsep)
+        if os.path.abspath(p or ".") != repo
+    ]
+    if parts:
+        os.environ["PYTHONPATH"] = os.pathsep.join(parts)
+    else:
+        del os.environ["PYTHONPATH"]
+
+
 def build_spark_shippable(outdir: str) -> str:
     """Build the wheel plus a byte-identical ``.whl.zip`` alias.
 

@@ -109,16 +109,13 @@ def main() -> None:
     )
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-    from tools.build_wheel import build_spark_shippable
+    from tools.build_wheel import (
+        build_spark_shippable,
+        scrub_repo_from_pythonpath,
+    )
 
     wheel = build_spark_shippable(os.path.join(repo, "dist"))
-    pp = os.environ.get("PYTHONPATH")
-    if pp:
-        parts = [
-            p for p in pp.split(os.pathsep)
-            if os.path.abspath(p or ".") != repo
-        ]
-        os.environ["PYTHONPATH"] = os.pathsep.join(parts) if parts else ""
+    scrub_repo_from_pythonpath(repo)
 
     from semantic_olap_spark.session import get_spark
 

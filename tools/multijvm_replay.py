@@ -28,11 +28,13 @@ Env knobs:
                       strongest determinism probes)
     REPLAY_PACKAGE_SOURCE — how executor Python gets the package:
         "wheel" (default): build the real deployment artifact with
-            tools/build_wheel.py and ship it via
-            ``spark.submit.pyFiles`` — exactly what a cluster
-            submission does (``spark-submit --py-files *.whl``).
-            The tool scrubs the repo from the inherited PYTHONPATH
-            first, so the wheel is provably the ONLY package source
+            tools/build_wheel.py and ship it via ``sc.addPyFile`` —
+            the programmatic equivalent of ``spark-submit
+            --py-files *.whl.zip`` (``spark.submit.pyFiles`` as a
+            conf key is ONLY parsed by the spark-submit launcher;
+            a programmatic SparkContext ignores it).  The tool
+            scrubs the repo from the inherited PYTHONPATH first,
+            so the wheel is provably the ONLY package source
             executors have.
         "pythonpath": the r9 same-host analogue
             (``spark.executorEnv.PYTHONPATH`` pointing at the repo).
@@ -70,24 +72,24 @@ def main() -> None:
     # requirement; the default mode now does it the way a real
     # cluster submission does: build the wheel and put it on
     # ``spark.submit.pyFiles`` (= ``spark-submit --py-files *.whl``).
+    if pkg_source not in ("wheel", "pythonpath"):
+        raise SystemExit(
+            f"REPLAY_PACKAGE_SOURCE must be 'wheel' or 'pythonpath', "
+            f"got {pkg_source!r} — refusing to silently fall back to "
+            f"the weaker mode"
+        )
     pkg_conf: dict[str, str] = {}
     if pkg_source == "wheel":
-        from tools.build_wheel import build_spark_shippable
+        from tools.build_wheel import (
+            build_spark_shippable,
+            scrub_repo_from_pythonpath,
+        )
 
         wheel = build_spark_shippable(os.path.join(repo, "dist"))
         # local-cluster worker JVMs inherit THIS process's env — scrub
         # the repo out of PYTHONPATH so the wheel is provably the only
         # way executor Python can import the package
-        pp = os.environ.get("PYTHONPATH")
-        if pp:
-            parts = [
-                p for p in pp.split(os.pathsep)
-                if os.path.abspath(p or ".") != repo
-            ]
-            if parts:
-                os.environ["PYTHONPATH"] = os.pathsep.join(parts)
-            else:
-                del os.environ["PYTHONPATH"]
+        scrub_repo_from_pythonpath(repo)
         pkg_source = f"wheel:{os.path.basename(wheel)}"
     else:
         # r9's same-host analogue of an installed package
