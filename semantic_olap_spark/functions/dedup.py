@@ -1529,11 +1529,17 @@ def _gram_stream(
     base = df.select(F.col(id_col), toks.alias("_t"))
     n = F.size("_t")
     if max_doc_tokens is not None:
-        n = F.when(n <= max_doc_tokens, n).otherwise(
+        # raise ONLY on a definitive n > max: null text/tokens make n
+        # NULL (ANSI size(NULL) is NULL), and the null row must keep
+        # flowing to the documented pass-through, not trip the guard
+        n = F.when(
+            n > max_doc_tokens,
             F.raise_error(
                 F.concat(
                     F.lit("span dedup: document "),
-                    F.col(id_col).cast("string"),
+                    F.coalesce(
+                        F.col(id_col).cast("string"), F.lit("<null id>")
+                    ),
                     F.lit(" has "),
                     F.size("_t").cast("string"),
                     F.lit(
@@ -1544,8 +1550,8 @@ def _gram_stream(
                         " max_doc_tokens=None to accept the skew"
                     ),
                 )
-            )
-        )
+            ).cast("int"),
+        ).otherwise(n)
     starts = F.when(
         n >= k,
         F.sequence(
