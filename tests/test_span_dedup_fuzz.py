@@ -182,3 +182,69 @@ def test_tokens_col_fuzz_matches_text_mode(spark):
             map(tuple, duplicate_spans(adf, k=k, tokens_col="toks").collect())
         )
         assert a == b, f"trial {trial} k={k}"
+
+
+def _ref_stream(batches: list[dict[int, str]], k: int):
+    """Brute-force reference for the streaming fold: a window of doc
+    in batch i is duplicated iff its k-gram occurred ANYWHERE in a
+    batch j < i; marked runs merge exactly like the island rule."""
+    seen: set[str] = set()
+    removed = {}
+    for batch in batches:
+        toks = {
+            d: [t for t in re.split(r"\s+", s) if t]
+            for d, s in batch.items()
+        }
+        for d, ts in sorted(toks.items()):
+            marked = [False] * len(ts)
+            for i in range(len(ts) - k + 1):
+                if " ".join(ts[i : i + k]) in seen:
+                    for j in range(i, i + k):
+                        marked[j] = True
+            removed[d] = (
+                " ".join(t for t, m in zip(ts, marked) if not m),
+                sum(marked),
+                len(ts),
+            )
+        # fold this batch's grams in AFTER cleaning it
+        for ts in toks.values():
+            for i in range(len(ts) - k + 1):
+                seen.add(" ".join(ts[i : i + k]))
+    return removed
+
+
+def test_streaming_fold_fuzz_vs_bruteforce(spark, tmp_path):
+    """fold_span_batch applied epoch-by-epoch must equal the
+    brute-force seen-before reference on random small-vocab corpora
+    split into random batches — the cross-epoch analogue of the
+    corpus-wide fuzz above."""
+    from semantic_olap_spark.streaming.spans import (
+        fold_span_batch,
+        read_clean_output,
+    )
+
+    rng = random.Random(20260817)
+    for trial in range(4):
+        k = rng.choice([2, 3, 4])
+        texts = _rand_corpus(
+            rng, n_docs=rng.randint(4, 12), vocab=rng.choice([3, 5])
+        )
+        n_batches = rng.randint(2, 4)
+        batches: list[dict[int, str]] = [{} for _ in range(n_batches)]
+        for d, s in texts.items():
+            batches[rng.randrange(n_batches)][d] = s
+        batches = [b for b in batches if b]
+        want = _ref_stream(batches, k)
+
+        idx = str(tmp_path / f"idx{trial}")
+        out = str(tmp_path / f"out{trial}")
+        for epoch, b in enumerate(batches):
+            df = spark.createDataFrame(
+                list(b.items()), ["doc_id", "text"]
+            )
+            fold_span_batch(df, epoch, idx, out, k=k)
+        got = {
+            r["doc_id"]: (r["text"], r["removed_tokens"], r["orig_tokens"])
+            for r in read_clean_output(spark, out).collect()
+        }
+        assert got == want, f"trial {trial} k={k} batches={batches}"
