@@ -2244,6 +2244,145 @@ def _q_temporal_join_events(spark, sf_dir):
     )
 
 
+def _q_customer_order_distribution(spark, sf_dir):
+    # the TPC-H Q13 shape: LEFT OUTER join + double aggregation.
+    # customers with zero (non-urgent) orders must appear in the
+    # c_count=0 bucket — the outer join is the point.  One shuffle
+    # for the per-customer count (orders side; the customer side
+    # joins broadcast), one tiny shuffle for the distribution.
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(
+            orders, cust["c_custkey"] == orders["o_custkey"], "left"
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .select(F.col("c_count").cast("long"), "custdist")
+    )
+
+
+def _q_top_revenue_suppliers(spark, sf_dir):
+    # the TPC-H Q15 shape: revenue view + scalar-max subquery.  The
+    # per-supplier revenue aggregate runs once (one shuffle on
+    # l_suppkey); the global max collapses to ONE row that broadcasts
+    # back as the filter — at 100 TB the revenue frame is never
+    # re-shuffled or re-scanned for the max compare.  Decimal revenue
+    # keeps the equality compare bit-exact (a double max would make
+    # "== max" float-fragile).
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,6)")
+            * (1 - F.col("l_discount").cast("decimal(18,6)"))
+        ).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    return (
+        rev.join(F.broadcast(mx), rev["total_revenue"] == mx["_mx"])
+        .join(F.broadcast(sup), rev["l_suppkey"] == sup["s_suppkey"])
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("total_revenue"), 2)
+            .cast("double")
+            .alias("total_revenue"),
+        )
+    )
+
+
+def _q_small_quantity_revenue(spark, sf_dir):
+    # the TPC-H Q17 shape: correlated per-group average.  The
+    # correlation decorrelates to one per-part aggregate joined back
+    # (broadcast: #parts << #lineitems).  The 0.2·avg threshold is
+    # evaluated in EXACT integer-ish decimal arithmetic:
+    # qty < 0.2·(sum/cnt)  ⟺  5·qty·cnt < sum — no division, no
+    # float rounding hazard between engines.
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    agg = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("_sq"),
+        F.count(F.lit(1)).alias("_cnt"),
+    )
+    small = (
+        li.join(F.broadcast(agg), li["l_partkey"] == agg["_pk"])
+        .join(
+            F.broadcast(
+                part.filter(F.col("p_name").contains("blue")).select(
+                    "p_partkey"
+                )
+            ),
+            li["l_partkey"] == F.col("p_partkey"),
+        )
+        .filter(
+            F.col("l_quantity").cast("decimal(18,6)") * 5 * F.col("_cnt")
+            < F.col("_sq")
+        )
+    )
+    return small.agg(
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,6)")) / 7, 2
+        )
+        .cast("double")
+        .alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+def _q_late_supplier_blame(spark, sf_dir):
+    # the TPC-H Q21 shape adapted to this schema (no commit/receipt
+    # dates): for finalized multi-supplier orders, blame the supplier
+    # whose line shipped STRICTLY LATEST — EXISTS (another supplier
+    # in the order) + NOT EXISTS (another supplier shipping on/after
+    # my date).  Both quantifiers run as semi/anti joins on
+    # l_orderkey — self-joins on the fact's own key, no driver loop;
+    # the supplier dim broadcasts.  No LIMIT: all qualifying
+    # suppliers, no cross-engine tie-order hazard.
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    sup = _t(spark, sf_dir, "supplier")
+    l1 = li.join(
+        orders, li["l_orderkey"] == orders["o_orderkey"]
+    ).select("l_orderkey", "l_suppkey", "l_shipdate")
+    l2 = li.select(
+        F.col("l_orderkey").alias("_ok2"), F.col("l_suppkey").alias("_sk2")
+    )
+    exists_other = l1.join(
+        l2,
+        (l1["l_orderkey"] == l2["_ok2"]) & (l1["l_suppkey"] != l2["_sk2"]),
+        "left_semi",
+    )
+    l3 = li.select(
+        F.col("l_orderkey").alias("_ok3"),
+        F.col("l_suppkey").alias("_sk3"),
+        F.col("l_shipdate").alias("_sd3"),
+    )
+    blamed = exists_other.join(
+        l3,
+        (exists_other["l_orderkey"] == l3["_ok3"])
+        & (exists_other["l_suppkey"] != l3["_sk3"])
+        & (l3["_sd3"] >= exists_other["l_shipdate"]),
+        "left_anti",
+    )
+    return (
+        blamed.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == sup["s_suppkey"])
+        .select("s_suppkey", "s_name", "numwait")
+    )
+
+
 def _q_large_volume_orders(spark, sf_dir):
     # the TPC-H Q18 shape: aggregate-then-semi-join.  The heavy
     # groupBy runs FIRST (map-side combined, one shuffle on
@@ -3098,6 +3237,10 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_suppliers": _q_pagerank_suppliers,
         "pagerank_suppliers_distributed": _q_pagerank_suppliers_distributed,
         "large_volume_orders": _q_large_volume_orders,
+        "customer_order_distribution": _q_customer_order_distribution,
+        "top_revenue_suppliers": _q_top_revenue_suppliers,
+        "small_quantity_revenue": _q_small_quantity_revenue,
+        "late_supplier_blame": _q_late_supplier_blame,
         "late_shipment_priority": _q_late_shipment_priority,
         "returned_item_revenue": _q_returned_item_revenue,
         "supplier_variety": _q_supplier_variety,
@@ -5962,6 +6105,80 @@ def _oracle_sql_literal() -> dict[str, str]:
                               WHERE o_custkey = c_custkey
                                 AND o_orderdate >= TIMESTAMP '2000-01-01')
             GROUP BY 1
+        """,
+        # Q13 shape: outer join + double aggregation (zero-order
+        # customers land in the c_count=0 bucket)
+        "customer_order_distribution": """
+            WITH per_cust AS (
+              SELECT c.c_custkey,
+                     count(o.o_orderkey) AS c_count
+              FROM customer c
+              LEFT JOIN (SELECT * FROM orders
+                         WHERE o_orderpriority <> '1-URGENT') o
+                ON c.c_custkey = o.o_custkey
+              GROUP BY c.c_custkey
+            )
+            SELECT c_count::BIGINT AS c_count,
+                   count(*) AS custdist
+            FROM per_cust GROUP BY c_count
+        """,
+        # Q15 shape: revenue view + scalar-max subquery, decimal-exact
+        "top_revenue_suppliers": """
+            WITH rev AS (
+              SELECT l_suppkey,
+                     sum(l_extendedprice::DECIMAL(18,6)
+                         * (1 - l_discount::DECIMAL(18,6)))
+                         AS total_revenue
+              FROM lineitem GROUP BY l_suppkey
+            )
+            SELECT s.s_suppkey, s.s_name,
+                   round(r.total_revenue, 2)::DOUBLE AS total_revenue
+            FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+            WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+        """,
+        # Q17 shape: correlated per-part average, decorrelated and
+        # compared in exact arithmetic (5*qty*cnt < sum  ⟺
+        # qty < 0.2*avg)
+        "small_quantity_revenue": """
+            WITH agg AS (
+              SELECT l_partkey AS _pk,
+                     sum(l_quantity::DECIMAL(18,6)) AS _sq,
+                     count(*) AS _cnt
+              FROM lineitem GROUP BY l_partkey
+            )
+            SELECT round(sum(l.l_extendedprice::DECIMAL(18,6))
+                    / 7, 2)::DOUBLE AS avg_yearly,
+                   count(*) AS n_lines
+            FROM lineitem l
+            JOIN agg ON l.l_partkey = agg._pk
+            JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE p.p_name LIKE '%blue%'
+              AND l.l_quantity::DECIMAL(18,6) * 5 * agg._cnt < agg._sq
+        """,
+        # Q21 shape (adapted: ship-date blame): EXISTS another
+        # supplier in the order + NOT EXISTS another supplier
+        # shipping on/after my date, finalized orders only
+        "late_supplier_blame": """
+            WITH l1 AS (
+              SELECT l.l_orderkey, l.l_suppkey, l.l_shipdate
+              FROM lineitem l
+              JOIN orders o ON l.l_orderkey = o.o_orderkey
+              WHERE o.o_orderstatus = 'F'
+            )
+            SELECT s.s_suppkey, s.s_name,
+                   count(*) AS numwait
+            FROM l1
+            JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+            WHERE EXISTS (
+                SELECT 1 FROM lineitem l2
+                WHERE l2.l_orderkey = l1.l_orderkey
+                  AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (
+                SELECT 1 FROM lineitem l3
+                WHERE l3.l_orderkey = l1.l_orderkey
+                  AND l3.l_suppkey <> l1.l_suppkey
+                  AND l3.l_shipdate >= l1.l_shipdate)
+            GROUP BY s.s_suppkey, s.s_name
         """,
         "large_volume_orders": """
             SELECT c_custkey, c_name, o_orderkey, o_orderdate,

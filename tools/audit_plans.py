@@ -54,6 +54,11 @@ SINGLE_PARTITION_OK = {
     "llm_rerank_docs", "bm25_rerank_cascade",
     # 1-row global threshold aggregate (Q22 scalar subquery)
     "idle_customers",
+    # r10 TPC-H shapes whose scalar stage is the point: Q15's global
+    # max over the (tiny, pre-aggregated) revenue view and Q17's
+    # 1-row global revenue sum — partial aggregation runs map-side,
+    # only per-partition partials cross the SinglePartition exchange
+    "top_revenue_suppliers", "small_quantity_revenue",
 }
 # declared pair generators: NLJ/cartesian within blocks or against a
 # broadcast side is their documented (capped) strategy
