@@ -118,6 +118,12 @@ HEADLINE = [
     "late_shipment_priority",
     "volume_shipping",
     "market_share",
+    # r10 additions: outer-join count distribution (Q13) and the
+    # multi-EXISTS/NOT-EXISTS self-join blame query (Q21 shape) —
+    # two plan shapes (outer-join double agg; semi+anti self-join on
+    # the fact key) no other headline row exercises
+    "customer_order_distribution",
+    "late_supplier_blame",
     "returned_item_revenue",
     "supplier_variety",
     "idle_customers",
@@ -332,6 +338,10 @@ SCALE_QUERIES = [
     # (shuffle/shards/olap_id) rides; pins that the range sort stays
     # near-linear
     "shuffle_rows_docs",
+    # r10: the Q21-shape semi+anti self-join — both quantifiers
+    # shuffle on the fact key; pins that the double self-join stays
+    # near-linear when the fact grows 10×
+    "late_supplier_blame",
 ]
 
 # threshold for flagging super-linear rows: >15× for 10× data (the
