@@ -2247,20 +2247,22 @@ def _q_temporal_join_events(spark, sf_dir):
 def _q_customer_order_distribution(spark, sf_dir):
     # the TPC-H Q13 shape: LEFT OUTER join + double aggregation.
     # customers with zero (non-urgent) orders must appear in the
-    # c_count=0 bucket — the outer join is the point.  One shuffle
-    # for the per-customer count (orders side; the customer side
-    # joins broadcast), one tiny shuffle for the distribution.
+    # c_count=0 bucket — the outer join is the point.  Aggregate
+    # FIRST: the orders fact collapses to one count per custkey (one
+    # shuffle, map-side combined) and THAT tiny frame is the
+    # broadcast build side of the left join (BuildRight is legal for
+    # LeftOuter) — the customer table is never shuffled, unlike the
+    # naive outer-join-then-count which sort-merges BOTH sides.
     cust = _t(spark, sf_dir, "customer").select("c_custkey")
-    orders = _t(spark, sf_dir, "orders").filter(
-        F.col("o_orderpriority") != "1-URGENT"
+    counts = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy(F.col("o_custkey"))
+        .agg(F.count(F.lit(1)).alias("_n"))
     )
-    per_cust = (
-        cust.join(
-            orders, cust["c_custkey"] == orders["o_custkey"], "left"
-        )
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c_count"))
-    )
+    per_cust = cust.join(
+        F.broadcast(counts), cust["c_custkey"] == counts["o_custkey"], "left"
+    ).select(F.coalesce(F.col("_n"), F.lit(0)).alias("c_count"))
     return (
         per_cust.groupBy("c_count")
         .agg(F.count(F.lit(1)).alias("custdist"))
@@ -2300,31 +2302,33 @@ def _q_top_revenue_suppliers(spark, sf_dir):
 
 def _q_small_quantity_revenue(spark, sf_dir):
     # the TPC-H Q17 shape: correlated per-group average.  The
-    # correlation decorrelates to one per-part aggregate joined back
-    # (broadcast: #parts << #lineitems).  The 0.2·avg threshold is
-    # evaluated in EXACT integer-ish decimal arithmetic:
-    # qty < 0.2·(sum/cnt)  ⟺  5·qty·cnt < sum — no division, no
-    # float rounding hazard between engines.
+    # correlation decorrelates to a per-part aggregate joined back.
+    # Selectivity FIRST: lineitem is semi-joined to the blue partkey
+    # set BEFORE aggregating — per-part aggregates are keyed by
+    # partkey, so restricting to blue parts is result-identical
+    # (every line of a blue part survives the semi join) and shrinks
+    # the broadcast agg by the predicate's selectivity instead of
+    # carrying one row per part in the whole catalog.  The 0.2·avg
+    # threshold is evaluated in EXACT integer-ish decimal
+    # arithmetic: qty < 0.2·(sum/cnt)  ⟺  5·qty·cnt < sum — no
+    # division, no float rounding hazard between engines.
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
-    agg = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
+    blue = part.filter(F.col("p_name").contains("blue")).select(
+        "p_partkey"
+    )
+    li_blue = li.join(
+        F.broadcast(blue), li["l_partkey"] == blue["p_partkey"], "left_semi"
+    )
+    agg = li_blue.groupBy(F.col("l_partkey").alias("_pk")).agg(
         F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("_sq"),
         F.count(F.lit(1)).alias("_cnt"),
     )
-    small = (
-        li.join(F.broadcast(agg), li["l_partkey"] == agg["_pk"])
-        .join(
-            F.broadcast(
-                part.filter(F.col("p_name").contains("blue")).select(
-                    "p_partkey"
-                )
-            ),
-            li["l_partkey"] == F.col("p_partkey"),
-        )
-        .filter(
-            F.col("l_quantity").cast("decimal(18,6)") * 5 * F.col("_cnt")
-            < F.col("_sq")
-        )
+    small = li_blue.join(
+        F.broadcast(agg), li_blue["l_partkey"] == agg["_pk"]
+    ).filter(
+        F.col("l_quantity").cast("decimal(18,6)") * 5 * F.col("_cnt")
+        < F.col("_sq")
     )
     return small.agg(
         F.round(

@@ -1510,6 +1510,12 @@ def _gram_stream(
     document over the bound raises (``F.raise_error`` inside the
     token-count expression — zero extra jobs, fires exactly on the
     offending row) with a remedy pointing at ``chunk_documents``.
+    One benign corner: an oversized document whose ``id_col`` is NULL
+    may be pruned from the join-back branch (Catalyst infers
+    ``isnotnull`` on join keys) and under AQE empty-propagation the
+    other branch's raise can be cancelled — harmless, because the
+    pruned doc never reaches the per-doc island merge the guard
+    protects.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")

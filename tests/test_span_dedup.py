@@ -593,3 +593,45 @@ def test_max_doc_tokens_invalid_value(spark):
     df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
     with pytest.raises(ValueError, match="max_doc_tokens"):
         duplicate_spans(df, k=2, max_doc_tokens=0)
+
+
+def test_max_doc_tokens_guard_passes_null_rows(spark):
+    """Regression for the ANSI size(NULL)=NULL guard bug: null
+    text/tokens rows must flow to the documented 0/0 pass-through
+    under the DEFAULT guard, while a genuine oversize in the SAME
+    frame still raises (and a null id is coalesced in the message,
+    not a second null-raise)."""
+    from semantic_olap_spark.functions.dedup import (
+        remove_duplicate_spans,
+        span_index,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e a b c d e"), (2, None)], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in remove_duplicate_spans(df, k=4).collect()}
+    assert out[2]["text"] is None
+    assert out[2]["orig_tokens"] == 0 and out[2]["removed_tokens"] == 0
+    # the index path tolerates nulls under the default guard too
+    assert span_index(df, k=4).count() > 0
+
+    big = spark.createDataFrame(
+        [(3, " ".join(f"t{i}" for i in range(300)))], ["doc_id", "text"]
+    )
+    with pytest.raises(Exception, match="chunk_documents"):
+        remove_duplicate_spans(
+            df.unionByName(big), k=4, max_doc_tokens=100
+        ).collect()
+    # null id on the oversized row: message coalesces, still raises.
+    # Checked via span_index (single gram branch, deterministic):
+    # in remove_duplicate_spans the join-back infers
+    # isnotnull(doc_id) and prunes the null-id doc from one branch,
+    # so under AQE empty-propagation the raise in the other branch
+    # races with stage cancellation — benign (the pruned doc never
+    # reaches the island merge), but not a deterministic pin.
+    big_null_id = spark.createDataFrame(
+        [(None, " ".join(f"t{i}" for i in range(300)))],
+        "doc_id long, text string",
+    )
+    with pytest.raises(Exception, match="<null id>"):
+        span_index(big_null_id, k=4, max_doc_tokens=100).collect()
