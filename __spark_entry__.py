@@ -853,45 +853,56 @@ def _q_span_stream_ingest(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     base = tempfile.mkdtemp(prefix="solap_span_stream_")
-    src = os.path.join(base, "src")
-    os.makedirs(src)
-    for name, pred, mt in (
-        ("b0", "doc_id % 2 = 0", 1_000),
-        ("b1", "doc_id % 2 = 1", 2_000),
-    ):
-        staging = os.path.join(base, "stage_" + name)
-        docs.filter(pred).coalesce(1).write.mode("overwrite").parquet(
-            staging
+    try:
+        src = os.path.join(base, "src")
+        os.makedirs(src)
+        for name, pred, mt in (
+            ("b0", "doc_id % 2 = 0", 1_000),
+            ("b1", "doc_id % 2 = 1", 2_000),
+        ):
+            staging = os.path.join(base, "stage_" + name)
+            docs.filter(pred).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(staging)
+            part = next(
+                f for f in os.listdir(staging) if f.endswith(".parquet")
+            )
+            dst = os.path.join(src, name + ".parquet")
+            shutil.copyfile(os.path.join(staging, part), dst)
+            os.utime(dst, (mt, mt))
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
         )
-        part = next(
-            f for f in os.listdir(staging) if f.endswith(".parquet")
+        q = maintain_span_dedup(
+            stream,
+            os.path.join(base, "idx"),
+            os.path.join(base, "out"),
+            os.path.join(base, "ckpt"),
+            k=20,
+            fingerprint="md5",
+            trigger_once=True,
         )
-        dst = os.path.join(src, name + ".parquet")
-        shutil.copyfile(os.path.join(staging, part), dst)
-        os.utime(dst, (mt, mt))
-    stream = (
-        spark.readStream.schema(docs.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-    )
-    q = maintain_span_dedup(
-        stream,
-        os.path.join(base, "idx"),
-        os.path.join(base, "out"),
-        os.path.join(base, "ckpt"),
-        k=20,
-        fingerprint="md5",
-        trigger_once=True,
-    )
-    finished = q.awaitTermination(180)
-    if not finished:
-        # awaitTermination returns False on timeout instead of
-        # raising — reading partial output would mis-hash
-        q.stop()
-        raise TimeoutError("span_stream_ingest stream did not drain in 180s")
-    return read_clean_output(spark, os.path.join(base, "out")).select(
-        "doc_id", "text", "removed_tokens", "orig_tokens"
-    )
+        finished = q.awaitTermination(180)
+        if not finished:
+            # awaitTermination returns False on timeout instead of
+            # raising — reading partial output would mis-hash
+            q.stop()
+            raise TimeoutError(
+                "span_stream_ingest stream did not drain in 180s"
+            )
+        out = read_clean_output(
+            spark, os.path.join(base, "out")
+        ).select("doc_id", "text", "removed_tokens", "orig_tokens")
+        # materialize BEFORE the finally removes the staging tree the
+        # lazy plan reads from; documents is the corpus-sample table
+        # (500 rows/sf0.01, 5k/sf0.1), so the driver-side copy is
+        # bounded — the row exists to oracle the stream loop, not to
+        # demo scale (the scale path streams straight to a sink)
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 def _q_remove_spans_against_docs(spark, sf_dir):

@@ -50,7 +50,9 @@ __all__ = [
 
 _LOCK = threading.Lock()
 _TRACKED: list[DataFrame] = []
-_CKPT_DIRS: dict[str, str] = {}
+#: per-app memo: (requested checkpoint_dir, the qualified
+#: getCheckpointDir() value observed right after setting it)
+_CKPT_DIRS: dict[str, tuple[str, str | None]] = {}
 
 
 def tracked_persist(
@@ -97,26 +99,23 @@ def lineage_cut(
         with _LOCK:
             # The memo alone goes stale if foreign code calls
             # sc.setCheckpointDir directly, which would silently send
-            # our checkpoints into the foreign directory — cheaply
-            # re-verify the live value (it is <dir>/<uuid>, so prefix
-            # match) before trusting the memo.
+            # our checkpoints into the foreign directory.  Comparing
+            # the live value against the CALLER's path form is
+            # hopeless (relative vs absolute, file:// vs bare,
+            # default-FS qualification on hdfs:// clusters), so we
+            # memoize getCheckpointDir()'s OWN return (the qualified
+            # <dir>/<uuid> string) right after we set it, and
+            # re-verify the live value against that recorded string —
+            # an exact match, no path-form normalization to get wrong.
             live = sc.getCheckpointDir()
-            if live and live.startswith("file:"):
-                live = live[len("file:"):]
-            want = checkpoint_dir
-            if want.startswith("file:"):
-                want = want[len("file:"):]
-            want = want.rstrip("/")
-            # exact dir or a child of it — a plain prefix match would
-            # accept a foreign SIBLING dir sharing a path prefix
-            # (/data/ckpt_backup vs /data/ckpt)
-            live_ok = live is not None and (
-                live.rstrip("/") == want
-                or live.startswith(want + "/")
-            )
-            if _CKPT_DIRS.get(app) != checkpoint_dir or not live_ok:
+            rec = _CKPT_DIRS.get(app)
+            if (
+                rec is None
+                or rec[0] != checkpoint_dir
+                or live != rec[1]
+            ):
                 sc.setCheckpointDir(checkpoint_dir)
-                _CKPT_DIRS[app] = checkpoint_dir
+                _CKPT_DIRS[app] = (checkpoint_dir, sc.getCheckpointDir())
         if eager:
             # Scratch-persist only frames the caller has NOT already
             # persisted — the finally-unpersist must never evict a

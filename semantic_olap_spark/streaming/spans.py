@@ -13,17 +13,30 @@ Layout (same commit-marker discipline as ``materialized.py``):
 - ``out_path/epoch=<id>/``   cleaned batch output, one generation
   per foreachBatch epoch, ``mode("overwrite")`` + commit marker —
   a replayed epoch reproduces, never duplicates;
-- ``index_path/delta=<id>/`` the batch's own ``span_index`` —
-  APPEND-ONLY deltas, never a rewrite.  The probe tolerates
-  duplicate fingerprints across deltas by construction (duplicate
-  index rows duplicate hit intervals, which the island merge's
-  min/max collapses — ``functions/dedup.py``
-  ``duplicate_spans_against``), so the per-batch cost is
-  fingerprinting the BATCH only: no corpus-sized shuffle, no
-  index rewrite, the shape a 100 TB stream needs.  Cross-delta
-  duplicate hashes cost only index bytes; reclaim them with an
-  offline compaction (read the index, ``.distinct()``, rewrite) on
-  whatever cadence storage demands.
+- ``index_path/delta=<id>/h_bucket=<b>/`` the batch's own
+  ``span_index``, hash-partitioned into ``n_buckets`` directories by
+  ``pmod(xxhash64(h), n_buckets)`` — APPEND-ONLY deltas, never a
+  rewrite.  The probe tolerates duplicate fingerprints across deltas
+  by construction (duplicate index rows duplicate hit intervals,
+  which the island merge's min/max collapses —
+  ``functions/dedup.py`` ``duplicate_spans_against``), so the
+  per-batch cost is fingerprinting the BATCH only: no corpus-sized
+  shuffle, no index rewrite, the shape a 100 TB stream needs.
+
+  The bucket layout is what bounds per-batch index READ I/O: the
+  fold derives the batch's own bucket set from its gram stream
+  (bounded — at most ``n_buckets`` values) and opens ONLY those
+  ``h_bucket=<b>`` directories of each prior delta.  A micro-batch
+  touching B of N buckets scans B/N of the index instead of all of
+  it; after compaction (one bucketed delta) that is exactly B
+  files.  Without pruning the probe's I/O grows with the stream's
+  LIFETIME; with it, the scan is proportional to the batch's bucket
+  footprint times the compacted index's per-bucket size.  Deltas
+  written by older versions (flat, no ``h_bucket=``) are still read
+  — fully scanned, legacy — and the next compaction rewrites them
+  bucketed.  Cross-delta duplicate hashes cost only index bytes;
+  reclaim them (and the per-delta file-count term) with the offline
+  compaction on whatever cadence storage demands.
 
 Semantics note: within-batch repetition is deliberately NOT removed
 (a span occurring twice inside epoch N survives epoch N) — that is
@@ -43,7 +56,8 @@ import os
 import re
 import shutil
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from semantic_olap_spark.functions.dedup import (
     _gram_stream,
@@ -54,7 +68,72 @@ from semantic_olap_spark.functions.dedup import (
 
 _DELTA_RE = re.compile(r"^delta=(\d+)$")
 _EPOCH_RE = re.compile(r"^epoch=(\d+)$")
+_BUCKET_RE = re.compile(r"^h_bucket=(\d+)$")
 _COMMIT_MARKER = "_STATE_COMMITTED"
+
+#: index partition fan-out.  64 buckets × ~1 file each per delta is
+#: a comfortable file-count/pruning trade at micro-batch cadence; a
+#: 100 TB deployment would raise it together with compaction cadence.
+DEFAULT_N_BUCKETS = 64
+
+
+def _bucket_expr(h: Column, n_buckets: int) -> Column:
+    """Index partition key: ``pmod(xxhash64(h), n_buckets)``.
+
+    ``xxhash64`` (fixed seed 42) works on both fingerprint dtypes
+    (long for xxhash64 mode, string for md5 mode) and is
+    deterministic across JVMs/sessions — the write side and every
+    future probe must agree bit-for-bit on a row's bucket."""
+    return F.pmod(F.xxhash64(h), F.lit(int(n_buckets)))
+
+
+def _delta_bucket_dirs(delta_dir: str) -> list[str] | None:
+    """``h_bucket=<b>`` subdirectory names of a bucketed delta, or
+    ``None`` for a legacy flat delta (top-level parquet files)."""
+    names = os.listdir(delta_dir)
+    buckets = [n for n in names if _BUCKET_RE.match(n)]
+    if buckets:
+        return sorted(buckets, key=lambda n: int(n.split("=")[1]))
+    if any(n.endswith(".parquet") for n in names):
+        return None  # legacy flat layout: scan the whole delta
+    return []  # committed-but-empty delta: nothing to read
+
+
+def _probe_paths(
+    index_path: str, deltas: list[int], buckets: list[int]
+) -> tuple[list[str], int]:
+    """Concrete parquet directories a probe for ``buckets`` must
+    open, plus how many bucketed index dirs pruning SKIPPED.
+
+    Explicit path selection (not a Catalyst partition filter) so the
+    pruning is deterministic and directly testable: the scan is the
+    returned list, nothing else.  Matches the module's existing
+    local-FS commit-marker model (``_committed``)."""
+    wanted = {f"h_bucket={b}" for b in buckets}
+    paths: list[str] = []
+    skipped = 0
+    for d in deltas:
+        delta_dir = os.path.join(index_path, f"delta={d}")
+        sub = _delta_bucket_dirs(delta_dir)
+        if sub is None:
+            paths.append(delta_dir)
+        else:
+            for name in sub:
+                if name in wanted:
+                    paths.append(os.path.join(delta_dir, name))
+                else:
+                    skipped += 1
+    return paths, skipped
+
+
+def _tree_bytes(paths: list[str]) -> int:
+    total = 0
+    for p in paths:
+        for root, _dirs, files in os.walk(p):
+            for f in files:
+                if f.endswith(".parquet"):
+                    total += os.path.getsize(os.path.join(root, f))
+    return total
 
 
 def _committed(path: str, pattern: re.Pattern) -> list[int]:
@@ -101,20 +180,33 @@ def fold_span_batch(
     tokens_col: str | None = None,
     seed_index: DataFrame | None = None,
     max_doc_tokens: int | None = 2_000_000,
+    n_buckets: int = DEFAULT_N_BUCKETS,
+    stats: dict | None = None,
 ) -> None:
     """One idempotent span-dedup fold (the foreachBatch body).
 
     1. index = union of committed deltas STRICTLY BELOW ``epoch_id``
-       (+ ``seed_index``) — a replay of epoch N sees exactly the
-       index the first attempt saw, so the cleaned output is
-       bit-reproducible;
+       (+ ``seed_index``), pruned to the batch's own bucket set —
+       a replay of epoch N sees exactly the index the first attempt
+       saw (pruning is lossless: an index row can only hit a batch
+       gram if they share ``h``, hence the same bucket), so the
+       cleaned output is bit-reproducible;
     2. cleaned batch overwrites ``out_path/epoch=<id>``;
     3. the batch's own ``span_index`` overwrites
-       ``index_path/delta=<id>``.
+       ``index_path/delta=<id>``, partitioned by ``h_bucket``.
 
-    Deltas NEWER than the folding epoch mean the dirs belong to a
-    different stream run (reused path, fresh checkpoint) — refused
-    loudly, same contract as ``materialized.fold_batch``.
+    Deltas/epochs NEWER than the folding epoch mean the dirs belong
+    to a different stream run (reused path, fresh checkpoint) —
+    refused loudly, same contract as ``materialized.fold_batch``,
+    and checked on BOTH trees (a reused ``out_path`` would otherwise
+    silently union a dead run's generations into
+    ``read_clean_output``).
+
+    ``stats`` (tests/ops introspection): when a dict is passed, the
+    fold records ``buckets_probed``, ``probe_paths``,
+    ``probe_bytes``, ``pruned_dirs``, ``index_bytes`` — the exact
+    I/O footprint of the index read, measured from the selected
+    directory list itself.
     """
     spark = batch.sparkSession
     _recover_compaction(index_path)
@@ -127,27 +219,44 @@ def fold_span_batch(
             f"run (reused path with a fresh checkpoint?). Point the "
             f"stream at an empty index dir or reuse its checkpoint."
         )
-    prior = [d for d in deltas if d < epoch_id]
-    parts = [
-        spark.read.parquet(os.path.join(index_path, f"delta={d}"))
-        for d in prior
+    newer_out = [
+        e for e in _committed(out_path, _EPOCH_RE) if e > epoch_id
     ]
-    if seed_index is not None:
-        parts.append(seed_index.select("h"))
-    if parts:
-        idx = parts[0]
-        for p in parts[1:]:
-            idx = idx.unionByName(p)
-    else:
-        h_type = "string" if fingerprint == "md5" else "long"
-        idx = spark.createDataFrame([], f"h {h_type}")
+    if newer_out:
+        raise ValueError(
+            f"output dir {out_path} already holds epochs {newer_out} "
+            f"newer than epoch {epoch_id}: it belongs to a different "
+            f"stream run (reused path with a fresh checkpoint?). Point "
+            f"the stream at an empty output dir or reuse its checkpoint."
+        )
+    prior = [d for d in deltas if d < epoch_id]
+    if epoch_id > 0 and not prior and epoch_id in deltas:
+        # The compacted-while-crashed-mid-epoch state: delta=N was
+        # committed by a crashed attempt, compaction during the
+        # downtime collapsed the tree to ONLY delta=N, and the
+        # checkpoint now replays epoch N.  Proceeding would clean
+        # against an EMPTY prior index and then overwrite delta=N
+        # with just this batch's grams — silently discarding the
+        # whole dedup history.  Refuse instead; the remedy is to
+        # re-run compaction from a backup or accept the pre-crash
+        # index loss explicitly by clearing the index dir.
+        raise ValueError(
+            f"index dir {index_path} holds ONLY delta={epoch_id} while "
+            f"epoch {epoch_id} is replaying with no prior deltas: the "
+            f"index was compacted while the stream was crashed mid-"
+            f"epoch (the checkpoint had not committed batch "
+            f"{epoch_id}). Folding now would erase the compacted "
+            f"history. Compact only after a clean availableNow drain "
+            f"(pass checkpoint= to replace_index_with_compacted to "
+            f"enforce this)."
+        )
 
-    # ONE gram stream feeds both jobs (the probe's hit intervals and
-    # the delta index are both views of it) — persisted so the batch
-    # is tokenized/fingerprinted once per epoch, not once per write;
-    # gram rows ≈ micro-batch tokens, a bounded scratch footprint.
-    # Equivalent by construction to remove_spans_against +
-    # span_index: duplicate_spans_against IS
+    # ONE gram stream feeds three consumers (the bucket census, the
+    # probe's hit intervals, and the delta index) — persisted so the
+    # batch is tokenized/fingerprinted once per epoch, not once per
+    # job; gram rows ≈ micro-batch tokens, a bounded scratch
+    # footprint.  Equivalent by construction to remove_spans_against
+    # + span_index: duplicate_spans_against IS
     # merge_islands(window_hits(grams, index)) and span_index IS
     # grams.select("h").distinct() (functions/dedup.py).
     grams = _gram_stream(
@@ -155,6 +264,52 @@ def fold_span_batch(
         max_doc_tokens=max_doc_tokens,
     ).persist()
     try:
+        need_index = bool(prior) or seed_index is not None
+        buckets: list[int] = []
+        if need_index:
+            # bounded driver artifact: at most n_buckets ints — the
+            # price of static path-level pruning, paid once per batch
+            buckets = sorted(
+                r[0]
+                for r in grams.select(
+                    _bucket_expr(F.col("h"), n_buckets).alias("b")
+                )
+                .distinct()
+                .collect()
+            )
+        paths, pruned = _probe_paths(index_path, prior, buckets)
+        parts = []
+        if paths:
+            parts.append(spark.read.parquet(*paths).select("h"))
+        if seed_index is not None:
+            # same lossless bucket filter on the in-memory seed: the
+            # rows land in a broadcast/shuffle build side, so
+            # shrinking them is pure win even without file pruning
+            parts.append(
+                seed_index.select("h").filter(
+                    _bucket_expr(F.col("h"), n_buckets).isin(
+                        [int(b) for b in buckets]
+                    )
+                    if buckets
+                    else F.lit(False)
+                )
+            )
+        if parts:
+            idx = parts[0]
+            for p in parts[1:]:
+                idx = idx.unionByName(p)
+        else:
+            h_type = "string" if fingerprint == "md5" else "long"
+            idx = spark.createDataFrame([], f"h {h_type}")
+        if stats is not None:
+            stats["buckets_probed"] = list(buckets)
+            stats["probe_paths"] = list(paths)
+            stats["probe_bytes"] = _tree_bytes(paths)
+            stats["pruned_dirs"] = pruned
+            stats["index_bytes"] = _tree_bytes(
+                [os.path.join(index_path, f"delta={d}") for d in prior]
+            )
+
         spans = _merge_islands(
             _window_hits(grams, idx.select("h"), id_col, k), id_col
         )
@@ -171,8 +326,16 @@ def fold_span_batch(
         _mark(out_dir)
 
         delta_dir = os.path.join(index_path, f"delta={epoch_id}")
-        grams.select("h").distinct().write.mode("overwrite").parquet(
-            delta_dir
+        (
+            grams.select("h")
+            .distinct()
+            .withColumn("h_bucket", _bucket_expr(F.col("h"), n_buckets))
+            # one task per bucket → one file per bucket per delta:
+            # bounds the delta's file count at n_buckets
+            .repartition(F.col("h_bucket"))
+            .write.mode("overwrite")
+            .partitionBy("h_bucket")
+            .parquet(delta_dir)
         )
         _mark(delta_dir)
     finally:
@@ -191,6 +354,7 @@ def maintain_span_dedup(
     tokens_col: str | None = None,
     seed_index: DataFrame | None = None,
     max_doc_tokens: int | None = 2_000_000,
+    n_buckets: int = DEFAULT_N_BUCKETS,
     trigger_once: bool = False,
 ):
     """Start the continuous span-dedup ingest on a streaming frame.
@@ -213,6 +377,7 @@ def maintain_span_dedup(
             tokens_col=tokens_col,
             seed_index=seed_index,
             max_doc_tokens=max_doc_tokens,
+            n_buckets=n_buckets,
         )
 
     writer = (
@@ -241,16 +406,24 @@ def read_clean_output(spark: SparkSession, out_path: str) -> DataFrame:
 
 
 def read_span_index(spark: SparkSession, index_path: str) -> DataFrame:
-    """The live index: union of committed deltas (duplicates across
-    deltas possible and harmless — distinct() to compact)."""
+    """The live index as one ``h`` column: union of committed deltas
+    (duplicates across deltas possible and harmless — distinct() to
+    compact).  Reads bucketed and legacy flat deltas alike; the
+    ``h_bucket`` layout column never surfaces."""
     _recover_compaction(index_path)
     deltas = _committed(index_path, _DELTA_RE)
     if not deltas:
         raise ValueError(f"no committed index deltas in {index_path}")
-    dfs = [
-        spark.read.parquet(os.path.join(index_path, f"delta={d}"))
-        for d in deltas
-    ]
+    dfs = []
+    for d in deltas:
+        delta_dir = os.path.join(index_path, f"delta={d}")
+        if _delta_bucket_dirs(delta_dir) == []:
+            continue  # committed-but-empty delta: nothing to read
+        dfs.append(spark.read.parquet(delta_dir).select("h"))
+    if not dfs:
+        raise ValueError(
+            f"all committed index deltas in {index_path} are empty"
+        )
     out = dfs[0]
     for d in dfs[1:]:
         out = out.unionByName(d)
@@ -258,18 +431,40 @@ def read_span_index(spark: SparkSession, index_path: str) -> DataFrame:
 
 
 def compact_span_index(
-    spark: SparkSession, index_path: str, compacted_path: str
+    spark: SparkSession,
+    index_path: str,
+    compacted_path: str,
+    n_buckets: int = DEFAULT_N_BUCKETS,
 ) -> None:
     """Offline maintenance: rewrite the delta tree as one distinct
-    index (reclaims cross-delta duplicate fingerprints).  Run on
-    storage cadence, never in the ingest hot path."""
-    read_span_index(spark, index_path).distinct().write.mode(
-        "overwrite"
-    ).parquet(compacted_path)
+    BUCKETED index (reclaims cross-delta duplicate fingerprints AND
+    the per-delta file-count term of the probe — after the swap a
+    probe for B buckets opens exactly B files).  Also migrates
+    legacy flat deltas to the bucketed layout.  Run on storage
+    cadence, never in the ingest hot path."""
+    (
+        read_span_index(spark, index_path)
+        .distinct()
+        .withColumn("h_bucket", _bucket_expr(F.col("h"), n_buckets))
+        .repartition(F.col("h_bucket"))
+        .write.mode("overwrite")
+        .partitionBy("h_bucket")
+        .parquet(compacted_path)
+    )
+
+
+def _checkpoint_max_committed(checkpoint: str) -> int | None:
+    """Highest batch id in a structured-streaming checkpoint's
+    ``commits/`` log (plain integer filenames), or None if none."""
+    commits = os.path.join(checkpoint, "commits")
+    if not os.path.isdir(commits):
+        return None
+    ids = [int(n) for n in os.listdir(commits) if n.isdigit()]
+    return max(ids) if ids else None
 
 
 def replace_index_with_compacted(
-    index_path: str, compacted_path: str
+    index_path: str, compacted_path: str, checkpoint: str | None = None
 ) -> None:
     """Swap the delta tree for one compacted delta.
 
@@ -277,13 +472,34 @@ def replace_index_with_compacted(
     stream resuming its checkpoint continues at higher epochs and
     sees it as prior state, while a fresh-checkpoint run (epochs
     restarting at 0) trips ``fold_span_batch``'s newer-delta refusal
-    instead of silently overwriting the compacted corpus.  Only safe
-    while no stream is writing ``index_path``.
+    instead of silently overwriting the compacted corpus.
+
+    Only safe after a CLEAN drain (e.g. an availableNow run that
+    terminated), not merely "stream not running": if the stream
+    crashed after committing delta=N but before the checkpoint
+    committed batch N, a post-compaction resume replays epoch N
+    against an index holding ONLY delta=N — ``fold_span_batch``
+    refuses that state loudly, but the compaction itself is the
+    wrong move.  Pass ``checkpoint=`` (the stream's checkpoint
+    location) to enforce the precondition here: the swap is refused
+    unless the checkpoint's commits log shows batch id >= the
+    highest committed delta.
     """
     deltas = _committed(index_path, _DELTA_RE)
     if not deltas:
         raise ValueError(f"no committed index deltas in {index_path}")
     keep = deltas[-1]
+    if checkpoint is not None:
+        done = _checkpoint_max_committed(checkpoint)
+        if done is None or done < keep:
+            raise ValueError(
+                f"checkpoint {checkpoint} has committed through batch "
+                f"{done}, but the index holds delta={keep}: the stream "
+                f"crashed mid-epoch and will REPLAY epoch {keep} on "
+                f"resume. Compacting now would leave the replay with "
+                f"no prior history. Resume the stream to a clean drain "
+                f"first, then compact."
+            )
     tmp = index_path + ".compacting"
     if os.path.exists(tmp):
         shutil.rmtree(tmp)

@@ -221,3 +221,188 @@ def test_interrupted_compaction_recovers(spark, paths, tmp_path):
     fold_span_batch(b2, 1, paths["idx"], paths["out"], k=K)
     got = _texts(read_clean_output(spark, paths["out"]))
     assert BOILER not in got[3]
+
+
+# ---- bucketed index layout: probe I/O pruning (r11) --------------------
+
+N_BUCKETS = 16
+
+
+def _gen_docs(spark, epoch, n=12, n_tokens=150):
+    """Deterministic per-epoch corpus of unique-ish random words —
+    grows the index across epochs without cross-epoch duplication."""
+    import random
+
+    rng = random.Random(7_000 + epoch)
+    rows = [
+        (
+            epoch * 1_000 + i,
+            " ".join(
+                f"e{epoch}w{rng.randrange(10_000_000)}"
+                for _ in range(n_tokens)
+            ),
+        )
+        for i in range(n)
+    ]
+    return _docs(spark, rows)
+
+
+def _tiny_probe(spark, doc_id):
+    # k+1 = 5 tokens → 2 grams → at most 2 of N_BUCKETS buckets;
+    # all tokens sit inside BOILER, so a working probe strips the
+    # whole doc down to nothing
+    return _docs(spark, [(doc_id, "alpha beta gamma delta epsilon")])
+
+
+def _bucket_dirs_on_disk(idx: str) -> int:
+    n = 0
+    for d in os.listdir(idx):
+        full = os.path.join(idx, d)
+        if os.path.isdir(full):
+            n += sum(1 for s in os.listdir(full) if s.startswith("h_bucket="))
+    return n
+
+
+def test_probe_scan_fraction_stays_flat_as_index_grows(spark, paths):
+    """The structural 100 TB contract: per-batch index READ I/O is
+    proportional to the batch's bucket footprint (|B|/N of the
+    index), NOT to the stream's lifetime — the scanned FRACTION stays
+    flat while the index doubles, and compaction collapses the probe
+    to exactly |B| bucket directories."""
+    kw = dict(k=K, n_buckets=N_BUCKETS)
+    fold_span_batch(
+        _docs(spark, [(1, f"seed doc carries {BOILER} exactly once")]),
+        0, paths["idx"], paths["out"], **kw,
+    )
+    for e in range(1, 6):
+        fold_span_batch(
+            _gen_docs(spark, e), e, paths["idx"], paths["out"], **kw
+        )
+
+    s1: dict = {}
+    fold_span_batch(
+        _tiny_probe(spark, 60_001), 6, paths["idx"], paths["out"],
+        stats=s1, **kw,
+    )
+    assert 1 <= len(s1["buckets_probed"]) <= 2
+    # pruning is real: most bucketed dirs were skipped, and the path
+    # list is exactly |B ∩ present| per prior delta
+    assert s1["pruned_dirs"] > 0
+    assert len(s1["probe_paths"]) <= 6 * len(s1["buckets_probed"])
+    # ...and the pruned probe still FINDS the epoch-0 span
+    got = _texts(read_clean_output(spark, paths["out"]))
+    assert "alpha" not in got[60_001]
+
+    # double the index lifetime, probe the same tiny content again
+    for e in range(7, 12):
+        fold_span_batch(
+            _gen_docs(spark, e), e, paths["idx"], paths["out"], **kw
+        )
+    s2: dict = {}
+    fold_span_batch(
+        _tiny_probe(spark, 60_002), 12, paths["idx"], paths["out"],
+        stats=s2, **kw,
+    )
+    assert s2["buckets_probed"] == s1["buckets_probed"]
+    assert s2["index_bytes"] > s1["index_bytes"] * 1.6  # it DID grow
+    frac1 = s1["probe_bytes"] / s1["index_bytes"]
+    frac2 = s2["probe_bytes"] / s2["index_bytes"]
+    # scanned fraction ≈ |B|/N both times (slack for parquet footer
+    # overhead on toy files) — the O(lifetime) failure mode would
+    # push frac toward 1.0
+    bound = len(s1["buckets_probed"]) / N_BUCKETS * 3.0
+    assert frac1 <= bound, (frac1, bound)
+    assert frac2 <= bound, (frac2, bound)
+
+    # compaction collapses the per-delta file term: the same probe
+    # now opens AT MOST |B| directories, one per bucket
+    compacted = paths["idx"] + "_compacted"
+    compact_span_index(spark, paths["idx"], compacted, n_buckets=N_BUCKETS)
+    replace_index_with_compacted(paths["idx"], compacted)
+    s3: dict = {}
+    fold_span_batch(
+        _tiny_probe(spark, 60_003), 13, paths["idx"], paths["out"],
+        stats=s3, **kw,
+    )
+    assert len(s3["probe_paths"]) <= len(s1["buckets_probed"])
+    got = _texts(read_clean_output(spark, paths["out"]))
+    assert "alpha" not in got[60_003]  # still correct post-compaction
+
+
+def test_pruned_fold_matches_full_index_batch_mode(spark, paths):
+    """Bucket pruning is lossless: the fold's cleaned output equals
+    remove_spans_against over the FULL (unpruned) index."""
+    for e in range(3):
+        fold_span_batch(
+            _gen_docs(spark, e, n=6), e, paths["idx"], paths["out"],
+            k=K, n_buckets=N_BUCKETS,
+        )
+    batch = _gen_docs(spark, 1, n=6)  # epoch 1's docs again → dups
+    fold_span_batch(
+        batch, 3, paths["idx"], paths["out"], k=K, n_buckets=N_BUCKETS
+    )
+    got = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(
+            os.path.join(paths["out"], "epoch=3")
+        ).collect()
+    }
+    # batch-mode referent: the FULL unpruned index of deltas 0..2
+    idx012 = (
+        spark.read.option("basePath", paths["idx"])
+        .parquet(
+            *[os.path.join(paths["idx"], f"delta={d}") for d in range(3)]
+        )
+        .select("h")
+    )
+    want = _texts(remove_spans_against(batch, idx012, k=K))
+    assert got == want
+    # and stripping actually happened (epoch 1 re-sent → all dup)
+    orig = _texts(batch)
+    assert all(got[i] != orig[i] for i in orig)
+
+
+def test_legacy_flat_delta_still_probed(spark, paths):
+    """Deltas written by the pre-bucketing layout (flat parquet, no
+    h_bucket= dirs) are still read — fully scanned — and the next
+    compaction migrates them to the bucketed layout."""
+    b1 = _batch1(spark)
+    from semantic_olap_spark.functions.dedup import _gram_stream
+
+    flat = os.path.join(paths["idx"], "delta=0")
+    _gram_stream(b1, "text", "doc_id", K, "xxhash64", None).select(
+        "h"
+    ).distinct().write.mode("overwrite").parquet(flat)
+    with open(os.path.join(flat, "_STATE_COMMITTED"), "w"):
+        pass
+
+    s: dict = {}
+    fold_span_batch(
+        _batch2(spark), 1, paths["idx"], paths["out"],
+        k=K, n_buckets=N_BUCKETS, stats=s,
+    )
+    assert flat in s["probe_paths"]  # legacy dir scanned whole
+    got = _texts(read_clean_output(spark, paths["out"]))
+    assert BOILER not in got[3] and BOILER not in got[4]
+
+    # MIXED probe: one read spanning the flat delta=0 AND bucketed
+    # delta=1 leaf dirs (file-containing roots both — no partition
+    # discovery conflict)
+    s2: dict = {}
+    fold_span_batch(
+        _docs(spark, [(9, f"nine has {BOILER} and that is all")]),
+        2, paths["idx"], paths["out"],
+        k=K, n_buckets=N_BUCKETS, stats=s2,
+    )
+    assert flat in s2["probe_paths"]
+    assert any("h_bucket=" in p for p in s2["probe_paths"])
+    got = _texts(read_clean_output(spark, paths["out"]))
+    assert BOILER not in got[9]
+
+    # compaction rewrites the mixed tree bucketed
+    compacted = paths["idx"] + "_c"
+    compact_span_index(spark, paths["idx"], compacted, n_buckets=N_BUCKETS)
+    replace_index_with_compacted(paths["idx"], compacted)
+    assert _bucket_dirs_on_disk(paths["idx"]) > 0
+    rows = read_span_index(spark, paths["idx"]).collect()
+    assert len(rows) == len({r["h"] for r in rows})  # distinct
