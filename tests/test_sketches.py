@@ -161,3 +161,46 @@ def test_driver_row_golden_estimates(spark):
     )
     for flag, est in got.items():
         assert abs(est - exact[flag]) / exact[flag] <= 3 * 1.04 / 64.0
+
+
+# sha256 over the driver row's MERGED sketch binaries at sf0.01
+# (sorted by flag, length-prefixed).  The HLL register array is a
+# pointwise max over per-value register updates — commutative and
+# associative — so the serialized state is a deterministic pure
+# function of the input VALUE SET, independent of partitioning and
+# merge order (verified at shuffle_partitions ∈ {5, 8, 32}).  This
+# pins the sketch IMPLEMENTATION itself: a Spark-side change to the
+# HLL encoding, seeding, or lg_k plumbing surfaces here even when
+# the decoded estimates happen to survive (the weaker golden above).
+_SKETCH_BYTES_SHA256 = (
+    "ead52e954febdb4cbbd3acf54a1980e2411808cbc08ca0599ea62d108e4e3dec"
+)
+
+
+def test_driver_row_golden_sketch_bytes(spark):
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from semantic_olap_spark.functions.sketches import (
+        distinct_sketch,
+        merge_distinct_sketches,
+    )
+    from semantic_olap_spark.sources.loaders import load_table
+    from tests.conftest import SF_T2
+
+    # the driver row's construction, stopped BEFORE estimate_distinct
+    li = load_table(spark, SF_T2, "lineitem").withColumn(
+        "_b", F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(4))
+    )
+    per_batch = distinct_sketch(li, "l_orderkey", ["l_returnflag", "_b"])
+    merged = merge_distinct_sketches(per_batch.drop("_b"), "l_returnflag")
+    rows = sorted(
+        (r["l_returnflag"], bytes(r["sketch"])) for r in merged.collect()
+    )
+    h = hashlib.sha256()
+    for flag, b in rows:
+        h.update(flag.encode())
+        h.update(len(b).to_bytes(8, "big"))
+        h.update(b)
+    assert h.hexdigest() == _SKETCH_BYTES_SHA256

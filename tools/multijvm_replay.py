@@ -22,6 +22,16 @@ Env knobs:
     MULTIJVM_MASTER   default local-cluster[2,2,2048]
     REPLAY_SF_DIR     default /root/testdata/sf0.01 (the sf the
                       golden hashes are recorded at)
+    REPLAY_LAUNCHER — "programmatic" (default): this process builds
+                      the session and ships the wheel via
+                      ``sc.addPyFile``.  "submit": exec the LITERAL
+                      ``spark-submit --py-files`` launcher on the
+                      driver application tools/replay_contract_main.py
+                      with PYTHONPATH scrubbed — the package, the
+                      entry registry, and the hash protocol reach the
+                      driver and executors ONLY through --py-files,
+                      exactly what a cluster runs.  Implies
+                      REPLAY_PACKAGE_SOURCE=wheel.
     REPLAY_SHUFFLE_PARTITIONS / REPLAY_SESSION_TZ — same divergent-
                       session sweep knobs as tools/replay_contract.py
                       (cross-JVM × divergent-conf compounds the two
@@ -57,12 +67,60 @@ sys.path.insert(
 from tools.replay_contract import GOLDEN_PATH, _frame_rows, _hash_rows
 
 
+def _submit_mode(
+    repo: str, sf_dir: str, master: str, only: set[str]
+) -> None:
+    """Re-launch the replay through the REAL spark-submit binary.
+
+    The child process sees a PYTHONPATH with the repo scrubbed; its
+    only package sources are the ``--py-files`` arguments.  Output
+    streams through; this process exits with the child's code."""
+    import subprocess
+
+    from tools.build_wheel import (
+        build_spark_shippable,
+        scrub_repo_from_pythonpath,
+    )
+
+    spark_submit = os.path.join(
+        os.environ.get("SPARK_HOME", "/opt/spark"), "bin", "spark-submit"
+    )
+    if not os.path.exists(spark_submit):
+        raise SystemExit(f"spark-submit not found at {spark_submit}")
+    shippable = build_spark_shippable(os.path.join(repo, "dist"))
+    # the helper scrubs os.environ in place; snapshot AFTER so the
+    # child inherits a PYTHONPATH with the repo provably absent
+    scrub_repo_from_pythonpath(repo)
+    env = dict(os.environ)
+    cmd = [
+        spark_submit,
+        "--master", master,
+        "--conf", f"spark.pyspark.python={sys.executable}",
+        "--py-files", ",".join([
+            shippable,
+            os.path.join(repo, "__spark_entry__.py"),
+            os.path.join(repo, "tools", "replay_contract.py"),
+        ]),
+        os.path.join(repo, "tools", "replay_contract_main.py"),
+        sf_dir,
+        GOLDEN_PATH,
+        master,
+        *sorted(only),
+    ]
+    print("exec:", " ".join(cmd), flush=True)
+    proc = subprocess.run(cmd, env=env)
+    sys.exit(proc.returncode)
+
+
 def main() -> None:
     only = set(sys.argv[1:])
     sf_dir = os.environ.get("REPLAY_SF_DIR", "/root/testdata/sf0.01")
     master = os.environ.get("MULTIJVM_MASTER", "local-cluster[2,2,2048]")
     pkg_source = os.environ.get("REPLAY_PACKAGE_SOURCE", "wheel")
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if os.environ.get("REPLAY_LAUNCHER", "programmatic") == "submit":
+        _submit_mode(repo, sf_dir, master, only)
+        return
 
     # the first full replay found exactly what this harness exists to
     # find: worker JVMs spawn their own Python workers, which do NOT
