@@ -1185,6 +1185,28 @@ def main() -> None:
     }
     if scale_study is not None:
         full["scale_study"] = scale_study
+    # second decade (sf0.1→sf10): measured by the one-shot
+    # tools/scale_study_100x.py (too heavy for every bench run — the
+    # sf10 rows alone cost ~10 min); the committed round artifact is
+    # attached with provenance so the per-round BENCH carries it
+    # without mislabeling it as freshly measured
+    s100_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_SCALE100X.json"
+    )
+    if os.path.exists(s100_path):
+        try:
+            with open(s100_path) as fh:
+                s100 = json.load(fh)
+            s100["provenance"] = {
+                "source": "tools/scale_study_100x.py (one-shot)",
+                "artifact_mtime": time.strftime(
+                    "%Y-%m-%d %H:%M:%S",
+                    time.gmtime(os.path.getmtime(s100_path)),
+                ),
+            }
+            full["scale_study_100x"] = s100
+        except (OSError, ValueError):
+            pass
     if llm_latency is not None:
         full["llm_latency_study"] = llm_latency
     local_path = os.path.join(
@@ -1216,6 +1238,11 @@ def main() -> None:
                 default=None,
             )
             if scale_study
+            else None
+        ),
+        "scale100x_flagged": (
+            full["scale_study_100x"]["flagged"]
+            if "scale_study_100x" in full
             else None
         ),
         "llm_pipelining_ratio": (
