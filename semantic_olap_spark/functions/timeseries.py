@@ -172,29 +172,63 @@ def resample(
         )
     dense = df.groupBy(*keys, bucket.alias("period")).agg(*aggs)
 
-    # spine: every step between each group's min and max period —
-    # built from the already-aggregated frame, so the explode input
-    # is one row per group
-    spine = (
-        dense.groupBy(*keys)
-        .agg(F.min("period").alias("_lo"), F.max("period").alias("_hi"))
+    # gap fill in ONE pass over the aggregated frame: each row looks
+    # at its group's NEXT period (lead) and explodes the run of empty
+    # periods between itself and that neighbor.  The former
+    # spine-and-join construction re-aggregated `dense` for the
+    # bounds, and because the two branches share lineage Catalyst
+    # re-executed the FACT scan + aggregation for each — two full
+    # fact scans where one suffices (the difference that matters at
+    # 100 TB).  The lead window shuffles only the aggregated frame
+    # (one row per group-period).  Re-anchoring the sequence at every
+    # real bucket also makes the fill robust to step-alignment drift
+    # a single min→max sequence could accumulate.
+    step_expr = F.expr(_STEPS[step])
+    if keys:
+        w = Window.partitionBy(*keys).orderBy("period")
+    else:
+        # ungrouped: `dense` is one row per period — cardinality is
+        # bounded by the TIME RANGE, not the data, so a constant
+        # partition key (explicit, no undefined-partition warning)
+        # is a bounded single task, cheaper than a second fact scan
+        w = Window.partitionBy(F.lit(0)).orderBy("period")
+    vc = f"{agg}_{value_col}" if value_col is not None else None
+    exploded = (
+        dense.withColumn("_next", F.lead("period").over(w))
         .select(
             *keys,
             F.explode(
                 F.sequence(
-                    F.col("_lo"), F.col("_hi"), F.expr(_STEPS[step])
+                    F.col("period"),
+                    # exclusive end: stop one step short of the next
+                    # real bucket (exactly-adjacent buckets explode
+                    # to just themselves); last row has no next
+                    F.coalesce(
+                        F.col("_next") - step_expr, F.col("period")
+                    ),
+                    step_expr,
                 )
-            ).alias("period"),
+            ).alias("_p"),
+            F.col("period").alias("_real"),
+            "n_events",
+            *([F.col(vc)] if vc else []),
         )
     )
-    out = spine.join(dense, [*keys, "period"], "left")
-    out = out.withColumn(
-        "n_events", F.coalesce(F.col("n_events"), F.lit(0))
-    )
-    if value_col is not None and fill is not None:
-        vc = f"{agg}_{value_col}"
-        out = out.withColumn(vc, F.coalesce(F.col(vc), F.lit(float(fill))))
-    return out
+    is_real = F.col("_p") == F.col("_real")
+    out_cols = [
+        *keys,
+        F.col("_p").alias("period"),
+        F.when(is_real, F.col("n_events"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_events"),
+    ]
+    if vc is not None:
+        val = F.when(is_real, F.col(vc))
+        if fill is not None:
+            val = F.coalesce(val, F.lit(float(fill)))
+        out_cols.append(val.alias(vc))
+    return exploded.select(*out_cols)
 
 
 def rolling_agg(
