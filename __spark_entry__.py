@@ -2557,6 +2557,152 @@ def _q_volume_shipping(spark, sf_dir):
     )
 
 
+def _q_promo_revenue_share(spark, sf_dir):
+    # TPC-H Q14 shape (promo revenue share): a conditional-aggregate
+    # RATIO in one pass.  The date-carrying lineitem scan broadcast-
+    # joins the 2-column part dim; promo and total revenue are two
+    # decimal sums over the SAME rows (map-side combined, one
+    # shuffle), and the percentage is one fixed-order double division
+    # at the end — no second scan, no self-join.  Reference scope:
+    # conditional-agg ratios are the reference's num_reduce territory
+    # (SURVEY §2.1) re-expressed as a relational plan shape.
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    ).cast("decimal(18,6)")
+    zero = F.lit(0).cast("decimal(18,6)")
+    return (
+        li.join(
+            F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+        )
+        .groupBy(F.date_trunc("month", "l_shipdate").alias("ship_month"))
+        .agg(
+            F.sum(
+                F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)
+            ).alias("_promo"),
+            F.sum(rev).alias("_total"),
+        )
+        .select(
+            "ship_month",
+            # both sums are exact decimals; the share is computed in
+            # ONE double expression shape mirrored by the oracle:
+            # (100.0 * promo) / total, round 6
+            F.round(
+                F.lit(100.0)
+                * F.col("_promo").cast("double")
+                / F.col("_total").cast("double"),
+                6,
+            ).alias("promo_share"),
+            F.round(F.col("_total"), 2).cast("double").alias(
+                "total_revenue"
+            ),
+        )
+    )
+
+
+def _q_disjunctive_band_revenue(spark, sf_dir):
+    # TPC-H Q19 shape: an OR-of-ANDs predicate spanning BOTH join
+    # sides (brand/size bands on part × quantity bands on lineitem).
+    # The trap plan treats the disjunction as a join condition
+    # (nested loop); the right plan keeps the equi-join on partkey
+    # (part broadcasts), evaluates the disjunction ONCE post-join,
+    # and lets Catalyst push each side's envelope to its scan — the
+    # lineitem scan carries the quantity-band OR as a PushedFilter
+    # and the part scan the brand/size OR, so neither side reads
+    # rows no disjunct can accept.
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    qty = F.col("l_quantity")
+    bands = (
+        (
+            (F.col("p_brand") == "Brand#5")
+            & F.col("p_size").between(1, 15)
+            & qty.between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 25)
+            & qty.between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#21")
+            & F.col("p_size").between(1, 35)
+            & qty.between(20, 30)
+        )
+    )
+    rev = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    ).cast("decimal(18,6)")
+    return (
+        li.join(
+            F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+        )
+        .filter(bands)
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum(rev), 2).cast("double").alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+    )
+
+
+def _q_dominant_supplier_share(spark, sf_dir):
+    # TPC-H Q20-adapted (this star schema has no partsupp; lineitem
+    # is the part-supplier bridge): suppliers that shipped MORE THAN
+    # an EIGHTH of a cold-part's total shipped quantity (the uniform
+    # synthetic corpus has no majority supplier — 12.5% is the
+    # concentration cut that separates the top tail).  The correlated
+    # per-part total decorrelates to a WINDOW over the pair-grain
+    # aggregate — the fact is scanned and aggregated ONCE; a second
+    # groupBy branch would re-execute the shared lineage (the exact
+    # defect the r11 resample fix removed), while the window shuffles
+    # only the (part, supplier)-grain frame.  The threshold compare
+    # is exact decimal (8·q > total), division only for the reported
+    # share.
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    cold = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains("cold"))
+        .select("p_partkey")
+    )
+    pairs = (
+        li.join(
+            F.broadcast(cold),
+            li["l_partkey"] == cold["p_partkey"],
+            "left_semi",
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("_q")
+        )
+    )
+    tot = F.sum("_q").over(Window.partitionBy("l_partkey"))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        pairs.withColumn("_tot", tot)
+        .filter(F.col("_q") * 8 > F.col("_tot"))
+        .join(
+            F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "s_suppkey",
+            "s_name",
+            F.col("_q").cast("double").alias("supplier_qty"),
+            F.col("_tot").cast("double").alias("part_total_qty"),
+            F.round(
+                F.col("_q").cast("double") / F.col("_tot").cast("double"),
+                6,
+            ).alias("share"),
+        )
+    )
+
+
 def _q_market_share(spark, sf_dir):
     # TPC-H Q8 shape: one nation's share of a region's import revenue
     # per order year — a conditional-sum ratio in one aggregate pass
@@ -3260,6 +3406,9 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "returned_item_revenue": _q_returned_item_revenue,
         "supplier_variety": _q_supplier_variety,
         "volume_shipping": _q_volume_shipping,
+        "promo_revenue_share": _q_promo_revenue_share,
+        "disjunctive_band_revenue": _q_disjunctive_band_revenue,
+        "dominant_supplier_share": _q_dominant_supplier_share,
         "market_share": _q_market_share,
         "idle_customers": _q_idle_customers,
         "cdc_upsert_customers": _q_cdc_upsert_customers,
@@ -6106,6 +6255,66 @@ def _oracle_sql_literal() -> dict[str, str]:
               JOIN region ON n_regionkey = r_regionkey
               WHERE r_name = 'ASIA')
             GROUP BY 1
+        """,
+        # Q14 shape: both sums are exact decimals, the share is the
+        # identical (100.0 * promo) / total double expression
+        "promo_revenue_share": """
+            SELECT date_trunc('month', l_shipdate) AS ship_month,
+                   round(
+                     100.0
+                     * CAST(sum(CASE WHEN p_type = 'PROMO'
+                                     THEN CAST(l_extendedprice
+                                               * (1.0 - l_discount)
+                                               AS DECIMAL(18,6))
+                                     ELSE CAST(0 AS DECIMAL(18,6)) END)
+                            AS DOUBLE)
+                     / CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                                     AS DECIMAL(18,6))) AS DOUBLE),
+                     6) AS promo_share,
+                   round(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                                  AS DECIMAL(18,6))), 2)::DOUBLE
+                       AS total_revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY 1
+        """,
+        # Q19 shape: the OR-of-ANDs evaluated post-join, same bands
+        "disjunctive_band_revenue": """
+            SELECT p_brand,
+                   round(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                                  AS DECIMAL(18,6))), 2)::DOUBLE
+                       AS revenue,
+                   count(*) AS n_lines
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#5'  AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 25
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#21' AND p_size BETWEEN 1 AND 35
+                   AND l_quantity BETWEEN 20 AND 30)
+            GROUP BY 1
+        """,
+        # Q20-adapted: window-decorrelated per-part total; the
+        # concentration cut is exact decimal (8q > total)
+        "dominant_supplier_share": """
+            WITH pairs AS (
+              SELECT l_partkey, l_suppkey,
+                     sum(CAST(l_quantity AS DECIMAL(18,6))) AS _q
+              FROM lineitem
+              WHERE l_partkey IN (
+                SELECT p_partkey FROM part WHERE p_name LIKE '%cold%')
+              GROUP BY 1, 2
+            ), shares AS (
+              SELECT l_partkey, l_suppkey, _q,
+                     sum(_q) OVER (PARTITION BY l_partkey) AS _tot
+              FROM pairs
+            )
+            SELECT l_partkey AS p_partkey, s_suppkey, s_name,
+                   CAST(_q AS DOUBLE) AS supplier_qty,
+                   CAST(_tot AS DOUBLE) AS part_total_qty,
+                   round(CAST(_q AS DOUBLE) / CAST(_tot AS DOUBLE), 6)
+                       AS share
+            FROM shares JOIN supplier ON l_suppkey = s_suppkey
+            WHERE _q * 8 > _tot
         """,
         "idle_customers": """
             SELECT c_mktsegment, count(*) AS n_custs,

@@ -124,6 +124,14 @@ HEADLINE = [
     # the fact key) no other headline row exercises
     "customer_order_distribution",
     "late_supplier_blame",
+    # r11 additions: conditional-agg ratio (Q14), disjunctive
+    # OR-of-ANDs band pushdown (Q19), window-decorrelated
+    # concentration threshold (Q20-adapted) — three more plan
+    # lessons: one-pass ratio, both-sides OR envelope pushdown,
+    # window-instead-of-second-aggregation-branch
+    "promo_revenue_share",
+    "disjunctive_band_revenue",
+    "dominant_supplier_share",
     "returned_item_revenue",
     "supplier_variety",
     "idle_customers",
