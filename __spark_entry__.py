@@ -1424,7 +1424,16 @@ def _q_training_pipeline_spans(spark, sf_dir):
     # duplicated >=20-token spans (md5 oracle mode) → re-gate docs
     # that kept >=20 tokens → exact dedup on the REWRITTEN text →
     # decontaminate vs the ORIGINAL src0 eval set → hash split.
-    # Still one lazy plan; span removal adds one fingerprint shuffle.
+    # Span removal adds one fingerprint shuffle.  The strip output
+    # feeds SIX downstream derivations (re-gate, dedup's two sides,
+    # decontaminate's candidate chain, the split) and Catalyst does
+    # not dedupe shared lineage — unpersisted, the plan re-executed
+    # the gate + span strip per branch (measured: 7 parquet scan
+    # nodes, 0 ReusedExchange).  tracked_persist is the caching.py
+    # contract for exactly this multi-consumer shape: the strip runs
+    # once, branches read the cache (LRU-safe, released via
+    # release_caches()).
+    from semantic_olap_spark.caching import tracked_persist
     from semantic_olap_spark.functions.cleaning import (
         decontaminate,
         heuristic_filter,
@@ -1441,9 +1450,11 @@ def _q_training_pipeline_spans(spark, sf_dir):
         docs, min_tokens=20,
         max_top_token_frac=0.12, max_dup_2gram_frac=0.05,
     )
-    cleaned = remove_duplicate_spans(
-        gated, k=20, fingerprint="md5"
-    ).drop("removed_tokens", "orig_tokens")
+    cleaned = tracked_persist(
+        remove_duplicate_spans(
+            gated, k=20, fingerprint="md5"
+        ).drop("removed_tokens", "orig_tokens")
+    )
     regated = cleaned.filter(
         F.size(_span_tokens(F.col("text"))) >= 20
     )

@@ -360,6 +360,16 @@ def streaming_funnel(
     )
 
     if not df.isStreaming:
+        from semantic_olap_spark.caching import tracked_persist
+
+        # same scan diet as functions/analytics.py::funnel: each
+        # stage's reached-set feeds BOTH its union branch and the
+        # next stage's chaining join — without the persist the k
+        # branches re-execute the whole prior chain, O(k²) scans of
+        # the raw events source (measured: 6 parquet scan nodes for
+        # 3 steps before this, k cached stage aggs after).  Tracked:
+        # released by the caller via caching.release_caches().
+        renamed = tracked_persist(renamed)
         prev = None
         stages = []
         for i, name in enumerate(steps):
@@ -370,8 +380,10 @@ def streaming_funnel(
                 stage = stage.join(prev, "user_id").filter(
                     F.col("_ts") > F.col("_prev_ts")
                 )
-            reached = stage.groupBy("user_id").agg(
-                F.min("_ts").alias("_prev_ts")
+            reached = tracked_persist(
+                stage.groupBy("user_id").agg(
+                    F.min("_ts").alias("_prev_ts")
+                )
             )
             stages.append(
                 reached.select(

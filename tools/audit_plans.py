@@ -76,6 +76,57 @@ NLJ_OK = {
     "target_encode_orders", "idle_customers", "bm25_rerank_cascade",
 }
 
+# r11: scan-redundancy ratchet.  A query whose plan scans ONE parquet
+# table through several independent scan nodes re-executes that
+# branch's whole chain per consumer (Catalyst does not dedupe shared
+# lineage; ReuseExchange only kicks in for bit-identical exchange
+# subtrees, which distinct consumers rarely produce) — the defect the
+# r11 resample and training_pipeline_spans fixes removed.  Rows
+# listed here multi-scan BY DESIGN; anything else that scans a table
+# more than once with no InMemoryTableScan in the plan (i.e. no
+# operator-internal persist absorbing the fan-out) is flagged.
+RESCAN_OK = {
+    # self-joins / pair generators: the table legitimately appears on
+    # both sides of a join (each side is one scan, not a re-scan)
+    "jaccard_pairs", "jaccard_pairs_prefix", "ngram_jaccard_pairs",
+    "simhash_pairs", "winnow_overlap_pairs", "cosine_pairs",
+    "cosine_pairs_expr", "minhash_lsh_pairs", "minhash_dedup_against",
+    "asof_join_events", "range_join_events", "temporal_join_events",
+    "set_ops_custkeys", "snapshot_diff_orders", "fuzzy_pairs_part_names",
+    "dedup_against", "dedup_against_embeddings",
+    "dedup_against_embeddings_expr", "sem_dedup_pairs",
+    # probe-vs-index / candidate-vs-corpus shapes: two roles, one table
+    "dup_spans_docs", "remove_dup_spans_docs", "remove_spans_against_docs",
+    "remove_spans_against_strided", "span_coverage_by_source",
+    "decontaminate_bench", "contamination_report", "hash_embed",
+    "training_pipeline", "training_pipeline_spans",
+    # corpus-statistics + scoring pass (stats side is a bounded agg)
+    "ngram_lm_score", "bm25_topk", "bm25_rerank_cascade",
+    "rrf_fuse_hybrid", "quantile_filter", "target_encode_orders",
+    "incremental_orders_agg", "quantile_state_orders",
+    # tiny-dim double role (nation × 2 in Q7/Q8; scalar + main)
+    "volume_shipping", "market_share", "idle_customers",
+    # demo derives both CDC snapshots / both operator calls from one
+    # table on purpose (surface parity with the reference, not a plan)
+    "cdc_upsert_customers", "num_reduce_minmax", "filter_group_tree",
+    # Q15/Q17/Q21: the view/agg and the fact are the same table
+    "top_revenue_suppliers", "small_quantity_revenue",
+    "late_supplier_blame", "dominant_supplier_share",
+    "funnel_events", "funnel_stages", "cohort_retention",
+}
+
+_LOC_RE = re.compile(
+    r"Location: InMemoryFileIndex(?:\(\d+ paths\))?\[([^\],]+)"
+)
+
+
+def _rescans(plan: str) -> dict[str, int]:
+    counts: dict[str, int] = {}
+    for loc in _LOC_RE.findall(plan):
+        t = os.path.basename(loc.rstrip("/")).replace(".parquet", "")
+        counts[t] = counts.get(t, 0) + 1
+    return {t: c for t, c in counts.items() if c > 1}
+
 
 def main() -> None:
     import __spark_entry__ as entry
@@ -109,6 +160,15 @@ def main() -> None:
             notes.append("NLJ")
         if rowpy:
             notes.append("ROW-PYTHON-UDF")
+        multi = _rescans(plan)
+        if (
+            multi
+            and name not in RESCAN_OK
+            and "InMemoryTableScan" not in plan
+        ):
+            notes.append(
+                "RESCAN:" + ",".join(f"{t}x{c}" for t, c in multi.items())
+            )
         if notes:
             flagged.append((name, ",".join(notes)))
         rows.append(
