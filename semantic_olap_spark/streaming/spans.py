@@ -71,9 +71,19 @@ _EPOCH_RE = re.compile(r"^epoch=(\d+)$")
 _BUCKET_RE = re.compile(r"^h_bucket=(\d+)$")
 _COMMIT_MARKER = "_STATE_COMMITTED"
 
-#: index partition fan-out.  64 buckets × ~1 file each per delta is
-#: a comfortable file-count/pruning trade at micro-batch cadence; a
-#: 100 TB deployment would raise it together with compaction cadence.
+#: Index partition fan-out.  Sizing rule (measured at sf0.1): a
+#: batch with g distinct grams hits ≈ N·(1−(1−1/N)^g) ≈ min(g, N)
+#: buckets, so the probe scans ≈ that fraction of the index — 143
+#: grams against N=1024 read 13.1% of the index, 1815 grams read
+#: 85%.  Choose N ≳ (expected batch grams) ÷ (target read
+#: amplification); deltas only materialize the buckets they hit, so
+#: a larger N costs nothing on the write side (the compacted index
+#: carries N files — size N to what the filesystem tolerates).  For
+#: batches with g ≫ N the probe reads ~the whole index, exactly the
+#: one full index pass the flat layout always paid — pruning is
+#: never worse, and the trickle-ingest regime (late files, small
+#: backfills) is where it pays.  64 suits the toy-scale tests; a
+#: production deployment raises it (4k–64k) with compaction cadence.
 DEFAULT_N_BUCKETS = 64
 
 
