@@ -27,6 +27,8 @@ import time
 
 
 def main() -> None:
+    import os
+
     sf_dir = sys.argv[1]
     golden_path = sys.argv[2]
     master = sys.argv[3] if len(sys.argv) > 3 else None
@@ -39,11 +41,17 @@ def main() -> None:
     from replay_contract import _frame_rows, _hash_rows
     from semantic_olap_spark.session import get_spark
 
+    # same divergent-session sweep knobs as the programmatic replay
+    # (env survives through the spark-submit launcher), so the
+    # literal-launcher cell of the matrix compounds with them too
+    sp = os.environ.get("REPLAY_SHUFFLE_PARTITIONS")
+    tz = os.environ.get("REPLAY_SESSION_TZ")
     spark = get_spark(
         app_name="submit-replay",
         master=master,
-        shuffle_partitions=8,
+        shuffle_partitions=int(sp) if sp else 8,
         extra_conf={
+            **({"spark.sql.session.timeZone": tz} if tz else {}),
             # wait for BOTH executors so every query really spans two
             # JVMs (same rationale as tools/multijvm_probe.py)
             "spark.scheduler.minRegisteredResourcesRatio": "1.0",
