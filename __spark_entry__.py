@@ -2072,6 +2072,7 @@ def _q_stream_materialized_agg(spark, sf_dir):
     # returns the finalized newest generation.  Oracle = the one-shot
     # global aggregate — the stream-maintained state must equal it
     # bit-exactly (decimal sums).
+    import shutil
     import tempfile
 
     from semantic_olap_spark.functions.incremental import finalize_agg
@@ -2082,18 +2083,32 @@ def _q_stream_materialized_agg(spark, sf_dir):
     from semantic_olap_spark.streaming.windows import read_events_stream
 
     work = tempfile.mkdtemp(prefix="mvq_")
-    stream = read_events_stream(spark, sf_dir).select(
-        "event_type", "value"
-    )
-    q = maintain_agg_state(
-        stream,
-        f"{work}/state",
-        ["value"],
-        group_by="event_type",
-        checkpoint=f"{work}/ckpt",
-    )
-    q.awaitTermination(300)
-    return finalize_agg(read_agg_state(spark, f"{work}/state"), ["value"])
+    try:
+        stream = read_events_stream(spark, sf_dir).select(
+            "event_type", "value"
+        )
+        q = maintain_agg_state(
+            stream,
+            f"{work}/state",
+            ["value"],
+            group_by="event_type",
+            checkpoint=f"{work}/ckpt",
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "stream_materialized_agg did not drain in 300s"
+            )
+        out = finalize_agg(
+            read_agg_state(spark, f"{work}/state"), ["value"]
+        )
+        # materialize BEFORE the finally removes the state tree the
+        # lazy plan reads from; |groups| rows (one per event_type),
+        # a bounded driver copy — same discipline as
+        # _q_span_stream_ingest
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 def _q_stream_sem_filter(spark, sf_dir):
@@ -2135,18 +2150,27 @@ def _q_stream_anomalies(spark, sf_dir):
     src = ev.select("event_id", "ts", "user_id", "value")
     # events.parquet is TIMESTAMP(NANOS): readStream lacks the batch
     # loader's nanos handling, so stage the normalized frame once
+    import shutil
     import tempfile
 
-    staged = tempfile.mkdtemp(prefix="stream_anom_") + "/events"
-    src.coalesce(1).write.mode("overwrite").parquet(staged)
-    stream = spark.readStream.schema(src.schema).parquet(staged)
-    out = run_stream_to_table(
-        streaming_anomalies(stream, n_prev=10, z=2.5, min_prev=5),
-        spark, "drv_stream_anomalies", output_mode="update",
-    )
-    return out.filter(F.col("is_anomaly")).select(
-        "user_id", "event_id", "value", "zscore"
-    )
+    base = tempfile.mkdtemp(prefix="stream_anom_")
+    try:
+        staged = base + "/events"
+        src.coalesce(1).write.mode("overwrite").parquet(staged)
+        stream = spark.readStream.schema(src.schema).parquet(staged)
+        out = run_stream_to_table(
+            streaming_anomalies(stream, n_prev=10, z=2.5, min_prev=5),
+            spark, "drv_stream_anomalies", output_mode="update",
+        )
+        out = out.filter(F.col("is_anomaly")).select(
+            "user_id", "event_id", "value", "zscore"
+        )
+        # the memory sink holds rows on the driver, but materialize
+        # anyway so the returned frame has no dependency on this
+        # session's sink table either — then drop the staging tree
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 def _q_quantile_bucket_orders(spark, sf_dir):

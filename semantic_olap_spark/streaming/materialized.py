@@ -17,9 +17,16 @@ Old generations are pruned past ``keep_generations``.
 
 Reads never block writes: ``read_agg_state`` loads the newest
 complete generation; ``finalize_agg`` turns it into user-facing
-aggregates.  On a real cluster the same layout works on object
-storage — each generation is a plain parquet directory and the
-epoch marker is the directory name (listing + rename-free).
+aggregates.
+
+State-layer scope (same contract as ``streaming/spans.py``): the
+commit markers and generation pruning use os-level I/O, so the
+state ``path`` must be a LOCAL filesystem path (plain or
+``file:`` URI) — every entry point validates this eagerly and
+refuses ``s3://``/``hdfs://`` schemes loudly.  The LAYOUT itself
+(epoch-named parquet dirs + marker files, rename-free) ports to
+object storage, but doing so needs a Hadoop-FileSystem port of the
+marker I/O, which this module does not claim.
 """
 
 from __future__ import annotations
@@ -37,6 +44,7 @@ from semantic_olap_spark.functions.incremental import (
     merge_quantile_states,
     quantile_state,
 )
+from semantic_olap_spark.streaming.spans import _local_path
 
 _EPOCH_RE = re.compile(r"^epoch=(\d+)$")
 
@@ -103,6 +111,7 @@ def fold_batch(
             "keep_generations must be >= 1 — a replayed epoch rebuilds "
             "from its predecessor (the idempotence contract)"
         )
+    path = _local_path(path, "state path")
     gens = _generations(path)
     newer = [g for g in gens if g > epoch_id]
     if newer:
@@ -152,6 +161,7 @@ def maintain_agg_state(
     availableNow runs.  The state at any time is readable with
     :func:`read_agg_state`.
     """
+    path = _local_path(path, "state path")
 
     def fold(batch: DataFrame, epoch_id: int) -> None:
         fold_batch(batch, epoch_id, path, metrics, group_by, keep_generations)
@@ -187,6 +197,7 @@ def maintain_quantile_state(
     The folded state is bit-identical to a one-shot build over all
     history (elementwise integer adds — the test contract).
     """
+    path = _local_path(path, "state path")
 
     def fold(batch: DataFrame, epoch_id: int) -> None:
         fold_batch(
@@ -210,6 +221,7 @@ def maintain_quantile_state(
 
 def read_agg_state(spark: SparkSession, path: str) -> DataFrame:
     """Newest complete state generation (raise if none exists yet)."""
+    path = _local_path(path, "state path")
     gens = _generations(path)
     if not gens:
         raise FileNotFoundError(f"no state generations under {path}")

@@ -55,6 +55,7 @@ from __future__ import annotations
 import os
 import re
 import shutil
+import warnings
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -70,6 +71,21 @@ _DELTA_RE = re.compile(r"^delta=(\d+)$")
 _EPOCH_RE = re.compile(r"^epoch=(\d+)$")
 _BUCKET_RE = re.compile(r"^h_bucket=(\d+)$")
 _COMMIT_MARKER = "_STATE_COMMITTED"
+#: Layout marker: the n_buckets a bucketed delta was written mod.
+#: ``pmod(xxhash64(h), N)`` only names the same directory for the
+#: same row when N agrees, so a probe pruning a delta written at a
+#: DIFFERENT N would silently read the wrong sliver of the index and
+#: re-admit duplicates — the marker makes N a checked layout
+#: invariant instead of a docstring prayer.  Underscore prefix keeps
+#: it invisible to Spark's file index, same as ``_STATE_COMMITTED``.
+_N_MARKER = "_N_BUCKETS"
+#: Written by ``replace_index_with_compacted`` into the kept delta:
+#: distinguishes "this tree was compacted" from "this is the
+#: stream's own crashed first write" in ``fold_span_batch``'s
+#: history-erasure guard (a reused checkpoint against a fresh index
+#: dir legitimately replays epoch N>0 with no prior deltas).
+_COMPACTED_MARKER = "_COMPACTED"
+_SCHEME_RE = re.compile(r"^([a-zA-Z][a-zA-Z0-9+.\-]+):")
 
 #: Index partition fan-out.  Sizing rule (measured at sf0.1): a
 #: batch with g distinct grams hits ≈ N·(1−(1−1/N)^g) ≈ min(g, N)
@@ -97,6 +113,60 @@ def _bucket_expr(h: Column, n_buckets: int) -> Column:
     return F.pmod(F.xxhash64(h), F.lit(int(n_buckets)))
 
 
+def _local_path(path: str, what: str = "path") -> str:
+    """The streaming state layer — commit markers, crash recovery,
+    explicit-path bucket pruning — is implemented on the LOCAL
+    filesystem (``os.listdir``/``open``/``shutil.move``).  Plain
+    paths and ``file:`` URIs are accepted (the URI form is
+    normalized to a plain path so the os-level markers and the Spark
+    reads agree); any other scheme (``s3://``, ``hdfs://``, ...)
+    is refused LOUDLY here rather than failing mid-stream with an
+    ENOENT after Spark happily wrote the parquet side.  An
+    object-store deployment needs a Hadoop-FileSystem port of the
+    marker/rename layer (or a manifest-file design); the BATCH span
+    family (``functions/dedup.py``) is pure Spark I/O and has no
+    such restriction."""
+    m = _SCHEME_RE.match(path)
+    if m is None:
+        return path
+    scheme = m.group(1)
+    if scheme.lower() != "file":
+        raise ValueError(
+            f"{what} {path!r}: the streaming span-index state layer "
+            f"is local-filesystem-only (commit markers and crash "
+            f"recovery use os-level I/O); got scheme {scheme!r}. Use "
+            f"a local or file:// path, or run the batch span family "
+            f"(functions.dedup.remove_spans_against) for "
+            f"object-store corpora."
+        )
+    rest = path[len(scheme) + 1:]
+    if rest.startswith("//"):
+        rest = rest[2:]  # file://<authority><path>
+        if not rest.startswith("/"):
+            raise ValueError(
+                f"{what} {path!r}: file: URI with a non-empty "
+                f"authority is not a local path"
+            )
+    return rest
+
+
+def _read_n_marker(delta_dir: str) -> int | None:
+    """The n_buckets a bucketed delta records, or None (legacy
+    bucketed delta written before the marker existed — its true N is
+    unknown, so pruning against it is unsafe)."""
+    p = os.path.join(delta_dir, _N_MARKER)
+    try:
+        with open(p) as f:
+            return int(f.read().strip())
+    except (OSError, ValueError):
+        return None
+
+
+def _write_n_marker(delta_dir: str, n_buckets: int) -> None:
+    with open(os.path.join(delta_dir, _N_MARKER), "w") as f:
+        f.write(str(int(n_buckets)))
+
+
 def _delta_bucket_dirs(delta_dir: str) -> list[str] | None:
     """``h_bucket=<b>`` subdirectory names of a bucketed delta, or
     ``None`` for a legacy flat delta (top-level parquet files)."""
@@ -110,30 +180,60 @@ def _delta_bucket_dirs(delta_dir: str) -> list[str] | None:
 
 
 def _probe_paths(
-    index_path: str, deltas: list[int], buckets: list[int]
-) -> tuple[list[str], int]:
+    index_path: str, deltas: list[int], buckets: list[int],
+    n_buckets: int,
+) -> tuple[list[str], int, int]:
     """Concrete parquet directories a probe for ``buckets`` must
-    open, plus how many bucketed index dirs pruning SKIPPED.
+    open, plus how many bucketed index dirs pruning SKIPPED and how
+    many deltas were FULL-SCANNED because their recorded n_buckets
+    disagrees with the probe's (or is unrecorded).
 
     Explicit path selection (not a Catalyst partition filter) so the
     pruning is deterministic and directly testable: the scan is the
     returned list, nothing else.  Matches the module's existing
-    local-FS commit-marker model (``_committed``)."""
+    local-FS commit-marker model (``_committed``).
+
+    The N check is the layout invariant: ``buckets`` was computed
+    mod the PROBE's n_buckets, so against a delta written mod a
+    different N the wanted directory names simply don't correspond —
+    pruning there would silently skip index rows and re-admit
+    duplicates.  The fallback (read every bucket dir of that delta)
+    is always lossless; the next compaction rewrites the tree at one
+    N and restores pruning."""
     wanted = {f"h_bucket={b}" for b in buckets}
     paths: list[str] = []
     skipped = 0
+    mismatched = 0
     for d in deltas:
         delta_dir = os.path.join(index_path, f"delta={d}")
         sub = _delta_bucket_dirs(delta_dir)
         if sub is None:
-            paths.append(delta_dir)
+            paths.append(delta_dir)  # legacy flat: scan whole
+        elif not sub:
+            continue  # committed-but-empty delta
+        elif _read_n_marker(delta_dir) != n_buckets:
+            # bucketed at a different (or unrecorded) N: the bucket
+            # names don't correspond to the probe's — full-scan this
+            # delta (every bucket leaf dir, so mixed reads stay free
+            # of partition-discovery conflicts)
+            mismatched += 1
+            paths.extend(os.path.join(delta_dir, name) for name in sub)
         else:
             for name in sub:
                 if name in wanted:
                     paths.append(os.path.join(delta_dir, name))
                 else:
                     skipped += 1
-    return paths, skipped
+    if mismatched:
+        warnings.warn(
+            f"span index {index_path}: {mismatched} delta(s) were "
+            f"written with a different n_buckets than this probe's "
+            f"({n_buckets}) — bucket pruning disabled for them "
+            f"(lossless full scan). Re-run compact_span_index at one "
+            f"N to restore pruning.",
+            stacklevel=3,
+        )
+    return paths, skipped, mismatched
 
 
 def _tree_bytes(paths: list[str]) -> int:
@@ -219,6 +319,8 @@ def fold_span_batch(
     directory list itself.
     """
     spark = batch.sparkSession
+    index_path = _local_path(index_path, "index_path")
+    out_path = _local_path(out_path, "out_path")
     _recover_compaction(index_path)
     deltas = _committed(index_path, _DELTA_RE)
     newer = [d for d in deltas if d > epoch_id]
@@ -240,7 +342,16 @@ def fold_span_batch(
             f"the stream at an empty output dir or reuse its checkpoint."
         )
     prior = [d for d in deltas if d < epoch_id]
-    if epoch_id > 0 and not prior and epoch_id in deltas:
+    if (
+        epoch_id > 0
+        and not prior
+        and epoch_id in deltas
+        and os.path.exists(
+            os.path.join(
+                index_path, f"delta={epoch_id}", _COMPACTED_MARKER
+            )
+        )
+    ):
         # The compacted-while-crashed-mid-epoch state: delta=N was
         # committed by a crashed attempt, compaction during the
         # downtime collapsed the tree to ONLY delta=N, and the
@@ -250,6 +361,15 @@ def fold_span_batch(
         # whole dedup history.  Refuse instead; the remedy is to
         # re-run compaction from a backup or accept the pre-crash
         # index loss explicitly by clearing the index dir.
+        # The _COMPACTED marker is what distinguishes this from the
+        # SUPPORTED look-alike: a stream reusing its checkpoint
+        # against a fresh index dir whose first-ever fold is epoch
+        # N>0 and crashed mid-epoch — there delta=N is the stream's
+        # own write (no marker), prior history never existed, and
+        # the idempotent replay must proceed.  (Trees compacted by a
+        # pre-marker version lack the marker and skip this guard;
+        # replace_index_with_compacted's checkpoint= gate is the
+        # belt covering that migration edge.)
         raise ValueError(
             f"index dir {index_path} holds ONLY delta={epoch_id} while "
             f"epoch {epoch_id} is replaying with no prior deltas: the "
@@ -287,7 +407,9 @@ def fold_span_batch(
                 .distinct()
                 .collect()
             )
-        paths, pruned = _probe_paths(index_path, prior, buckets)
+        paths, pruned, mismatched = _probe_paths(
+            index_path, prior, buckets, n_buckets
+        )
         parts = []
         if paths:
             parts.append(spark.read.parquet(*paths).select("h"))
@@ -316,6 +438,7 @@ def fold_span_batch(
             stats["probe_paths"] = list(paths)
             stats["probe_bytes"] = _tree_bytes(paths)
             stats["pruned_dirs"] = pruned
+            stats["mismatched_n_deltas"] = mismatched
             stats["index_bytes"] = _tree_bytes(
                 [os.path.join(index_path, f"delta={d}") for d in prior]
             )
@@ -347,6 +470,9 @@ def fold_span_batch(
             .partitionBy("h_bucket")
             .parquet(delta_dir)
         )
+        # layout invariant: record the N this delta was bucketed mod
+        # BEFORE the commit marker — committed implies N-recorded
+        _write_n_marker(delta_dir, n_buckets)
         _mark(delta_dir)
     finally:
         grams.unpersist()
@@ -373,6 +499,10 @@ def maintain_span_dedup(
     batch-parity mode the tests and the driver row use.  Returns the
     StreamingQuery (caller owns ``awaitTermination``/``stop``).
     """
+    # validate eagerly: an object-store state path should fail at
+    # start(), not as an ENOENT inside foreachBatch epoch 0
+    index_path = _local_path(index_path, "index_path")
+    out_path = _local_path(out_path, "out_path")
 
     def fold(batch: DataFrame, epoch_id: int) -> None:
         fold_span_batch(
@@ -402,6 +532,7 @@ def maintain_span_dedup(
 
 def read_clean_output(spark: SparkSession, out_path: str) -> DataFrame:
     """All committed cleaned batches as one frame."""
+    out_path = _local_path(out_path, "out_path")
     epochs = _committed(out_path, _EPOCH_RE)
     if not epochs:
         raise ValueError(f"no committed output generations in {out_path}")
@@ -420,6 +551,7 @@ def read_span_index(spark: SparkSession, index_path: str) -> DataFrame:
     (duplicates across deltas possible and harmless — distinct() to
     compact).  Reads bucketed and legacy flat deltas alike; the
     ``h_bucket`` layout column never surfaces."""
+    index_path = _local_path(index_path, "index_path")
     _recover_compaction(index_path)
     deltas = _committed(index_path, _DELTA_RE)
     if not deltas:
@@ -451,7 +583,12 @@ def compact_span_index(
     the per-delta file-count term of the probe — after the swap a
     probe for B buckets opens exactly B files).  Also migrates
     legacy flat deltas to the bucketed layout.  Run on storage
-    cadence, never in the ingest hot path."""
+    cadence, never in the ingest hot path.  Compacting at a
+    DIFFERENT ``n_buckets`` than the deltas were written with is the
+    supported way to re-size the layout: the recorded-N marker makes
+    both this read (mismatch → full scan, lossless) and every later
+    probe agree on what the tree actually is."""
+    compacted_path = _local_path(compacted_path, "compacted_path")
     (
         read_span_index(spark, index_path)
         .distinct()
@@ -461,6 +598,7 @@ def compact_span_index(
         .partitionBy("h_bucket")
         .parquet(compacted_path)
     )
+    _write_n_marker(compacted_path, n_buckets)
 
 
 def _checkpoint_max_committed(checkpoint: str) -> int | None:
@@ -495,6 +633,10 @@ def replace_index_with_compacted(
     unless the checkpoint's commits log shows batch id >= the
     highest committed delta.
     """
+    index_path = _local_path(index_path, "index_path")
+    compacted_path = _local_path(compacted_path, "compacted_path")
+    if checkpoint is not None:
+        checkpoint = _local_path(checkpoint, "checkpoint")
     deltas = _committed(index_path, _DELTA_RE)
     if not deltas:
         raise ValueError(f"no committed index deltas in {index_path}")
@@ -515,6 +657,15 @@ def replace_index_with_compacted(
         shutil.rmtree(tmp)
     os.makedirs(tmp)
     shutil.move(compacted_path, os.path.join(tmp, f"delta={keep}"))
+    # the kept delta carries compact_span_index's _N_BUCKETS marker;
+    # add the compaction provenance marker so fold_span_batch can
+    # tell "history was compacted into this delta" apart from "this
+    # is the stream's own crashed first write" when epoch `keep`
+    # replays against it with no prior deltas
+    with open(
+        os.path.join(tmp, f"delta={keep}", _COMPACTED_MARKER), "w"
+    ):
+        pass
     _mark(os.path.join(tmp, f"delta={keep}"))
     # rename-based swap: the old tree is moved ASIDE before the new
     # one moves in, so no crash instant leaves index_path missing —

@@ -83,14 +83,22 @@ NLJ_OK = {
 # subtrees, which distinct consumers rarely produce) — the defect the
 # r11 resample and training_pipeline_spans fixes removed.  Rows
 # listed here multi-scan BY DESIGN; anything else that scans a table
-# more than once with no InMemoryTableScan in the plan (i.e. no
-# operator-internal persist absorbing the fan-out) is flagged.
+# more than once (cache-aware TREE count: a persisted subtree counts
+# once no matter how many consumers read the cache) is flagged.
+#
+# r12 audit of every entry against the measured cache-aware counts
+# (AUDIT_PLANS.md, sf0.001): 8 entries measured ≤1 scan per table and
+# were REMOVED (jaccard_pairs_prefix, simhash_pairs, cosine_pairs,
+# minhash_lsh_pairs, bm25_rerank_cascade, dominant_supplier_share,
+# funnel_events, funnel_stages — their fan-outs are absorbed by
+# operator-internal persists or never existed); every remaining entry
+# is justified with its measured count in SCALE.md §rescan-allowlist.
 RESCAN_OK = {
     # self-joins / pair generators: the table legitimately appears on
     # both sides of a join (each side is one scan, not a re-scan)
-    "jaccard_pairs", "jaccard_pairs_prefix", "ngram_jaccard_pairs",
-    "simhash_pairs", "winnow_overlap_pairs", "cosine_pairs",
-    "cosine_pairs_expr", "minhash_lsh_pairs", "minhash_dedup_against",
+    "jaccard_pairs", "ngram_jaccard_pairs",
+    "winnow_overlap_pairs",
+    "cosine_pairs_expr", "minhash_dedup_against",
     "asof_join_events", "range_join_events", "temporal_join_events",
     "set_ops_custkeys", "snapshot_diff_orders", "fuzzy_pairs_part_names",
     "dedup_against", "dedup_against_embeddings",
@@ -101,7 +109,7 @@ RESCAN_OK = {
     "decontaminate_bench", "contamination_report", "hash_embed",
     "training_pipeline", "training_pipeline_spans",
     # corpus-statistics + scoring pass (stats side is a bounded agg)
-    "ngram_lm_score", "bm25_topk", "bm25_rerank_cascade",
+    "ngram_lm_score", "bm25_topk",
     "rrf_fuse_hybrid", "quantile_filter", "target_encode_orders",
     "incremental_orders_agg", "quantile_state_orders",
     # tiny-dim double role (nation × 2 in Q7/Q8; scalar + main)
@@ -111,8 +119,8 @@ RESCAN_OK = {
     "cdc_upsert_customers", "num_reduce_minmax", "filter_group_tree",
     # Q15/Q17/Q21: the view/agg and the fact are the same table
     "top_revenue_suppliers", "small_quantity_revenue",
-    "late_supplier_blame", "dominant_supplier_share",
-    "funnel_events", "funnel_stages", "cohort_retention",
+    "late_supplier_blame",
+    "cohort_retention",
 }
 
 _LOC_RE = re.compile(
@@ -120,12 +128,62 @@ _LOC_RE = re.compile(
 )
 
 
-def _rescans(plan: str) -> dict[str, int]:
+def _rescans_text(plan: str) -> dict[str, int]:
+    """Fallback: Location-line counting on the plan STRING.  Known
+    defect (the reason the tree walk exists): toString reprints an
+    InMemoryRelation's subtree at every consumer, so cached frames
+    overcount."""
     counts: dict[str, int] = {}
     for loc in _LOC_RE.findall(plan):
         t = os.path.basename(loc.rstrip("/")).replace(".parquet", "")
         counts[t] = counts.get(t, 0) + 1
-    return {t: c for t, c in counts.items() if c > 1}
+    return counts
+
+
+def _scan_counts(df) -> dict[str, int] | None:
+    """Per-table FileSourceScan counts from the executed-plan TREE
+    (py4j walk), cache-aware: an InMemoryTableScan's cached subtree
+    is counted ONCE per distinct relation (keyed on semanticHash —
+    the cache executes once at materialization no matter how many
+    consumers read it).  This is what lets the RESCAN ratchet
+    attribute caches per table instead of the r11 plan-wide
+    "any InMemoryTableScan suppresses all rescans" heuristic, which
+    let one incidental persist hide real rescans of OTHER tables
+    (ADVICE r11).  Subquery plans (scalar subqueries etc.) are
+    walked too, matching what toString printed.  Returns None if the
+    JVM walk fails (caller falls back to text counting)."""
+    try:
+        counts: dict[str, int] = {}
+        seen_caches: set[int] = set()
+        stack = [df._jdf.queryExecution().executedPlan()]
+        while stack:
+            node = stack.pop()
+            cls = node.getClass().getSimpleName()
+            if cls == "AdaptiveSparkPlanExec":
+                stack.append(node.executedPlan())
+                continue
+            if cls == "InMemoryTableScanExec":
+                rel = node.relation()
+                key = rel.semanticHash()
+                if key not in seen_caches:
+                    seen_caches.add(key)
+                    stack.append(rel.cachedPlan())
+                continue
+            if cls == "FileSourceScanExec":
+                p = node.relation().location().rootPaths().apply(0)
+                t = os.path.basename(
+                    p.toString().rstrip("/")
+                ).replace(".parquet", "")
+                counts[t] = counts.get(t, 0) + 1
+            sq = node.subqueries()
+            for i in range(sq.size()):
+                stack.append(sq.apply(i))
+            ch = node.children()
+            for i in range(ch.size()):
+                stack.append(ch.apply(i))
+        return counts
+    except Exception:  # noqa: BLE001 — py4j surface drift
+        return None
 
 
 def main() -> None:
@@ -142,7 +200,7 @@ def main() -> None:
             df = fn(spark, SF_DIR)
             plan = df._jdf.queryExecution().executedPlan().toString()
         except Exception as exc:  # noqa: BLE001
-            rows.append((name, "-", "-", "-", "-", f"ERROR {exc}"))
+            rows.append((name, "-", "-", "-", "-", "-", f"ERROR {exc}"))
             flagged.append((name, f"plan error: {exc}"))
             continue
         exch = len(re.findall(r"Exchange", plan))
@@ -160,30 +218,36 @@ def main() -> None:
             notes.append("NLJ")
         if rowpy:
             notes.append("ROW-PYTHON-UDF")
-        multi = _rescans(plan)
-        if (
-            multi
-            and name not in RESCAN_OK
-            and "InMemoryTableScan" not in plan
-        ):
+        counts = _scan_counts(df)
+        if counts is None:
+            counts = _rescans_text(plan)
+            # text fallback overcounts cached subtrees — keep r11's
+            # plan-wide suppression only on this degraded path
+            if "InMemoryTableScan" in plan:
+                counts = {}
+        multi = {t: c for t, c in counts.items() if c > 1}
+        if multi and name not in RESCAN_OK:
             notes.append(
                 "RESCAN:" + ",".join(f"{t}x{c}" for t, c in multi.items())
             )
         if notes:
             flagged.append((name, ",".join(notes)))
+        scan_str = ",".join(
+            f"{t}x{c}" for t, c in sorted(counts.items())
+        ) or "-"
         rows.append(
             (name, exch, f"{bhj}b/{smj}s/{nlj}n",
-             f"{arrow}a/{rowpy}r", "y" if pushed else "-",
+             f"{arrow}a/{rowpy}r", "y" if pushed else "-", scan_str,
              " ".join(notes) or ("1P-ok" if single else "")))
     if MD:
-        print("| query | exchanges | joins b/s/n | python a/r | pushdown | flags |")
-        print("|---|---|---|---|---|---|")
+        print("| query | exchanges | joins b/s/n | python a/r | pushdown | scans (cache-aware) | flags |")
+        print("|---|---|---|---|---|---|---|")
         for r in rows:
             print("| " + " | ".join(str(x) for x in r) + " |")
     else:
         for r in rows:
             print(f"{r[0]:35} exch={r[1]:<3} joins={r[2]:<9} py={r[3]:<6} "
-                  f"pushdown={r[4]} {r[5]}")
+                  f"pushdown={r[4]} scans={r[5]:<24} {r[6]}")
     print(f"\n{len(flagged)} flagged")
     for n, m in flagged:
         print(f"  {n}: {m}")
