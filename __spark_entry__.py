@@ -2787,6 +2787,180 @@ def _q_market_share(spark, sf_dir):
     )
 
 
+def _q_forecast_revenue_delta(spark, sf_dir):
+    # TPC-H Q6 shape: the pure predicate-pushdown showcase — one
+    # lineitem scan with ALL THREE filters (date band, discount band,
+    # quantity cap) pushed to the parquet reader, one map-side-
+    # combined global sum.  No join, no second pass; the 1-row output
+    # crosses a SinglePartition exchange carrying per-partition
+    # partials only.  Reference scope: num_filter+num_reduce
+    # composition (SURVEY §2.1) as the canonical scan-agg plan.
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.04)
+            & (F.col("l_discount") <= 0.06)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * F.col("l_discount"))
+                    .cast("decimal(18,6)")
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue_delta"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def _q_product_profit(spark, sf_dir):
+    # TPC-H Q9 shape adapted to this star schema (no partsupp, so
+    # unit cost is modeled as 60% of p_retailprice): profit per
+    # supplier nation per order year over the name-filtered part
+    # slice.  The one fact-fact shuffle is lineitem⋈orders on the
+    # order key; part/supplier/nation are broadcast dims, and the
+    # p_name filter prunes the part side BEFORE the join so the
+    # broadcast carries only matching keys.  Profit terms are exact
+    # decimals summed map-side; one final round-to-double.
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains("widget"))
+        .select("p_partkey", "p_retailprice")
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    amount = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+    ).cast("decimal(18,6)")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.round(F.sum(amount), 2).cast("double").alias("profit"))
+    )
+
+
+def _q_important_part_stock(spark, sf_dir):
+    # TPC-H Q11 shape adapted (no partsupp: "stock value" is one
+    # nation's shipped value per part): per-part value HAVING value >
+    # 0.08% of that nation's global value.  The Q11 decorrelation the
+    # plan demonstrates: ONE fact scan feeds a per-part aggregate
+    # that is tracked_persist-ed (bounded: ≤|parts| rows), the global
+    # total re-aggregates THE CACHE (never the fact), and the 1-row
+    # total broadcasts back as a cross join — no second lineitem
+    # scan, no single-partition window over the fact.
+    from semantic_olap_spark.caching import tracked_persist
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    n3 = (
+        _t(spark, sf_dir, "nation")
+        .filter(F.col("n_name") == "NATION_3")
+        .select("n_nationkey")
+    )
+    val = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    ).cast("decimal(18,6)")
+    grouped = tracked_persist(
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n3), F.col("s_nationkey") == F.col("n_nationkey"),
+              "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum(val).alias("_val"))
+    )
+    total = grouped.agg(F.sum("_val").alias("_tot"))
+    return (
+        grouped.join(F.broadcast(total))
+        .filter(
+            F.col("_val").cast("double")
+            > F.lit(0.0008) * F.col("_tot").cast("double")
+        )
+        .select(
+            "l_partkey",
+            F.round(F.col("_val"), 2).cast("double").alias("stock_value"),
+        )
+    )
+
+
+def _q_min_cost_supplier(spark, sf_dir):
+    # TPC-H Q2 shape adapted (no partsupp: a supplier's unit cost for
+    # a part is its shipped extendedprice/quantity ratio): for every
+    # LARGE part under size 15, the cheapest supplier with nation —
+    # the correlated min-subquery decorrelated as a row_number window
+    # PARTITIONED BY part (parallel, never a global sort), ties
+    # broken by supplier key for determinism.  Part filter prunes
+    # before the fact join; supplier+nation broadcast onto the
+    # one-winner-per-part frame.
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter((F.col("p_type") == "LARGE") & (F.col("p_size") < 15))
+        .select("p_partkey")
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    nation = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    cost = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
+                .cast("double")
+                / F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+                .cast("double"),
+                6,
+            ).alias("unit_cost")
+        )
+    )
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.col("unit_cost").asc(), F.col("l_suppkey").asc()
+    )
+    return (
+        cost.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "s_name",
+            F.col("n_name").alias("supp_nation"),
+            "unit_cost",
+        )
+    )
+
+
 def _q_idle_customers(spark, sf_dir):
     # TPC-H Q22 shape: above-average-balance customers with no RECENT
     # orders (the churn-risk cut) — a scalar subquery (broadcast
@@ -3446,6 +3620,10 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dominant_supplier_share": _q_dominant_supplier_share,
         "market_share": _q_market_share,
         "idle_customers": _q_idle_customers,
+        "forecast_revenue_delta": _q_forecast_revenue_delta,
+        "product_profit": _q_product_profit,
+        "important_part_stock": _q_important_part_stock,
+        "min_cost_supplier": _q_min_cost_supplier,
         "cdc_upsert_customers": _q_cdc_upsert_customers,
         "sem_dedup_pairs": _q_sem_dedup_pairs,
         "temporal_join_events": _q_temporal_join_events,
@@ -6290,6 +6468,84 @@ def _oracle_sql_literal() -> dict[str, str]:
               JOIN region ON n_regionkey = r_regionkey
               WHERE r_name = 'ASIA')
             GROUP BY 1
+        """,
+        # Q6 shape: all three predicates + the decimal sum, 1 row
+        "forecast_revenue_delta": """
+            SELECT round(sum(CAST(l_extendedprice * l_discount
+                                  AS DECIMAL(18,6))), 2)::DOUBLE
+                       AS revenue_delta,
+                   count(*) AS n_lines
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+              AND l_discount >= 0.04 AND l_discount <= 0.06
+              AND l_quantity < 24
+        """,
+        # Q9-adapted: unit cost modeled as 0.6 * p_retailprice (no
+        # partsupp in this schema); decimal amount, one final round
+        "product_profit": """
+            SELECT n_name AS nation,
+                   year(o_orderdate) AS o_year,
+                   round(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                                  - 0.6 * p_retailprice * l_quantity
+                                  AS DECIMAL(18,6))), 2)::DOUBLE
+                       AS profit
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE p_name LIKE '%widget%'
+            GROUP BY 1, 2
+        """,
+        # Q11-adapted: per-part value HAVING > 0.08% of the nation's
+        # global value; the share compare is the identical
+        # double-vs-double strict > in both engines
+        "important_part_stock": """
+            WITH val AS (
+              SELECT l_partkey,
+                     sum(CAST(l_extendedprice * (1.0 - l_discount)
+                              AS DECIMAL(18,6))) AS v
+              FROM lineitem
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+              WHERE n_name = 'NATION_3'
+              GROUP BY 1
+            )
+            SELECT l_partkey,
+                   round(v, 2)::DOUBLE AS stock_value
+            FROM val
+            WHERE CAST(v AS DOUBLE)
+                  > 0.0008 * (SELECT CAST(sum(v) AS DOUBLE) FROM val)
+        """,
+        # Q2-adapted: min-cost supplier per filtered part via the
+        # same row_number decorrelation, ties broken by supplier key
+        "min_cost_supplier": """
+            WITH cost AS (
+              SELECT l_partkey, l_suppkey,
+                     round(
+                       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)))
+                            AS DOUBLE)
+                       / CAST(sum(CAST(l_quantity AS DECIMAL(18,6)))
+                              AS DOUBLE),
+                       6) AS unit_cost
+              FROM lineitem
+              JOIN part ON l_partkey = p_partkey
+              WHERE p_type = 'LARGE' AND p_size < 15
+              GROUP BY 1, 2
+            ), ranked AS (
+              SELECT *,
+                     row_number() OVER (
+                       PARTITION BY l_partkey
+                       ORDER BY unit_cost ASC, l_suppkey ASC) AS rn
+              FROM cost
+            )
+            SELECT l_partkey AS p_partkey, s_name,
+                   n_name AS supp_nation, unit_cost
+            FROM ranked
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE rn = 1
         """,
         # Q14 shape: both sums are exact decimals, the share is the
         # identical (100.0 * promo) / total double expression

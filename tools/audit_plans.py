@@ -54,6 +54,11 @@ SINGLE_PARTITION_OK = {
     "llm_rerank_docs", "bm25_rerank_cascade",
     # 1-row global threshold aggregate (Q22 scalar subquery)
     "idle_customers",
+    # r12 TPC-H shapes: Q6's 1-row global sum (map-side partials
+    # only) and Q11's global total re-aggregated from the CACHED
+    # per-part frame (bounded ≤|parts| rows — the fact is scanned
+    # once, see AUDIT_PLANS.md scans column)
+    "forecast_revenue_delta", "important_part_stock",
     # r10 TPC-H shapes whose scalar stage is the point: Q15's global
     # max over the (tiny, pre-aggregated) revenue view and Q17's
     # 1-row global revenue sum — partial aggregation runs map-side,
@@ -74,6 +79,9 @@ NLJ_OK = {
     # construction — verified BroadcastNestedLoopJoin BuildRight
     "quantile_filter", "ngram_lm_score", "bm25_topk", "rrf_fuse_hybrid",
     "target_encode_orders", "idle_customers", "bm25_rerank_cascade",
+    # r12 Q11 shape: the 1-row nation total (from the cached per-part
+    # frame) broadcast back as a cross join — BNLJ BuildRight, 1 row
+    "important_part_stock",
 }
 
 # r11: scan-redundancy ratchet.  A query whose plan scans ONE parquet

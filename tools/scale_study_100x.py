@@ -14,6 +14,32 @@ the second on the rows whose plans are the engine's scale spine:
                                (production xxhash64 posture)
 - ``late_supplier_blame``    — Q21-shape semi+anti fact self-join
 
+r12 additions (VERDICT r11 ask #5 — make the extrapolation
+two-sided on three more plan families):
+
+- ``pagerank_suppliers``     — ITERATIVE: 3 fixed-point iterations,
+                               one fact-sized join per iteration
+- ``embedding_dedup_lsh``    — LSH-bucketed cosine pairs + keep-best;
+                               the replica-scaled corpus copies each
+                               embedding VERBATIM (vec_id shifts,
+                               vector doesn't), so every base vector
+                               becomes an identical clique of size
+                               ``factor`` inside one bucket — pair
+                               output grows ∝ n·factor² by DATA
+                               construction (C(100,2)=4950 self-pairs
+                               per base vec at 100×), the strongest
+                               output-bound row in the study; judged
+                               per candidate pair.  Also exercises
+                               the matmul broadcast guard: 200k×64
+                               f64 ≈ 98 MiB, inside the 256 MiB cap.
+- ``bm25_topk``              — stats-pass + scoring two-pass, fixed
+                               k=10 output
+
+``training_pipeline`` additionally gets a PER-STAGE split at sf1 and
+sf10 (VERDICT r11 ask #6): cumulative-prefix timings of gate →
++exact-dedup → +decontaminate → full pipeline, so the second-decade
+growth is attributed to a stage, not guessed.
+
 Near-linear contract: each row's 100× ratio must be ≤ 1.5 × (its own
 10× ratio)² — if a decade costs r, two decades of a linear plan cost
 ≈ r², and the 1.5 slack absorbs fixed-overhead amortization shifting
@@ -58,6 +84,10 @@ ROWS = [
     "remove_dup_spans_docs",
     "minhash_lsh_pairs",
     "late_supplier_blame",
+    # r12 additions
+    "pagerank_suppliers",
+    "embedding_dedup_lsh",
+    "bm25_topk",
 ]
 
 
@@ -94,6 +124,20 @@ def main() -> None:
     # near-linear judgment must be per unit of workload
     from semantic_olap_spark.functions.dedup import duplicate_spans as _ds
 
+    def _lsh_pair_count(s, d) -> int:
+        from semantic_olap_spark.functions.similarity import (
+            cosine_pairs,
+            lsh_assign,
+        )
+
+        return cosine_pairs(
+            lsh_assign(
+                load_table(s, d, "embeddings"),
+                nbits=4, seed=42, bucket_col="_bkt",
+            ),
+            threshold=0.42, block_col="_bkt",
+        ).count()
+
     workload = {
         "minhash_lsh_pairs": lambda s, d: qs["minhash_lsh_pairs"](
             s, d
@@ -104,6 +148,9 @@ def main() -> None:
             .collect()[0][0]
             or 0
         ),
+        # candidate pairs ARE the workload: identical-replica cliques
+        # make them grow ∝ n·factor² in the scaled data
+        "embedding_dedup_lsh": _lsh_pair_count,
     }
 
     # -- warmup: materialize both scaled dirs BEFORE any timing ------
@@ -182,6 +229,58 @@ def main() -> None:
         results[name] = row
         print(f"{name}: {json.dumps(row)}", flush=True)
 
+    # -- training_pipeline per-stage attribution (r12, ask #6) -------
+    # cumulative-prefix timings of the registry row's own lazy chain:
+    # gate → +exact dedup (& src0 drop) → +decontaminate → full.
+    # The per-stage cost is the delta between consecutive prefixes —
+    # same plan the timed row executes, just truncated, so the split
+    # attributes the row's second-decade growth to a stage.
+    from pyspark.sql import functions as F
+    from semantic_olap_spark.functions.cleaning import (
+        decontaminate,
+        heuristic_filter,
+    )
+    from semantic_olap_spark.functions.dedup import dedup_exact
+    from semantic_olap_spark.functions.sampling import train_test_split
+
+    def tp_prefixes(sf_dir: str):
+        docs = load_table(spark, sf_dir, "documents")
+        bench_set = docs.filter(F.col("source") == "src0")
+        gate = heuristic_filter(
+            docs, min_tokens=20,
+            max_top_token_frac=0.12, max_dup_2gram_frac=0.05,
+        )
+        kept = dedup_exact(gate).filter(F.col("source") != "src0")
+        clean = decontaminate(kept, bench_set, n=4)
+        full = train_test_split(
+            clean, {"train": 0.9, "test": 0.1}, "doc_id"
+        ).select("doc_id", "split")
+        return [
+            ("gate", gate), ("dedup", kept),
+            ("decontaminate", clean), ("full", full),
+        ]
+
+    tp_stages: dict[str, dict] = {}
+    for label, sf_dir in (("sf0.1", sf01), ("sf1", sf1), ("sf10", sf10)):
+        prefixes = tp_prefixes(sf_dir)
+        _force(prefixes[-1][1])  # untimed warmup of the whole chain
+        cum: dict[str, float] = {}
+        for stage, df in prefixes:
+            spark.catalog.clearCache()
+            t = time.perf_counter()
+            _force(df)
+            cum[stage] = round(time.perf_counter() - t, 3)
+        names = [s for s, _ in prefixes]
+        split = {
+            names[0]: cum[names[0]], **{
+                b: round(max(cum[b] - cum[a], 0.0), 3)
+                for a, b in zip(names, names[1:])
+            }
+        }
+        tp_stages[label] = {"cumulative": cum, "stage_delta": split}
+        print(f"training_pipeline stages {label}: {json.dumps(tp_stages[label])}",
+              flush=True)
+
     summary = {
         "metric": "scale_study_100x",
         "sf_small": 0.1,
@@ -189,6 +288,7 @@ def main() -> None:
         "factor": 100,
         "gen_sec": gen_sec,
         "queries": results,
+        "training_pipeline_stages": tp_stages,
         "flagged": flagged,
     }
     print(json.dumps(summary))
