@@ -135,6 +135,15 @@ HEADLINE = [
     "returned_item_revenue",
     "supplier_variety",
     "idle_customers",
+    # r12 additions: triple-predicate pushdown global sum (Q6),
+    # broadcast-pruned profit star with one fact-fact shuffle (Q9),
+    # cached-aggregate share-of-global HAVING (Q11) and min-per-group
+    # window decorrelation (Q2) — the four remaining TPC-H shapes
+    # this schema can express
+    "forecast_revenue_delta",
+    "product_profit",
+    "important_part_stock",
+    "min_cost_supplier",
     # CDC: one-shuffle SCD-1 upsert and SCD-2 lead-window history
     "cdc_upsert_customers",
     "scd2_order_history",
