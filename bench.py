@@ -359,6 +359,10 @@ SCALE_QUERIES = [
     # shuffle on the fact key; pins that the double self-join stays
     # near-linear when the fact grows 10×
     "late_supplier_blame",
+    # r12: the Q9-shape profit star — four broadcast dims + ONE
+    # lineitem⋈orders shuffle; pins that the new heaviest TPC-H
+    # addition prices linearly per decade like the Q21 row above
+    "product_profit",
 ]
 
 # threshold for flagging super-linear rows: >15× for 10× data (the
