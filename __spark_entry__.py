@@ -2931,21 +2931,25 @@ def _q_min_cost_supplier(spark, sf_dir):
     nation = _t(spark, sf_dir, "nation").select(
         "n_nationkey", "n_name"
     )
+    # rank on the UNROUNDED ratio (exact decimal sums → one IEEE
+    # division, bit-identical cross-engine); rounding only the
+    # projected output keeps a half-boundary value from flipping the
+    # row_number winner between Spark's HALF_UP and DuckDB's
+    # float-based round
     cost = (
         li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("l_partkey", "l_suppkey")
         .agg(
-            F.round(
+            (
                 F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
                 .cast("double")
                 / F.sum(F.col("l_quantity").cast("decimal(18,6)"))
-                .cast("double"),
-                6,
-            ).alias("unit_cost")
+                .cast("double")
+            ).alias("_cost")
         )
     )
     w = Window.partitionBy("l_partkey").orderBy(
-        F.col("unit_cost").asc(), F.col("l_suppkey").asc()
+        F.col("_cost").asc(), F.col("l_suppkey").asc()
     )
     return (
         cost.withColumn("_rn", F.row_number().over(w))
@@ -2956,7 +2960,7 @@ def _q_min_cost_supplier(spark, sf_dir):
             F.col("l_partkey").alias("p_partkey"),
             "s_name",
             F.col("n_name").alias("supp_nation"),
-            "unit_cost",
+            F.round(F.col("_cost"), 6).alias("unit_cost"),
         )
     )
 
@@ -6519,16 +6523,16 @@ def _oracle_sql_literal() -> dict[str, str]:
                   > 0.0008 * (SELECT CAST(sum(v) AS DOUBLE) FROM val)
         """,
         # Q2-adapted: min-cost supplier per filtered part via the
-        # same row_number decorrelation, ties broken by supplier key
+        # same row_number decorrelation, ties broken by supplier key.
+        # The rank key is the UNROUNDED IEEE ratio (identical in both
+        # engines); only the projected unit_cost is rounded
         "min_cost_supplier": """
             WITH cost AS (
               SELECT l_partkey, l_suppkey,
-                     round(
-                       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)))
-                            AS DOUBLE)
-                       / CAST(sum(CAST(l_quantity AS DECIMAL(18,6)))
-                              AS DOUBLE),
-                       6) AS unit_cost
+                     CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)))
+                          AS DOUBLE)
+                     / CAST(sum(CAST(l_quantity AS DECIMAL(18,6)))
+                            AS DOUBLE) AS _cost
               FROM lineitem
               JOIN part ON l_partkey = p_partkey
               WHERE p_type = 'LARGE' AND p_size < 15
@@ -6537,11 +6541,12 @@ def _oracle_sql_literal() -> dict[str, str]:
               SELECT *,
                      row_number() OVER (
                        PARTITION BY l_partkey
-                       ORDER BY unit_cost ASC, l_suppkey ASC) AS rn
+                       ORDER BY _cost ASC, l_suppkey ASC) AS rn
               FROM cost
             )
             SELECT l_partkey AS p_partkey, s_name,
-                   n_name AS supp_nation, unit_cost
+                   n_name AS supp_nation,
+                   round(_cost, 6) AS unit_cost
             FROM ranked
             JOIN supplier ON l_suppkey = s_suppkey
             JOIN nation ON s_nationkey = n_nationkey

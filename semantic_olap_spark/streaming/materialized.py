@@ -44,7 +44,7 @@ from semantic_olap_spark.functions.incremental import (
     merge_quantile_states,
     quantile_state,
 )
-from semantic_olap_spark.streaming.spans import _local_path
+from semantic_olap_spark.streaming.statefs import local_state_path
 
 _EPOCH_RE = re.compile(r"^epoch=(\d+)$")
 
@@ -111,7 +111,9 @@ def fold_batch(
             "keep_generations must be >= 1 — a replayed epoch rebuilds "
             "from its predecessor (the idempotence contract)"
         )
-    path = _local_path(path, "state path")
+    path = local_state_path(
+        path, "state path", layer="aggregate-state layer"
+    )
     gens = _generations(path)
     newer = [g for g in gens if g > epoch_id]
     if newer:
@@ -161,7 +163,9 @@ def maintain_agg_state(
     availableNow runs.  The state at any time is readable with
     :func:`read_agg_state`.
     """
-    path = _local_path(path, "state path")
+    path = local_state_path(
+        path, "state path", layer="aggregate-state layer"
+    )
 
     def fold(batch: DataFrame, epoch_id: int) -> None:
         fold_batch(batch, epoch_id, path, metrics, group_by, keep_generations)
@@ -197,7 +201,9 @@ def maintain_quantile_state(
     The folded state is bit-identical to a one-shot build over all
     history (elementwise integer adds — the test contract).
     """
-    path = _local_path(path, "state path")
+    path = local_state_path(
+        path, "state path", layer="aggregate-state layer"
+    )
 
     def fold(batch: DataFrame, epoch_id: int) -> None:
         fold_batch(
@@ -221,7 +227,9 @@ def maintain_quantile_state(
 
 def read_agg_state(spark: SparkSession, path: str) -> DataFrame:
     """Newest complete state generation (raise if none exists yet)."""
-    path = _local_path(path, "state path")
+    path = local_state_path(
+        path, "state path", layer="aggregate-state layer"
+    )
     gens = _generations(path)
     if not gens:
         raise FileNotFoundError(f"no state generations under {path}")

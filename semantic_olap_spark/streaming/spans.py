@@ -85,7 +85,6 @@ _N_MARKER = "_N_BUCKETS"
 #: history-erasure guard (a reused checkpoint against a fresh index
 #: dir legitimately replays epoch N>0 with no prior deltas).
 _COMPACTED_MARKER = "_COMPACTED"
-_SCHEME_RE = re.compile(r"^([a-zA-Z][a-zA-Z0-9+.\-]+):")
 
 #: Index partition fan-out.  Sizing rule (measured at sf0.1): a
 #: batch with g distinct grams hits ≈ N·(1−(1−1/N)^g) ≈ min(g, N)
@@ -114,40 +113,22 @@ def _bucket_expr(h: Column, n_buckets: int) -> Column:
 
 
 def _local_path(path: str, what: str = "path") -> str:
-    """The streaming state layer — commit markers, crash recovery,
-    explicit-path bucket pruning — is implemented on the LOCAL
-    filesystem (``os.listdir``/``open``/``shutil.move``).  Plain
-    paths and ``file:`` URIs are accepted (the URI form is
-    normalized to a plain path so the os-level markers and the Spark
-    reads agree); any other scheme (``s3://``, ``hdfs://``, ...)
-    is refused LOUDLY here rather than failing mid-stream with an
-    ENOENT after Spark happily wrote the parquet side.  An
-    object-store deployment needs a Hadoop-FileSystem port of the
-    marker/rename layer (or a manifest-file design); the BATCH span
-    family (``functions/dedup.py``) is pure Spark I/O and has no
-    such restriction."""
-    m = _SCHEME_RE.match(path)
-    if m is None:
-        return path
-    scheme = m.group(1)
-    if scheme.lower() != "file":
-        raise ValueError(
-            f"{what} {path!r}: the streaming span-index state layer "
-            f"is local-filesystem-only (commit markers and crash "
-            f"recovery use os-level I/O); got scheme {scheme!r}. Use "
-            f"a local or file:// path, or run the batch span family "
-            f"(functions.dedup.remove_spans_against) for "
-            f"object-store corpora."
-        )
-    rest = path[len(scheme) + 1:]
-    if rest.startswith("//"):
-        rest = rest[2:]  # file://<authority><path>
-        if not rest.startswith("/"):
-            raise ValueError(
-                f"{what} {path!r}: file: URI with a non-empty "
-                f"authority is not a local path"
-            )
-    return rest
+    """Span-index instantiation of the shared local-FS state
+    contract (:mod:`semantic_olap_spark.streaming.statefs`): the
+    BATCH span family (``functions/dedup.py``) is pure Spark I/O and
+    has no such restriction, so the refusal names it as the
+    object-store alternative."""
+    from semantic_olap_spark.streaming.statefs import local_state_path
+
+    return local_state_path(
+        path,
+        what=what,
+        layer="streaming span-index state layer",
+        remedy=(
+            "For object-store corpora run the batch span family "
+            "(functions.dedup.remove_spans_against) instead."
+        ),
+    )
 
 
 def _read_n_marker(delta_dir: str) -> int | None:
@@ -204,6 +185,18 @@ def _probe_paths(
     paths: list[str] = []
     skipped = 0
     mismatched = 0
+    if not wanted:
+        # a gram-less batch (every doc shorter than k tokens) needs
+        # NO index rows — nothing it could join on.  Skip every
+        # delta (legacy flat and mismatched-N alike: full-scanning
+        # them would read parquet into a guaranteed-empty join) and
+        # don't warn about pruning a probe that needed no index.
+        for d in deltas:
+            sub = _delta_bucket_dirs(
+                os.path.join(index_path, f"delta={d}")
+            )
+            skipped += len(sub) if sub else (0 if sub == [] else 1)
+        return paths, skipped, mismatched
     for d in deltas:
         delta_dir = os.path.join(index_path, f"delta={d}")
         sub = _delta_bucket_dirs(delta_dir)
@@ -342,44 +335,64 @@ def fold_span_batch(
             f"the stream at an empty output dir or reuse its checkpoint."
         )
     prior = [d for d in deltas if d < epoch_id]
-    if (
-        epoch_id > 0
-        and not prior
-        and epoch_id in deltas
-        and os.path.exists(
-            os.path.join(
-                index_path, f"delta={epoch_id}", _COMPACTED_MARKER
+    if epoch_id > 0 and not prior and epoch_id in deltas:
+        # The look-alike states behind "delta=N exists, no prior,
+        # epoch N replaying", told apart by PROVENANCE markers:
+        #
+        # 1. ``_COMPACTED`` present — the compacted-while-crashed-
+        #    mid-epoch state: delta=N was committed by a crashed
+        #    attempt, compaction during the downtime collapsed the
+        #    tree to ONLY delta=N, and the checkpoint now replays
+        #    epoch N.  Proceeding would clean against an EMPTY prior
+        #    index and then overwrite delta=N with just this batch's
+        #    grams — silently discarding the whole dedup history.
+        #    Refuse.
+        # 2. ``_N_BUCKETS`` present without ``_COMPACTED`` — the
+        #    delta is THIS code's own fold output (every fold stamps
+        #    N before committing): the SUPPORTED state of a stream
+        #    reusing its checkpoint against a fresh index dir whose
+        #    first-ever fold is epoch N>0 and crashed mid-epoch.
+        #    Prior history never existed; the idempotent replay
+        #    proceeds.
+        # 3. NEITHER marker — a pre-marker (r11-era) delta whose
+        #    provenance is genuinely unknowable: it could equally be
+        #    an old compaction (folding erases history) or the
+        #    stream's own old crashed write (replay is safe).
+        #    Refuse — that is exactly what the pre-marker guard did
+        #    in this state, so no data-loss protection regresses
+        #    across the upgrade — and name both resolutions.
+        delta_dir = os.path.join(index_path, f"delta={epoch_id}")
+        compacted = os.path.exists(
+            os.path.join(delta_dir, _COMPACTED_MARKER)
+        )
+        own_write = not compacted and _read_n_marker(
+            delta_dir
+        ) is not None
+        if compacted:
+            raise ValueError(
+                f"index dir {index_path} holds ONLY delta={epoch_id} "
+                f"while epoch {epoch_id} is replaying with no prior "
+                f"deltas: the index was compacted while the stream "
+                f"was crashed mid-epoch (the checkpoint had not "
+                f"committed batch {epoch_id}). Folding now would "
+                f"erase the compacted history. Compact only after a "
+                f"clean availableNow drain (pass checkpoint= to "
+                f"replace_index_with_compacted to enforce this)."
             )
-        )
-    ):
-        # The compacted-while-crashed-mid-epoch state: delta=N was
-        # committed by a crashed attempt, compaction during the
-        # downtime collapsed the tree to ONLY delta=N, and the
-        # checkpoint now replays epoch N.  Proceeding would clean
-        # against an EMPTY prior index and then overwrite delta=N
-        # with just this batch's grams — silently discarding the
-        # whole dedup history.  Refuse instead; the remedy is to
-        # re-run compaction from a backup or accept the pre-crash
-        # index loss explicitly by clearing the index dir.
-        # The _COMPACTED marker is what distinguishes this from the
-        # SUPPORTED look-alike: a stream reusing its checkpoint
-        # against a fresh index dir whose first-ever fold is epoch
-        # N>0 and crashed mid-epoch — there delta=N is the stream's
-        # own write (no marker), prior history never existed, and
-        # the idempotent replay must proceed.  (Trees compacted by a
-        # pre-marker version lack the marker and skip this guard;
-        # replace_index_with_compacted's checkpoint= gate is the
-        # belt covering that migration edge.)
-        raise ValueError(
-            f"index dir {index_path} holds ONLY delta={epoch_id} while "
-            f"epoch {epoch_id} is replaying with no prior deltas: the "
-            f"index was compacted while the stream was crashed mid-"
-            f"epoch (the checkpoint had not committed batch "
-            f"{epoch_id}). Folding now would erase the compacted "
-            f"history. Compact only after a clean availableNow drain "
-            f"(pass checkpoint= to replace_index_with_compacted to "
-            f"enforce this)."
-        )
+        if not own_write:
+            raise ValueError(
+                f"index dir {index_path} holds ONLY delta={epoch_id} "
+                f"(written by a pre-marker version) while epoch "
+                f"{epoch_id} is replaying with no prior deltas — "
+                f"this is EITHER an old compaction (folding would "
+                f"erase the dedup history) or this stream's own "
+                f"crashed first write (replay is safe), and without "
+                f"a provenance marker the two cannot be told apart. "
+                f"If it is the stream's own crashed write, delete "
+                f"{delta_dir} and resume (the replay rebuilds it); "
+                f"if it is a compaction, restore the pre-compaction "
+                f"tree or re-run compaction with this version."
+            )
 
     # ONE gram stream feeds three consumers (the bucket census, the
     # probe's hit intervals, and the delta index) — persisted so the
@@ -637,6 +650,21 @@ def replace_index_with_compacted(
     compacted_path = _local_path(compacted_path, "compacted_path")
     if checkpoint is not None:
         checkpoint = _local_path(checkpoint, "checkpoint")
+    if _read_n_marker(compacted_path) is None:
+        # a compacted tree without its _N_BUCKETS marker is either a
+        # crash-truncated compact_span_index run (parquet written,
+        # marker not yet) or a pre-marker artifact — swapping it in
+        # would make EVERY future fold treat the sole delta as
+        # unrecorded-N and full-scan the whole index per micro-batch
+        # (with a warning each time): the exact I/O the bucketed
+        # layout exists to avoid.  Refuse at the swap, where the fix
+        # is one cheap re-run.
+        raise ValueError(
+            f"compacted tree {compacted_path} carries no "
+            f"{_N_MARKER} marker (crash-truncated or pre-marker "
+            f"compaction output). Re-run compact_span_index to "
+            f"produce a complete artifact before swapping it in."
+        )
     deltas = _committed(index_path, _DELTA_RE)
     if not deltas:
         raise ValueError(f"no committed index deltas in {index_path}")

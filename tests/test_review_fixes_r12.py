@@ -330,3 +330,83 @@ def test_stream_materialized_agg_row_leaves_no_tmp(spark):
 
 def test_stream_anomalies_row_leaves_no_tmp(spark):
     _assert_row_leaves_no_tmp(spark, "stream_anomalies", "stream_anom_")
+
+
+# ---- 5. review-pass fixes on the r12 diff itself --------------------------
+
+
+def test_premarker_sole_delta_refused_ambiguous(spark, paths):
+    """A pre-marker (r11-era) delta=N with no prior deltas could be
+    an old compaction (folding erases history) OR the stream's own
+    old crashed write — indistinguishable without provenance, so the
+    fold refuses (exactly what the pre-marker guard did), naming both
+    resolutions.  This closes the migration hole where gating only on
+    _COMPACTED silently dropped the r11 data-loss guard for trees
+    compacted before the marker existed."""
+    from semantic_olap_spark.functions.dedup import _gram_stream
+
+    b = _docs(spark, [(1, f"one wrote {BOILER} before the upgrade")])
+    flat = os.path.join(paths["idx"], "delta=5")
+    _gram_stream(b, "text", "doc_id", K, "xxhash64", None).select(
+        "h"
+    ).distinct().write.mode("overwrite").parquet(flat)
+    open(os.path.join(flat, "_STATE_COMMITTED"), "w").close()
+    with pytest.raises(ValueError, match="pre-marker"):
+        fold_span_batch(b, 5, paths["idx"], paths["out"], k=K)
+
+
+def test_gramless_batch_probes_nothing_and_stays_quiet(spark, paths):
+    """A batch whose docs are all shorter than k tokens has an empty
+    gram census: the probe must open NO index paths (matched,
+    mismatched and legacy deltas alike — nothing could join) and must
+    not warn about pruning an index it never needed."""
+    import warnings as _w
+
+    _seed_boiler(spark, paths, N_SMALL)
+    os.remove(os.path.join(paths["idx"], "delta=0", _N_MARKER))
+    s: dict = {}
+    with _w.catch_warnings():
+        _w.simplefilter("error")  # any UserWarning fails the test
+        fold_span_batch(
+            _docs(spark, [(8, "too short")]),
+            1, paths["idx"], paths["out"], k=K,
+            n_buckets=N_SMALL, stats=s,
+        )
+    assert s["probe_paths"] == []
+    assert s["mismatched_n_deltas"] == 0
+    got = _texts(read_clean_output(spark, paths["out"]))
+    assert got[8] == "too short"
+
+
+def test_swap_refuses_markerless_compacted_tree(spark, paths, tmp_path):
+    """A compacted tree without its _N_BUCKETS marker (crash-
+    truncated compact_span_index, or a pre-marker artifact) is
+    refused at swap time — swapping it in would make every future
+    fold full-scan the whole index per micro-batch."""
+    _seed_boiler(spark, paths, N_SMALL)
+    compacted = str(tmp_path / "c")
+    compact_span_index(spark, paths["idx"], compacted, n_buckets=N_SMALL)
+    os.remove(os.path.join(compacted, _N_MARKER))  # simulate the crash
+    with pytest.raises(ValueError, match="_N_BUCKETS"):
+        replace_index_with_compacted(paths["idx"], compacted)
+    # remedy works: re-produce the marker (re-run semantics) and swap
+    compacted2 = str(tmp_path / "c2")
+    compact_span_index(spark, paths["idx"], compacted2, n_buckets=N_SMALL)
+    replace_index_with_compacted(paths["idx"], compacted2)
+    assert read_span_index(spark, paths["idx"]).count() > 0
+
+
+def test_state_layer_errors_name_their_own_subsystem(spark):
+    """materialized.py shares the local-FS contract via statefs but
+    its refusals must blame the aggregate-state layer, not the span
+    index (and never suggest a span-dedup operator as the remedy)."""
+    from semantic_olap_spark.streaming.materialized import read_agg_state
+
+    with pytest.raises(ValueError) as exc:
+        read_agg_state(spark, "s3://bucket/state")
+    msg = str(exc.value)
+    assert "aggregate-state layer" in msg
+    assert "span" not in msg
+    assert "remove_spans_against" not in msg
+    with pytest.raises(ValueError, match="span-index"):
+        read_span_index(spark, "s3://bucket/idx")
