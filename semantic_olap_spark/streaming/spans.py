@@ -394,31 +394,49 @@ def fold_span_batch(
                 f"tree or re-run compaction with this version."
             )
 
-    # ONE gram stream feeds three consumers (the bucket census, the
-    # probe's hit intervals, and the delta index) — persisted so the
-    # batch is tokenized/fingerprinted once per epoch, not once per
-    # job; gram rows ≈ micro-batch tokens, a bounded scratch
-    # footprint.  Equivalent by construction to remove_spans_against
-    # + span_index: duplicate_spans_against IS
-    # merge_islands(window_hits(grams, index)) and span_index IS
-    # grams.select("h").distinct() (functions/dedup.py).
+    # ONE gram stream feeds two consumers (the delta index and the
+    # probe's hit intervals) — persisted so the batch is tokenized/
+    # fingerprinted once per epoch, not once per job; gram rows ≈
+    # micro-batch tokens, a bounded scratch footprint.  Equivalent
+    # by construction to remove_spans_against + span_index:
+    # duplicate_spans_against IS merge_islands(window_hits(grams,
+    # index)) and span_index IS grams.select("h").distinct()
+    # (functions/dedup.py).
     grams = _gram_stream(
         batch, text_col, id_col, k, fingerprint, tokens_col,
         max_doc_tokens=max_doc_tokens,
     ).persist()
     try:
+        # The delta's PARQUET is written first (its commit marker
+        # still lands last, after the epoch output commits, so the
+        # crash-window ordering is unchanged): the batch's bucket
+        # census is then the literal h_bucket= directory listing of
+        # what was just written — the exact distinct(pmod(xxhash64
+        # (h), N)) set — for free, instead of a second
+        # distinct+collect job re-shuffling the gram stream per
+        # epoch (measured: the census job was roughly half of the
+        # bucketed layout's per-epoch overhead vs the flat layout).
+        delta_dir = os.path.join(index_path, f"delta={epoch_id}")
+        (
+            grams.select("h")
+            .distinct()
+            .withColumn("h_bucket", _bucket_expr(F.col("h"), n_buckets))
+            # one task per bucket → one file per bucket per delta:
+            # bounds the delta's file count at n_buckets
+            .repartition(F.col("h_bucket"))
+            .write.mode("overwrite")
+            .partitionBy("h_bucket")
+            .parquet(delta_dir)
+        )
         need_index = bool(prior) or seed_index is not None
         buckets: list[int] = []
         if need_index:
             # bounded driver artifact: at most n_buckets ints — the
             # price of static path-level pruning, paid once per batch
             buckets = sorted(
-                r[0]
-                for r in grams.select(
-                    _bucket_expr(F.col("h"), n_buckets).alias("b")
-                )
-                .distinct()
-                .collect()
+                int(name.split("=")[1])
+                for name in os.listdir(delta_dir)
+                if _BUCKET_RE.match(name)
             )
         paths, pruned, mismatched = _probe_paths(
             index_path, prior, buckets, n_buckets
@@ -471,20 +489,13 @@ def fold_span_batch(
         cleaned.write.mode("overwrite").parquet(out_dir)
         _mark(out_dir)
 
-        delta_dir = os.path.join(index_path, f"delta={epoch_id}")
-        (
-            grams.select("h")
-            .distinct()
-            .withColumn("h_bucket", _bucket_expr(F.col("h"), n_buckets))
-            # one task per bucket → one file per bucket per delta:
-            # bounds the delta's file count at n_buckets
-            .repartition(F.col("h_bucket"))
-            .write.mode("overwrite")
-            .partitionBy("h_bucket")
-            .parquet(delta_dir)
-        )
-        # layout invariant: record the N this delta was bucketed mod
-        # BEFORE the commit marker — committed implies N-recorded
+        # the delta's parquet was written above (census source);
+        # commit it LAST — same marker order as ever, so a crash
+        # between the two _mark calls leaves the exact window the
+        # replay contract already covers (epoch committed, delta
+        # not: the replay rebuilds both).  Layout invariant: record
+        # the N this delta was bucketed mod BEFORE the commit
+        # marker — committed implies N-recorded.
         _write_n_marker(delta_dir, n_buckets)
         _mark(delta_dir)
     finally:
