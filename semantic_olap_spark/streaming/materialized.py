@@ -20,20 +20,19 @@ complete generation; ``finalize_agg`` turns it into user-facing
 aggregates.
 
 State-layer scope (same contract as ``streaming/spans.py``): the
-commit markers and generation pruning use os-level I/O, so the
-state ``path`` must be a LOCAL filesystem path (plain or
-``file:`` URI) — every entry point validates this eagerly and
-refuses ``s3://``/``hdfs://`` schemes loudly.  The LAYOUT itself
-(epoch-named parquet dirs + marker files, rename-free) ports to
-object storage, but doing so needs a Hadoop-FileSystem port of the
-marker I/O, which this module does not claim.
+commit markers and generation pruning go through the shared state
+filesystem seam (:mod:`semantic_olap_spark.streaming.statefs`) —
+plain local paths use os-level I/O, ``file://``/``hdfs://`` URIs
+the Hadoop FileSystem API.  Object-store schemes (``s3a://``, ...)
+are refused loudly at every entry point: the swap/recovery protocol
+of the sibling span layer needs atomic rename, and this layer keeps
+one contract with it rather than a per-module carve-out.
 """
 
 from __future__ import annotations
 
 import os
 import re
-import shutil
 from typing import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -44,7 +43,7 @@ from semantic_olap_spark.functions.incremental import (
     merge_quantile_states,
     quantile_state,
 )
-from semantic_olap_spark.streaming.statefs import local_state_path
+from semantic_olap_spark.streaming.statefs import resolve_state_fs
 
 _EPOCH_RE = re.compile(r"^epoch=(\d+)$")
 
@@ -52,7 +51,15 @@ _EPOCH_RE = re.compile(r"^epoch=(\d+)$")
 _COMMIT_MARKER = "_STATE_COMMITTED"
 
 
-def _generations(path: str) -> list[int]:
+def _state_fs(path: str, spark=None):
+    """Aggregate-state instantiation of the shared seam; returns
+    ``(fs, normalized_path)``."""
+    return resolve_state_fs(
+        path, "state path", layer="aggregate-state layer", spark=spark
+    )
+
+
+def _generations(fs, path: str) -> list[int]:
     # A generation counts only once its explicit commit marker exists
     # (written by fold_batch AFTER the parquet job returns).  Hadoop's
     # _SUCCESS is accepted for back-compat with pre-marker state dirs,
@@ -60,14 +67,14 @@ def _generations(path: str) -> list[int]:
     # mapreduce.fileoutputcommitter.marksuccessfuljobs=false never
     # write it, which would otherwise make every generation invisible
     # and silently rebuild state from empty.
-    if not os.path.isdir(path):
+    if not fs.isdir(path):
         return []
     out = []
-    for name in os.listdir(path):
+    for name in fs.listdir(path):
         m = _EPOCH_RE.match(name)
         if m and (
-            os.path.exists(os.path.join(path, name, _COMMIT_MARKER))
-            or os.path.exists(os.path.join(path, name, "_SUCCESS"))
+            fs.exists(os.path.join(path, name, _COMMIT_MARKER))
+            or fs.exists(os.path.join(path, name, "_SUCCESS"))
         ):
             out.append(int(m.group(1)))
     return sorted(out)
@@ -111,10 +118,8 @@ def fold_batch(
             "keep_generations must be >= 1 — a replayed epoch rebuilds "
             "from its predecessor (the idempotence contract)"
         )
-    path = local_state_path(
-        path, "state path", layer="aggregate-state layer"
-    )
-    gens = _generations(path)
+    fs, path = _state_fs(path, batch.sparkSession)
+    gens = _generations(fs, path)
     newer = [g for g in gens if g > epoch_id]
     if newer:
         raise ValueError(
@@ -130,22 +135,23 @@ def fold_batch(
     )
     prior = [g for g in gens if g < epoch_id]
     if prior:
-        prev = spark.read.parquet(os.path.join(path, f"epoch={prior[-1]}"))
+        prev = spark.read.parquet(
+            fs.spark_path(os.path.join(path, f"epoch={prior[-1]}"))
+        )
         new = (
             merge_fn([prev, new]) if merge_fn is not None
             else merge_agg_states([prev, new], metrics, group_by)
         )
     gen_dir = os.path.join(path, f"epoch={epoch_id}")
-    new.write.mode("overwrite").parquet(gen_dir)
+    new.write.mode("overwrite").parquet(fs.spark_path(gen_dir))
     # explicit commit marker, independent of Hadoop's configurable
     # _SUCCESS — a generation without it is treated as incomplete
-    with open(os.path.join(gen_dir, _COMMIT_MARKER), "w"):
-        pass
+    fs.write_text(os.path.join(gen_dir, _COMMIT_MARKER))
     # prune: keep the newest `keep_generations` strictly-older
     # generations for replay and readers in flight, drop the rest
-    done = [g for g in _generations(path) if g < epoch_id]
+    done = [g for g in _generations(fs, path) if g < epoch_id]
     for g in done[:-keep_generations]:
-        shutil.rmtree(os.path.join(path, f"epoch={g}"), ignore_errors=True)
+        fs.rmtree(os.path.join(path, f"epoch={g}"), ignore_errors=True)
 
 
 def maintain_agg_state(
@@ -163,9 +169,7 @@ def maintain_agg_state(
     availableNow runs.  The state at any time is readable with
     :func:`read_agg_state`.
     """
-    path = local_state_path(
-        path, "state path", layer="aggregate-state layer"
-    )
+    _, path = _state_fs(path, stream.sparkSession)
 
     def fold(batch: DataFrame, epoch_id: int) -> None:
         fold_batch(batch, epoch_id, path, metrics, group_by, keep_generations)
@@ -201,9 +205,7 @@ def maintain_quantile_state(
     The folded state is bit-identical to a one-shot build over all
     history (elementwise integer adds — the test contract).
     """
-    path = local_state_path(
-        path, "state path", layer="aggregate-state layer"
-    )
+    _, path = _state_fs(path, stream.sparkSession)
 
     def fold(batch: DataFrame, epoch_id: int) -> None:
         fold_batch(
@@ -227,10 +229,10 @@ def maintain_quantile_state(
 
 def read_agg_state(spark: SparkSession, path: str) -> DataFrame:
     """Newest complete state generation (raise if none exists yet)."""
-    path = local_state_path(
-        path, "state path", layer="aggregate-state layer"
-    )
-    gens = _generations(path)
+    fs, path = _state_fs(path, spark)
+    gens = _generations(fs, path)
     if not gens:
         raise FileNotFoundError(f"no state generations under {path}")
-    return spark.read.parquet(os.path.join(path, f"epoch={gens[-1]}"))
+    return spark.read.parquet(
+        fs.spark_path(os.path.join(path, f"epoch={gens[-1]}"))
+    )

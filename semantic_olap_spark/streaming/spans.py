@@ -54,7 +54,6 @@ from __future__ import annotations
 
 import os
 import re
-import shutil
 import warnings
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -112,15 +111,17 @@ def _bucket_expr(h: Column, n_buckets: int) -> Column:
     return F.pmod(F.xxhash64(h), F.lit(int(n_buckets)))
 
 
-def _local_path(path: str, what: str = "path") -> str:
-    """Span-index instantiation of the shared local-FS state
-    contract (:mod:`semantic_olap_spark.streaming.statefs`): the
-    BATCH span family (``functions/dedup.py``) is pure Spark I/O and
-    has no such restriction, so the refusal names it as the
-    object-store alternative."""
-    from semantic_olap_spark.streaming.statefs import local_state_path
+def _state_fs(path: str, what: str = "path", spark=None):
+    """Span-index instantiation of the shared state-filesystem seam
+    (:mod:`semantic_olap_spark.streaming.statefs`): plain paths use
+    os-level I/O, URI-form paths (``file://``, ``hdfs://``) the
+    Hadoop FileSystem API.  The BATCH span family
+    (``functions/dedup.py``) is pure Spark I/O and has no such
+    restriction, so the object-store refusal names it as the
+    alternative.  Returns ``(fs, normalized_path)``."""
+    from semantic_olap_spark.streaming.statefs import resolve_state_fs
 
-    return local_state_path(
+    return resolve_state_fs(
         path,
         what=what,
         layer="streaming span-index state layer",
@@ -128,30 +129,31 @@ def _local_path(path: str, what: str = "path") -> str:
             "For object-store corpora run the batch span family "
             "(functions.dedup.remove_spans_against) instead."
         ),
+        spark=spark,
     )
 
 
-def _read_n_marker(delta_dir: str) -> int | None:
+def _read_n_marker(fs, delta_dir: str) -> int | None:
     """The n_buckets a bucketed delta records, or None (legacy
     bucketed delta written before the marker existed — its true N is
     unknown, so pruning against it is unsafe)."""
     p = os.path.join(delta_dir, _N_MARKER)
     try:
-        with open(p) as f:
-            return int(f.read().strip())
+        return int(fs.read_text(p).strip())
     except (OSError, ValueError):
         return None
 
 
-def _write_n_marker(delta_dir: str, n_buckets: int) -> None:
-    with open(os.path.join(delta_dir, _N_MARKER), "w") as f:
-        f.write(str(int(n_buckets)))
+def _write_n_marker(fs, delta_dir: str, n_buckets: int) -> None:
+    fs.write_text(
+        os.path.join(delta_dir, _N_MARKER), str(int(n_buckets))
+    )
 
 
-def _delta_bucket_dirs(delta_dir: str) -> list[str] | None:
+def _delta_bucket_dirs(fs, delta_dir: str) -> list[str] | None:
     """``h_bucket=<b>`` subdirectory names of a bucketed delta, or
     ``None`` for a legacy flat delta (top-level parquet files)."""
-    names = os.listdir(delta_dir)
+    names = fs.listdir(delta_dir)
     buckets = [n for n in names if _BUCKET_RE.match(n)]
     if buckets:
         return sorted(buckets, key=lambda n: int(n.split("=")[1]))
@@ -161,7 +163,7 @@ def _delta_bucket_dirs(delta_dir: str) -> list[str] | None:
 
 
 def _probe_paths(
-    index_path: str, deltas: list[int], buckets: list[int],
+    fs, index_path: str, deltas: list[int], buckets: list[int],
     n_buckets: int,
 ) -> tuple[list[str], int, int]:
     """Concrete parquet directories a probe for ``buckets`` must
@@ -191,20 +193,22 @@ def _probe_paths(
         # delta (legacy flat and mismatched-N alike: full-scanning
         # them would read parquet into a guaranteed-empty join) and
         # don't warn about pruning a probe that needed no index.
+        # pruned_dirs counts BUCKETED dirs only, same as the main
+        # path (a skipped legacy flat delta is not a pruned bucket).
         for d in deltas:
             sub = _delta_bucket_dirs(
-                os.path.join(index_path, f"delta={d}")
+                fs, os.path.join(index_path, f"delta={d}")
             )
-            skipped += len(sub) if sub else (0 if sub == [] else 1)
+            skipped += len(sub) if sub else 0
         return paths, skipped, mismatched
     for d in deltas:
         delta_dir = os.path.join(index_path, f"delta={d}")
-        sub = _delta_bucket_dirs(delta_dir)
+        sub = _delta_bucket_dirs(fs, delta_dir)
         if sub is None:
             paths.append(delta_dir)  # legacy flat: scan whole
         elif not sub:
             continue  # committed-but-empty delta
-        elif _read_n_marker(delta_dir) != n_buckets:
+        elif _read_n_marker(fs, delta_dir) != n_buckets:
             # bucketed at a different (or unrecorded) N: the bucket
             # names don't correspond to the probe's — full-scan this
             # delta (every bucket leaf dir, so mixed reads stay free
@@ -229,33 +233,26 @@ def _probe_paths(
     return paths, skipped, mismatched
 
 
-def _tree_bytes(paths: list[str]) -> int:
-    total = 0
-    for p in paths:
-        for root, _dirs, files in os.walk(p):
-            for f in files:
-                if f.endswith(".parquet"):
-                    total += os.path.getsize(os.path.join(root, f))
-    return total
+def _tree_bytes(fs, paths: list[str]) -> int:
+    return sum(fs.tree_parquet_bytes(p) for p in paths)
 
 
-def _committed(path: str, pattern: re.Pattern) -> list[int]:
-    if not os.path.isdir(path):
+def _committed(fs, path: str, pattern: re.Pattern) -> list[int]:
+    if not fs.isdir(path):
         return []
     out = []
-    for name in os.listdir(path):
+    for name in fs.listdir(path):
         m = pattern.match(name)
-        if m and os.path.exists(os.path.join(path, name, _COMMIT_MARKER)):
+        if m and fs.exists(os.path.join(path, name, _COMMIT_MARKER)):
             out.append(int(m.group(1)))
     return sorted(out)
 
 
-def _mark(path: str) -> None:
-    with open(os.path.join(path, _COMMIT_MARKER), "w"):
-        pass
+def _mark(fs, path: str) -> None:
+    fs.write_text(os.path.join(path, _COMMIT_MARKER))
 
 
-def _recover_compaction(index_path: str) -> None:
+def _recover_compaction(fs, index_path: str) -> None:
     """Heal a compaction interrupted mid-swap.
 
     ``replace_index_with_compacted`` moves the old tree ASIDE (to
@@ -267,8 +264,8 @@ def _recover_compaction(index_path: str) -> None:
     empty index (which would silently re-admit the whole dedup
     history)."""
     old = index_path + ".precompact"
-    if os.path.isdir(old) and not os.path.isdir(index_path):
-        shutil.move(old, index_path)
+    if fs.isdir(old) and not fs.isdir(index_path):
+        fs.move(old, index_path)
 
 
 def fold_span_batch(
@@ -312,10 +309,10 @@ def fold_span_batch(
     directory list itself.
     """
     spark = batch.sparkSession
-    index_path = _local_path(index_path, "index_path")
-    out_path = _local_path(out_path, "out_path")
-    _recover_compaction(index_path)
-    deltas = _committed(index_path, _DELTA_RE)
+    ifs, index_path = _state_fs(index_path, "index_path", spark)
+    ofs, out_path = _state_fs(out_path, "out_path", spark)
+    _recover_compaction(ifs, index_path)
+    deltas = _committed(ifs, index_path, _DELTA_RE)
     newer = [d for d in deltas if d > epoch_id]
     if newer:
         raise ValueError(
@@ -325,7 +322,7 @@ def fold_span_batch(
             f"stream at an empty index dir or reuse its checkpoint."
         )
     newer_out = [
-        e for e in _committed(out_path, _EPOCH_RE) if e > epoch_id
+        e for e in _committed(ofs, out_path, _EPOCH_RE) if e > epoch_id
     ]
     if newer_out:
         raise ValueError(
@@ -362,11 +359,11 @@ def fold_span_batch(
         #    in this state, so no data-loss protection regresses
         #    across the upgrade — and name both resolutions.
         delta_dir = os.path.join(index_path, f"delta={epoch_id}")
-        compacted = os.path.exists(
+        compacted = ifs.exists(
             os.path.join(delta_dir, _COMPACTED_MARKER)
         )
         own_write = not compacted and _read_n_marker(
-            delta_dir
+            ifs, delta_dir
         ) is not None
         if compacted:
             raise ValueError(
@@ -425,8 +422,16 @@ def fold_span_batch(
             # bounds the delta's file count at n_buckets
             .repartition(F.col("h_bucket"))
             .write.mode("overwrite")
+            # pin STATIC overwrite per-write: under a session-wide
+            # partitionOverwriteMode=dynamic, a replayed epoch would
+            # only overwrite the buckets present in THIS attempt,
+            # leaving stale h_bucket= dirs from a crashed attempt
+            # written at a different n_buckets — which the census
+            # below would then over-count and the fresh _N_BUCKETS
+            # marker would mislabel
+            .option("partitionOverwriteMode", "static")
             .partitionBy("h_bucket")
-            .parquet(delta_dir)
+            .parquet(ifs.spark_path(delta_dir))
         )
         need_index = bool(prior) or seed_index is not None
         buckets: list[int] = []
@@ -435,15 +440,19 @@ def fold_span_batch(
             # price of static path-level pruning, paid once per batch
             buckets = sorted(
                 int(name.split("=")[1])
-                for name in os.listdir(delta_dir)
+                for name in ifs.listdir(delta_dir)
                 if _BUCKET_RE.match(name)
             )
         paths, pruned, mismatched = _probe_paths(
-            index_path, prior, buckets, n_buckets
+            ifs, index_path, prior, buckets, n_buckets
         )
         parts = []
         if paths:
-            parts.append(spark.read.parquet(*paths).select("h"))
+            parts.append(
+                spark.read.parquet(
+                    *[ifs.spark_path(p) for p in paths]
+                ).select("h")
+            )
         if seed_index is not None:
             # same lossless bucket filter on the in-memory seed: the
             # rows land in a broadcast/shuffle build side, so
@@ -467,11 +476,12 @@ def fold_span_batch(
         if stats is not None:
             stats["buckets_probed"] = list(buckets)
             stats["probe_paths"] = list(paths)
-            stats["probe_bytes"] = _tree_bytes(paths)
+            stats["probe_bytes"] = _tree_bytes(ifs, paths)
             stats["pruned_dirs"] = pruned
             stats["mismatched_n_deltas"] = mismatched
             stats["index_bytes"] = _tree_bytes(
-                [os.path.join(index_path, f"delta={d}") for d in prior]
+                ifs,
+                [os.path.join(index_path, f"delta={d}") for d in prior],
             )
 
         spans = _merge_islands(
@@ -486,8 +496,8 @@ def fold_span_batch(
             spans=spans,
         )
         out_dir = os.path.join(out_path, f"epoch={epoch_id}")
-        cleaned.write.mode("overwrite").parquet(out_dir)
-        _mark(out_dir)
+        cleaned.write.mode("overwrite").parquet(ofs.spark_path(out_dir))
+        _mark(ofs, out_dir)
 
         # the delta's parquet was written above (census source);
         # commit it LAST — same marker order as ever, so a crash
@@ -496,8 +506,8 @@ def fold_span_batch(
         # not: the replay rebuilds both).  Layout invariant: record
         # the N this delta was bucketed mod BEFORE the commit
         # marker — committed implies N-recorded.
-        _write_n_marker(delta_dir, n_buckets)
-        _mark(delta_dir)
+        _write_n_marker(ifs, delta_dir, n_buckets)
+        _mark(ifs, delta_dir)
     finally:
         grams.unpersist()
 
@@ -525,8 +535,10 @@ def maintain_span_dedup(
     """
     # validate eagerly: an object-store state path should fail at
     # start(), not as an ENOENT inside foreachBatch epoch 0
-    index_path = _local_path(index_path, "index_path")
-    out_path = _local_path(out_path, "out_path")
+    _, index_path = _state_fs(
+        index_path, "index_path", stream.sparkSession
+    )
+    _, out_path = _state_fs(out_path, "out_path", stream.sparkSession)
 
     def fold(batch: DataFrame, epoch_id: int) -> None:
         fold_span_batch(
@@ -556,12 +568,14 @@ def maintain_span_dedup(
 
 def read_clean_output(spark: SparkSession, out_path: str) -> DataFrame:
     """All committed cleaned batches as one frame."""
-    out_path = _local_path(out_path, "out_path")
-    epochs = _committed(out_path, _EPOCH_RE)
+    ofs, out_path = _state_fs(out_path, "out_path", spark)
+    epochs = _committed(ofs, out_path, _EPOCH_RE)
     if not epochs:
         raise ValueError(f"no committed output generations in {out_path}")
     dfs = [
-        spark.read.parquet(os.path.join(out_path, f"epoch={e}"))
+        spark.read.parquet(
+            ofs.spark_path(os.path.join(out_path, f"epoch={e}"))
+        )
         for e in epochs
     ]
     out = dfs[0]
@@ -575,17 +589,19 @@ def read_span_index(spark: SparkSession, index_path: str) -> DataFrame:
     (duplicates across deltas possible and harmless — distinct() to
     compact).  Reads bucketed and legacy flat deltas alike; the
     ``h_bucket`` layout column never surfaces."""
-    index_path = _local_path(index_path, "index_path")
-    _recover_compaction(index_path)
-    deltas = _committed(index_path, _DELTA_RE)
+    ifs, index_path = _state_fs(index_path, "index_path", spark)
+    _recover_compaction(ifs, index_path)
+    deltas = _committed(ifs, index_path, _DELTA_RE)
     if not deltas:
         raise ValueError(f"no committed index deltas in {index_path}")
     dfs = []
     for d in deltas:
         delta_dir = os.path.join(index_path, f"delta={d}")
-        if _delta_bucket_dirs(delta_dir) == []:
+        if _delta_bucket_dirs(ifs, delta_dir) == []:
             continue  # committed-but-empty delta: nothing to read
-        dfs.append(spark.read.parquet(delta_dir).select("h"))
+        dfs.append(
+            spark.read.parquet(ifs.spark_path(delta_dir)).select("h")
+        )
     if not dfs:
         raise ValueError(
             f"all committed index deltas in {index_path} are empty"
@@ -612,31 +628,38 @@ def compact_span_index(
     supported way to re-size the layout: the recorded-N marker makes
     both this read (mismatch → full scan, lossless) and every later
     probe agree on what the tree actually is."""
-    compacted_path = _local_path(compacted_path, "compacted_path")
+    cfs, compacted_path = _state_fs(compacted_path, "compacted_path", spark)
     (
         read_span_index(spark, index_path)
         .distinct()
         .withColumn("h_bucket", _bucket_expr(F.col("h"), n_buckets))
         .repartition(F.col("h_bucket"))
         .write.mode("overwrite")
+        # static per-write, for the same crashed-attempt-at-
+        # different-N census/labeling hazard as the fold's delta
+        # write (see fold_span_batch)
+        .option("partitionOverwriteMode", "static")
         .partitionBy("h_bucket")
-        .parquet(compacted_path)
+        .parquet(cfs.spark_path(compacted_path))
     )
-    _write_n_marker(compacted_path, n_buckets)
+    _write_n_marker(cfs, compacted_path, n_buckets)
 
 
-def _checkpoint_max_committed(checkpoint: str) -> int | None:
+def _checkpoint_max_committed(fs, checkpoint: str) -> int | None:
     """Highest batch id in a structured-streaming checkpoint's
     ``commits/`` log (plain integer filenames), or None if none."""
     commits = os.path.join(checkpoint, "commits")
-    if not os.path.isdir(commits):
+    if not fs.isdir(commits):
         return None
-    ids = [int(n) for n in os.listdir(commits) if n.isdigit()]
+    ids = [int(n) for n in fs.listdir(commits) if n.isdigit()]
     return max(ids) if ids else None
 
 
 def replace_index_with_compacted(
-    index_path: str, compacted_path: str, checkpoint: str | None = None
+    index_path: str,
+    compacted_path: str,
+    checkpoint: str | None = None,
+    spark: SparkSession | None = None,
 ) -> None:
     """Swap the delta tree for one compacted delta.
 
@@ -657,11 +680,19 @@ def replace_index_with_compacted(
     unless the checkpoint's commits log shows batch id >= the
     highest committed delta.
     """
-    index_path = _local_path(index_path, "index_path")
-    compacted_path = _local_path(compacted_path, "compacted_path")
+    ifs, index_path = _state_fs(index_path, "index_path", spark)
+    cfs, compacted_path = _state_fs(compacted_path, "compacted_path", spark)
+    if type(ifs) is not type(cfs):
+        raise ValueError(
+            f"index_path {index_path!r} and compacted_path "
+            f"{compacted_path!r} resolve to different state "
+            f"filesystems — the swap is a same-filesystem rename; "
+            f"use the same path form (both plain local, or both "
+            f"URIs on one filesystem) for both."
+        )
     if checkpoint is not None:
-        checkpoint = _local_path(checkpoint, "checkpoint")
-    if _read_n_marker(compacted_path) is None:
+        kfs, checkpoint = _state_fs(checkpoint, "checkpoint", spark)
+    if _read_n_marker(cfs, compacted_path) is None:
         # a compacted tree without its _N_BUCKETS marker is either a
         # crash-truncated compact_span_index run (parquet written,
         # marker not yet) or a pre-marker artifact — swapping it in
@@ -676,12 +707,12 @@ def replace_index_with_compacted(
             f"compaction output). Re-run compact_span_index to "
             f"produce a complete artifact before swapping it in."
         )
-    deltas = _committed(index_path, _DELTA_RE)
+    deltas = _committed(ifs, index_path, _DELTA_RE)
     if not deltas:
         raise ValueError(f"no committed index deltas in {index_path}")
     keep = deltas[-1]
     if checkpoint is not None:
-        done = _checkpoint_max_committed(checkpoint)
+        done = _checkpoint_max_committed(kfs, checkpoint)
         if done is None or done < keep:
             raise ValueError(
                 f"checkpoint {checkpoint} has committed through batch "
@@ -692,32 +723,31 @@ def replace_index_with_compacted(
                 f"first, then compact."
             )
     tmp = index_path + ".compacting"
-    if os.path.exists(tmp):
-        shutil.rmtree(tmp)
-    os.makedirs(tmp)
-    shutil.move(compacted_path, os.path.join(tmp, f"delta={keep}"))
+    if ifs.exists(tmp):
+        ifs.rmtree(tmp)
+    ifs.makedirs(tmp)
+    ifs.move(compacted_path, os.path.join(tmp, f"delta={keep}"))
     # the kept delta carries compact_span_index's _N_BUCKETS marker;
     # add the compaction provenance marker so fold_span_batch can
     # tell "history was compacted into this delta" apart from "this
     # is the stream's own crashed first write" when epoch `keep`
     # replays against it with no prior deltas
-    with open(
-        os.path.join(tmp, f"delta={keep}", _COMPACTED_MARKER), "w"
-    ):
-        pass
-    _mark(os.path.join(tmp, f"delta={keep}"))
+    ifs.write_text(
+        os.path.join(tmp, f"delta={keep}", _COMPACTED_MARKER)
+    )
+    _mark(ifs, os.path.join(tmp, f"delta={keep}"))
     # rename-based swap: the old tree is moved ASIDE before the new
     # one moves in, so no crash instant leaves index_path missing —
     # an rmtree-then-move window would let a resuming stream see an
     # EMPTY index (no deltas → no refusal) and silently re-admit the
     # whole dedup history
     old = index_path + ".precompact"
-    if os.path.exists(old):
-        shutil.rmtree(old)
-    shutil.move(index_path, old)
+    if ifs.exists(old):
+        ifs.rmtree(old)
+    ifs.move(index_path, old)
     try:
-        shutil.move(tmp, index_path)
+        ifs.move(tmp, index_path)
     except BaseException:
-        shutil.move(old, index_path)  # restore on failure
+        ifs.move(old, index_path)  # restore on failure
         raise
-    shutil.rmtree(old)
+    ifs.rmtree(old)

@@ -42,6 +42,10 @@ K = 4
 BOILER = "alpha beta gamma delta epsilon zeta"
 
 
+from semantic_olap_spark.streaming.statefs import LocalStateFS
+
+_LFS = LocalStateFS()
+
 def _docs(spark, rows):
     return spark.createDataFrame(rows, "doc_id long, text string")
 
@@ -80,7 +84,7 @@ def test_swap_refused_when_checkpoint_behind_index(spark, tmp_path):
     with pytest.raises(ValueError, match="crashed mid-epoch"):
         replace_index_with_compacted(idx, compacted, checkpoint=ck)
     # both trees intact after the refusal
-    assert _committed(idx, _DELTA_RE) == [0, 1]
+    assert _committed(_LFS, idx, _DELTA_RE) == [0, 1]
     assert os.path.isdir(compacted)
 
 
@@ -92,7 +96,7 @@ def test_swap_allowed_after_clean_drain(spark, tmp_path):
     compact_span_index(spark, idx, compacted)
     ck = _fake_checkpoint(tmp_path, committed_through=1)
     replace_index_with_compacted(idx, compacted, checkpoint=ck)
-    assert _committed(idx, _DELTA_RE) == [1]
+    assert _committed(_LFS, idx, _DELTA_RE) == [1]
 
 
 def test_swap_refused_on_empty_commits_log(spark, tmp_path):
@@ -116,12 +120,12 @@ def test_fold_refuses_replay_onto_compacted_only_own_delta(spark, tmp_path):
     compacted = str(tmp_path / "compacted")
     compact_span_index(spark, idx, compacted)
     replace_index_with_compacted(idx, compacted)  # no checkpoint arg
-    assert _committed(idx, _DELTA_RE) == [1]
+    assert _committed(_LFS, idx, _DELTA_RE) == [1]
     # checkpoint replays epoch 1 (it never committed batch 1)
     with pytest.raises(ValueError, match="compacted while the stream"):
         fold_span_batch(_b2(spark), 1, idx, out, k=K)
     # the compacted history is still there
-    assert _committed(idx, _DELTA_RE) == [1]
+    assert _committed(_LFS, idx, _DELTA_RE) == [1]
 
 
 def test_fold_epoch_zero_with_empty_index_still_fine(spark, tmp_path):
@@ -130,7 +134,7 @@ def test_fold_epoch_zero_with_empty_index_still_fine(spark, tmp_path):
     fold_span_batch(_b1(spark), 0, idx, out, k=K)
     # ...nor on a replay of epoch 0
     fold_span_batch(_b1(spark), 0, idx, out, k=K)
-    assert _committed(idx, _DELTA_RE) == [0]
+    assert _committed(_LFS, idx, _DELTA_RE) == [0]
 
 
 # ---- 2. reused out_path with newer epochs is refused --------------------
@@ -145,7 +149,7 @@ def test_foreign_out_dir_refused(spark, tmp_path):
     with pytest.raises(ValueError, match="different stream run"):
         fold_span_batch(_b1(spark), 0, idx, out, k=K)
     # index side untouched by the refusal
-    assert _committed(idx, _DELTA_RE) == []
+    assert _committed(_LFS, idx, _DELTA_RE) == []
 
 
 # ---- 3. lineage_cut memo survives non-canonical path forms --------------

@@ -7,9 +7,12 @@
 2. The compacted-while-crashed guard no longer false-positives on a
    reused checkpoint against a fresh index dir (the ``_COMPACTED``
    provenance marker distinguishes the two states).
-3. The streaming state layer declares its local-FS scope loudly:
-   ``s3://``/``hdfs://`` paths are refused at every entry point,
-   ``file:`` URIs are normalized and work end-to-end.
+3. The streaming state layer declares its filesystem scope loudly:
+   object-store paths (``s3://``, ``abfss://``, ...) are refused at
+   every entry point (the swap protocol needs atomic rename);
+   ``file:`` URIs are served through the Hadoop FileSystem port and
+   work end-to-end (r13: ``hdfs://`` is supported, no longer
+   refused — see test_statefs_hadoop.py).
 """
 
 from __future__ import annotations
@@ -197,9 +200,11 @@ def test_probe_paths_unit_matrix(tmp_path):
     # delta=3: committed-but-empty
     os.makedirs(os.path.join(idx, "delta=3"))
 
+    from semantic_olap_spark.streaming.statefs import LocalStateFS
+
     with pytest.warns(UserWarning, match="different n_buckets"):
         paths, pruned, mismatched = _probe_paths(
-            idx, [0, 1, 2, 3], buckets=[5], n_buckets=16
+            LocalStateFS(), idx, [0, 1, 2, 3], buckets=[5], n_buckets=16
         )
     assert mismatched == 1
     assert pruned == 1  # delta=0's h_bucket=0 skipped
@@ -252,17 +257,17 @@ def test_genuinely_compacted_tree_still_refused(spark, paths):
 
 def test_object_store_paths_refused_loudly(spark, paths, tmp_path):
     b = _docs(spark, [(1, "any text at all")])
-    with pytest.raises(ValueError, match="local-filesystem-only"):
+    with pytest.raises(ValueError, match="object-store"):
         fold_span_batch(b, 0, "s3://bkt/idx", paths["out"], k=K)
-    with pytest.raises(ValueError, match="local-filesystem-only"):
-        fold_span_batch(b, 0, paths["idx"], "hdfs://nn/out", k=K)
-    with pytest.raises(ValueError, match="local-filesystem-only"):
+    with pytest.raises(ValueError, match="atomic directory rename"):
+        fold_span_batch(b, 0, paths["idx"], "gs://bkt/out", k=K)
+    with pytest.raises(ValueError, match="object-store"):
         read_span_index(spark, "s3a://bkt/idx")
-    with pytest.raises(ValueError, match="local-filesystem-only"):
+    with pytest.raises(ValueError, match="object-store"):
         read_clean_output(spark, "abfss://c@a.dfs.core.windows.net/o")
-    with pytest.raises(ValueError, match="local-filesystem-only"):
+    with pytest.raises(ValueError, match="object-store"):
         compact_span_index(spark, paths["idx"], "s3://bkt/c")
-    with pytest.raises(ValueError, match="local-filesystem-only"):
+    with pytest.raises(ValueError, match="object-store"):
         replace_index_with_compacted("s3://bkt/idx", str(tmp_path / "c"))
 
     from semantic_olap_spark.streaming.materialized import (
@@ -270,13 +275,17 @@ def test_object_store_paths_refused_loudly(spark, paths, tmp_path):
         read_agg_state,
     )
 
-    with pytest.raises(ValueError, match="local-filesystem-only"):
+    with pytest.raises(ValueError, match="object-store"):
         fold_batch(
             spark.range(3).withColumnRenamed("id", "value"),
             0, "s3://bkt/state", ["value"],
         )
-    with pytest.raises(ValueError, match="local-filesystem-only"):
-        read_agg_state(spark, "hdfs://nn/state")
+    # r13: hdfs:// is now SERVED (Hadoop FileSystem port), no longer
+    # refused — but only with a live session to reach the JVM
+    from semantic_olap_spark.streaming.statefs import resolve_state_fs
+
+    with pytest.raises(ValueError, match="SparkSession"):
+        resolve_state_fs("hdfs://nn/state")
 
 
 def test_file_uri_paths_normalized_and_work(spark, paths):

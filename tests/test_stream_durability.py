@@ -39,6 +39,10 @@ from semantic_olap_spark.streaming.materialized import (
 METRICS = ["value"]
 
 
+from semantic_olap_spark.streaming.statefs import LocalStateFS
+
+_LFS = LocalStateFS()
+
 def _norm(df) -> pd.DataFrame:
     pdf = df.toPandas().sort_values("event_type").reset_index(drop=True)
     return pdf.reindex(sorted(pdf.columns), axis=1)
@@ -85,7 +89,7 @@ def test_kill_reload_resumes_state_and_lattice(spark, tables, tmp_path):
     for p in parts[:2]:
         shutil.copy(os.path.join(staging, p), os.path.join(src, p))
     run_stream()
-    gens_before = _generations(state)
+    gens_before = _generations(_LFS, state)
     assert gens_before, "session 1 folded nothing"
     # mid-stream state is a genuine partial: fewer rows than the total
     partial = finalize_agg(read_agg_state(spark, state), METRICS)
@@ -107,7 +111,7 @@ def test_kill_reload_resumes_state_and_lattice(spark, tables, tmp_path):
     run_stream()
 
     # epoch ids CONTINUED from the checkpoint (resume, not restart):
-    gens_after = _generations(state)
+    gens_after = _generations(_LFS, state)
     assert max(gens_after) > max(gens_before)
 
     # final state == one-shot batch aggregate over ALL files — the

@@ -34,6 +34,10 @@ BOILER = "alpha beta gamma delta epsilon zeta"  # 6 tokens, k=4 spans
 K = 4
 
 
+from semantic_olap_spark.streaming.statefs import LocalStateFS
+
+_LFS = LocalStateFS()
+
 def _docs(spark, rows):
     return spark.createDataFrame(rows, "doc_id long, text string")
 
@@ -107,8 +111,8 @@ def test_stream_matches_batch_composition(spark, paths):
     assert BOILER in got[1]
     assert BOILER not in got[3] and BOILER not in got[4]
     # the index holds both deltas
-    assert _committed(paths["idx"], _DELTA_RE) == [0, 1]
-    assert _committed(paths["out"], _EPOCH_RE) == [0, 1]
+    assert _committed(_LFS, paths["idx"], _DELTA_RE) == [0, 1]
+    assert _committed(_LFS, paths["out"], _EPOCH_RE) == [0, 1]
 
 
 def test_within_batch_repetition_survives(spark, paths):
@@ -141,7 +145,7 @@ def test_kill_resume_continues_epochs(spark, paths):
     b1, b2 = _batch1(spark), _batch2(spark)
     _stage(paths["src"], b1, "b1", 1_000)
     _run(spark, paths["src"], b1.schema, paths)
-    assert _committed(paths["out"], _EPOCH_RE) == [0]
+    assert _committed(_LFS, paths["out"], _EPOCH_RE) == [0]
 
     # session "dies"; new files land; SAME checkpoint resumes
     _stage(paths["src"], b2, "b2", 2_000)
@@ -193,7 +197,7 @@ def test_compaction_preserves_index_and_blocks_fresh_overwrite(
     assert len(after_rows) == len(before)  # duplicates reclaimed
     # the compacted delta keeps the max id: a FRESH-checkpoint run
     # (epoch 0) is refused instead of overwriting the corpus
-    assert _committed(paths["idx"], _DELTA_RE) == [1]
+    assert _committed(_LFS, paths["idx"], _DELTA_RE) == [1]
     with pytest.raises(ValueError, match="different stream run"):
         fold_span_batch(b1, 0, paths["idx"], paths["out"], k=K)
 
