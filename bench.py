@@ -1188,6 +1188,24 @@ def main() -> None:
                 "judge trends on the per-query min samples "
                 "(timing_spread), not single-run totals."
             ),
+            "cdc_upsert_customers": (
+                "r12's [0.721, 0.976, 1.085] band (2.4x r11, code "
+                "untouched) was adjudicated in r13: two fresh-"
+                "session idle-host re-measures (7 and 9 samples) "
+                "land [0.48..0.93] with medians 0.55-0.61 — the "
+                "r12 inflation does NOT reproduce outside the "
+                "86-query session, so it was run-position/session-"
+                "history contention, not a regression. Residual "
+                "~1.35x vs the r11 min tracks the regenerated "
+                "corpus + host baseline, same class as hash_embed."
+            ),
+            "minhash_lsh_pairs": (
+                "r13 fresh-session 7-sample band [2.52, 2.85, "
+                "3.12] reproduces r12's [2.48, 2.57, 3.03] — the "
+                "r11->r12 1.26x is cross-round corpus composition "
+                "(see the module docstring's cross-round caveat), "
+                "within-round stable. Watch closed."
+            ),
         },
         "queries": {n: timings[n] for n in HEADLINE},
         "stress": {

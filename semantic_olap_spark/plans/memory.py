@@ -372,6 +372,18 @@ def save_cube(mem: CubeMemory, path: str) -> None:
     re-filtering the root.  Frames are written through Spark (any
     supported filesystem); the manifest uses local file I/O — point
     ``path`` at a shared filesystem for multi-host reuse.
+
+    **Single-writer contract** (deliberate scope cut, mirroring the
+    streaming state layer's statefs contract): a cube directory has
+    ONE writer at a time — readers (``load_cube``) are always safe
+    (they see the last complete base+delta manifest chain), and
+    concurrent *incremental* writers are detected at the manifest
+    commit (exclusive create — the loser aborts loudly instead of
+    silently interleaving frames), but two concurrent FULL saves to
+    one directory are undefined.  Multi-writer cube maintenance at
+    cluster scale wants a transactional table format
+    (Delta/Iceberg-style commit protocol); this module deliberately
+    does not claim it — serialize writers instead.
     """
     import json
     import os
@@ -467,6 +479,9 @@ def save_cube_incremental(mem: CubeMemory, path: str) -> None:
         return
     persisted: dict[int, int] = getattr(mem, "_persisted", {})
     persisted_grans: dict[int, set] = getattr(mem, "_persisted_grans", {})
+    deltas_at_read = sorted(
+        os.path.basename(p) for p in glob.glob(f"{path}/delta-*.json")
+    )
     merged = _merged_manifest(path)
     used_dirs = {int(n["id"]) for n in merged["nodes"]} | set(
         persisted.values()
@@ -512,11 +527,62 @@ def save_cube_incremental(mem: CubeMemory, path: str) -> None:
     mem._persisted = persisted
     mem._persisted_grans = persisted_grans
     if delta_nodes:
-        seq = len(glob.glob(f"{path}/delta-*.json")) + 1
-        tmp = f"{path}/.delta-{seq:06d}.json.tmp"
-        with open(tmp, "w") as f:
-            json.dump({"nodes": delta_nodes}, f, indent=1)
-        os.replace(tmp, f"{path}/delta-{seq:06d}.json")
+        _commit_delta_manifest(path, delta_nodes, deltas_at_read)
+
+
+def _commit_delta_manifest(
+    path: str, delta_nodes: list, deltas_at_read: list[str]
+) -> None:
+    """Exclusive delta-manifest commit (single-writer contract).
+
+    A concurrent checkpoint that started from the same directory view
+    allocates the SAME next directory ids and the same manifest
+    sequence number — last-wins ``os.replace`` would silently
+    interleave two writers' frames under one manifest.  Two checks
+    make exactly one writer commit: (1) the delta chain on disk must
+    still equal ``deltas_at_read`` (the view the frame/dir-id
+    allocation was computed against); (2) the final manifest is
+    created with ``link(2)``, which is atomic and refuses an existing
+    target.  The loser aborts loudly with the remedy named.
+    """
+    import glob
+    import json
+    import os
+
+    def _refuse(found: str) -> None:
+        raise ValueError(
+            f"cube directory {path}: {found} appeared during this "
+            f"checkpoint — a CONCURRENT save_cube_incremental "
+            f"writer committed first. This save is aborted; its "
+            f"node frames may have been overwritten by the winner "
+            f"(both writers allocate the same directory ids). The "
+            f"cube directory is single-writer: serialize "
+            f"checkpoints, then reload with load_cube and "
+            f"re-checkpoint this session's new nodes."
+        )
+
+    now = sorted(
+        os.path.basename(p) for p in glob.glob(f"{path}/delta-*.json")
+    )
+    if now != deltas_at_read:
+        _refuse(
+            ", ".join(sorted(set(now) ^ set(deltas_at_read)))
+            or "a delta change"
+        )
+    seq = len(now) + 1
+    final = f"{path}/delta-{seq:06d}.json"
+    tmp = f"{path}/.delta-{seq:06d}.json.tmp"
+    with open(tmp, "w") as f:
+        json.dump({"nodes": delta_nodes}, f, indent=1)
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        _refuse(os.path.basename(final))
+    finally:
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
 
 
 def load_cube(

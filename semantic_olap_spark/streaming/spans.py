@@ -45,6 +45,20 @@ occurrence epoch of any span is the one the stream admits, every
 later epoch's occurrence is stripped.  Exactly the Lee et al. 2022
 "seen before" policy applied at ingest time.
 
+Single-writer contract (deliberate scope cut, same posture as
+``plans/memory.py`` cube persistence): one index tree has ONE
+writing stream at a time — that is what Structured Streaming's
+checkpoint already serializes (epochs commit in order through one
+query).  The detectable violations are refused loudly rather than
+silently merged: a second stream with a FRESH checkpoint trips the
+newer-delta/newer-epoch refusal in ``fold_span_batch``, and
+compaction against a live (non-drained) stream trips
+``replace_index_with_compacted``'s checkpoint precondition.  Two
+writers racing the SAME epoch id (two streams sharing neither
+checkpoint nor epoch history) are undefined — at cluster scale that
+coordination wants a transactional table format (Delta/Iceberg-style
+commits), which this module deliberately does not claim.
+
 Reference scope note: the reference engine has neither streaming nor
 span dedup; this is part of the beyond-reference training-pipeline
 family (SURVEY.md §7.1 M7/M8).
