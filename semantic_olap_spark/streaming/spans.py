@@ -99,19 +99,24 @@ _N_MARKER = "_N_BUCKETS"
 #: dir legitimately replays epoch N>0 with no prior deltas).
 _COMPACTED_MARKER = "_COMPACTED"
 
-#: Index partition fan-out.  Sizing rule (measured at sf0.1): a
-#: batch with g distinct grams hits ≈ N·(1−(1−1/N)^g) ≈ min(g, N)
-#: buckets, so the probe scans ≈ that fraction of the index — 143
-#: grams against N=1024 read 13.1% of the index, 1815 grams read
-#: 85%.  Choose N ≳ (expected batch grams) ÷ (target read
-#: amplification); deltas only materialize the buckets they hit, so
-#: a larger N costs nothing on the write side (the compacted index
-#: carries N files — size N to what the filesystem tolerates).  For
-#: batches with g ≫ N the probe reads ~the whole index, exactly the
-#: one full index pass the flat layout always paid — pruning is
-#: never worse, and the trickle-ingest regime (late files, small
-#: backfills) is where it pays.  64 suits the toy-scale tests; a
-#: production deployment raises it (4k–64k) with compaction cadence.
+#: Index partition fan-out.  Sizing rule (measured at sf0.1 and
+#: sf1): a batch with g distinct grams hits ≈ N·(1−(1−1/N)^g) ≈
+#: min(g, N) buckets, so the probe scans ≈ that fraction of the
+#: index — 143 grams against N=1024 read 13.1% of the index, a
+#: 10-doc (~350-gram) late batch against the compacted sf1 index
+#: reads 30.6%, and g ≫ N degrades to the one full pass the flat
+#: layout always paid.  Choose N ≳ (expected batch grams) ÷ (target
+#: read amplification).  The write side is NOT free at small file
+#: sizes (r13 measurement): corpus-sized waves materialize ~N files
+#: per delta, and the per-FILE fixed cost (task scheduling, parquet
+#: footers) added ~55s to a 4-epoch ingest at N=1024 vs N=64 —
+#: roughly constant across a 10× corpus growth (sf0.1 81.5s→26.0s,
+#: sf1 89.4s→33.7s), i.e. pure file-count overhead that amortizes
+#: only once per-bucket delta files reach MBs.  Size N to the
+#: TRICKLE batches you need to prune for, not higher: 64 suits the
+#: toy-scale tests; a production deployment raises it (4k–64k,
+#: where 100 TB-scale waves make per-bucket files large) with
+#: compaction cadence.
 DEFAULT_N_BUCKETS = 64
 
 
