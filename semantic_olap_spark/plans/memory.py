@@ -361,6 +361,42 @@ class CubeMemory:
 # -- cube persistence ----------------------------------------------------
 
 
+_DELTA_NAME_RE = None  # compiled lazily (keeps re import local)
+
+
+def _cube_fs(path: str, spark=None):
+    """Cube-persistence instantiation of the shared state-filesystem
+    seam (:mod:`semantic_olap_spark.streaming.statefs`): plain paths
+    use os-level manifest I/O, ``file://``/``hdfs://`` URIs the
+    Hadoop FileSystem API — so a cube directory can live on
+    HDFS-class shared storage for multi-host reuse.  Object-store
+    schemes are refused (the exclusive manifest commit relies on
+    no-overwrite rename/link semantics).  Returns
+    ``(fs, normalized_path)``."""
+    from semantic_olap_spark.streaming.statefs import resolve_state_fs
+
+    return resolve_state_fs(
+        path,
+        what="cube path",
+        layer="cube persistence layer",
+        spark=spark,
+    )
+
+
+def _delta_names(fs, path: str) -> list[str]:
+    """Sorted ``delta-NNNNNN.json`` manifest names under ``path``."""
+    import re
+
+    global _DELTA_NAME_RE
+    if _DELTA_NAME_RE is None:
+        _DELTA_NAME_RE = re.compile(r"^delta-\d{6}\.json$")
+    if not fs.isdir(path):
+        return []
+    return sorted(
+        n for n in fs.listdir(path) if _DELTA_NAME_RE.match(n)
+    )
+
+
 def save_cube(mem: CubeMemory, path: str) -> None:
     """Persist the lattice: every node's materialized frame + the
     granularity label maps as parquet, topology/queries/plans as a
@@ -369,9 +405,12 @@ def save_cube(mem: CubeMemory, path: str) -> None:
     Cross-session reuse is the point: a nightly session reopens
     yesterday's cube with :func:`load_cube` and Equal/Subset probes
     hit disk-backed parquet (scans with pushdown) instead of
-    re-filtering the root.  Frames are written through Spark (any
-    supported filesystem); the manifest uses local file I/O — point
-    ``path`` at a shared filesystem for multi-host reuse.
+    re-filtering the root.  ``path`` goes through the shared state
+    filesystem seam (r13): plain local paths use os-level manifest
+    I/O, ``file://``/``hdfs://`` URIs the Hadoop FileSystem API —
+    so a cube can live on HDFS-class shared storage for multi-host
+    reuse; object-store schemes are refused (the exclusive manifest
+    commit needs no-overwrite rename/link semantics).
 
     **Single-writer contract** (deliberate scope cut, mirroring the
     streaming state layer's statefs contract): a cube directory has
@@ -386,18 +425,19 @@ def save_cube(mem: CubeMemory, path: str) -> None:
     does not claim it — serialize writers instead.
     """
     import json
-    import os
 
-    os.makedirs(path, exist_ok=True)
+    root_df = mem.nodes[mem.root_id].df
+    fs, path = _cube_fs(path, root_df.sparkSession)
+    fs.makedirs(path)
     manifest: dict = {"root_id": mem.root_id, "nodes": []}
     for nid, node in mem.nodes.items():
         node_dir = f"{path}/nodes/{nid}"
-        node.df.write.mode("overwrite").parquet(node_dir)
+        node.df.write.mode("overwrite").parquet(fs.spark_path(node_dir))
         grans = []
         for col, views in node.col_views.items():
             for gname, g in views.granularities.items():
                 gdir = f"{path}/grans/{nid}/{col}/{gname}"
-                g.df.write.mode("overwrite").parquet(gdir)
+                g.df.write.mode("overwrite").parquet(fs.spark_path(gdir))
                 grans.append(
                     {"column": col, "name": gname,
                      "description": g.description, "plan": g.plan}
@@ -407,8 +447,7 @@ def save_cube(mem: CubeMemory, path: str) -> None:
              "parents": node.parents, "children": node.children,
              "granularities": grans}
         )
-    with open(f"{path}/cube.json", "w") as f:
-        json.dump(manifest, f, indent=1)
+    fs.write_text(f"{path}/cube.json", json.dumps(manifest, indent=1))
     # record what's on disk so save_cube_incremental skips it
     mem._persisted = {nid: nid for nid in mem.nodes}
     mem._persisted_grans = {
@@ -421,7 +460,7 @@ def save_cube(mem: CubeMemory, path: str) -> None:
     }
 
 
-def _merged_manifest(path: str) -> dict:
+def _merged_manifest(fs, path: str) -> dict:
     """Base ``cube.json`` + ordered ``delta-*.json`` overlays.
 
     A delta entry for an id already present merges (union) its
@@ -429,15 +468,12 @@ def _merged_manifest(path: str) -> dict:
     new nodes.  Query/plan of a known id keep their first (base)
     spelling — deltas only re-state them for new nodes.
     """
-    import glob
     import json
 
-    with open(f"{path}/cube.json") as f:
-        base = json.load(f)
+    base = json.loads(fs.read_text(f"{path}/cube.json"))
     nodes: dict[int, dict] = {int(n["id"]): dict(n) for n in base["nodes"]}
-    for dpath in sorted(glob.glob(f"{path}/delta-*.json")):
-        with open(dpath) as f:
-            delta = json.load(f)
+    for dname in _delta_names(fs, path):
+        delta = json.loads(fs.read_text(f"{path}/{dname}"))
         for n in delta.get("nodes", []):
             nid = int(n["id"])
             if nid in nodes:
@@ -470,19 +506,15 @@ def save_cube_incremental(mem: CubeMemory, path: str) -> None:
     incrementally right back into the same directory (saved-directory
     ids survive the load's in-memory id reassignment).
     """
-    import glob
-    import json
-    import os
-
-    if not os.path.exists(f"{path}/cube.json"):
+    root_df = mem.nodes[mem.root_id].df
+    fs, path = _cube_fs(path, root_df.sparkSession)
+    if not fs.exists(f"{path}/cube.json"):
         save_cube(mem, path)
         return
     persisted: dict[int, int] = getattr(mem, "_persisted", {})
     persisted_grans: dict[int, set] = getattr(mem, "_persisted_grans", {})
-    deltas_at_read = sorted(
-        os.path.basename(p) for p in glob.glob(f"{path}/delta-*.json")
-    )
-    merged = _merged_manifest(path)
+    deltas_at_read = _delta_names(fs, path)
+    merged = _merged_manifest(fs, path)
     used_dirs = {int(n["id"]) for n in merged["nodes"]} | set(
         persisted.values()
     )
@@ -496,7 +528,9 @@ def save_cube_incremental(mem: CubeMemory, path: str) -> None:
         dir_id = next_dir
         next_dir += 1
         persisted[nid] = dir_id
-        node.df.write.mode("overwrite").parquet(f"{path}/nodes/{dir_id}")
+        node.df.write.mode("overwrite").parquet(
+            fs.spark_path(f"{path}/nodes/{dir_id}")
+        )
         new_ids.append(nid)
     delta_nodes = []
     for nid, node in mem.nodes.items():
@@ -508,7 +542,7 @@ def save_cube_incremental(mem: CubeMemory, path: str) -> None:
                 if (col, gname) in seen:
                     continue
                 g.df.write.mode("overwrite").parquet(
-                    f"{path}/grans/{dir_id}/{col}/{gname}"
+                    fs.spark_path(f"{path}/grans/{dir_id}/{col}/{gname}")
                 )
                 seen.add((col, gname))
                 grans.append(
@@ -527,25 +561,25 @@ def save_cube_incremental(mem: CubeMemory, path: str) -> None:
     mem._persisted = persisted
     mem._persisted_grans = persisted_grans
     if delta_nodes:
-        _commit_delta_manifest(path, delta_nodes, deltas_at_read)
+        _commit_delta_manifest(fs, path, delta_nodes, deltas_at_read)
 
 
 def _commit_delta_manifest(
-    path: str, delta_nodes: list, deltas_at_read: list[str]
+    fs, path: str, delta_nodes: list, deltas_at_read: list[str]
 ) -> None:
     """Exclusive delta-manifest commit (single-writer contract).
 
     A concurrent checkpoint that started from the same directory view
     allocates the SAME next directory ids and the same manifest
-    sequence number — last-wins ``os.replace`` would silently
-    interleave two writers' frames under one manifest.  Two checks
-    make exactly one writer commit: (1) the delta chain on disk must
-    still equal ``deltas_at_read`` (the view the frame/dir-id
-    allocation was computed against); (2) the final manifest is
-    created with ``link(2)``, which is atomic and refuses an existing
-    target.  The loser aborts loudly with the remedy named.
+    sequence number — last-wins overwrite would silently interleave
+    two writers' frames under one manifest.  Two checks make exactly
+    one writer commit: (1) the delta chain on disk must still equal
+    ``deltas_at_read`` (the view the frame/dir-id allocation was
+    computed against); (2) the final manifest is published
+    exclusively (``link(2)`` locally; no-overwrite rename on
+    Hadoop filesystems).  The loser aborts loudly with the remedy
+    named.
     """
-    import glob
     import json
     import os
 
@@ -561,9 +595,7 @@ def _commit_delta_manifest(
             f"re-checkpoint this session's new nodes."
         )
 
-    now = sorted(
-        os.path.basename(p) for p in glob.glob(f"{path}/delta-*.json")
-    )
+    now = _delta_names(fs, path)
     if now != deltas_at_read:
         _refuse(
             ", ".join(sorted(set(now) ^ set(deltas_at_read)))
@@ -572,15 +604,14 @@ def _commit_delta_manifest(
     seq = len(now) + 1
     final = f"{path}/delta-{seq:06d}.json"
     tmp = f"{path}/.delta-{seq:06d}.json.tmp"
-    with open(tmp, "w") as f:
-        json.dump({"nodes": delta_nodes}, f, indent=1)
+    fs.write_text(tmp, json.dumps({"nodes": delta_nodes}, indent=1))
     try:
-        os.link(tmp, final)
+        fs.publish_exclusive(tmp, final)
     except FileExistsError:
         _refuse(os.path.basename(final))
     finally:
         try:
-            os.remove(tmp)
+            fs.remove(tmp)
         except OSError:
             pass
 
@@ -611,11 +642,12 @@ def load_cube(
     walks) never materialize frames.  Pinned by
     tests/test_cube_persistence.py::test_catalog_mode_scales.
     """
-    manifest = _merged_manifest(path)
+    fs, path = _cube_fs(path, spark)
+    manifest = _merged_manifest(fs, path)
     by_old = {int(n["id"]): n for n in manifest["nodes"]}
     root_old = int(manifest["root_id"])
 
-    root_df = spark.read.parquet(f"{path}/nodes/{root_old}")
+    root_df = spark.read.parquet(fs.spark_path(f"{path}/nodes/{root_old}"))
     mem = CubeMemory(
         root_df, classify=classify, max_cached_nodes=max_cached_nodes
     )
@@ -627,7 +659,9 @@ def load_cube(
     id_map = {root_old: mem.root_id}
 
     def _node_loader(old_id: int):
-        return lambda: spark.read.parquet(f"{path}/nodes/{old_id}")
+        return lambda: spark.read.parquet(
+            fs.spark_path(f"{path}/nodes/{old_id}")
+        )
 
     for old_id, spec in by_old.items():
         if old_id == root_old:
@@ -638,7 +672,7 @@ def load_cube(
                 loader=_node_loader(old_id),
             )
         else:
-            df = spark.read.parquet(f"{path}/nodes/{old_id}")
+            df = spark.read.parquet(fs.spark_path(f"{path}/nodes/{old_id}"))
             node = CubeNode(spec["query"], df, plan=spec["plan"],
                             cache=False)
         mem.nodes[node.id] = node
@@ -646,7 +680,7 @@ def load_cube(
 
     def _gran_loader(old_id: int, column: str, name: str):
         return lambda: spark.read.parquet(
-            f"{path}/grans/{old_id}/{column}/{name}"
+            fs.spark_path(f"{path}/grans/{old_id}/{column}/{name}")
         )
 
     for old_id, spec in by_old.items():
@@ -662,7 +696,7 @@ def load_cube(
                 mem.nodes[id_map[old_id]].dimension(g["column"]).add(gv)
                 continue
             gdf = spark.read.parquet(
-                f"{path}/grans/{old_id}/{g['column']}/{g['name']}"
+                fs.spark_path(f"{path}/grans/{old_id}/{g['column']}/{g['name']}")
             )
             mem.register_granularity(
                 id_map[old_id], g["column"], g["name"], gdf,

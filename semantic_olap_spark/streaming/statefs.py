@@ -99,6 +99,13 @@ class LocalStateFS:
                     total += os.path.getsize(os.path.join(root, f))
         return total
 
+    def publish_exclusive(self, tmp: str, final: str) -> None:
+        """Atomically publish ``tmp`` as ``final``, refusing (with
+        ``FileExistsError``) if ``final`` already exists — link(2)
+        is atomic and never overwrites.  ``tmp`` is left in place
+        (caller removes it)."""
+        os.link(tmp, final)
+
     def spark_path(self, path: str) -> str:
         # explicit file:// so Spark can never resolve the parquet
         # side against a non-local fs.defaultFS while the markers
@@ -188,6 +195,18 @@ class HadoopStateFS:
             if st.getPath().getName().endswith(".parquet"):
                 total += int(st.getLen())
         return total
+
+    def publish_exclusive(self, tmp: str, final: str) -> None:
+        """Publish ``tmp`` as ``final``, refusing if ``final``
+        exists.  On HDFS ``rename`` is atomic at the namenode and
+        fails on an existing destination; on LocalFileSystem-via-URI
+        the pre-check leaves a small window (Java renameTo may
+        overwrite) — single-host file:// users who need hard
+        exclusivity should use plain local paths (link(2) path)."""
+        if self._fs.exists(self._p(final)):
+            raise FileExistsError(final)
+        if not self._fs.rename(self._p(tmp), self._p(final)):
+            raise FileExistsError(final)
 
     def spark_path(self, path: str) -> str:
         return path  # already a URI on this filesystem

@@ -49,7 +49,9 @@ def test_concurrent_manifest_commit_refused(tmp_path):
     (same window in which both writers allocate the same dir ids),
     and the final create itself is exclusive (link(2))."""
     from semantic_olap_spark.plans.memory import _commit_delta_manifest
+    from semantic_olap_spark.streaming.statefs import LocalStateFS
 
+    lfs = LocalStateFS()
     d = str(tmp_path / "cube")
     os.makedirs(d)
     # writer A read the directory when it held no deltas; writer B
@@ -57,7 +59,7 @@ def test_concurrent_manifest_commit_refused(tmp_path):
     with open(os.path.join(d, "delta-000001.json"), "w") as f:
         json.dump({"nodes": []}, f)
     with pytest.raises(ValueError, match="CONCURRENT"):
-        _commit_delta_manifest(d, [{"id": 7}], deltas_at_read=[])
+        _commit_delta_manifest(lfs, d, [{"id": 7}], deltas_at_read=[])
     # the loser left no manifest (tmp or final) of its own behind
     assert sorted(os.listdir(d)) == ["delta-000001.json"]
 
@@ -66,9 +68,9 @@ def test_concurrent_manifest_commit_refused(tmp_path):
     # passing a stale-but-matching view with the target pre-created
     with pytest.raises(ValueError, match="CONCURRENT"):
         _commit_delta_manifest(
-            d, [{"id": 8}], deltas_at_read=["delta-000001.json"],
+            lfs, d, [{"id": 8}], deltas_at_read=["delta-000001.json"],
         ) or _commit_delta_manifest(
-            d, [{"id": 9}], deltas_at_read=["delta-000001.json"],
+            lfs, d, [{"id": 9}], deltas_at_read=["delta-000001.json"],
         )
     # first call committed delta-000002; the repeat with the SAME
     # stale view trips the chain check

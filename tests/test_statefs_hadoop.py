@@ -238,6 +238,55 @@ def test_agg_state_folds_via_hadoop_fs(spark, tmp_path):
     ).exists()
 
 
+# ---- cube persistence end-to-end through file:// -------------------------
+
+
+def test_cube_roundtrip_via_hadoop_fs(spark, tables, tmp_path):
+    """save_cube / incremental checkpoint / load_cube with the cube
+    path as a file:// URI — manifests and frames both through the
+    Hadoop surface, exclusive delta commit included."""
+    from semantic_olap_spark.plans.memory import (
+        CubeMemory,
+        load_cube,
+        save_cube_incremental,
+    )
+
+    d = "file://" + str(tmp_path / "cube")
+    mem = CubeMemory(tables["documents"])
+    root = mem.nodes[mem.root_id]
+    mem.add_node(
+        "mentions spark",
+        root.df.filter(F.lower(F.col("text")).contains("spark")),
+        [{"operator_name": "keyword_filter",
+          "parameters": {"columns": ["text"], "keywords": ["spark"]}}],
+        [mem.root_id],
+    )
+    save_cube_incremental(mem, d)  # full save through Hadoop fs
+    assert (tmp_path / "cube" / "cube.json").exists()
+    mem.add_node(
+        "mentions join",
+        root.df.filter(F.lower(F.col("text")).contains("join")),
+        [{"operator_name": "keyword_filter",
+          "parameters": {"columns": ["text"], "keywords": ["join"]}}],
+        [mem.root_id],
+    )
+    save_cube_incremental(mem, d)  # delta through publish_exclusive
+    assert (tmp_path / "cube" / "delta-000001.json").exists()
+    m2 = load_cube(spark, d)
+    assert len(m2.nodes) == 3
+    assert {n.query for n in m2.nodes.values()} == {
+        "All Data", "mentions spark", "mentions join"
+    }
+    assert all(n.df.count() >= 0 for n in m2.nodes.values())
+
+
+def test_cube_object_store_refused(spark):
+    from semantic_olap_spark.plans.memory import load_cube
+
+    with pytest.raises(ValueError, match="cube persistence layer"):
+        load_cube(spark, "s3a://bkt/cube")
+
+
 # ---- ADVICE r12 #2: dynamic partitionOverwriteMode poisoning -------------
 
 
