@@ -36,6 +36,10 @@ from semantic_olap_spark.caching import (  # noqa: F401
     release_caches,
 )
 from semantic_olap_spark.engine import OlapEngine  # noqa: F401
+from semantic_olap_spark.inspector import (  # noqa: F401
+    lattice_html,
+    lattice_text,
+)
 from semantic_olap_spark.session import get_spark  # noqa: F401
 from semantic_olap_spark.sql import (  # noqa: F401
     register_semantic_sql,

@@ -136,6 +136,24 @@ def main(argv: list[str] | None = None) -> int:
                     break
                 if not line:
                     break
+                if line == ":cube" or line.startswith(":cube "):
+                    # lattice inspector (reference pages/Cube.py):
+                    # bare -> text tree; with a path -> the
+                    # self-contained HTML artifact with previews
+                    from semantic_olap_spark.inspector import (
+                        lattice_html,
+                        lattice_text,
+                    )
+
+                    target = line[5:].strip()
+                    if target:
+                        lattice_html(
+                            eng.memory, target, preview_rows=8
+                        )
+                        print(f"wrote {target}", file=sys.stderr)
+                    else:
+                        print(lattice_text(eng.memory))
+                    continue
                 try:
                     _run_one(eng, line, args)
                 except Exception as exc:  # noqa: BLE001 - REPL survives
