@@ -1200,11 +1200,12 @@ def main() -> None:
                 "corpus + host baseline, same class as hash_embed."
             ),
             "minhash_lsh_pairs": (
-                "r13 fresh-session 7-sample band [2.52, 2.85, "
-                "3.12] reproduces r12's [2.48, 2.57, 3.03] — the "
-                "r11->r12 1.26x is cross-round corpus composition "
-                "(see the module docstring's cross-round caveat), "
-                "within-round stable. Watch closed."
+                "r13 official clean-session band [1.97, 2.07, "
+                "2.57] returned to the r11 level, so the r12 1.26x "
+                "was host contention like the rest of that run "
+                "(an r13 ad-hoc re-measure that itself ran hot "
+                "reproduced the inflated band — measure this row "
+                "only on an idle host). Watch closed."
             ),
         },
         "queries": {n: timings[n] for n in HEADLINE},
