@@ -111,10 +111,18 @@ def _coverage_order(names: list[str]) -> list[str]:
     )
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _t(
+    spark: SparkSession, sf_dir: str, name: str, rebalance: bool = False
+) -> DataFrame:
+    # rebalance=True opts the scan into the layout-deficit
+    # repartition (loaders.restore_scan_parallelism): set on the
+    # rows whose per-row compute dominates and measurably wins from
+    # it (A/B table in OPTIMIZATION_r13.md); left off where the
+    # first real operation is already a keyed shuffle or the per-row
+    # work is too cheap to pay for the extra exchange.
     from semantic_olap_spark.sources.loaders import load_table
 
-    return load_table(spark, sf_dir, name)
+    return load_table(spark, sf_dir, name, rebalance=rebalance)
 
 
 def _lf(llm_factory):
@@ -545,7 +553,9 @@ def _q_plan_cascade(spark, sf_dir, llm_factory=None):
 def _q_text_profile(spark, sf_dir):
     from semantic_olap_spark.functions.text import text_profile
 
-    return text_profile(_t(spark, sf_dir, "documents")).select(
+    return text_profile(
+        _t(spark, sf_dir, "documents", rebalance=True)
+    ).select(
         "doc_id", "n_tokens", "n_tokens_bpe", "lang_pred", "quality",
         "fingerprint",
     )
@@ -754,7 +764,8 @@ def _q_dup_spans_docs(spark, sf_dir):
     from semantic_olap_spark.functions.dedup import duplicate_spans
 
     return duplicate_spans(
-        _t(spark, sf_dir, "documents"), k=20, fingerprint="md5"
+        _t(spark, sf_dir, "documents", rebalance=True),
+        k=20, fingerprint="md5",
     ).select(
         "doc_id", "span_start", "span_end", "span_tokens"
     )
@@ -766,7 +777,8 @@ def _q_remove_dup_spans_docs(spark, sf_dir):
     from semantic_olap_spark.functions.dedup import remove_duplicate_spans
 
     return remove_duplicate_spans(
-        _t(spark, sf_dir, "documents"), k=20, fingerprint="md5"
+        _t(spark, sf_dir, "documents", rebalance=True),
+        k=20, fingerprint="md5",
     ).select("doc_id", "text", "removed_tokens", "orig_tokens")
 
 
@@ -780,7 +792,7 @@ def _q_remove_spans_against_strided(spark, sf_dir):
         span_index,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", rebalance=True)
     idx = span_index(
         docs.filter("doc_id % 2 = 0"), k=20, fingerprint="md5", stride=3
     )
@@ -798,7 +810,7 @@ def _q_span_coverage_by_source(spark, sf_dir):
         duplicate_spans,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", rebalance=True)
     spans = duplicate_spans(docs, k=20, fingerprint="md5")
     totals = docs.groupBy("source").agg(
         F.sum(F.size(_span_tokens(F.col("text"))))
@@ -916,7 +928,7 @@ def _q_remove_spans_against_docs(spark, sf_dir):
         span_index,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", rebalance=True)
     idx = span_index(
         docs.filter("doc_id % 2 = 0"), k=20, fingerprint="md5"
     )
@@ -935,6 +947,24 @@ def _query_vec(spark, sf_dir, vec_id=0):
         .select(F.col("embedding").cast("array<double>"))
         .collect()[0][0]
     )
+
+
+def _query_vecs(spark, sf_dir, ids):
+    """Fetch several query/centroid vectors in ONE collect job.
+
+    ``[_query_vec(i) for i in ids]`` runs one scan+collect job per
+    vector; for the 8 IVF seed centroids that is 8 driver round
+    trips where one suffices.  Values are identical — same filter,
+    same cast — just batched.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    rows = (
+        emb.filter(F.col("vec_id").isin(list(ids)))
+        .select("vec_id", F.col("embedding").cast("array<double>"))
+        .collect()
+    )
+    by_id = {r[0]: r[1] for r in rows}
+    return [by_id[i] for i in ids]
 
 
 def _q_cosine_topk(spark, sf_dir):
@@ -970,10 +1000,9 @@ def _q_ivf_topk(spark, sf_dir):
 
     from semantic_olap_spark.functions.similarity import ivf_topk
 
-    q = _query_vec(spark, sf_dir)
-    cents = np.array(
-        [_query_vec(spark, sf_dir, vec_id=i) for i in range(8)]
-    )
+    seeds = _query_vecs(spark, sf_dir, list(range(8)))
+    q = seeds[0]  # == _query_vec(vec_id=0), batched into one job
+    cents = np.array(seeds)
     return ivf_topk(
         _t(spark, sf_dir, "embeddings"), q, k=10, centroids=cents, nprobe=3
     )
@@ -1104,7 +1133,9 @@ def _q_redact_pii(spark, sf_dir):
     # redaction + per-kind counts then reproduce exactly in SQL
     from semantic_olap_spark.functions.cleaning import redact_pii
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _t(spark, sf_dir, "documents", rebalance=True).select(
+        "doc_id", "text"
+    )
     d = F.col("doc_id").cast("string")
     docs = docs.withColumn(
         "text",
@@ -1145,7 +1176,7 @@ def _q_decontaminate_bench(spark, sf_dir):
     # other document sharing a verbatim 4-token span with it
     from semantic_olap_spark.functions.cleaning import decontaminate
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", rebalance=True)
     bench = docs.filter(F.col("source") == "src0")
     corpus = docs.filter(F.col("source") != "src0")
     return decontaminate(corpus, bench, n=4)
@@ -1156,7 +1187,7 @@ def _q_contamination_report(spark, sf_dir):
     # instead of dropping
     from semantic_olap_spark.functions.cleaning import contamination_report
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", rebalance=True)
     bench = docs.filter(F.col("source") == "src0")
     corpus = docs.filter(F.col("source") != "src0")
     return contamination_report(corpus, bench, n=4).select(
@@ -1176,7 +1207,8 @@ def _q_bm25_topk(spark, sf_dir):
     from semantic_olap_spark.functions.text import bm25_topk
 
     return bm25_topk(
-        _t(spark, sf_dir, "documents"), "spark join performance", k=10
+        _t(spark, sf_dir, "documents", rebalance=True),
+        "spark join performance", k=10
     ).select("doc_id", "bm25")
 
 
@@ -1190,7 +1222,9 @@ def _q_bm25_rerank_cascade(spark, sf_dir, llm_factory=None):
     from semantic_olap_spark.functions.retrieval import llm_rerank
     from semantic_olap_spark.functions.text import bm25_topk
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _t(spark, sf_dir, "documents", rebalance=True).select(
+        "doc_id", "text"
+    )
     cands = bm25_topk(docs, "spark join performance", k=40).select("doc_id")
     with_text = docs.join(F.broadcast(cands), "doc_id")
     return llm_rerank(
@@ -1204,7 +1238,7 @@ def _q_chunk_documents(spark, sf_dir):
     from semantic_olap_spark.functions.packing import chunk_documents
 
     return chunk_documents(
-        _t(spark, sf_dir, "documents"), size=32, overlap=8
+        _t(spark, sf_dir, "documents", rebalance=True), size=32, overlap=8
     ).select("doc_id", "chunk_id", "chunk", "n_chunk_tokens")
 
 
@@ -1212,7 +1246,7 @@ def _q_normalize_text(spark, sf_dir):
     from semantic_olap_spark.functions.cleaning import normalize_text
 
     return normalize_text(
-        _t(spark, sf_dir, "documents"), out_col="norm"
+        _t(spark, sf_dir, "documents", rebalance=True), out_col="norm"
     ).select("doc_id", "norm")
 
 
@@ -1233,7 +1267,7 @@ def _q_rrf_fuse_hybrid(spark, sf_dir):
     from semantic_olap_spark.functions.retrieval import rrf_fuse
     from semantic_olap_spark.functions.text import bm25_topk
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", rebalance=True)
     bm = bm25_topk(docs, "spark join performance", k=20).select(
         "doc_id", "bm25"
     )
@@ -1277,7 +1311,9 @@ def _q_hash_embed(spark, sf_dir):
     # hashing-trick vectorizer (flattened — the compare sorts cells)
     from semantic_olap_spark.functions.text import hash_embed
 
-    return hash_embed(_t(spark, sf_dir, "documents"), dim=16).select(
+    return hash_embed(
+        _t(spark, sf_dir, "documents", rebalance=True), dim=16
+    ).select(
         "doc_id", F.posexplode("embedding").alias("pos", "v")
     )
 
@@ -1285,7 +1321,7 @@ def _q_hash_embed(spark, sf_dir):
 def _q_sentiment_docs(spark, sf_dir):
     from semantic_olap_spark.functions.text import sentiment_score
 
-    return _t(spark, sf_dir, "documents").select(
+    return _t(spark, sf_dir, "documents", rebalance=True).select(
         "doc_id", sentiment_score(F.col("text")).alias("sentiment")
     )
 
@@ -1296,7 +1332,9 @@ def _q_extract_entities(spark, sf_dir):
     # every row (same pattern as the redact_pii query)
     from semantic_olap_spark.functions.text import extract_entities
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _t(spark, sf_dir, "documents", rebalance=True).select(
+        "doc_id", "text"
+    )
     d = F.col("doc_id")
     ds = d.cast("string")
     name = (
@@ -1404,7 +1442,7 @@ def _q_training_pipeline(spark, sf_dir):
     from semantic_olap_spark.functions.dedup import dedup_exact
     from semantic_olap_spark.functions.sampling import train_test_split
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", rebalance=True)
     bench = docs.filter(F.col("source") == "src0")
     kept = dedup_exact(
         heuristic_filter(
@@ -1445,7 +1483,7 @@ def _q_training_pipeline_spans(spark, sf_dir):
     )
     from semantic_olap_spark.functions.sampling import train_test_split
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", rebalance=True)
     gated = heuristic_filter(
         docs, min_tokens=20,
         max_top_token_frac=0.12, max_dup_2gram_frac=0.05,
@@ -1634,7 +1672,7 @@ def _q_pricing_summary(spark, sf_dir):
     # is bit-identical across engines (same trick as
     # join_revenue_by_nation).  100 TB posture: partial aggregation
     # map-side, 4 result rows cross the shuffle.
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem", rebalance=True)
     dec = lambda c: c.cast("decimal(18,6)")  # noqa: E731
     disc = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     charge = disc * (F.lit(1.0) + F.col("l_tax"))

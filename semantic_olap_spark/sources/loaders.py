@@ -69,7 +69,122 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
         return []
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+# Minimum on-disk footprint for the parallelism restore below to
+# bother: below this the table is either a broadcast-sized dimension
+# (nation/region/supplier/part at every SF — the repartition would
+# just add a stage in front of every broadcast build) or a
+# correctness-SF micro table where speed is irrelevant.  Env knob so
+# a deployment can re-tune or disable (0 keeps every table eligible,
+# a huge value disables the restore outright).
+_SCAN_REBALANCE_MIN_BYTES = 512 * 1024
+# Floor on rows per task after the restore: a task must carry enough
+# rows to amortize its launch cost, so tables between the byte floor
+# and ``cores × _MIN_ROWS_PER_TASK`` rows get proportionally fewer
+# partitions instead of one near-empty task per core.
+_MIN_ROWS_PER_TASK = 64
+
+# (path, mtime) → (row_groups, bytes, rows): footers are immutable
+# per mtime, so repeated load_table calls (the bench loads tables
+# per timed attempt) skip the re-read.  Metadata only — never data.
+_LAYOUT_CACHE: dict[tuple[str, float], tuple[int, int, int]] = {}
+
+
+def _scan_layout(path: str) -> tuple[int, int, int] | None:
+    """(total row groups, total bytes, total rows) of a parquet path."""
+    import os
+
+    try:
+        key = (path, os.path.getmtime(path))
+    except OSError:
+        return None
+    hit = _LAYOUT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    try:
+        import pyarrow.dataset as ds
+        import pyarrow.parquet as pq
+
+        groups = bytes_ = rows = 0
+        for f in ds.dataset(path, format="parquet").files:
+            meta = pq.ParquetFile(f).metadata
+            groups += meta.num_row_groups
+            rows += meta.num_rows
+            bytes_ += os.path.getsize(f)
+    except Exception:
+        return None
+    _LAYOUT_CACHE[key] = (groups, bytes_, rows)
+    return _LAYOUT_CACHE[key]
+
+
+def restore_scan_parallelism(
+    spark: SparkSession, df: DataFrame, path: str
+) -> DataFrame:
+    """Round-robin repartition a scan whose file layout under-splits.
+
+    Parquet's unit of scan parallelism is the row group: a table
+    written as few files with one row group each runs every scan —
+    and all map-side work above it (filter, projection, partial
+    aggregation, Arrow UDF batches) — on that many tasks, no matter
+    what ``spark.sql.files.maxPartitionBytes`` says.  The local
+    testdata is exactly this shape (one single-row-group file per
+    table), so without this every per-row expression in the engine
+    executes on ONE core of the machine.
+
+    The rule is derived from the source layout, not tuned to any
+    machine: it fires only when the layout yields fewer row groups
+    than ``defaultParallelism`` (a production table at 100 TB has
+    thousands of row groups — permanent no-op) and the table is big
+    enough to matter (``_SCAN_REBALANCE_MIN_BYTES``).  A table that
+    trips the rule is by construction small or pathologically
+    unsplittable, the one case where the guide's "repartition
+    immediately after the read" is the right call; filters and
+    column pruning still reach the scan (Catalyst pushes both
+    through a Repartition node).
+
+    OPT-IN per call site (``load_table(..., rebalance=True)``), not
+    blanket: the interleaved A/B at sf0.1 (OPTIMIZATION_r13.md)
+    shows the repartition pays off only where per-row compute
+    dominates (text/cleaning expression chains, decimal-heavy
+    aggregation, span fingerprinting — 0.4-0.8×) and *costs* time
+    where per-row work is cheap or the query's first real operation
+    is itself a shuffle on a proper key (pure filters, windows,
+    fact-fact joins, pair joins whose task count multiplies — up to
+    3×).  A filter pushed below the Repartition still evaluates on
+    the scan split (pushdown is preserved), so filter-shaped
+    operators gain nothing by construction.
+
+    Results are unaffected: every operator in the package is
+    partition-count invariant by design (decimal/integer aggregation,
+    per-row expressions, key-partitioned windows), which the replay
+    contract re-verifies — see OPTIMIZATION_r13.md for the forced
+    all-tables replay evidence.
+    """
+    import os
+
+    min_bytes = int(
+        os.environ.get(
+            "SPARK_GRAFT_SCAN_REBALANCE_MIN_BYTES", _SCAN_REBALANCE_MIN_BYTES
+        )
+    )
+    layout = _scan_layout(path)
+    if layout is None:
+        return df
+    groups, bytes_, rows = layout
+    par = spark.sparkContext.defaultParallelism
+    if groups >= par or bytes_ < min_bytes:
+        return df
+    target = min(par, max(1, rows // _MIN_ROWS_PER_TASK))
+    if target <= groups:
+        return df
+    return df.repartition(target)
+
+
+def load_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    rebalance: bool = False,
+) -> DataFrame:
     path = f"{sf_dir}/{name}.parquet"
     nanos_cols = _nanos_timestamp_cols(path)
     if nanos_cols:
@@ -78,6 +193,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # ANY session, not just ones built by our get_spark factory
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
+    if rebalance:
+        df = restore_scan_parallelism(spark, df, path)
     # Timestamp normalization (r7 — supersedes r6's NTZ→TimestampType
     # cast): tz-naive encodings normalize to TIMESTAMP_NTZ, never to
     # the session TimestampType.  A naive wall-clock has no instant;
