@@ -1439,17 +1439,26 @@ def _q_training_pipeline(spark, sf_dir):
         decontaminate,
         heuristic_filter,
     )
+    from semantic_olap_spark.caching import tracked_persist
     from semantic_olap_spark.functions.dedup import dedup_exact
     from semantic_olap_spark.functions.sampling import train_test_split
 
     docs = _t(spark, sf_dir, "documents", rebalance=True)
     bench = docs.filter(F.col("source") == "src0")
-    kept = dedup_exact(
-        heuristic_filter(
-            docs, min_tokens=20,
-            max_top_token_frac=0.12, max_dup_2gram_frac=0.05,
-        )
-    ).filter(F.col("source") != "src0")
+    # tracked_persist (r13): decontaminate consumes `kept` twice
+    # (the exploded n-gram hits side AND the anti-join keep side);
+    # unpersisted, Catalyst re-executed the gate + dedup window per
+    # consumer — the same multi-consumer shape the _spans twin
+    # already persists.  Measured 3.6 s → 2.9 s at sf0.1, rows
+    # identical; released via caching.release_caches().
+    kept = tracked_persist(
+        dedup_exact(
+            heuristic_filter(
+                docs, min_tokens=20,
+                max_top_token_frac=0.12, max_dup_2gram_frac=0.05,
+            )
+        ).filter(F.col("source") != "src0")
+    )
     clean = decontaminate(kept, bench, n=4)
     return train_test_split(
         clean, {"train": 0.9, "test": 0.1}, "doc_id"
@@ -1592,7 +1601,13 @@ def _q_profile_columns(spark, sf_dir):
 
 
 def _q_join_revenue_by_nation(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem")
+    # fact side rebalanced (r13): all three joins broadcast, so the
+    # heavy per-row work — join probes + per-term decimal casts over
+    # 600 k rows — is map-side only; the layout-deficit repartition
+    # spreads it across cores (lineitem-only A/B 1.82 s → 1.49 s
+    # median; rebalancing the dims too delays their broadcast builds
+    # and loses, which is why the other _t calls stay plain).
+    li = _t(spark, sf_dir, "lineitem", rebalance=True)
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
@@ -2565,12 +2580,14 @@ def _q_returned_item_revenue(spark, sf_dir):
 def _q_supplier_variety(spark, sf_dir):
     # TPC-H Q16 shape (NOT IN as a broadcast anti join): distinct
     # suppliers per brand, excluding delinquent suppliers.  The
-    # lineitem pair-distinct is the one big shuffle (2 narrow
-    # columns); the exclusion list and part dimension broadcast.
-    pairs = (
-        _t(spark, sf_dir, "lineitem")
-        .select("l_partkey", "l_suppkey").distinct()
-    )
+    # exclusion list and part dimension broadcast; the one big
+    # shuffle is the count-distinct's own (brand, suppkey) partial
+    # aggregate.  r13: the former pair-`distinct()` before the joins
+    # was redundant — countDistinct dedupes anyway — and its extra
+    # exchange + hash-agg pass cost ~0.3 s at sf0.1 (1.11 s → 0.80 s,
+    # rows identical); partial aggregation on (brand, suppkey)
+    # collapses the fact map-side just as well.
+    pairs = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     bad = (
         _t(spark, sf_dir, "supplier")
         .filter(F.col("s_acctbal") < 0).select("s_suppkey")

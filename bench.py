@@ -557,6 +557,14 @@ def main() -> None:
     )
 
     qs = dict(qs)
+    # r13: the span-dedup production overrides get the same
+    # layout-deficit rebalance their registry twins opted into
+    # (loaders.restore_scan_parallelism) — without it the xxhash64
+    # fingerprint pass runs on the testdata's single parquet split.
+    # minhash/simhash repartition internally and need nothing here.
+    from semantic_olap_spark.sources.loaders import load_table as _lt_reb
+
+    docs_reb = _lt_reb(spark, sf_dir, "documents", rebalance=True)
     qs["simhash_pairs"] = lambda spark_, sf_: simhash_pairs(
         tables["documents"], max_distance=3
     )
@@ -575,7 +583,7 @@ def main() -> None:
     )
 
     qs["remove_dup_spans_docs"] = lambda spark_, sf_: remove_duplicate_spans(
-        tables["documents"], k=20
+        docs_reb, k=20
     )
     import tempfile
 
@@ -585,7 +593,7 @@ def main() -> None:
     ).write.mode("overwrite").parquet(span_idx_path)
     span_idx = spark.read.parquet(span_idx_path)
     qs["remove_spans_against_docs"] = lambda spark_, sf_: remove_spans_against(
-        tables["documents"].filter("doc_id % 2 = 1"), span_idx, k=20
+        docs_reb.filter("doc_id % 2 = 1"), span_idx, k=20
     )
     # persisted ANN indexes (warmup = the one-time assign+write cost;
     # the timed rows below measure the repeated-query probe path)
