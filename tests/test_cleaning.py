@@ -332,3 +332,51 @@ def test_contamination_report_plan_step(tables, spark):
         PlanExecutor().execute(
             docs, [{"operator": "contamination_report", "params": {}}]
         )
+
+
+class TestRepetitionCountsUdf:
+    """r13: top/dup-bigram counts moved to an Arrow integer UDF
+    (guide §4.2); these pin the edge semantics the old Catalyst
+    folds defined and that the ratios above rely on."""
+
+    def test_null_text_yields_null_metrics(self, spark):
+        df = spark.createDataFrame([(0, None)], "doc_id long, text string")
+        row = repetition_profile(df).collect()[0]
+        assert row["top_token_frac"] is None
+        assert row["dup_2gram_frac"] is None
+
+    def test_one_python_eval_node(self, spark):
+        # both counts must come from ONE ArrowEvalPython (a second
+        # would double the token shipping)
+        plan = (
+            repetition_profile(_docs(spark, ["a b c"]))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("ArrowEvalPython") == 1
+
+    def test_counts_match_brute_force(self, spark):
+        from collections import Counter
+
+        texts = [
+            "a a a b", "x", "", "  ", "a B a b A", "w1 w2 w1 w2 w1",
+            "tab\tsep\nlines", "sym!@# sym!@# other",
+        ]
+        rows = {
+            r["doc_id"]: r
+            for r in repetition_profile(_docs(spark, texts)).collect()
+        }
+        for i, t in enumerate(texts):
+            toks = t.lower().split()
+            n = len(toks)
+            top = max(Counter(toks).values()) / n if n else 0.0
+            grams = list(zip(toks, toks[1:]))
+            dup = (
+                1.0 - len(set(grams)) / len(grams)
+                if len(grams) else 0.0
+            )
+            assert rows[i]["top_token_frac"] == pytest.approx(
+                round(top, 6), abs=0
+            ), t
+            assert rows[i]["dup_2gram_frac"] == pytest.approx(
+                round(dup, 6), abs=1e-9
+            ), t
