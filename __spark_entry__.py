@@ -964,6 +964,9 @@ def _query_vecs(spark, sf_dir, ids):
         .collect()
     )
     by_id = {r[0]: r[1] for r in rows}
+    missing = [i for i in ids if i not in by_id]
+    if missing:
+        raise ValueError(f"query vectors not found in embeddings: {missing}")
     return [by_id[i] for i in ids]
 
 

@@ -216,8 +216,20 @@ def _repetition_counts():
     Catalyst, so the metric doubles are the same IEEE values as
     before and the SQL oracle is unchanged (a max-multiplicity and a
     distinct count have exactly one value).
+
+    Runtime dependency note: this path (and therefore
+    ``repetition_profile`` / ``heuristic_filter`` / the
+    ``training_pipeline`` quality gate) needs pandas+pyarrow Python
+    workers on the executors — it is no longer pure Catalyst.
     """
-    import pandas as pd
+    try:
+        import pandas as pd
+    except ImportError as e:  # pragma: no cover - env-dependent
+        raise ImportError(
+            "repetition metrics need pandas/pyarrow Python workers "
+            "(Arrow-batched UDF); install pandas on the executors or "
+            "pin the pure-Catalyst construction from r12"
+        ) from e
 
     def counts(tok_series):
         from collections import Counter

@@ -83,14 +83,32 @@ _SCAN_REBALANCE_MIN_BYTES = 512 * 1024
 # partitions instead of one near-empty task per core.
 _MIN_ROWS_PER_TASK = 64
 
-# (path, mtime) → (row_groups, bytes, rows): footers are immutable
-# per mtime, so repeated load_table calls (the bench loads tables
-# per timed attempt) skip the re-read.  Metadata only — never data.
-_LAYOUT_CACHE: dict[tuple[str, float], tuple[int, int, int]] = {}
+# (path, mtime) → (row_groups, bytes, rows, complete): footers are
+# immutable per mtime, so repeated load_table calls (the bench loads
+# tables per timed attempt) skip the re-read.  Metadata only — never
+# data.  ``complete=False`` marks an early-exited sweep: ``groups``
+# is then a lower bound that already met the caller's threshold.
+# NB the key is the TOP-LEVEL path mtime: replacing a part file in a
+# nested partition directory may not bump it, so a long-lived session
+# could repartition from stale counts (perf-only — results never
+# depend on this).  Fine for single-directory layouts like the bench
+# testdata; a mutating multi-dir deployment should restart sessions
+# or disable the rule via the byte-floor knob.
+_LAYOUT_CACHE: dict[tuple[str, float], tuple[int, int, int, bool]] = {}
 
 
-def _scan_layout(path: str) -> tuple[int, int, int] | None:
-    """(total row groups, total bytes, total rows) of a parquet path."""
+def _scan_layout(
+    path: str, stop_groups: int | None = None
+) -> tuple[int, int, int, bool] | None:
+    """(row groups, bytes, rows, complete) of a parquet path.
+
+    ``stop_groups`` bounds the driver-side footer sweep: the loop
+    early-exits as soon as the running row-group count reaches it —
+    a well-laid-out table (thousands of files at 100 TB) answers
+    "enough groups, rule is a no-op" after reading at most
+    ``stop_groups`` footers instead of every one.  An early exit
+    returns ``complete=False`` with counts that are lower bounds.
+    """
     import os
 
     try:
@@ -99,20 +117,27 @@ def _scan_layout(path: str) -> tuple[int, int, int] | None:
         return None
     hit = _LAYOUT_CACHE.get(key)
     if hit is not None:
-        return hit
+        # a truncated sweep is only reusable if it already answers
+        # the current threshold; else fall through and rescan
+        if hit[3] or (stop_groups is not None and hit[0] >= stop_groups):
+            return hit
     try:
         import pyarrow.dataset as ds
         import pyarrow.parquet as pq
 
         groups = bytes_ = rows = 0
+        complete = True
         for f in ds.dataset(path, format="parquet").files:
             meta = pq.ParquetFile(f).metadata
             groups += meta.num_row_groups
             rows += meta.num_rows
             bytes_ += os.path.getsize(f)
+            if stop_groups is not None and groups >= stop_groups:
+                complete = False
+                break
     except Exception:
         return None
-    _LAYOUT_CACHE[key] = (groups, bytes_, rows)
+    _LAYOUT_CACHE[key] = (groups, bytes_, rows, complete)
     return _LAYOUT_CACHE[key]
 
 
@@ -161,17 +186,23 @@ def restore_scan_parallelism(
     """
     import os
 
-    min_bytes = int(
-        os.environ.get(
-            "SPARK_GRAFT_SCAN_REBALANCE_MIN_BYTES", _SCAN_REBALANCE_MIN_BYTES
+    try:
+        min_bytes = int(
+            os.environ.get(
+                "SPARK_GRAFT_SCAN_REBALANCE_MIN_BYTES",
+                _SCAN_REBALANCE_MIN_BYTES,
+            )
         )
-    )
-    layout = _scan_layout(path)
+    except ValueError:
+        # malformed knob (e.g. '512k', '') must not break every
+        # rebalance-enabled load — fall back to the built-in floor
+        min_bytes = _SCAN_REBALANCE_MIN_BYTES
+    par = spark.sparkContext.defaultParallelism
+    layout = _scan_layout(path, stop_groups=par)
     if layout is None:
         return df
-    groups, bytes_, rows = layout
-    par = spark.sparkContext.defaultParallelism
-    if groups >= par or bytes_ < min_bytes:
+    groups, bytes_, rows, complete = layout
+    if groups >= par or not complete or bytes_ < min_bytes:
         return df
     target = min(par, max(1, rows // _MIN_ROWS_PER_TASK))
     if target <= groups:

@@ -65,6 +65,61 @@ def test_results_invariant_under_rebalance(spark, forced_floor):
     assert a == b
 
 
+def test_footer_sweep_is_bounded_on_many_file_tables(
+    spark, tmp_path, monkeypatch
+):
+    # r14: a well-laid-out table (more row groups than cores) must be
+    # classified as a no-op after reading at most defaultParallelism
+    # footers — not every footer of a many-thousand-file table
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from semantic_olap_spark.sources import loaders
+
+    d = tmp_path / "many.parquet"
+    d.mkdir()
+    n_files = spark.sparkContext.defaultParallelism + 48
+    for i in range(n_files):
+        pq.write_table(pa.table({"x": [i]}), d / f"part-{i:05d}.parquet")
+
+    calls = {"n": 0}
+    real = pq.ParquetFile
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    # loaders imports pyarrow.parquet inside the function, so patching
+    # the module attribute is seen by the sweep
+    monkeypatch.setattr(pq, "ParquetFile", counting)
+    df = spark.read.parquet(str(d))
+    out = loaders.restore_scan_parallelism(spark, df, str(d))
+    par = spark.sparkContext.defaultParallelism
+    assert calls["n"] <= par, (
+        f"footer sweep read {calls['n']} footers; must early-exit "
+        f"at defaultParallelism={par} (table has {n_files} files)"
+    )
+    assert out is df  # enough groups -> rule is a no-op
+
+
+def test_truncated_layout_cache_rescans_for_higher_threshold(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from semantic_olap_spark.sources.loaders import _scan_layout
+
+    d = tmp_path / "t.parquet"
+    d.mkdir()
+    for i in range(8):
+        pq.write_table(pa.table({"x": [i]}), d / f"p{i}.parquet")
+    g, b, r, complete = _scan_layout(str(d), stop_groups=4)
+    assert g >= 4 and not complete
+    # a later caller with a higher threshold must not trust the
+    # truncated counts
+    g2, b2, r2, complete2 = _scan_layout(str(d), stop_groups=100)
+    assert complete2 and g2 == 8 and r2 == 8
+
+
 def test_pushdown_survives_rebalance(spark, forced_floor):
     reb = load_table(spark, SF, "lineitem", rebalance=True)
     q = reb.filter(F.col("l_quantity") > 25).select("l_orderkey")
