@@ -845,24 +845,29 @@ def minhash_lsh_pairs(
         if exact_hash
         else _hashed(word_shingles(F.col(text_col), shingle_n))
     )
-    docs = (
+    base = (
         df.select(F.col(id_col).alias("_id"), F.col(text_col))
         .repartition(nparts)
         .select("_id", shingle_set.alias("_sh"))
     )
     from semantic_olap_spark.caching import tracked_persist
 
-    docs = tracked_persist(docs)  # released via caching.release_caches()
-    if exact_hash:
-        sig = docs.withColumn(
-            "_sig", _minhash_signature_md5(F.col("_sh"), num_hashes)
-        )
-    else:
-        sig = docs.withColumn(
-            "_sig", _minhash_signature(F.col("_sh"), num_hashes)
-        )
+    # persist shingles AND the signature together (r14): the banding
+    # below slices "_sig" once per band, and Catalyst's projection
+    # collapse would otherwise inline the 64-hash signature
+    # expression into each of the 16 band keys (interpreted HOFs, no
+    # subexpression elimination — a measured 16× recompute under the
+    # posexplode).  With "_sig" materialized in the cache the
+    # signature computes once; the verify joins read "_sh" from the
+    # same cached frame.  Released via caching.release_caches().
+    sig_expr = (
+        _minhash_signature_md5(F.col("_sh"), num_hashes)
+        if exact_hash
+        else _minhash_signature(F.col("_sh"), num_hashes)
+    )
+    docs = tracked_persist(base.withColumn("_sig", sig_expr))
     band_arr = _band_keys(F.col("_sig"), num_hashes, bands, exact_hash)
-    banded = sig.select(
+    banded = docs.select(
         "_id", F.posexplode(band_arr).alias("_band", "_bh")
     )
     # Band-keyed aggregation (r14, guide §2.4 + §2.5): ONE groupBy
@@ -883,37 +888,59 @@ def minhash_lsh_pairs(
     # self-join instead — pair rows are 16 bytes each, never array
     # copies.  Measured at the stress corpus (2k-member clique
     # buckets): explode-only 5.5 s vs hybrid ~4 s uncapped.
-    buckets = (
-        banded.groupBy("_band", "_bh")
-        .agg(F.collect_list("_id").alias("_ids"))
-        .filter(F.size("_ids") >= 2)
-    )
-    if max_bucket_size is not None:
-        buckets = buckets.filter(F.size("_ids") <= max_bucket_size)
-    # both size-branches consume `buckets`; without a persist the
-    # whole shingle→signature→groupBy chain would execute TWICE
-    # (Catalyst does not dedupe shared lineage)
-    buckets = tracked_persist(buckets)
-    small = buckets.filter(F.size("_ids") <= _PAIR_EXPLODE_MAX_BUCKET)
-    big = buckets.filter(F.size("_ids") > _PAIR_EXPLODE_MAX_BUCKET)
-    small_pairs = (
-        small.select(F.explode("_ids").alias("id_a"), "_ids")
-        .select("id_a", F.explode("_ids").alias("id_b"))
-        .filter(F.col("id_a") < F.col("id_b"))
-    )
-    big_rows = big.select(
-        "_band", "_bh", F.explode("_ids").alias("_id")
-    )
-    big_pairs = (
-        big_rows.select(F.col("_id").alias("id_a"), "_band", "_bh")
-        .join(
-            big_rows.select(F.col("_id").alias("id_b"), "_band", "_bh"),
-            ["_band", "_bh"],
+    if max_bucket_size is None:
+        # no skew guard requested: the direct bucket self-join needs
+        # no bucket sizes at all — a groupBy/collect_list pass would
+        # be pure overhead (and O(b²) array copies on exactly the
+        # degenerate cliques an uncapped run is exposed to)
+        left = banded.select(
+            F.col("_id").alias("id_a"), F.col("_band"), F.col("_bh")
         )
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-    )
-    cand = small_pairs.unionByName(big_pairs).distinct()
+        right = banded.select(
+            F.col("_id").alias("id_b"), F.col("_band"), F.col("_bh")
+        )
+        cand = (
+            left.join(right, ["_band", "_bh"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+    else:
+        buckets = tracked_persist(
+            banded.groupBy("_band", "_bh")
+            .agg(F.collect_list("_id").alias("_ids"))
+            .filter(
+                (F.size("_ids") >= 2)
+                & (F.size("_ids") <= max_bucket_size)
+            )
+        )
+        # both size-branches consume `buckets`; without the persist
+        # the whole shingle→signature→groupBy chain would execute
+        # TWICE (Catalyst does not dedupe shared lineage)
+        small = buckets.filter(
+            F.size("_ids") <= _PAIR_EXPLODE_MAX_BUCKET
+        )
+        big = buckets.filter(F.size("_ids") > _PAIR_EXPLODE_MAX_BUCKET)
+        small_pairs = (
+            small.select(F.explode("_ids").alias("id_a"), "_ids")
+            .select("id_a", F.explode("_ids").alias("id_b"))
+            .filter(F.col("id_a") < F.col("id_b"))
+        )
+        big_rows = big.select(
+            "_band", "_bh", F.explode("_ids").alias("_id")
+        )
+        big_pairs = (
+            big_rows.select(F.col("_id").alias("id_a"), "_band", "_bh")
+            .join(
+                big_rows.select(
+                    F.col("_id").alias("id_b"), "_band", "_bh"
+                ),
+                ["_band", "_bh"],
+            )
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+        )
+        cand = small_pairs.unionByName(big_pairs).distinct()
     with_sets = (
         cand.join(docs.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sa")), "id_a")
         .join(docs.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_sb")), "id_b")
@@ -970,10 +997,26 @@ def minhash_index(
         if exact_hash
         else _minhash_signature(F.col("_sh"), num_hashes)
     )
-    return docs.select(
+    # MATERIALIZE the signature before banding (r14): _band_keys
+    # slices the signature once per band, and Catalyst collapses a
+    # withColumn("_sig")+select back into one projection, stamping
+    # the 64-hash signature expression out per band key — interpreted
+    # HOF transforms get no subexpression elimination, so the
+    # signature executed 16×, and consumers that explode ``_bkeys``
+    # (every probe) paid it again per reference.  A projection alias
+    # cannot stop CollapseProject (r13's barrier experiments), so the
+    # sig frame is persisted: the signature computes ONCE, band keys
+    # and verify reads hit the cache.  Released via
+    # caching.release_caches().
+    from semantic_olap_spark.caching import tracked_persist
+
+    sigd = tracked_persist(docs.withColumn("_sig", sig))
+    return sigd.select(
         "_id",
         "_sh",
-        _band_keys(sig, num_hashes, bands, exact_hash).alias("_bkeys"),
+        _band_keys(F.col("_sig"), num_hashes, bands, exact_hash).alias(
+            "_bkeys"
+        ),
     )
 
 

@@ -153,16 +153,44 @@ def quantile_state(
     raw_bin = F.floor((c - F.lit(float(lo))) * F.lit(float(nbins))
                       / F.lit(float(hi) - float(lo)))
     bin_idx = F.least(F.greatest(raw_bin, F.lit(0)), F.lit(nbins - 1))
-    aggs = [
-        F.array(*[
-            F.count(F.when(bin_idx == i, F.lit(1)))
-            for i in range(nbins)
-        ]).alias("counts"),
-        F.count(c).alias("cnt"),
-        F.min(c).alias("min"),
-        F.max(c).alias("max"),
-    ]
-    return (df.groupBy(*keys) if keys else df.groupBy()).agg(*aggs)
+    # Two-level aggregation (r14, guide §2.3 "aggregate before you
+    # shuffle"): the former single groupBy carried 64 conditional
+    # COUNT aggregates, i.e. ~64 aggregate-buffer updates PER ROW.
+    # Level 1 groups by (keys, bin) — one floor + one hash-agg probe
+    # per row, map-side combined to at most |groups|·(nbins+1) rows —
+    # and level 2 pivots those tiny rows into the dense counts array.
+    # Bit-identical output: integer counts per bin, exact min/max/cnt
+    # (a group whose metric values are all NULL keeps its row via the
+    # null-bin level-1 row; null bins are excluded from the map so
+    # its counts stay all-zero, cnt 0, min/max NULL — same as before).
+    lvl1 = (
+        df.groupBy(*keys, bin_idx.alias("_qs_bin"))
+        .agg(
+            F.count(c).alias("_qs_n"),
+            F.min(c).alias("_qs_min"),
+            F.max(c).alias("_qs_max"),
+        )
+    )
+    entries = F.filter(
+        F.collect_list(F.struct(F.col("_qs_bin"), F.col("_qs_n"))),
+        lambda s: s["_qs_bin"].isNotNull(),
+    )
+    bin_map = F.map_from_entries(entries)
+    dense = F.transform(
+        F.sequence(F.lit(0).cast("long"), F.lit(nbins - 1).cast("long")),
+        lambda i: F.coalesce(
+            F.element_at(bin_map, i), F.lit(0).cast("long")
+        ),
+    )
+    return (
+        (lvl1.groupBy(*keys) if keys else lvl1.groupBy())
+        .agg(
+            dense.alias("counts"),
+            F.sum("_qs_n").alias("cnt"),
+            F.min("_qs_min").alias("min"),
+            F.max("_qs_max").alias("max"),
+        )
+    )
 
 
 def merge_quantile_states(

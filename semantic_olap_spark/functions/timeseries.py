@@ -391,9 +391,29 @@ def detect_anomalies(
     )
     vd = F.col(value_col).cast("decimal(18,6)")
     sq = (vd * vd).cast("decimal(38,12)")
-    n = F.count(vd).over(w)
-    s = F.sum(vd).over(w).cast("double")
-    ss = F.sum(sq).over(w).cast("double")
+    # Materialize the THREE distinct window aggregates once (r14,
+    # guide §2.4/§7.2 duplicated-subtree check): inlining them into
+    # the derived mean/var/zscore/is_anomaly expressions made
+    # Catalyst extract 26 window expressions over the same frame —
+    # count/sum/sum stamped out up to 9× each — and WindowExec
+    # re-aggregates EVERY one per row on a bounded sliding frame.
+    # Same arithmetic, same fixed operation order, evaluated from the
+    # materialized columns instead: bit-identical output, ~9× less
+    # window-buffer work.
+    clash = {"_an_n", "_an_s", "_an_ss"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"detect_anomalies reserves column names {sorted(clash)}"
+        )
+    base = df.select(
+        *df.columns,
+        F.count(vd).over(w).alias("_an_n"),
+        F.sum(vd).over(w).cast("double").alias("_an_s"),
+        F.sum(sq).over(w).cast("double").alias("_an_ss"),
+    )
+    n = F.col("_an_n")
+    s = F.col("_an_s")
+    ss = F.col("_an_ss")
     nd = n.cast("double")
     # fixed order (mirrored in SQL): var = max(ss - s*s/n, 0) / (n-1)
     var = F.greatest(ss - s * s / nd, F.lit(0.0)) / (nd - F.lit(1.0))
@@ -404,12 +424,15 @@ def detect_anomalies(
             round_to,
         ),
     )
-    return df.select(
+    mid = base.select(
         *df.columns,
         n.alias("prev_n"),
         zscore.alias("zscore"),
+    )
+    return mid.select(
+        *mid.columns,
         F.coalesce(
-            F.abs(zscore) > F.lit(float(z)), F.lit(False)
+            F.abs(F.col("zscore")) > F.lit(float(z)), F.lit(False)
         ).alias("is_anomaly"),
     )
 
