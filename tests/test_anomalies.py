@@ -11,6 +11,7 @@ import datetime as dt
 import pytest
 from pyspark.sql import functions as F
 
+from tests.conftest import fuzz_budget
 from semantic_olap_spark.functions.timeseries import detect_anomalies
 
 
@@ -119,7 +120,7 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 _HSETTINGS = dict(
-    max_examples=10,
+    max_examples=fuzz_budget(10, 5),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

@@ -5,7 +5,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from semantic_olap_spark.functions.cdc import apply_cdc, scd2_history
-from tests.conftest import assert_matches
+from tests.conftest import fuzz_budget, assert_matches
 
 
 def _base(spark):
@@ -89,7 +89,7 @@ def test_random_changelogs_match_sequential_reference(spark):
     )
 
     @settings(
-        max_examples=12,
+        max_examples=fuzz_budget(12, 5),
         deadline=None,
         suppress_health_check=[HealthCheck.function_scoped_fixture],
     )

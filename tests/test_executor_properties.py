@@ -15,6 +15,7 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
+from tests.conftest import fuzz_budget
 from semantic_olap_spark.llm.client import default_llm_factory
 from semantic_olap_spark.operators.logic import compile_logic, normalize_logic
 from semantic_olap_spark.plans.executor import _build_cond, run_filter
@@ -63,7 +64,7 @@ def docs200(tables):
 
 def test_staged_equals_naive_on_random_trees(docs200):
     @settings(
-        max_examples=8,
+        max_examples=fuzz_budget(8, 4),
         deadline=None,
         suppress_health_check=[HealthCheck.function_scoped_fixture],
     )

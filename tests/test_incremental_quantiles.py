@@ -13,6 +13,7 @@ Contracts:
 import pytest
 from pyspark.sql import functions as F
 
+from tests.conftest import fuzz_budget
 from semantic_olap_spark.functions.incremental import (
     finalize_quantiles,
     merge_quantile_states,
@@ -139,7 +140,7 @@ from hypothesis import HealthCheck, given, settings  # noqa: E402
 from hypothesis import strategies as st  # noqa: E402
 
 _HSETTINGS = dict(
-    max_examples=12,
+    max_examples=fuzz_budget(12, 5),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

@@ -149,9 +149,13 @@ def test_100_random_trees_order_invariant(spark, skewed_docs):
     permutations are checked exhaustively (≤3 LLM leaves → ≤6), and
     the chosen order must itself be one of them.
     """
+    from tests.conftest import fuzz_budget
+
     rng = random.Random(42)
     df = skewed_docs
-    for trial in range(100):
+    # quick tier: 30 trials (3 exhaustive-permutation rounds at
+    # trial % 10 == 0); SPARK_GRAFT_FULL_TESTS=1 restores all 100
+    for trial in range(fuzz_budget(100, 30)):
         n_leaves = rng.randint(2, 4)
         chosen_leaves = rng.sample(range(len(LEAF_POOL)), n_leaves)
         ops = [

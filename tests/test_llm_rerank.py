@@ -12,6 +12,7 @@ import pytest
 from pyspark import cloudpickle
 from pyspark.sql import functions as F
 
+from tests.conftest import fuzz_budget
 from semantic_olap_spark.functions.retrieval import llm_rerank
 from semantic_olap_spark.llm.client import BaseLLM, CountingLLM, StubLLM
 
@@ -101,7 +102,7 @@ _DOC = st.lists(
 ).map(" ".join)
 
 _HSETTINGS = dict(
-    max_examples=10,
+    max_examples=fuzz_budget(10, 5),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

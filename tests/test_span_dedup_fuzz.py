@@ -14,6 +14,8 @@ bug.  Seeds fixed: failures reproduce.
 from __future__ import annotations
 
 import random
+
+from tests.conftest import fuzz_budget
 import re
 from collections import Counter
 
@@ -78,7 +80,7 @@ def test_span_dedup_fuzz_vs_bruteforce(spark):
     )
 
     rng = random.Random(20260816)
-    for trial in range(6):
+    for trial in range(fuzz_budget(6, 3)):
         k = rng.choice([2, 3, 5])
         min_count = rng.choice([2, 2, 3])
         texts = _rand_corpus(
@@ -145,7 +147,7 @@ def test_span_against_fuzz_vs_bruteforce(spark):
     )
 
     rng = random.Random(20260817)
-    for trial in range(5):
+    for trial in range(fuzz_budget(5, 2)):
         k = rng.choice([2, 3, 4])
         seen = _rand_corpus(rng, n_docs=rng.randint(2, 8), vocab=4)
         batch = _rand_corpus(rng, n_docs=rng.randint(2, 8), vocab=4)
@@ -169,7 +171,7 @@ def test_tokens_col_fuzz_matches_text_mode(spark):
     from semantic_olap_spark.functions.dedup import duplicate_spans
 
     rng = random.Random(20260818)
-    for trial in range(4):
+    for trial in range(fuzz_budget(4, 2)):
         k = rng.choice([2, 3, 5])
         texts = _rand_corpus(rng, n_docs=rng.randint(3, 10), vocab=5)
         tdf = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
@@ -224,7 +226,7 @@ def test_streaming_fold_fuzz_vs_bruteforce(spark, tmp_path):
     )
 
     rng = random.Random(20260817)
-    for trial in range(4):
+    for trial in range(fuzz_budget(4, 2)):
         k = rng.choice([2, 3, 4])
         texts = _rand_corpus(
             rng, n_docs=rng.randint(4, 12), vocab=rng.choice([3, 5])
